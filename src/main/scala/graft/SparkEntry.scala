@@ -9,10 +9,36 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 / §7.3 / §7.5. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> Relational.pricingSummary,
+    "q_top_orders" -> Relational.topOrders,
+    "q_cust_nation_join" -> Relational.custNationJoin,
+    "q_order_lineitem_join" -> Relational.orderLineitemJoin,
+    "q_semi_anti" -> Relational.semiAnti,
+    "q_window_rank" -> Relational.windowRank,
+    "q_rollup" -> Relational.rollupAgg,
+    "q_distinct" -> Relational.distinctAgg,
+    "q_approx_distinct" -> Relational.approxDistinct,
+    "q_setops" -> Relational.setOps,
+    "q_scalar_funcs" -> Relational.scalarFuncs,
+    "q_date_funcs" -> Relational.dateFuncs,
+    "q_events_sessionize" -> Relational.eventsSessionize,
+    "q_json_extract" -> Relational.jsonExtract,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> Relational.pricingSummarySql,
+    "q_top_orders" -> Relational.topOrdersSql,
+    "q_cust_nation_join" -> Relational.custNationJoinSql,
+    "q_order_lineitem_join" -> Relational.orderLineitemJoinSql,
+    "q_semi_anti" -> Relational.semiAntiSql,
+    "q_window_rank" -> Relational.windowRankSql,
+    "q_rollup" -> Relational.rollupAggSql,
+    "q_distinct" -> Relational.distinctAggSql,
+    // q_approx_distinct: HLL sketch — not oracle-matchable, rows-only check.
+    "q_setops" -> Relational.setOpsSql,
+    "q_scalar_funcs" -> Relational.scalarFuncsSql,
+    "q_date_funcs" -> Relational.dateFuncsSql,
+    "q_events_sessionize" -> Relational.eventsSessionizeSql,
+    "q_json_extract" -> Relational.jsonExtractSql,
   )
 }

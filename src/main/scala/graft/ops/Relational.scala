@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB): dimension tables (region/nation) are
   * explicitly broadcast; fact-fact joins shuffle on their join keys and
   * rely on AQE for skew; all aggregates are partial (map-side combine)
-  * by construction of `groupBy().agg()`; no `collect()` anywhere.
+  * by construction of `groupBy().agg()`; top-k uses
+  * `TakeOrderedAndProject` (per-partition heap, no global sort); no
+  * `collect()` anywhere.
   *
   * Determinism: every query sorts its output on a unique key and rounds
   * double aggregates, so the driver's DuckDB hash-compare is stable.
@@ -56,4 +58,319 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-k: orderBy(desc).limit(k) compiles to TakeOrderedAndProject —
+    * a per-partition bounded heap + single driver merge of k rows, not a
+    * global sort. At 100 TB this is the only sane top-k physical shape.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").cast("date").as("odate"))
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+      |  CAST(o_orderdate AS DATE) AS odate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Star-schema join: both dimension sides broadcast explicitly —
+    * at 100 TB nation/region are KB-sized; a shuffle join here would be
+    * a planner failure, so the hint pins it.
+    */
+  def custNationJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val custNationJoinSql: String =
+    """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Fact-fact join: orders ⋈ lineitem on the order key. Both sides are
+    * huge at scale → shuffle (sort-merge or AQE-chosen shuffled hash) on
+    * l_orderkey/o_orderkey is correct; partial aggregation runs before
+    * the final shuffle on the group key.
+    */
+  def orderLineitemJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderLineitemJoinSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+      |  count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins. The probe side
+    * only ships the join key; at scale the orders key-set is shuffled
+    * once and reused for both branches via the same scan.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val oKeys = Tables.orders(spark, dir).select(col("o_custkey"))
+    def branch(joinType: String, tag: String) =
+      c.join(oKeys, c("c_custkey") === oKeys("o_custkey"), joinType)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("status", lit(tag))
+    branch("left_semi", "has_orders")
+      .unionByName(branch("left_anti", "no_orders"))
+      .select(col("c_mktsegment"), col("status"), col("n"))
+      .orderBy(col("c_mktsegment"), col("status"))
+  }
+
+  val semiAntiSql: String =
+    """SELECT c_mktsegment, 'has_orders' AS status, count(*) AS n
+      |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, 'no_orders' AS status, count(*) AS n
+      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment, status""".stripMargin
+
+  /** Window rank: top-3 orders per customer. One shuffle on the window
+    * partition key; rank filter applied before any further operator so
+    * nothing downstream sees the un-filtered cardinality.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, price FROM (
+      |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Rollup grouping sets over a broadcast-dim join. NULL group keys are
+    * coalesced to a sentinel so Spark/DuckDB NULL-ordering differences
+    * can't perturb the compare.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("n_name"), col("o_orderpriority"))
+  }
+
+  val rollupAggSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS n_name,
+      |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, o_orderpriority)
+      |ORDER BY n_name, o_orderpriority""".stripMargin
+
+  /** Exact distinct aggregation (expands to a two-phase partial/final
+    * plan under the hood). The approximate (HLL) variant lives in
+    * [[approxDistinct]] — not oracle-matchable by design.
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust_exact"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val distinctAggSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust_exact,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** approx_count_distinct = HyperLogLog++ sketch: single pass, fixed
+    * memory per group — the 100 TB answer when exact distinct would
+    * shuffle every key. No DuckDB oracle (sketch estimates differ);
+    * driver records a rows-only check.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Set operations (UNION/INTERSECT/EXCEPT, all DISTINCT semantics). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    def counted(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n")).withColumn("op", lit(tag))
+    counted(a.union(b).distinct(), "union")
+      .unionByName(counted(a.intersect(b), "intersect"))
+      .unionByName(counted(a.except(b), "except"))
+      .select(col("op"), col("n"))
+      .orderBy(col("op"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'union' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |UNION ALL
+      |SELECT 'except' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |ORDER BY op""".stripMargin
+
+  /** String/math scalar-function battery — all codegen'd built-ins, so
+    * the whole projection stays inside one WholeStageCodegen span.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        lower(col("p_brand")).as("brand_lower"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        round(col("p_retailprice") * 1.1, 2).as("price_up"),
+        floor(col("p_retailprice")).as("price_floor"),
+        (col("p_size") % 7).as("size_mod"),
+        round(sqrt(col("p_size")), 4).as("size_sqrt"))
+      .orderBy(col("p_partkey"))
+
+  val scalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(substring(p_name, 1, 8)) AS name_prefix,
+      |  length(p_name) AS name_len,
+      |  lower(p_brand) AS brand_lower,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  round(p_retailprice * 1.1, 2) AS price_up,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      |  p_size % 7 AS size_mod,
+      |  round(sqrt(p_size), 4) AS size_sqrt
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Date/time scalar-function battery over orders. Outputs are ints
+    * and DATEs (never raw timestamps) for cross-engine hash stability.
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Sessionization via lag window: gap > 30 min starts a new session.
+    * Gaps are computed on integer epoch seconds so sub-second precision
+    * differences between engines can't flip a boundary. One shuffle on
+    * user_id; at 100 TB this is the canonical partition-by-entity shape.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .withColumn("prev", lag(col("es"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("es") - col("prev") > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_s")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+      |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** JSON extraction from the events.props string column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  count(*) AS n,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all engine specs: local, UTC, AQE on, small
+  * shuffle partitioning to match the test scale.
+  */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+
+  test("pricing summary groups are the 4 TPC-H flag/status combos or fewer") {
+    val rows = ops.Relational.pricingSummary(spark, sfDir).collect()
+    assert(rows.length >= 1 && rows.length <= 8)
+    // count_order column must be positive everywhere
+    rows.foreach(r => assert(r.getAs[Long]("count_order") > 0))
+  }
+
+  test("top orders returns exactly 10 rows in descending price order") {
+    val prices = ops.Relational.topOrders(spark, sfDir)
+      .collect().map(_.getAs[Double]("price"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("window rank never exceeds 3 per customer") {
+    val df = ops.Relational.windowRank(spark, sfDir)
+    assert(df.filter(df("rn") > 3).count() == 0)
+    val perCust = df.groupBy("o_custkey").count()
+    assert(perCust.filter(perCust("count") > 3).count() == 0)
+  }
+
+  test("semi + anti partition the customer table") {
+    val df = ops.Relational.semiAnti(spark, sfDir)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(total == nCust, "semi+anti counts must sum to |customer|")
+  }
+
+  test("setops obey |A∪B| = |A| + |B| − |A∩B| via except") {
+    val rows = ops.Relational.setOps(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // except = A − (A∩B): union = except + intersect + (B − A∩B) ≥ except + intersect
+    assert(rows("union") >= rows("intersect"))
+    assert(rows("union") >= rows("except") + rows("intersect"))
+  }
+
+  test("sessionize: n_sessions between 1 and n_events for every user") {
+    val bad = ops.Relational.eventsSessionize(spark, sfDir)
+      .filter("n_sessions < 1 OR n_sessions > n_events")
+    assert(bad.count() == 0)
+  }
+}
