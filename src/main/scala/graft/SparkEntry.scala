@@ -22,6 +22,16 @@ object SparkEntry {
     "q_date_funcs" -> Relational.dateFuncs,
     "q_events_sessionize" -> Relational.eventsSessionize,
     "q_json_extract" -> Relational.jsonExtract,
+    // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
+    "q_dedup_exact" -> Dedup.dedupExact,
+    "q_dedup_minhash" -> Dedup.dedupMinhash,
+    "q_dedup_simhash" -> Dedup.dedupSimhash,
+    "q_dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "q_text_stats" -> TextAnalysis.textStats,
+    "q_token_count" -> TextAnalysis.tokenCount,
+    "q_quality_score" -> TextAnalysis.qualityScore,
+    "q_lang_id" -> TextAnalysis.langId,
+    "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +50,13 @@ object SparkEntry {
     "q_date_funcs" -> Relational.dateFuncsSql,
     "q_events_sessionize" -> Relational.eventsSessionizeSql,
     "q_json_extract" -> Relational.jsonExtractSql,
+    "q_dedup_exact" -> Dedup.dedupExactSql,
+    // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram_jaccard /
+    // q_lang_id / q_doc_fingerprint: sketch/heuristic ops built on
+    // Spark's xxhash64 hash family — not SQL-expressible in DuckDB →
+    // rows-only check; invariants pinned by DedupSpec/TextAnalysisSpec.
+    "q_text_stats" -> TextAnalysis.textStatsSql,
+    "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_quality_score" -> TextAnalysis.qualityScoreSql,
   )
 }

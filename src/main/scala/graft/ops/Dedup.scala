@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (driver north
+  * star: training-data pipeline at 100 TB).
+  *
+  * Shape shared by the approximate variants (MinHash-LSH, SimHash,
+  * n-gram Jaccard): per-document *sketches* are computed in a single
+  * scan-speed projection; candidate pairs come from equality joins on
+  * LSH bucket keys (never an O(n²) cross join); candidates are then
+  * verified with the exact measure. Bucket-size caps guard against
+  * degenerate keys (the classic LSH skew failure at scale).
+  *
+  * Each operator emits a per-document summary (`|documents|` rows,
+  * never empty) rather than bare pairs, so the result is stable on
+  * corpora with few or no duplicates.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-aggregate on the full text. One shuffle on the
+    * text hash; at 100 TB you'd pre-hash to a 128-bit key — semantics
+    * identical, so the oracle stays exact.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** doc_id + distinct hashed word-3-gram shingles (array<long>).
+    * Hashing shingles to longs up front keeps every downstream join and
+    * set operation on fixed-width values instead of strings.
+    */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("shset",
+        expr("""array_distinct(CASE WHEN size(t) >= 3 THEN
+                |  transform(sequence(0, size(t)-3),
+                |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))
+                |ELSE array(xxhash64(concat_ws(' ', t))) END)""".stripMargin))
+      .select(col("doc_id"), col("shset"))
+
+  /** Exact Jaccard on hashed shingle sets for a candidate pair. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Candidate pairs from equality self-join on (bucketCol id, hash),
+    * with a bucket-size cap dropping degenerate buckets (boilerplate
+    * content at scale would otherwise make one bucket quadratic).
+    */
+  private def lshCandidates(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val capped = buckets
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_id"), col("bucket_hash"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("bucket_id"), col("bucket_hash"), col("doc_id"))
+    capped.as("x").join(capped.as("y"),
+        col("x.bucket_id") === col("y.bucket_id") &&
+        col("x.bucket_hash") === col("y.bucket_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Left-join a per-doc pair summary back onto the full doc list so the
+    * output always has one row per document.
+    */
+  private def perDocSummary(docs: DataFrame, pairs: DataFrame, simCol: String,
+                            threshold: Double): DataFrame = {
+    val directed = pairs.select(col("doc_a").as("doc_id"), col(simCol))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col(simCol)))
+    val agg = directed.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col(simCol) >= threshold, 1L).otherwise(0L)).as("n_dups"),
+      round(max(col(simCol)), 4).as("max_sim"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_dups"))
+      .na.fill(0.0, Seq("max_sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH near-dup: 64 minhashes from the seeded xxhash64
+    * family → 16 bands × 4 rows → band-bucket join → exact Jaccard
+    * verification at 0.7. Only candidate pairs (≪ n²) ever touch the
+    * verify join. No SQL oracle: the sketch depends on Spark's xxhash64
+    * hash family → rows-only check; correctness is pinned by DedupSpec.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir).cache()
+    val sig = sets.withColumn("sig",
+      expr("transform(sequence(0, 63), j -> array_min(transform(shset, h -> xxhash64(h, j))))"))
+    val buckets = sig.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+      .withColumnRenamed("pos", "bucket_id")
+      .withColumnRenamed("col", "bucket_hash")
+    val cand = lshCandidates(buckets, maxBucket = 100)
+    val verified = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
+    perDocSummary(sets, verified, "jacc", 0.7)
+  }
+
+  /** SimHash near-dup: 64-bit weighted-bit signature over token hashes;
+    * pigeonhole blocking on 4×16-bit chunks (any pair at Hamming
+    * distance ≤ 3 must agree on ≥ 1 chunk); verification = bit_count of
+    * XOR. Rows-only check (hash-family dependent), pinned by DedupSpec.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
+                |  acc + CASE WHEN aggregate(hs, 0, (a, h) ->
+                |      a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0
+                |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .cache()
+    val buckets = docs.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(simhash, 16*c) & 65535)")))
+      .withColumnRenamed("pos", "bucket_id")
+      .withColumnRenamed("col", "bucket_hash")
+    val cand = lshCandidates(buckets, maxBucket = 100)
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      // similarity in [0,1]: 1 − hamming/64, so the shared ≥-threshold
+      // summary logic applies (hamming ≤ 3 ⇔ sim ≥ 0.953)
+      .select(col("doc_a"), col("doc_b"),
+        (lit(1.0) - expr("bit_count(ha ^ hb)") / lit(64.0)).as("sim"))
+    perDocSummary(docs, verified, "sim", 1.0 - 3.0 / 64)
+  }
+
+  /** Exact n-gram Jaccard dedup with cheap blocking: candidates share
+    * (lang, length bucket); each block is bounded by the cap. This is
+    * the "small corpus / exact answer" path; MinHash is the scale path.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), (col("n_chars") / 50).cast("int").as("lenb"))
+      .join(sets, Seq("doc_id"))
+    val buckets = docs.select(
+      hash(col("lang")).as("bucket_id"),
+      col("lenb").cast("long").as("bucket_hash"),
+      col("doc_id"))
+    val cand = lshCandidates(buckets, maxBucket = 1000)
+    val verified = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
+    perDocSummary(docs, verified, "jacc", 0.7)
+  }
+}

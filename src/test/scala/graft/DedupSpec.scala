@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the dedup operators (SURVEY.md §7.5). The approximate
+  * variants (MinHash, SimHash, n-gram blocking) are not DuckDB-oracle-able
+  * (they depend on Spark's xxhash64 family), so their correctness is
+  * pinned here instead: self-consistency, recall of planted exact
+  * duplicates, and idempotence-style laws.
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val nDocs = Tables.documents(spark, sfDir).count()
+
+  test("dedupExact: distinct texts == output rows; copies sum to corpus size") {
+    val df = ops.Dedup.dedupExact(spark, sfDir).cache()
+    val distinctTexts = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(df.count() == distinctTexts)
+    val total = df.agg(sum("n_copies")).head().getLong(0)
+    assert(total == nDocs)
+  }
+
+  test("dedupMinhash: one row per document; sims within [0,1]") {
+    val df = ops.Dedup.dedupMinhash(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    assert(df.filter(col("max_sim") < 0 || col("max_sim") > 1).count() == 0)
+    assert(df.filter(col("n_dups") > col("n_candidates")).count() == 0)
+  }
+
+  test("dedupMinhash: exact duplicates (Jaccard 1.0) are found as near-dups") {
+    // every text with >1 exact copy must be flagged with max_sim == 1.0
+    val dupIds = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    val flagged = ops.Dedup.dedupMinhash(spark, sfDir)
+      .join(dupIds, Seq("doc_id"))
+    val missed = flagged.filter(col("max_sim") < 1.0).count()
+    assert(missed == 0, s"$missed exact-duplicate docs not flagged by MinHash-LSH")
+  }
+
+  test("dedupSimhash: one row per document; identical texts collide") {
+    val df = ops.Dedup.dedupSimhash(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    val dupIds = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    val missed = df.join(dupIds, Seq("doc_id")).filter(col("n_dups") === 0).count()
+    assert(missed == 0, s"$missed exact-duplicate docs not flagged by SimHash")
+  }
+
+  test("dedupNgramJaccard: one row per document; exact dups found") {
+    val df = ops.Dedup.dedupNgramJaccard(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    val dupIds = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"),
+        first(col("lang")).as("lang"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    val missed = df.join(dupIds, Seq("doc_id")).filter(col("max_sim") < 1.0).count()
+    assert(missed == 0, s"$missed exact-duplicate docs not flagged by n-gram blocking")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the text-analysis operators (SURVEY.md §7.5). */
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val nDocs = Tables.documents(spark, sfDir).count()
+
+  test("textStats: doc counts sum to corpus size; min<=avg<=max") {
+    val df = ops.TextAnalysis.textStats(spark, sfDir).cache()
+    assert(df.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    val bad = df.filter(
+      col("min_chars") > col("avg_chars") || col("avg_chars") > col("max_chars")).count()
+    assert(bad == 0)
+  }
+
+  test("tokenCount: one row per doc; counts positive; bpe >= whitespace tokens") {
+    val df = ops.TextAnalysis.tokenCount(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    assert(df.filter(col("n_ws_tokens") <= 0).count() == 0)
+    // a regex segmentation can only split whitespace tokens further
+    assert(df.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+  }
+
+  test("qualityScore: one row per doc; ratios in [0,1]; quality in {low,medium,high}") {
+    val df = ops.TextAnalysis.qualityScore(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    assert(df.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(df.filter(!col("quality").isin("low", "medium", "high")).count() == 0)
+  }
+
+  test("langId: confusion-matrix counts sum to corpus size; preds from known set") {
+    val df = ops.TextAnalysis.langId(spark, sfDir).cache()
+    assert(df.agg(sum("n")).head().getLong(0) == nDocs)
+    assert(df.filter(!col("pred_lang").isin("en", "de", "es", "fr", "zh", "unknown")).count() == 0)
+  }
+
+  test("docFingerprint: one row per doc; identical texts share a fingerprint") {
+    val df = ops.TextAnalysis.docFingerprint(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    val fps = Tables.documents(spark, sfDir)
+      .join(df, Seq("doc_id"))
+      .groupBy("text").agg(countDistinct("fingerprint").as("nfp"))
+    assert(fps.filter(col("nfp") > 1).count() == 0,
+      "identical texts produced different fingerprints")
+  }
+}
