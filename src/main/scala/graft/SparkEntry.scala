@@ -32,6 +32,8 @@ object SparkEntry {
     "q_quality_score" -> TextAnalysis.qualityScore,
     "q_lang_id" -> TextAnalysis.langId,
     "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
+    "q_knn_brute" -> Similarity.knnBrute,
+    "q_ann_lsh" -> Similarity.annLsh,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +60,8 @@ object SparkEntry {
     "q_text_stats" -> TextAnalysis.textStatsSql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_quality_score" -> TextAnalysis.qualityScoreSql,
+    // q_ann_lsh: hyperplane family derives from Spark's xxhash64 →
+    // rows-only check; recall vs q_knn_brute pinned by SimilaritySpec.
+    "q_knn_brute" -> Similarity.knnBruteSql,
   )
 }

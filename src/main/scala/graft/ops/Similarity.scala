@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors; driver north star: ANN for a training-data pipeline).
+  *
+  * Two paths:
+  *  - [[knnBrute]]: exact brute-force cosine top-k — the baseline and
+  *    the oracle-able query. The query set is broadcast, the corpus
+  *    streams: one scan, no shuffle of the corpus side.
+  *  - [[annLsh]]: random-hyperplane LSH (sign-random-projection)
+  *    bucketing — the 100 TB path. Candidates come from equality joins
+  *    on band buckets (never a cross join), are verified with exact
+  *    cosine, and per-query top-k uses [[graft.functions.TopKAggregator]]
+  *    (a partial aggregate: each map task emits ≤ k rows, unlike a
+  *    window top-k which shuffles every candidate).
+  *
+  * All arithmetic is double (floats cast up front, left-to-right
+  * summation) so results are bit-comparable with the DuckDB oracle's
+  * `list_dot_product` over `DOUBLE[]`.
+  */
+object Similarity {
+
+  /** Corpus with double-cast vectors and precomputed L2 norms. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+
+  private val dot =
+    "aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+
+  private val NQueries = 10
+  private val K = 5
+
+  /** Exact k-NN: cosine top-5 for the first 10 vectors against the
+    * whole corpus. Ranking uses round(sim, 6) with vec_id tie-break so
+    * the cut is reproducible cross-engine.
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |q AS (
+       |  SELECT vec_id AS qid, emb AS qe, nrm AS qn FROM n WHERE vec_id < $NQueries),
+       |s AS (
+       |  SELECT qid, n.vec_id AS nid, list_dot_product(qe, emb) / (qn * nrm) AS sim
+       |  FROM q, n WHERE n.vec_id <> qid),
+       |r AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, nid) AS rank
+       |  FROM s)
+       |SELECT qid AS query_id, rank, nid AS neighbor_id, round(sim, 4) AS sim
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val NPlanes = 32 // 8 bands × 4 bits
+  private val NBands = 8
+  private val RowsPerBand = 4
+
+  /** Sign-random-projection signatures: bit p = sign(v · h_p), where
+    * hyperplane h_p's components are a deterministic xxhash64-derived
+    * pseudo-random sequence in [-500, 500]. Pure projection — computed
+    * at scan speed, no shuffle.
+    */
+  private def withSig(e: DataFrame): DataFrame =
+    e.withColumn("sig", expr(
+      s"""transform(sequence(0, ${NPlanes - 1}), p ->
+         |  CASE WHEN aggregate(
+         |    zip_with(emb,
+         |      transform(sequence(0, 63), d -> CAST(xxhash64(p * 64 + d) % 1001 AS DOUBLE)),
+         |      (x, w) -> x * w),
+         |    0D, (a, v) -> a + v) > 0 THEN 1 ELSE 0 END)""".stripMargin))
+
+  /** Approximate k-NN via LSH banding. Each vector lands in
+    * $NBands buckets; a query's candidates are corpus vectors sharing
+    * at least one (band, bucket-key). Collision probability per band is
+    * (1 - θ/π)^$RowsPerBand — near-duplicates collide with high
+    * probability, random pairs rarely. Candidates are verified with
+    * exact cosine; per-query top-k via the bounded TopK partial
+    * aggregate. Not SQL-oracle-able (depends on the xxhash64 plane
+    * family) → rows-only check; recall vs [[knnBrute]] is pinned by
+    * SimilaritySpec.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withSig(withNorm(spark, dir)).cache()
+    def buckets(df: DataFrame, idAs: String) = df.select(
+      col("vec_id").as(idAs),
+      posexplode(expr(
+        s"""transform(sequence(0, ${NBands - 1}), b ->
+           |  xxhash64(b, ${(0 until RowsPerBand).map(r => s"sig[$RowsPerBand * b + $r]").mkString(", ")}))""".stripMargin)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkt")
+    val qb = buckets(e.filter(col("vec_id") < NQueries), "query_id")
+    val cand = buckets(e, "nid")
+      .join(broadcast(qb), Seq("band", "bkt"))
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("nid"))
+      .distinct()
+    val verified = cand
+      .join(e.select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("nrm")), Seq("nid"))
+      .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
+    verified.groupBy(col("query_id"))
+      .agg(TopK.topK(K)(col("sim"), col("nid")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

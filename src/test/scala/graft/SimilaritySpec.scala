@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the similarity-search operators (SURVEY.md §7.5):
+  * exact brute-force k-NN shape checks, and ANN-vs-exact recall for the
+  * LSH path (not DuckDB-oracle-able — hyperplanes derive from Spark's
+  * xxhash64).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("knnBrute: 10 queries x 5 ranks, sims in [-1,1], ranks contiguous") {
+    val df = ops.Similarity.knnBrute(spark, sfDir).cache()
+    assert(df.count() == 50)
+    assert(df.select(countDistinct("query_id")).head().getLong(0) == 10)
+    assert(df.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+    val ranks = df.groupBy("query_id").agg(collect_set("rank").as("rs"))
+    assert(ranks.filter(size(col("rs")) =!= 5).count() == 0)
+  }
+
+  test("annLsh: valid shape; no sim above the exact best; usable recall") {
+    val ann = ops.Similarity.annLsh(spark, sfDir).cache()
+    val brute = ops.Similarity.knnBrute(spark, sfDir).cache()
+    // ANN never reports a similarity above the exact per-query maximum
+    val beyond = ann.groupBy("query_id").agg(max("sim").as("ann_max"))
+      .join(brute.groupBy("query_id").agg(max("sim").as("ex_max")), Seq("query_id"))
+      .filter(col("ann_max") > col("ex_max") + 1e-9)
+    assert(beyond.count() == 0)
+    // recall@5: fraction of exact top-5 pairs recovered by the LSH path
+    val hit = brute.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .count()
+    val recall = hit.toDouble / 50
+    info(f"ANN recall@5 = $recall%.2f")
+    assert(recall >= 0.2, f"LSH recall collapsed: $recall%.2f")
+  }
+}
