@@ -34,6 +34,9 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
     "q_knn_brute" -> Similarity.knnBrute,
     "q_ann_lsh" -> Similarity.annLsh,
+    "q_media_catalog" -> Multimodal.mediaCatalog,
+    "q_media_features" -> Multimodal.mediaFeatures,
+    "q_frame_sample" -> Multimodal.frameSample,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +66,9 @@ object SparkEntry {
     // q_ann_lsh: hyperplane family derives from Spark's xxhash64 →
     // rows-only check; recall vs q_knn_brute pinned by SimilaritySpec.
     "q_knn_brute" -> Similarity.knnBruteSql,
+    // q_media_features: byte-level stub decode → rows-only check;
+    // determinism + ranges pinned by MultimodalSpec.
+    "q_media_catalog" -> Multimodal.mediaCatalogSql,
+    "q_frame_sample" -> Multimodal.frameSampleSql,
   )
 }
