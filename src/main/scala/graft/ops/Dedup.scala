@@ -95,9 +95,11 @@ object Dedup {
     * hash family → rows-only check; correctness is pinned by DedupSpec.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sets = shingleSets(spark, dir).cache()
-    val sig = sets.withColumn("sig",
-      expr("transform(sequence(0, 63), j -> array_min(transform(shset, h -> xxhash64(h, j))))"))
+    // native codegen'd MinHash (one fused shingles×64 loop) vs the
+    // transform/array_min built-in composition's interpreted lambdas
+    val sig = sets.withColumn("sig", expr("minhash_sig(shset, 64)"))
     val buckets = sig.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
@@ -117,14 +119,12 @@ object Dedup {
     * XOR. Rows-only check (hash-family dependent), pinned by DedupSpec.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
-                |  acc + CASE WHEN aggregate(hs, 0, (a, h) ->
-                |      a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0
-                |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      // native codegen'd signature: one fused tokens×64 loop
+      .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("doc_id"), col("simhash"))
       .cache()
     val buckets = docs.select(col("doc_id"),

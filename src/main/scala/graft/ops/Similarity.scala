@@ -26,15 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Corpus with double-cast vectors and precomputed L2 norms. */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with double-cast vectors and precomputed L2 norms. Norms
+    * and dot products use the native codegen'd [[graft.functions.VecDot]]
+    * (`vec_dot`) — one fused loop instead of interpreted
+    * `zip_with`/`aggregate` lambdas, same left-to-right double
+    * summation so DuckDB oracles still match bit-exact.
+    */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+  }
 
-  private val dot =
-    "aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+  private val dot = "vec_dot(qe, emb)"
 
   private val NQueries = 10
   private val K = 5
@@ -80,19 +85,28 @@ object Similarity {
   private val NBands = 8
   private val RowsPerBand = 4
 
-  /** Sign-random-projection signatures: bit p = sign(v · h_p), where
-    * hyperplane h_p's components are a deterministic xxhash64-derived
-    * pseudo-random sequence in [-500, 500]. Pure projection — computed
-    * at scan speed, no shuffle.
+  /** The fixed hyperplane family: component (p, d) is an XXH64-derived
+    * pseudo-random value in [-500, 500] — deterministic, computed ONCE
+    * on the driver and shipped as literals (the previous formulation
+    * recomputed 32×64 hashes per row in interpreted lambdas).
+    */
+  private lazy val planes: IndexedSeq[Seq[Double]] =
+    (0 until NPlanes).map { p =>
+      (0 until 64).map { d =>
+        (org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashInt(p * 64 + d, 42L) % 1001).toDouble
+      }
+    }
+
+  /** Sign-random-projection signatures: bit p = sign(v · h_p), each
+    * projection a codegen'd `vec_dot` against a literal plane. Pure
+    * projection — computed at scan speed, no shuffle.
     */
   private def withSig(e: DataFrame): DataFrame =
-    e.withColumn("sig", expr(
-      s"""transform(sequence(0, ${NPlanes - 1}), p ->
-         |  CASE WHEN aggregate(
-         |    zip_with(emb,
-         |      transform(sequence(0, 63), d -> CAST(xxhash64(p * 64 + d) % 1001 AS DOUBLE)),
-         |      (x, w) -> x * w),
-         |    0D, (a, v) -> a + v) > 0 THEN 1 ELSE 0 END)""".stripMargin))
+    e.withColumn("sig", array(
+      (0 until NPlanes).map { p =>
+        when(call_function("vec_dot", col("emb"), typedlit(planes(p))) > 0, 1).otherwise(0)
+      }: _*))
 
   /** Approximate k-NN via LSH banding. Each vector lands in
     * $NBands buckets; a query's candidates are corpus vectors sharing

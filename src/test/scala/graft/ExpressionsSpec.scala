@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native codegen expressions must agree with the built-in
+  * compositions they replace (same math, fused loop).
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("vec_dot matches the zip_with/aggregate composition bit-exactly") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("a"))
+      .withColumn("b", reverse(col("a")))
+    val diff = e.select(
+      expr("vec_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+  }
+
+  test("simhash64 matches the nested-aggregate formulation") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir).limit(50)
+      .select(expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
+    val diff = d.select(
+      expr("simhash64(hs)").as("native"),
+      expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
+             |  acc + CASE WHEN aggregate(hs, 0, (a, h) ->
+             |      a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0
+             |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        .as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+  }
+
+  test("minhash_sig: 64 slots, deterministic, identical sets collide fully") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))").as("s"))
+    val sigs = d.select(col("doc_id"), expr("minhash_sig(s, 64)").as("sig")).cache()
+    assert(sigs.filter(size(col("sig")) =!= 64).count() == 0)
+    val again = d.select(col("doc_id"), expr("minhash_sig(s, 64)").as("sig"))
+    assert(sigs.exceptAll(again).count() == 0)
+  }
+
+  test("GraftExtensions injects all function specs") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+}
