@@ -27,6 +27,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.dedupMinhash,
     "q_dedup_simhash" -> Dedup.dedupSimhash,
     "q_dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "q_dedup_embedding" -> Dedup.dedupEmbedding,
     "q_text_stats" -> TextAnalysis.textStats,
     "q_token_count" -> TextAnalysis.tokenCount,
     "q_quality_score" -> TextAnalysis.qualityScore,

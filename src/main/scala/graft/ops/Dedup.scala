@@ -143,6 +143,24 @@ object Dedup {
     perDocSummary(docs, verified, "sim", 1.0 - 3.0 / 64)
   }
 
+  /** Embedding-cosine near-dup: documents whose embedding vectors are
+    * nearly parallel (cosine ≥ 0.95) are duplicate candidates. The
+    * candidate set comes from the same sign-random-projection LSH
+    * banding as the ANN path ([[Similarity]]) — equality join on band
+    * buckets, never an O(n²) cross join — then exact cosine verification
+    * with the codegen'd `vec_dot`. Per-document summary like the other
+    * variants. Rows-only check (hyperplane family is engine-side);
+    * invariants pinned by DedupSpec.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = Similarity.cosineCandidatePairs(spark, dir)
+    perDocSummary(docs,
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("sim")),
+      "sim", 0.95)
+  }
+
   /** Exact n-gram Jaccard dedup with cheap blocking: candidates share
     * (lang, length bucket); each block is bounded by the cap. This is
     * the "small corpus / exact answer" path; MinHash is the scale path.

@@ -108,6 +108,37 @@ object Similarity {
         when(call_function("vec_dot", col("emb"), typedlit(planes(p))) > 0, 1).otherwise(0)
       }: _*))
 
+  /** All-pairs near-duplicate candidates over the whole corpus:
+    * self-join on LSH band buckets (id_a < id_b), bucket-size cap
+    * against degenerate keys, exact cosine verification via the
+    * codegen'd `vec_dot`. Feeds [[Dedup.dedupEmbedding]]. Output:
+    * (id_a, id_b, sim).
+    */
+  def cosineCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = withSig(withNorm(spark, dir)).cache()
+    val b = e.select(
+        col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${NBands - 1}), b ->
+             |  xxhash64(b, ${(0 until RowsPerBand).map(r => s"sig[$RowsPerBand * b + $r]").mkString(", ")}))""".stripMargin)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkt")
+    val capped = b
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkt"))))
+      .filter(col("bsz") <= 200)
+      .select(col("band"), col("bkt"), col("vec_id"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("qe"), col("nrm").as("qn")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("emb"), col("nrm")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
+  }
+
   /** Approximate k-NN via LSH banding. Each vector lands in
     * $NBands buckets; a query's candidates are corpus vectors sharing
     * at least one (band, bucket-key). Collision probability per band is

@@ -52,6 +52,15 @@ class DedupSpec extends AnyFunSuite {
     assert(missed == 0, s"$missed exact-duplicate docs not flagged by SimHash")
   }
 
+  test("dedupEmbedding: one row per document; sims within [-1,1]; dup flags consistent") {
+    val df = ops.Dedup.dedupEmbedding(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    assert(df.filter(col("max_sim") < -1.0 || col("max_sim") > 1.0001).count() == 0)
+    assert(df.filter(col("n_dups") > col("n_candidates")).count() == 0)
+    // flagged dups really have cosine >= 0.95
+    assert(df.filter(col("n_dups") > 0 && col("max_sim") < 0.95).count() == 0)
+  }
+
   test("dedupNgramJaccard: one row per document; exact dups found") {
     val df = ops.Dedup.dedupNgramJaccard(spark, sfDir).cache()
     assert(df.count() == nDocs)
