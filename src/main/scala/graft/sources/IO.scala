@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface of the engine.
+  *
+  * The reference framework's only ingestion/output primitives are the
+  * abstract `Supplier`/`Finalizer` interfaces
+  * (`batch_processor.go:16-18,26-28`) — it has no formats. This module
+  * is the engine's concrete format surface, with 100 TB defaults baked
+  * in:
+  *
+  *  - **Schemas are always explicit** for text formats. Inference
+  *    (`inferSchema`) reads the data twice and samples nondeterministically
+  *    — at scale that's both slow and wrong. Parquet/ORC carry their
+  *    own schema.
+  *  - **Readers are plain `spark.read`** → vectorized scans, predicate
+  *    pushdown and column pruning arrive via Catalyst for free.
+  *  - **Writers default to snappy/zstd splittable compression**,
+  *    support `partitionBy` (partition pruning on read) and
+  *    `maxRecordsPerFile` (bounds file size so a 1000-executor read
+  *    parallelizes; one giant file is a scan bottleneck).
+  */
+object IO {
+
+  // ---- readers ---------------------------------------------------------
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** CSV with an explicit schema — no inference pass. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("mode", "FAILFAST") // corrupt rows fail loudly, not silently null
+      .csv(path)
+
+  /** JSON-lines with an explicit schema — no inference pass. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  // ---- writers ---------------------------------------------------------
+
+  /** Write configuration; defaults chosen for large-scale layouts. */
+  final case class WriteConfig(
+      format: String = "parquet",            // parquet | orc | csv | json
+      compression: String = "snappy",        // splittable-friendly default
+      partitionBy: Seq[String] = Nil,        // hive-style partition dirs
+      maxRecordsPerFile: Long = 5000000L,    // bound file sizes for parallel reads
+      mode: SaveMode = SaveMode.Overwrite)
+
+  def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
+    var w = df.write
+      .mode(cfg.mode)
+      .option("compression", cfg.compression)
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    if (cfg.format == "csv") w = w.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    if (cfg.format == "json") w = w
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    w.format(cfg.format).save(path)
+  }
+
+  /** Bucketed + sorted managed table: rows co-located by key so
+    * subsequent equi-joins and aggregations on the bucket key read
+    * shuffle-free (`SortMergeJoin` with no `Exchange`). This is the
+    * canonical 100 TB fact-table layout: pay one shuffle at write
+    * time, amortize it over every downstream join.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+}

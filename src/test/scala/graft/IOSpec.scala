@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.IO
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip + layout invariants for the source/sink surface. */
+class IOSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-io-$name").resolve("data").toString
+
+  private lazy val orders = Tables.orders(spark, sfDir)
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
+  test("parquet round-trip preserves rows") {
+    val p = tmp("parquet")
+    IO.write(orders, p)
+    assertSameRows(orders, IO.readParquet(spark, p))
+  }
+
+  test("orc round-trip preserves rows") {
+    val p = tmp("orc")
+    IO.write(orders, p, IO.WriteConfig(format = "orc"))
+    assertSameRows(orders, IO.readOrc(spark, p))
+  }
+
+  test("csv round-trip with explicit schema preserves rows incl. timestamps") {
+    val p = tmp("csv")
+    IO.write(orders, p, IO.WriteConfig(format = "csv", compression = "none"))
+    assertSameRows(orders, IO.readCsv(spark, p, orders.schema))
+  }
+
+  test("jsonl round-trip with explicit schema preserves rows") {
+    val p = tmp("json")
+    IO.write(orders, p, IO.WriteConfig(format = "json", compression = "none"))
+    assertSameRows(orders, IO.readJsonl(spark, p, orders.schema))
+  }
+
+  test("partitioned write lays out hive-style dirs and reads back whole") {
+    val p = tmp("part")
+    val df = orders.withColumn("o_year", year(col("o_orderdate")))
+    IO.write(df, p, IO.WriteConfig(partitionBy = Seq("o_year")))
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("o_year=")))
+    // partition filter prunes at planning: only one partition dir scanned
+    val back = IO.readParquet(spark, p)
+    assert(back.count() == orders.count())
+    val pruned = back.filter(col("o_year") === 1995)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(pruned.count() == df.filter(col("o_year") === 1995).count())
+    assert(scanned.contains("o_year"), "partition column missing from scan metadata")
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    IO.writeBucketed(orders, "orders_b", 4, Seq("o_custkey"), Seq("o_custkey"))
+    IO.writeBucketed(Tables.customer(spark, sfDir), "customer_b", 4, Seq("c_custkey"), Seq("c_custkey"))
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(orders_b) */ o_orderkey, c_mktsegment
+        |FROM orders_b JOIN customer_b ON o_custkey = c_custkey""".stripMargin)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+}
