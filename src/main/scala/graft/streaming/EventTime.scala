@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A keyed, timestamped event — the typed row for stateful operators. */
+case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** An emitted session from the custom stateful sessionizer. */
+case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
+                      start_ms: Long, end_ms: Long)
+
+/** Mutable-per-key state for [[EventTime.sessionizeWithState]]. */
+case class SessionState(n: Long, sum: Double, startMs: Long, lastMs: Long)
+
+/** Event-time streaming operators: watermarked tumbling/sliding/session
+  * windows and a custom `flatMapGroupsWithState` sessionizer.
+  *
+  * The reference framework has no event-time notion (its loop is pure
+  * processing-time polling, `batch_processor.go:104-136`); these are
+  * the engine's native streaming capability over the `events`-shaped
+  * schema. Everything is built on Structured Streaming state stores —
+  * at scale, state is partitioned by key across executors, and the
+  * watermark bounds state size (late rows beyond it are dropped, state
+  * for closed windows is evicted).
+  */
+object EventTime {
+
+  /** Tumbling event-time counts per key, watermarked. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Sliding event-time counts per key, watermarked. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n_events"))
+
+  /** Gap-based session windows via the built-in `session_window` —
+    * Spark merges overlapping per-key sessions in the state store.
+    */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+                     gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: one
+    * `SessionState` per user, extended on each event within `gapMs`,
+    * emitted and reset when a gap (or event-time timeout) closes it.
+    * This is the template for arbitrary keyed state the built-in
+    * windows can't express (e.g. per-session feature accumulation).
+    */
+  def sessionizeWithState(events: Dataset[TimedEvent], gapMs: Long,
+                          watermark: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the session's end: emit and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, s.sum, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.sum + e.value, s.startMs, math.max(s.lastMs, t)))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n, s.sum, s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

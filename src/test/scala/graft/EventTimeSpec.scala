@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.{EventTime, TimedEvent}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time semantics over MemoryStream: window contents, watermark
+  * late-row dropping, session merging, custom keyed state.
+  */
+class EventTimeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$sec%02d")
+
+  test("tumbling windows aggregate by event time; late rows beyond watermark drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[TimedEvent]
+    val q = EventTime.tumblingCounts(in.toDF(), "ts", "user_id", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("update").start()
+    in.addData(TimedEvent(1, ts(0), 1.0), TimedEvent(1, ts(1), 2.0), TimedEvent(1, ts(7), 4.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window, then send a late row into it
+    in.addData(TimedEvent(1, ts(30), 8.0))
+    q.processAllAvailable()
+    in.addData(TimedEvent(1, ts(2), 100.0)) // late: watermark is 10:25
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling")
+      .groupBy("w_start").agg(max("n_events").as("n"), max("sum_value").as("s"))
+      .collect().map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows("2026-01-01 10:00:00.0") == ((2L, 3.0))) // late +100 never applied
+    assert(rows("2026-01-01 10:05:00.0") == ((1L, 4.0)))
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[TimedEvent]
+    val q = EventTime.sessionWindows(in.toDF(), "ts", "user_id", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    in.addData(
+      TimedEvent(7, ts(0), 1.0), TimedEvent(7, ts(3), 1.0),  // session A (merged)
+      TimedEvent(7, ts(20), 1.0),                            // session B
+      TimedEvent(8, ts(1), 9.0))                             // other key
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 2)
+    assert(u7.map(_.getAs[Long]("n_events")).sorted.sameElements(Array(1L, 2L)))
+    assert(rows.count(_.getAs[Long]("user_id") == 8L) == 1)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions with totals") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[TimedEvent]
+    val q = EventTime.sessionizeWithState(in.toDS(), gapMs = 5 * 60 * 1000, watermark = "1 minute")
+      .writeStream.format("memory").queryName("statefulsess").outputMode("append").start()
+    in.addData(TimedEvent(5, ts(0), 1.0), TimedEvent(5, ts(2), 2.0))
+    q.processAllAvailable()
+    in.addData(TimedEvent(5, ts(20), 7.0)) // gap > 5 min → closes session A
+    q.processAllAvailable()
+    in.addData(TimedEvent(5, ts(40), 0.0)) // advances watermark; times out session B
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("statefulsess").as[graft.streaming.SessionOut].collect()
+    assert(rows.exists(s => s.n_events == 2 && s.sum_value == 3.0), s"got: ${rows.mkString(",")}")
+    assert(rows.exists(s => s.n_events == 1 && s.sum_value == 7.0), s"got: ${rows.mkString(",")}")
+  }
+}
