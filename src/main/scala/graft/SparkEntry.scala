@@ -35,6 +35,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
     "q_knn_brute" -> Similarity.knnBrute,
     "q_ann_lsh" -> Similarity.annLsh,
+    "q_asof_join" -> AsOf.eventOrderAsof,
     "q_media_catalog" -> Multimodal.mediaCatalog,
     "q_media_features" -> Multimodal.mediaFeatures,
     "q_frame_sample" -> Multimodal.frameSample,
@@ -69,6 +70,7 @@ object SparkEntry {
     "q_knn_brute" -> Similarity.knnBruteSql,
     // q_media_features: byte-level stub decode → rows-only check;
     // determinism + ranges pinned by MultimodalSpec.
+    "q_asof_join" -> AsOf.eventOrderAsofSql,
     "q_media_catalog" -> Multimodal.mediaCatalogSql,
     "q_frame_sample" -> Multimodal.frameSampleSql,
   )
