@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{MinHashSig, ScoredId, SimHash64, TopKAggregator, VecDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Algebraic laws for the engine's native primitives (SURVEY.md §5.2
+  * item 3). Pure expression-level properties — no Spark session, so
+  * hundreds of cases run in milliseconds.
+  */
+object GraftLaws extends Properties("graft") {
+
+  private val finiteD: Gen[Double] = Gen.choose(-1e6, 1e6)
+  private val vec: Gen[Array[Double]] =
+    Gen.chooseNum(1, 64).flatMap(n => Gen.listOfN(n, finiteD).map(_.toArray))
+  private val longs: Gen[Array[Long]] =
+    Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, Gen.long).map(_.toArray))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    VecDot(Literal(1), Literal(1))
+      .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+      .asInstanceOf[Double]
+
+  property("vec_dot is symmetric") = forAll(vec, vec) { (a, b) =>
+    dot(a, b) == dot(b, a)
+  }
+
+  property("cosine similarity lies in [-1, 1]") = forAll(vec) { a =>
+    val b = a.map(x => -x * 0.5 + 1.0)
+    val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+    (na == 0 || nb == 0) || {
+      val c = dot(a, b) / (na * nb)
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+    }
+  }
+
+  private def simhash(xs: Array[Long]): Long =
+    SimHash64(Literal(1L)).nullSafeEval(new GenericArrayData(xs)).asInstanceOf[Long]
+
+  property("simhash64 is order-invariant (multiset function)") =
+    forAll(longs, Gen.long) { (xs, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(xs.toSeq).toArray
+      simhash(xs) == simhash(shuffled)
+    }
+
+  private def minhash(xs: Array[Long], k: Int): Seq[Long] = {
+    val r = MinHashSig(Literal(1L), k).nullSafeEval(new GenericArrayData(xs))
+    r.asInstanceOf[GenericArrayData].toLongArray().toSeq
+  }
+
+  property("minhash(A ++ B) is the elementwise min of minhash(A), minhash(B)") =
+    forAll(longs, longs) { (a, b) =>
+      a.isEmpty || b.isEmpty || {
+        val k = 16
+        val u = minhash(a ++ b, k)
+        val expect = minhash(a, k).zip(minhash(b, k)).map { case (x, y) => math.min(x, y) }
+        u == expect
+      }
+    }
+
+  private val scoredIds: Gen[List[ScoredId]] =
+    Gen.listOf(Gen.zip(finiteD, Gen.chooseNum(0L, 1000L)).map { case (s, i) => ScoredId(s, i) })
+
+  property("topK equals global sort-take-k under arbitrary partitioning and merge order") =
+    forAll(scoredIds, Gen.chooseNum(1, 10), Gen.long) { (xs, k, seed) =>
+      val agg = new TopKAggregator(k)
+      val rnd = new scala.util.Random(seed)
+      // split into random chunks, reduce each, merge in random order —
+      // models Spark's partial aggregation with nondeterministic merges
+      val chunks =
+        if (xs.isEmpty) Seq(agg.zero)
+        else xs.grouped(math.max(1, rnd.nextInt(5) + 1)).toSeq
+          .map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(chunks).reduce(agg.merge)
+      val expect = xs.sortBy(s => (-s.score, s.id)).take(k)
+      agg.finish(merged) == expect
+    }
+}
