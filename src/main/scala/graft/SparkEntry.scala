@@ -22,6 +22,9 @@ object SparkEntry {
     "q_date_funcs" -> Relational.dateFuncs,
     "q_events_sessionize" -> Relational.eventsSessionize,
     "q_json_extract" -> Relational.jsonExtract,
+    "q_cube" -> Relational.cubeAgg,
+    "q_percentiles" -> Relational.percentiles,
+    "q_array_funcs" -> Relational.arrayFuncs,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
     "q_dedup_minhash" -> Dedup.dedupMinhash,
@@ -35,6 +38,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
     "q_knn_brute" -> Similarity.knnBrute,
     "q_ann_lsh" -> Similarity.annLsh,
+    "q_ann_ivf" -> Similarity.annIvf,
     "q_asof_join" -> AsOf.eventOrderAsof,
     "q_media_catalog" -> Multimodal.mediaCatalog,
     "q_media_features" -> Multimodal.mediaFeatures,
@@ -57,6 +61,9 @@ object SparkEntry {
     "q_date_funcs" -> Relational.dateFuncsSql,
     "q_events_sessionize" -> Relational.eventsSessionizeSql,
     "q_json_extract" -> Relational.jsonExtractSql,
+    "q_cube" -> Relational.cubeAggSql,
+    "q_percentiles" -> Relational.percentilesSql,
+    "q_array_funcs" -> Relational.arrayFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram_jaccard /
     // q_lang_id / q_doc_fingerprint: sketch/heuristic ops built on

@@ -355,6 +355,87 @@ object Relational {
       |SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** CUBE grouping sets: all 2^2 combinations of (nation, status). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"))
+      .orderBy(col("n_name"), col("o_orderstatus"))
+  }
+
+  val cubeAggSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS n_name,
+      |  coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE(n_name, o_orderstatus)
+      |ORDER BY n_name, o_orderstatus""".stripMargin
+
+  /** Exact interpolated percentiles per group (sort-based). At 100 TB
+    * the same query swaps `percentile` for `approx_percentile`
+    * (t-digest sketch, fixed memory) — kept exact here so the DuckDB
+    * `quantile_cont` oracle applies.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy(col("o_orderpriority"))
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+      |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Array-function battery over tokenized part names: construction,
+    * dedup, sort, membership, indexing, filtering — all codegen'd
+    * built-ins mirrored by DuckDB list functions.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+      .select(
+        col("p_partkey"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        array_join(array_sort(array_distinct(col("toks"))), ",").as("sorted_uniq"),
+        array_contains(col("toks"), "green").cast("int").as("has_green"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        size(expr("filter(toks, t -> length(t) > 4)")).as("n_long"))
+      .orderBy(col("p_partkey"))
+
+  val arrayFuncsSql: String =
+    """SELECT p_partkey,
+      |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks,
+      |  CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_uniq,
+      |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS sorted_uniq,
+      |  CAST(list_contains(string_split(p_name, ' '), 'green') AS INT) AS has_green,
+      |  string_split(p_name, ' ')[1] AS first_tok,
+      |  string_split(p_name, ' ')[-1] AS last_tok,
+      |  CAST(len(list_filter(string_split(p_name, ' '), t -> length(t) > 4)) AS INT) AS n_long
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   /** JSON extraction from the events.props string column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

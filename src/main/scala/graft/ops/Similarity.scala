@@ -108,6 +108,57 @@ object Similarity {
         when(call_function("vec_dot", col("emb"), typedlit(planes(p))) > 0, 1).otherwise(0)
       }: _*))
 
+  private val NCells = 16
+  private val NProbe = 4
+
+  /** Approximate k-NN via IVF (inverted-file) coarse quantization —
+    * the alternative scale path to [[annLsh]]. A fixed set of
+    * `NCells` coarse centroids partitions the corpus: every vector is
+    * assigned to its nearest centroid (one "cell"); a query probes its
+    * `NProbe` nearest cells and ranks only vectors in them. The
+    * centroids here are the first `NCells` corpus vectors (collected
+    * once — a fixed-size driver broadcast, exactly how production IVF
+    * ships its k-means centroids); swapping in trained k-means
+    * centroids changes nothing structural. Cell assignment is a pure
+    * projection (`NCells` codegen'd `vec_dot`s per row); candidate
+    * selection is an equi-join on the cell id — never a cross join.
+    * Rows-only driver check; recall vs [[knnBrute]] pinned by
+    * SimilaritySpec.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).cache()
+    // fixed-size centroid set, L2-normalized on the driver
+    val cents: Array[(Int, Seq[Double])] = e.filter(col("vec_id") < NCells)
+      .orderBy(col("vec_id")).select(col("emb"), col("nrm")).collect()
+      .zipWithIndex.map { case (row, i) =>
+        val v = row.getSeq[Double](0); val n = row.getDouble(1)
+        i -> v.map(_ / n)
+      }
+    val simStructs = cents.map { case (cid, cn) =>
+      struct(call_function("vec_dot", col("emb"), typedlit(cn)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    // corpus side: nearest cell only
+    val assigned = e.withColumn("cell",
+      element_at(array_sort(array(simStructs: _*)), -1).getField("cid"))
+    // query side: probe the NProbe nearest cells
+    val probed = e.filter(col("vec_id") < NQueries)
+      .withColumn("cells",
+        slice(reverse(array_sort(array(simStructs: _*))), 1, NProbe))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
+        explode(expr("transform(cells, c -> c.cid)")).as("cell"))
+    val verified = assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
+    verified.groupBy(col("query_id"))
+      .agg(TopK.topK(K)(col("sim"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** All-pairs near-duplicate candidates over the whole corpus:
     * self-join on LSH band buckets (id_a < id_b), bucket-size cap
     * against degenerate keys, exact cosine verification via the

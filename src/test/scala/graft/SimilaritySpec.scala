@@ -20,6 +20,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.filter(size(col("rs")) =!= 5).count() == 0)
   }
 
+  test("annIvf: valid shape; no sim above the exact best; usable recall") {
+    val ann = ops.Similarity.annIvf(spark, sfDir).cache()
+    val brute = ops.Similarity.knnBrute(spark, sfDir).cache()
+    val beyond = ann.groupBy("query_id").agg(max("sim").as("ann_max"))
+      .join(brute.groupBy("query_id").agg(max("sim").as("ex_max")), Seq("query_id"))
+      .filter(col("ann_max") > col("ex_max") + 1e-9)
+    assert(beyond.count() == 0)
+    val hit = brute.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .count()
+    val recall = hit.toDouble / 50
+    info(f"IVF recall@5 = $recall%.2f")
+    assert(recall >= 0.2, f"IVF recall collapsed: $recall%.2f")
+  }
+
   test("annLsh: valid shape; no sim above the exact best; usable recall") {
     val ann = ops.Similarity.annLsh(spark, sfDir).cache()
     val brute = ops.Similarity.knnBrute(spark, sfDir).cache()
