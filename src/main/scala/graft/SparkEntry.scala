@@ -31,6 +31,8 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.dedupSimhash,
     "q_dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
     "q_dedup_embedding" -> Dedup.dedupEmbedding,
+    "q_dedup_canonical" -> Dedup.dedupCanonical,
+    "q_dedup_clusters" -> Dedup.nearDupClusters,
     "q_text_stats" -> TextAnalysis.textStats,
     "q_token_count" -> TextAnalysis.tokenCount,
     "q_quality_score" -> TextAnalysis.qualityScore,
@@ -65,6 +67,7 @@ object SparkEntry {
     "q_percentiles" -> Relational.percentilesSql,
     "q_array_funcs" -> Relational.arrayFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
+    "q_dedup_canonical" -> Dedup.dedupCanonicalSql,
     // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram_jaccard /
     // q_lang_id / q_doc_fingerprint: sketch/heuristic ops built on
     // Spark's xxhash64 hash family — not SQL-expressible in DuckDB →

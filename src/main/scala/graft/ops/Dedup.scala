@@ -94,7 +94,11 @@ object Dedup {
     * verify join. No SQL oracle: the sketch depends on Spark's xxhash64
     * hash family → rows-only check; correctness is pinned by DedupSpec.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash-LSH candidate pairs with exact-Jaccard scores — shared by
+    * the per-doc summary ([[dedupMinhash]]) and the cluster builder
+    * ([[nearDupClusters]]).
+    */
+  private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sets = shingleSets(spark, dir).cache()
     // native codegen'd MinHash (one fused shingles×64 loop) vs the
@@ -106,11 +110,75 @@ object Dedup {
       .withColumnRenamed("pos", "bucket_id")
       .withColumnRenamed("col", "bucket_hash")
     val cand = lshCandidates(buckets, maxBucket = 100)
-    val verified = cand
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
-    perDocSummary(sets, verified, "jacc", 0.7)
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
+      minhashVerifiedPairs(spark, dir), "jacc", 0.7)
+
+  /** Canonical-document selection for exact duplicates: keep the
+    * lowest doc_id of every identical-text group. One window pass —
+    * this is the "filter the corpus" half of dedup (the summaries
+    * above are the "report" half).
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCanonicalSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Near-duplicate cluster formation: connected components over the
+    * MinHash-verified similarity graph (Jaccard ≥ 0.7), via iterative
+    * min-label propagation — each round, every doc takes the minimum
+    * label among itself and its neighbors; fixpoint = each cluster
+    * labeled by its smallest doc_id. Distributed throughout: per round
+    * one join + one aggregation; the only driver-side value is the
+    * converged? counter. Rounds are bounded by the graph diameter
+    * (near-dup clusters are tiny; the 20-round cap is a safety net,
+    * convergence is checked each round). Output: (doc_id, cluster,
+    * is_canonical) for every document.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).cache()
+    val pairs = minhashVerifiedPairs(spark, dir)
+      .filter(col("jacc") >= 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    // symmetric adjacency + self-loops so isolated docs keep their label
+    val adj = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .unionByName(docs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      val next = adj
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster")), Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("cluster")).as("cluster"))
+        .select(col("doc_a").as("doc_id"), col("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+      .withColumn("is_canonical", (col("doc_id") === col("cluster")).cast("int"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup: 64-bit weighted-bit signature over token hashes;

@@ -61,6 +61,28 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("n_dups") > 0 && col("max_sim") < 0.95).count() == 0)
   }
 
+  test("dedupCanonical keeps exactly one doc per distinct text, the min id") {
+    val df = ops.Dedup.dedupCanonical(spark, sfDir).cache()
+    val distinctTexts = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(df.count() == distinctTexts)
+  }
+
+  test("nearDupClusters: total coverage; exact dups share a cluster; labels are cluster minima") {
+    val df = ops.Dedup.nearDupClusters(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    // every exact-duplicate text group ended up in one cluster
+    val groups = Tables.documents(spark, sfDir)
+      .join(df, Seq("doc_id"))
+      .groupBy("text").agg(countDistinct("cluster").as("nc"), count(lit(1)).as("n"))
+    assert(groups.filter(col("n") > 1 && col("nc") > 1).count() == 0,
+      "identical texts split across clusters")
+    // cluster label is the smallest member id, and that member is canonical
+    val mins = df.groupBy("cluster").agg(min("doc_id").as("min_id"))
+    assert(mins.filter(col("cluster") =!= col("min_id")).count() == 0)
+    val canon = df.filter(col("is_canonical") === 1)
+    assert(canon.count() == df.select(countDistinct("cluster")).head().getLong(0))
+  }
+
   test("dedupNgramJaccard: one row per document; exact dups found") {
     val df = ops.Dedup.dedupNgramJaccard(spark, sfDir).cache()
     assert(df.count() == nDocs)
