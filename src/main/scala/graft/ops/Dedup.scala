@@ -58,11 +58,15 @@ object Dedup {
     * content at scale would otherwise make one bucket quadratic).
     */
   private def lshCandidates(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    // cache the (bucket, doc) assignments: the self-join below reads
+    // them TWICE, and without the cache each side re-runs the whole
+    // upstream sketch pipeline (at scale: persist/checkpoint here)
     val capped = buckets
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_id"), col("bucket_hash"))))
       .filter(col("bsz") <= maxBucket)
       .select(col("bucket_id"), col("bucket_hash"), col("doc_id"))
+      .cache()
     capped.as("x").join(capped.as("y"),
         col("x.bucket_id") === col("y.bucket_id") &&
         col("x.bucket_hash") === col("y.bucket_hash") &&
@@ -151,32 +155,48 @@ object Dedup {
     * is_canonical) for every document.
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id")).cache()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val pairs = minhashVerifiedPairs(spark, dir)
       .filter(col("jacc") >= 0.7)
       .select(col("doc_a"), col("doc_b"))
-    // symmetric adjacency + self-loops so isolated docs keep their label
+    // only docs with at least one edge enter the iteration — isolated
+    // docs (the vast majority of a real corpus) are appended as
+    // singleton clusters afterwards, so per-round work scales with the
+    // duplicate-graph size, not the corpus size
     val adj = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .unionByName(docs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      .unionByName(pairs.select(col("doc_a"), col("doc_a").as("doc_b"))) // self-loops
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_b"))) // (both ends)
+      .distinct()
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    val connected = adj.select(col("doc_a").as("doc_id")).distinct()
+    var labels = connected.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var prevCached = labels // the DataFrame actually holding the cache
     var converged = false
     var round = 0
     while (!converged && round < 20) {
+      // one action per round: the filtered count scans every row of
+      // every partition of `next`, fully populating its cache before
+      // the parent cache is dropped (a partial check like isEmpty
+      // would leave cache holes that recompute the whole sketch
+      // pipeline through the unpersisted parent)
       val next = adj
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("cluster")).as("cluster"))
         .select(col("doc_a").as("doc_id"), col("cluster"))
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("old")).count()
+      prevCached.unpersist()
+      prevCached = next
+      labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0
       round += 1
     }
+    adj.unpersist()
     labels
+      .unionByName(docs.join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster")))
       .withColumn("is_canonical", (col("doc_id") === col("cluster")).cast("int"))
       .orderBy(col("doc_id"))
   }
