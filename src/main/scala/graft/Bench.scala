@@ -10,9 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM + parquet footer caches so the first timed query
-    // doesn't absorb one-time session costs.
-    SparkEntry.entry(spark).count()
+    // Warm the JVM + parquet footer caches ON THE BENCHMARKED DATASET
+    // so the first timed query doesn't absorb one-time session costs.
+    graft.ops.Relational.pricingSummary(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

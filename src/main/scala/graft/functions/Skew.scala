@@ -26,10 +26,16 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // per-row deterministic salt: hash of the whole row, not the key
-    // (salting by key hash would put each key back in one partition)
+    // per-row salt from the row's position, not its content: salting
+    // by key hash would put each key back in one partition, and
+    // salting by whole-row hash fails on byte-identical duplicate rows
+    // (the most common hot-key pathology — replayed logs, default
+    // records). monotonically_increasing_id is unique per row, so
+    // duplicates spread evenly; the join result never depends on WHICH
+    // salt a row gets (the small side carries every salt), so the
+    // id's layout-dependence is harmless.
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS,

@@ -25,7 +25,12 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on dimension mismatch — a silent partial dot product
+    // is plausible-looking data corruption
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -38,7 +43,11 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -185,8 +194,16 @@ object GraftFunctions {
   private[graft] val specs: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
-    "minhash_sig" -> (es => MinHashSig(es(0),
-      es(1).eval(null).asInstanceOf[Number].intValue())),
+    "minhash_sig" -> (es => {
+      if (es.length != 2 || !es(1).foldable)
+        throw new IllegalArgumentException(
+          "minhash_sig(hashes, k) requires exactly 2 arguments with a literal integer k")
+      MinHashSig(es(0), es(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig: k must be a literal integer, got $other")
+      })
+    }),
   )
 
   /** Idempotent: safe to call at the top of every operator. */

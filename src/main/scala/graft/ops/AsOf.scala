@@ -39,28 +39,32 @@ object AsOf {
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val payNull = payload.foldLeft(l) { (df, c) =>
-      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
-    }
+      // the whole payload travels as ONE nullable struct: the window's
+      // ignoreNulls then skips "no right row here" markers but
+      // preserves legitimately-NULL payload FIELDS, and all payload
+      // columns always come from the SAME matched right row
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))))
+    val lAll = l.select((lCols.toSeq ++ Seq("__k", "__t", "__side", "__p")).map(col): _*)
+    // right rows with a NULL key can never equi-match — drop them up
+    // front (SQL join semantics: NULL = NULL is not a match)
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-    val rPay = payload.foldLeft(r) { (df, c) => df.withColumn(s"__p_$c", col(c)) }
-      .select(("__k" +: "__t" +: "__side" +: payload.map(c => s"__p_$c")).map(col): _*)
-    val lAll = payNull.select(
-      (lCols.toSeq ++ Seq("__k", "__t", "__side") ++ payload.map(c => s"__p_$c")).map(col): _*)
-    val rAll = lCols.foldLeft(rPay) { (df, c) =>
+      .withColumn("__p", struct(payload.map(col): _*))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"), col("__t"), col("__side"), col("__p"))
+    val rAll = lCols.foldLeft(r) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lAll.unionByName(rAll)) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = lAll.unionByName(rAll)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((lCols.toSeq.map(col) ++
-        payload.map(c => col(s"__m_$c").as(c))): _*)
+        payload.map(c => col("__m").getField(c).as(c))): _*)
   }
 
   /** Driver query: each event matched to the user's most recent order

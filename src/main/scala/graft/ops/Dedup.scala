@@ -57,7 +57,7 @@ object Dedup {
     * with a bucket-size cap dropping degenerate buckets (boilerplate
     * content at scale would otherwise make one bucket quadratic).
     */
-  private def lshCandidates(buckets: DataFrame, maxBucket: Int): DataFrame = {
+  private[ops] def lshCandidates(buckets: DataFrame, maxBucket: Int): DataFrame = {
     // cache the (bucket, doc) assignments: the self-join below reads
     // them TWICE, and without the cache each side re-runs the whole
     // upstream sketch pipeline (at scale: persist/checkpoint here)
@@ -194,6 +194,13 @@ object Dedup {
       round += 1
     }
     adj.unpersist()
+    if (!converged)
+      // a silent partial result would violate the operator's contract
+      // (labels = smallest cluster member); diameter-20 components mean
+      // chained near-dups — surface it instead of truncating quietly
+      throw new IllegalStateException(
+        s"nearDupClusters: label propagation did not converge within $round rounds " +
+          "(similarity graph has a component of diameter > 20); raise the round cap")
     labels
       .unionByName(docs.join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster")))

@@ -167,23 +167,14 @@ object Similarity {
     */
   def cosineCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val e = withSig(withNorm(spark, dir)).cache()
-    val b = e.select(
-        col("vec_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${NBands - 1}), b ->
-             |  xxhash64(b, ${(0 until RowsPerBand).map(r => s"sig[$RowsPerBand * b + $r]").mkString(", ")}))""".stripMargin)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkt")
-    val capped = b
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bkt"))))
-      .filter(col("bsz") <= 200)
-      .select(col("band"), col("bkt"), col("vec_id"))
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
+    // same capped-bucket self-join machinery as the text dedup path
+    // (Dedup.lshCandidates) — shared so fixes (e.g. its self-join
+    // cache) apply to both
+    val buckets = bandBuckets(e, "doc_id")
+      .withColumnRenamed("band", "bucket_id")
+      .withColumnRenamed("bkt", "bucket_hash")
+    val pairs = Dedup.lshCandidates(buckets, maxBucket = 200)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
     pairs
       .join(e.select(col("vec_id").as("id_a"), col("emb").as("qe"), col("nrm").as("qn")), Seq("id_a"))
       .join(e.select(col("vec_id").as("id_b"), col("emb"), col("nrm")), Seq("id_b"))
@@ -200,17 +191,20 @@ object Similarity {
     * family) → rows-only check; recall vs [[knnBrute]] is pinned by
     * SimilaritySpec.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withSig(withNorm(spark, dir)).cache()
-    def buckets(df: DataFrame, idAs: String) = df.select(
+  /** (id, band, bkt) LSH band-bucket assignments for a signed corpus. */
+  private def bandBuckets(e: DataFrame, idAs: String): DataFrame =
+    e.select(
       col("vec_id").as(idAs),
       posexplode(expr(
         s"""transform(sequence(0, ${NBands - 1}), b ->
            |  xxhash64(b, ${(0 until RowsPerBand).map(r => s"sig[$RowsPerBand * b + $r]").mkString(", ")}))""".stripMargin)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkt")
-    val qb = buckets(e.filter(col("vec_id") < NQueries), "query_id")
-    val cand = buckets(e, "nid")
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withSig(withNorm(spark, dir)).cache()
+    val qb = bandBuckets(e.filter(col("vec_id") < NQueries), "query_id")
+    val cand = bandBuckets(e, "nid")
       .join(broadcast(qb), Seq("band", "bkt"))
       .filter(col("nid") =!= col("query_id"))
       .select(col("query_id"), col("nid"))

@@ -115,7 +115,21 @@ private class SupplierMicroBatchStream(supplierId: String) extends MicroBatchStr
 
   override def createReaderFactory(): PartitionReaderFactory = SupplierReaderFactory
 
-  override def deserializeOffset(json: String): Offset = CounterOffset(json.toLong)
+  /** Called on recovery with offsets from the checkpoint log. The
+    * supplier is a non-replayable pull source (like the reference's,
+    * which drops unprocessed batches on shutdown —
+    * `batch_processor.go:137-140`), so batches fetched before a crash
+    * but not committed are lost: at-most-once across restarts. What
+    * this MUST do is advance the fetch counter past the recovered
+    * offset — otherwise post-restart offsets would regress below the
+    * committed watermark and every new batch would be evicted
+    * unplanned.
+    */
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val n = json.toLong
+    if (n > fetched) fetched = n
+    CounterOffset(n)
+  }
 
   override def commit(end: Offset): Unit = synchronized {
     val upTo = end.asInstanceOf[CounterOffset].n

@@ -25,6 +25,23 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(better.count() == 0, "found an order newer than the as-of match")
   }
 
+  test("asof join: NULL payload fields survive; null keys never match") {
+    import spark.implicits._
+    // build with genuine nulls via DataFrame API
+    val l = Seq(("a", 1L, 10L), ("b", 2L, 10L)).toDF("lid", "lt", "lk")
+      .unionByName(Seq(("c", 3L)).toDF("lid", "lt").withColumn("lk", lit(null).cast("long")))
+    val r = Seq(("x1", 1L, 10L), (null, 2L, 10L)).toDF("pay", "rt", "rk")
+      .unionByName(Seq(("phantom", 1L)).toDF("pay", "rt").withColumn("rk", lit(null).cast("long")))
+    val out = ops.AsOf.asofJoin(l, r, "lk", "rk", "lt", "rt", Seq("pay"))
+      .collect().map(row => row.getAs[String]("lid") -> row.getAs[String]("pay")).toMap
+    // lid=b at t=2 matches the t=2 right row whose pay IS NULL — the
+    // stale t=1 value must not leak through
+    assert(out("b") == null, s"stale payload leaked: ${out("b")}")
+    assert(out("a") == "x1")
+    // null-keyed left row must not match the null-keyed right row
+    assert(out("c") == null, s"null keys matched: ${out("c")}")
+  }
+
   test("salted join is row-identical to the plain join") {
     val orders = Tables.orders(spark, sfDir)
     val customer = Tables.customer(spark, sfDir)
