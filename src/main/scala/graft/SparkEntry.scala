@@ -25,6 +25,8 @@ object SparkEntry {
     "q_cube" -> Relational.cubeAgg,
     "q_percentiles" -> Relational.percentiles,
     "q_array_funcs" -> Relational.arrayFuncs,
+    "q_pivot" -> Relational.pivotAgg,
+    "q_regex_funcs" -> Relational.regexFuncs,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
     "q_dedup_minhash" -> Dedup.dedupMinhash,
@@ -66,6 +68,8 @@ object SparkEntry {
     "q_cube" -> Relational.cubeAggSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_array_funcs" -> Relational.arrayFuncsSql,
+    "q_pivot" -> Relational.pivotAggSql,
+    "q_regex_funcs" -> Relational.regexFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,
     // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram_jaccard /

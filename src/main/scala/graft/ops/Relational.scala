@@ -436,6 +436,58 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Pivot: order counts per nation (rows) × order status (columns).
+    * Spark's `pivot` takes explicit values — mandatory at scale, where
+    * value discovery would be a full extra pass. Oracle spells the same
+    * thing as conditional aggregation (engine-neutral formulation).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("n_name"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("n_name"))
+  }
+
+  val pivotAggSql: String =
+    """SELECT n_name,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Regex battery over part names: extraction, replacement, matching,
+    * counting — all codegen'd built-ins with DuckDB equivalents.
+    */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("ro").cast("int").as("has_ro"),
+        regexp_count(col("p_name"), lit("o")).cast("int").as("n_o"))
+      .orderBy(col("p_partkey"))
+
+  val regexFuncsSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CAST(regexp_matches(p_name, 'ro') AS INT) AS has_ro,
+      |  CAST(len(regexp_extract_all(p_name, 'o')) AS INT) AS n_o
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   /** JSON extraction from the events.props string column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

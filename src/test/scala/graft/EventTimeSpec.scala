@@ -55,6 +55,46 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("user_id") == 8L) == 1)
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[TimedEvent]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    in.addData(TimedEvent(1, ts(0), 1.0), TimedEvent(1, ts(0), 1.0)) // same-batch dup
+    q.processAllAvailable()
+    in.addData(TimedEvent(1, ts(0), 1.0), TimedEvent(1, ts(1), 2.0)) // replay + new
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("streamdedup").count() == 2) // (1,10:00) once + (1,10:01)
+  }
+
+  test("stream-stream inner join within event-time bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[TimedEvent]
+    val buys = MemoryStream[TimedEvent]
+    val c = clicks.toDF().select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val b = buys.toDF().select(col("user_id").as("buyer_id"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    // buy must follow the click within 5 minutes
+    val q = c.join(b,
+        c("user_id") === b("buyer_id") &&
+        b("buy_ts") >= c("click_ts") &&
+        b("buy_ts") <= c("click_ts") + org.apache.spark.sql.functions.expr("INTERVAL 5 MINUTES"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    clicks.addData(TimedEvent(1, ts(0), 0), TimedEvent(2, ts(0), 0))
+    buys.addData(TimedEvent(1, ts(3), 0))   // within 5 min → joins
+    buys.addData(TimedEvent(2, ts(9), 0))   // outside 5 min → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 1L)
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions with totals") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
