@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the plans we shipped are the plans we
+  * want, and regressions (lost pushdown, un-broadcast dims, nested
+  * loops sneaking in) fail here — not silently in the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing summary pushes the date filter into the parquet scan and prunes columns") {
+    val plan = formatted(ops.Relational.pricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    // 7 of 11 lineitem columns read — the scan schema must not include the unused ones
+    assert(!plan.contains("l_orderkey"), "column pruning lost: scan reads l_orderkey")
+    assert(plan.contains("HashAggregate"), "expected partial+final hash aggregation")
+  }
+
+  test("customer-nation-region star join broadcasts both dimension tables") {
+    val plan = formatted(ops.Relational.custNationJoin(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"dimensions not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("top orders compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = formatted(ops.Relational.topOrders(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k shape lost:\n$plan")
+  }
+
+  test("no ANN/dedup path plans a cartesian or unbounded nested-loop join") {
+    // knnBrute is deliberately corpus × broadcast(10 queries) — a
+    // bounded BroadcastNestedLoopJoin is its correct physical shape
+    assert(!formatted(ops.Similarity.knnBrute(spark, sfDir)).contains("CartesianProduct"))
+    // the approximate paths must stay on equi-joins over buckets/cells
+    Seq(
+      ops.Similarity.annLsh(spark, sfDir),
+      ops.Similarity.annIvf(spark, sfDir),
+      ops.Dedup.dedupMinhash(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join:\n$plan")
+    }
+  }
+
+  test("scalar/regex/array batteries stay inside whole-stage codegen") {
+    Seq(
+      ops.Relational.scalarFuncs(spark, sfDir),
+      ops.Relational.regexFuncs(spark, sfDir)).foreach { df =>
+      // "*(n)" prefixes mark whole-stage-codegen stages; AQE finalizes
+      // them only at execution, so run the query first
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    }
+  }
+
+  test("native vec_dot participates in whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_dot(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+        "transform(embedding, x -> CAST(x AS DOUBLE))) AS d")
+    df.collect() // execute so codegen stages are finalized (and compile)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"vec_dot fell out of codegen:\n$plan")
+  }
+}
