@@ -125,19 +125,56 @@ object Similarity {
     * Rows-only driver check; recall vs [[knnBrute]] pinned by
     * SimilaritySpec.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir).cache()
-    // fixed-size centroid set, L2-normalized on the driver
-    val cents: Array[(Int, Seq[Double])] = e.filter(col("vec_id") < NCells)
-      .orderBy(col("vec_id")).select(col("emb"), col("nrm")).collect()
-      .zipWithIndex.map { case (row, i) =>
-        val v = row.getSeq[Double](0); val n = row.getDouble(1)
-        i -> v.map(_ / n)
-      }
-    val simStructs = cents.map { case (cid, cn) =>
+  /** Per-row nearest-centroid similarity structs for a centroid set. */
+  private def centroidSims(cents: IndexedSeq[Seq[Double]]) =
+    cents.zipWithIndex.map { case (cn, cid) =>
       struct(call_function("vec_dot", col("emb"), typedlit(cn)).as("sim"),
         lit(cid).as("cid"))
     }
+
+  /** Lloyd's k-means on the unit sphere (spherical k-means): assign
+    * every vector to its max-cosine centroid (NCells codegen'd
+    * `vec_dot`s, one distributed pass), recompute centroids as the
+    * normalized elementwise mean of their members, repeat. The only
+    * driver-side data is the centroid matrix itself (NCells × dim —
+    * fixed size regardless of corpus scale, exactly what production
+    * IVF broadcasts). Init: first NCells corpus vectors.
+    */
+  private def trainCentroids(e: DataFrame, iters: Int): IndexedSeq[Seq[Double]] = {
+    var cents: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < NCells)
+      .orderBy(col("vec_id")).select(col("emb"), col("nrm")).collect()
+      .toIndexedSeq.map { row =>
+        val v = row.getSeq[Double](0); val n = row.getDouble(1)
+        v.map(_ / n)
+      }
+    for (_ <- 1 to iters) {
+      val assigned = e.withColumn("cell",
+        element_at(array_sort(array(centroidSims(cents): _*)), -1).getField("cid"))
+      // elementwise mean per cell: explode to (cell, dim, value), avg,
+      // collect the fixed-size (NCells × dim) matrix
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { cid =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n > 0) v.toSeq.map(_ / n) else cents(cid)
+          case None => cents(cid) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).cache()
+    val simStructs = centroidSims(trainCentroids(e, iters = 3))
     // corpus side: nearest cell only
     val assigned = e.withColumn("cell",
       element_at(array_sort(array(simStructs: _*)), -1).getField("cid"))
