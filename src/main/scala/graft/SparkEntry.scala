@@ -26,6 +26,9 @@ object SparkEntry {
     "q_percentiles" -> Relational.percentiles,
     "q_array_funcs" -> Relational.arrayFuncs,
     "q_pivot" -> Relational.pivotAgg,
+    "q_shipping_priority" -> Relational.shippingPriority,
+    "q_local_supplier_volume" -> Relational.localSupplierVolume,
+    "q_map_funcs" -> Relational.mapFuncs,
     "q_regex_funcs" -> Relational.regexFuncs,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
@@ -69,6 +72,9 @@ object SparkEntry {
     "q_percentiles" -> Relational.percentilesSql,
     "q_array_funcs" -> Relational.arrayFuncsSql,
     "q_pivot" -> Relational.pivotAggSql,
+    "q_shipping_priority" -> Relational.shippingPrioritySql,
+    "q_local_supplier_volume" -> Relational.localSupplierVolumeSql,
+    "q_map_funcs" -> Relational.mapFuncsSql,
     "q_regex_funcs" -> Relational.regexFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,

@@ -436,6 +436,99 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** TPC-H Q3 shape (shipping priority): 3-way selective join, grouped
+    * revenue, top-10. The customer filter cuts the build side before
+    * the join; the lineitem date filter pushes to the scan.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("odate"), col("revenue"))
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (local-supplier volume): 5-way join across the
+    * whole star — two broadcast dims, two shuffled facts, supplier
+    * co-nation constraint — grouped revenue per nation.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Map-type battery: construction, lookup, keys, cardinality.
+    * DuckDB map extraction returns a single-element list — the oracle
+    * unwraps with [1].
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        map_from_arrays(
+          array(lit("brand"), lit("type")),
+          array(col("p_brand"), col("p_type"))).as("m"))
+      .select(
+        col("p_partkey"),
+        col("m")("brand").as("brand"),
+        col("m")("type").as("ptype"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys"))
+      .orderBy(col("p_partkey"))
+
+  val mapFuncsSql: String =
+    """SELECT p_partkey,
+      |  (map(['brand','type'], [p_brand, p_type])['brand'])[1] AS brand,
+      |  (map(['brand','type'], [p_brand, p_type])['type'])[1] AS ptype,
+      |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) AS m_size,
+      |  array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS keys
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   /** Pivot: order counts per nation (rows) × order status (columns).
     * Spark's `pivot` takes explicit values — mandatory at scale, where
     * value discovery would be a full extra pass. Oracle spells the same
