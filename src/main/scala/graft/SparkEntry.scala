@@ -24,6 +24,7 @@ object SparkEntry {
     "q_json_extract" -> Relational.jsonExtract,
     "q_cube" -> Relational.cubeAgg,
     "q_percentiles" -> Relational.percentiles,
+    "q_approx_percentiles" -> Relational.approxPercentiles,
     "q_array_funcs" -> Relational.arrayFuncs,
     "q_pivot" -> Relational.pivotAgg,
     "q_shipping_priority" -> Relational.shippingPriority,

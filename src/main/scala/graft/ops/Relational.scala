@@ -406,6 +406,21 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Sketch percentiles: `approx_percentile` (KLL/quantile sketch) —
+    * single pass, fixed memory per group, mergeable across partitions:
+    * the 100 TB replacement for [[percentiles]]' exact sort. No SQL
+    * oracle (sketch estimates are engine-specific); error vs the exact
+    * values is bounded by RelationalApproxSpec.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50_approx"),
+        round(expr("approx_percentile(o_totalprice, 0.95, 10000)"), 2).as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Array-function battery over tokenized part names: construction,
     * dedup, sort, membership, indexing, filtering — all codegen'd
     * built-ins mirrored by DuckDB list functions.

@@ -74,6 +74,28 @@ object IO {
     w.format(cfg.format).save(path)
   }
 
+  /** Streaming sink: append each micro-batch to a partitioned parquet
+    * layout via `foreachBatch`. Batch-scoped writes are atomic per
+    * partition-directory file set; the batchId column makes replayed
+    * batches identifiable downstream (idempotent consumers filter on
+    * it). This is the canonical "stream into a lakehouse table" shape:
+    * the same partitioned layout [[write]] produces for batch, so
+    * batch and streaming readers share one table.
+    */
+  def streamToPartitioned(stream: DataFrame, path: String,
+                          partitionBy: Seq[String],
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        var w = df.withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode(SaveMode.Append)
+          .option("compression", "snappy")
+        if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+        w.parquet(path)
+      }
+      .start()
+
   /** Bucketed + sorted managed table: rows co-located by key so
     * subsequent equi-joins and aggregations on the bucket key read
     * shuffle-free (`SortMergeJoin` with no `Exchange`). This is the

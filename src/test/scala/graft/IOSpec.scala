@@ -60,6 +60,28 @@ class IOSpec extends AnyFunSuite {
     assert(scanned.contains("o_year"), "partition column missing from scan metadata")
   }
 
+  test("streaming sink writes partitioned parquet a batch reader can consume") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val out = tmp("streamsink")
+    val ckpt = tmp("streamckpt")
+    val q = IO.streamToPartitioned(
+      in.toDF().toDF("k", "v"), out, Seq("k"), ckpt)
+    in.addData(("a", 1L), ("b", 2L))
+    q.processAllAvailable()
+    in.addData(("a", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val back = IO.readParquet(spark, out)
+    assert(back.count() == 3)
+    // hive-style partition dirs by k; batch ids recorded
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("k=a", "k=b")))
+    assert(back.select("_batch_id").distinct().count() == 2)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     Seq("orders_b", "customer_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

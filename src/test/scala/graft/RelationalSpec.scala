@@ -44,6 +44,20 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("count_order") > 0))
   }
 
+  test("approx percentiles stay within 5% of the exact values") {
+    val exact = ops.Relational.percentiles(spark, sfDir)
+      .select("o_orderpriority", "p50", "p95")
+    val approx = ops.Relational.approxPercentiles(spark, sfDir)
+      .select("o_orderpriority", "p50_approx", "p95_approx")
+    val joined = exact.join(approx, "o_orderpriority").collect()
+    joined.foreach { r =>
+      val (p50, p95) = (r.getAs[Double]("p50"), r.getAs[Double]("p95"))
+      val (a50, a95) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))
+      assert(math.abs(a50 - p50) <= 0.05 * p50, s"p50 off: $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= 0.05 * p95, s"p95 off: $a95 vs $p95")
+    }
+  }
+
   test("top orders returns exactly 10 rows in descending price order") {
     val prices = ops.Relational.topOrders(spark, sfDir)
       .collect().map(_.getAs[Double]("price"))
