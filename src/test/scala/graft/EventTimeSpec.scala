@@ -95,6 +95,26 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 1L)
   }
 
+  test("file-source stream drains the events table with AvailableNow") {
+    val events = Tables.events(spark, sfDir)
+    // the streaming file source monitors a DIRECTORY for arriving files
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(Tables.table(spark, sfDir, "events").schema)
+      .parquet(dir.toString)
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = graft.streaming.MicroBatch.start(
+      stream,
+      processor = (_, df) => scala.util.Success(df),
+      finalizer = (p, _) => p.foreach(df => n.addAndGet(df.count())),
+      availableNow = true)
+    q.awaitTermination(30000)
+    assert(n.get() == events.count(), s"streamed ${n.get()} of ${events.count()} rows")
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions with totals") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

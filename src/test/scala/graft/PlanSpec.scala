@@ -50,6 +50,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join costs one keyed shuffle, not an inequality nested loop") {
+    val plan = formatted(ops.AsOf.eventOrderAsof(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of degraded to a nested loop:\n$plan")
+    // exchanges: the window key, the pre-dedup groupBy, the output sort —
+    // but never more than 3, and exactly one for the window itself
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected shuffle count $exchanges:\n$plan")
+    assert(plan.contains("Window"), "window pass missing")
+  }
+
   test("scalar/regex/array batteries stay inside whole-stage codegen") {
     Seq(
       ops.Relational.scalarFuncs(spark, sfDir),
