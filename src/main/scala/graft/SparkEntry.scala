@@ -30,6 +30,7 @@ object SparkEntry {
     "q_shipping_priority" -> Relational.shippingPriority,
     "q_local_supplier_volume" -> Relational.localSupplierVolume,
     "q_map_funcs" -> Relational.mapFuncs,
+    "q_unpivot" -> Relational.unpivotFuncs,
     "q_regex_funcs" -> Relational.regexFuncs,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_shipping_priority" -> Relational.shippingPrioritySql,
     "q_local_supplier_volume" -> Relational.localSupplierVolumeSql,
     "q_map_funcs" -> Relational.mapFuncsSql,
+    "q_unpivot" -> Relational.unpivotFuncsSql,
     "q_regex_funcs" -> Relational.regexFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,

@@ -596,6 +596,28 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Unpivot (melt): wide per-part numeric columns → long (part,
+    * metric, value) rows. The inverse of [[pivotAgg]]; oracle is the
+    * engine-neutral UNION ALL spelling.
+    */
+  def unpivotFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        round(col("p_retailprice"), 2).as("price"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("size"), col("price")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  val unpivotFuncsSql: String =
+    """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'price' AS metric, round(p_retailprice, 2) AS value FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   /** JSON extraction from the events.props string column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
