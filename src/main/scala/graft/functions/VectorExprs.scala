@@ -177,6 +177,59 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `shingle_hash(tokens, n)`: distinct xxhash64 values of all word
+  * n-gram shingles of an array<string> of tokens — one native pass
+  * replacing `array_distinct(transform(sequence(...), i ->
+  * xxhash64(concat_ws(' ', t[i], ...))))`, which evaluates an
+  * interpreted lambda (with per-shingle string allocation through the
+  * generic path) for every shingle. Semantics are IDENTICAL to that
+  * composition: same `concat_ws(' ', ...)` byte layout, same
+  * `xxhash64` (seed 42), first-occurrence order of distinct values,
+  * and the whole-text fallback when fewer than n tokens exist.
+  * Codegen fallback (the loop is already a single native call per
+  * row; nothing to fuse).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+  private val Seed = 42L // the xxhash64 SQL function's seed
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (len >= n) {
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+        out.add(XXH64.hashUTF8String(UTF8String.concatWs(space, window: _*), Seed))
+        i += 1
+      }
+    } else {
+      val all = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { all(j) = toks.getUTF8String(j); j += 1 }
+      out.add(XXH64.hashUTF8String(UTF8String.concatWs(space, all: _*), Seed))
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** Registration for the native expressions.
   *
   * Two paths:
@@ -194,6 +247,16 @@ object GraftFunctions {
   private[graft] val specs: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "shingle_hash" -> (es => {
+      if (es.length != 2 || !es(1).foldable)
+        throw new IllegalArgumentException(
+          "shingle_hash(tokens, n) requires exactly 2 arguments with a literal integer n")
+      ShingleHashes(es(0), es(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"shingle_hash: n must be a literal integer, got $other")
+      })
+    }),
     "minhash_sig" -> (es => {
       if (es.length != 2 || !es(1).foldable)
         throw new IllegalArgumentException(

@@ -39,15 +39,14 @@ object Dedup {
     * Hashing shingles to longs up front keeps every downstream join and
     * set operation on fixed-width values instead of strings.
     */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("shset",
-        expr("""array_distinct(CASE WHEN size(t) >= 3 THEN
-                |  transform(sequence(0, size(t)-3),
-                |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))
-                |ELSE array(xxhash64(concat_ws(' ', t))) END)""".stripMargin))
-      .select(col("doc_id"), col("shset"))
+      // native one-pass shingling (ShingleHashes) — same hashes as the
+      // array_distinct(transform(..., xxhash64(concat_ws(...)))) built-in
+      // composition, without an interpreted lambda per shingle
+      .select(col("doc_id"), expr("shingle_hash(split(text, ' '), 3)").as("shset"))
+  }
 
   /** Exact Jaccard on hashed shingle sets for a candidate pair. */
   private def jaccard(a: Column, b: Column): Column =

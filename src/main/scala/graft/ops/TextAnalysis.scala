@@ -147,18 +147,15 @@ object TextAnalysis {
     * same fingerprint with high probability. Per-doc output (always
     * |documents| rows). Hash family is Spark's xxhash64 → no SQL oracle.
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("sh",
-        expr("""CASE WHEN size(t) >= 5 THEN
-                |  transform(sequence(0, size(t)-5),
-                |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
-                |ELSE array(xxhash64(concat_ws(' ', t))) END""".stripMargin))
+      .select(col("doc_id"), expr("shingle_hash(split(text, ' '), 5)").as("sh"))
       .select(col("doc_id"),
-        expr("slice(array_sort(array_distinct(sh)), 1, 4)").as("bottomk"))
+        expr("slice(array_sort(sh), 1, 4)").as("bottomk"))
       .select(col("doc_id"),
         expr("xxhash64(bottomk[0], bottomk[1], bottomk[2], bottomk[3])").as("fingerprint"),
         col("bottomk"))
       .orderBy(col("doc_id"))
+  }
 }

@@ -47,6 +47,20 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(sigs.exceptAll(again).count() == 0)
   }
 
+  test("shingle_hash matches the transform/concat_ws/xxhash64 composition exactly") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+    val diff = d.select(
+      expr("shingle_hash(t, 3)").as("native"),
+      expr("""array_distinct(CASE WHEN size(t) >= 3 THEN
+             |  transform(sequence(0, size(t)-3),
+             |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))
+             |ELSE array(xxhash64(concat_ws(' ', t))) END)""".stripMargin).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+  }
+
   test("GraftExtensions injects all function specs") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
