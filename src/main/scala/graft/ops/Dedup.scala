@@ -128,14 +128,23 @@ object Dedup {
     * this is the "filter the corpus" half of dedup (the summaries
     * above are the "report" half).
     */
-  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    Tables.documents(spark, dir)
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep_id"))
+  /** DataFrame-level canonicalization: keep the min-id row per
+    * duplicate group. Idempotent by construction (GraftLaws pins it):
+    * once each text appears once, every row is its own group minimum.
+    */
+  def canonicalize(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
+    docs
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalize(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   val dedupCanonicalSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents

@@ -67,6 +67,14 @@ class DedupSpec extends AnyFunSuite {
     assert(df.count() == distinctTexts)
   }
 
+  test("canonicalize is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val docs = Tables.documents(spark, sfDir)
+    val once = ops.Dedup.canonicalize(docs)
+    val twice = ops.Dedup.canonicalize(once)
+    assert(once.exceptAll(twice).count() == 0)
+    assert(twice.exceptAll(once).count() == 0)
+  }
+
   test("nearDupClusters: total coverage; exact dups share a cluster; labels are cluster minima") {
     val df = ops.Dedup.nearDupClusters(spark, sfDir).cache()
     assert(df.count() == nDocs)
