@@ -32,6 +32,7 @@ object SparkEntry {
     "q_map_funcs" -> Relational.mapFuncs,
     "q_unpivot" -> Relational.unpivotFuncs,
     "q_regex_funcs" -> Relational.regexFuncs,
+    "q_string_distance" -> Relational.stringDistance,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
     "q_dedup_minhash" -> Dedup.dedupMinhash,
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_local_supplier_volume" -> Relational.localSupplierVolumeSql,
     "q_map_funcs" -> Relational.mapFuncsSql,
     "q_unpivot" -> Relational.unpivotFuncsSql,
+    "q_string_distance" -> Relational.stringDistanceSql,
     "q_regex_funcs" -> Relational.regexFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,

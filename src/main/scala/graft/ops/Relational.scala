@@ -544,6 +544,34 @@ object Relational {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** String-distance battery: edit distance between consecutive part
+    * names within a brand — the scalar primitive under fuzzy matching.
+    * The window is PARTITIONED (by brand): an unpartitioned global
+    * order-by window would serialize onto one task at scale.
+    */
+  def stringDistance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .withColumn("prev_name", lag(col("p_name"), 1).over(w))
+      .filter(col("prev_name").isNotNull)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("prev_name")).as("edit_dist"),
+        (length(col("p_name")) - length(col("prev_name"))).as("len_delta"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val stringDistanceSql: String =
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_name, prev_name) AS INT) AS edit_dist,
+      |  CAST(length(p_name) - length(prev_name) AS INT) AS len_delta
+      |FROM (
+      |  SELECT p_partkey, p_name,
+      |    lag(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS prev_name
+      |  FROM part) t
+      |WHERE prev_name IS NOT NULL
+      |ORDER BY p_partkey""".stripMargin
+
   /** Pivot: order counts per nation (rows) × order status (columns).
     * Spark's `pivot` takes explicit values — mandatory at scale, where
     * value discovery would be a full extra pass. Oracle spells the same
