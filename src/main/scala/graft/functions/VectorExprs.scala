@@ -200,6 +200,20 @@ case class ShingleHashes(child: Expression, n: Int)
   private val space = UTF8String.fromString(" ")
   private val Seed = 42L // the xxhash64 SQL function's seed
 
+  override def nullable: Boolean = false
+
+  // NULL token array (split of NULL text) behaves like the composition
+  // it replaces: concat_ws over nothing → "" → one hash of the empty
+  // string — NOT a null result, so null-text docs still pair with
+  // empty-text docs downstream.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(XXH64.hashUTF8String(UTF8String.fromString(""), Seed)))
+    else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val len = toks.numElements()
@@ -252,9 +266,9 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           "shingle_hash(tokens, n) requires exactly 2 arguments with a literal integer n")
       ShingleHashes(es(0), es(1).eval(null) match {
-        case n: Number => n.intValue()
+        case n: Number if n.intValue() >= 1 => n.intValue()
         case other => throw new IllegalArgumentException(
-          s"shingle_hash: n must be a literal integer, got $other")
+          s"shingle_hash: n must be a literal integer >= 1, got $other")
       })
     }),
     "minhash_sig" -> (es => {

@@ -129,7 +129,7 @@ object Dedup {
     * above are the "report" half).
     */
   /** DataFrame-level canonicalization: keep the min-id row per
-    * duplicate group. Idempotent by construction (GraftLaws pins it):
+    * duplicate group. Idempotent by construction (DedupSpec pins it):
     * once each text appears once, every row is its own group minimum.
     */
   def canonicalize(docs: DataFrame, textCol: String = "text",

@@ -150,10 +150,10 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = e.withColumn("cell",
         element_at(array_sort(array(centroidSims(cents): _*)), -1).getField("cid"))
-      // elementwise mean per cell: explode to (cell, dim, value), avg,
-      // collect the fixed-size (NCells × dim) matrix
+      // spherical k-means: centroid = normalized mean of UNIT members —
+      // averaging raw vectors would let large-norm members dominate
       val means = assigned
-        .select(col("cell"), posexplode(col("emb")))
+        .select(col("cell"), posexplode(expr("transform(emb, x -> x / nrm)")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))

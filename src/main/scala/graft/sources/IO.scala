@@ -59,13 +59,16 @@ object IO {
       compression: String = "snappy",        // splittable-friendly default
       partitionBy: Seq[String] = Nil,        // hive-style partition dirs
       maxRecordsPerFile: Long = 5000000L,    // bound file sizes for parallel reads
-      mode: SaveMode = SaveMode.Overwrite)
+      mode: SaveMode = SaveMode.Overwrite,
+      dynamicPartitionOverwrite: Boolean = false) // replace only touched partitions
 
   def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
     var w = df.write
       .mode(cfg.mode)
       .option("compression", cfg.compression)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+    if (cfg.dynamicPartitionOverwrite)
+      w = w.option("partitionOverwriteMode", "dynamic")
     if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
     if (cfg.format == "csv") w = w.option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -74,13 +77,15 @@ object IO {
     w.format(cfg.format).save(path)
   }
 
-  /** Streaming sink: append each micro-batch to a partitioned parquet
-    * layout via `foreachBatch`. Batch-scoped writes are atomic per
-    * partition-directory file set; the batchId column makes replayed
-    * batches identifiable downstream (idempotent consumers filter on
-    * it). This is the canonical "stream into a lakehouse table" shape:
-    * the same partitioned layout [[write]] produces for batch, so
-    * batch and streaming readers share one table.
+  /** Streaming sink: write each micro-batch into a partitioned parquet
+    * layout via `foreachBatch`, IDEMPOTENTLY — data is additionally
+    * partitioned by `_batch_id` and written with dynamic partition
+    * overwrite, so a replayed batch (crash between the write and the
+    * checkpoint commit) overwrites its own partitions instead of
+    * appending an indistinguishable duplicate copy. Delegates to
+    * [[write]], inheriting the size-bounded files and compression the
+    * batch writer guarantees; batch and streaming readers share one
+    * table layout.
     */
   def streamToPartitioned(stream: DataFrame, path: String,
                           partitionBy: Seq[String],
@@ -88,11 +93,13 @@ object IO {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        var w = df.withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode(SaveMode.Append)
-          .option("compression", "snappy")
-        if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-        w.parquet(path)
+        write(
+          df.withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId)),
+          path,
+          WriteConfig(
+            partitionBy = partitionBy :+ "_batch_id",
+            mode = SaveMode.Overwrite,
+            dynamicPartitionOverwrite = true))
       }
       .start()
 

@@ -57,8 +57,17 @@ class ExpressionsSpec extends AnyFunSuite {
              |  transform(sequence(0, size(t)-3),
              |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))
              |ELSE array(xxhash64(concat_ws(' ', t))) END)""".stripMargin).as("builtin"))
-      .filter(col("native") =!= col("builtin"))
+      .filter(!(col("native") <=> col("builtin"))) // null-safe compare
     assert(diff.count() == 0)
+  }
+
+  test("shingle_hash of a NULL token array matches the composition's empty-string hash") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT shingle_hash(CAST(NULL AS ARRAY<STRING>), 3) AS native,
+        |       array(xxhash64(concat_ws(' ', CAST(NULL AS ARRAY<STRING>)))) AS builtin""".stripMargin)
+      .head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
   }
 
   test("GraftExtensions injects all function specs") {
