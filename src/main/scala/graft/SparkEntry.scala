@@ -50,6 +50,7 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.annLsh,
     "q_ann_ivf" -> Similarity.annIvf,
     "q_asof_join" -> AsOf.eventOrderAsof,
+    "q_range_join" -> AsOf.eventOrdersNearby,
     "q_media_catalog" -> Multimodal.mediaCatalog,
     "q_media_features" -> Multimodal.mediaFeatures,
     "q_frame_sample" -> Multimodal.frameSample,
@@ -96,6 +97,7 @@ object SparkEntry {
     // q_media_features: byte-level stub decode → rows-only check;
     // determinism + ranges pinned by MultimodalSpec.
     "q_asof_join" -> AsOf.eventOrderAsofSql,
+    "q_range_join" -> AsOf.eventOrdersNearbySql,
     "q_media_catalog" -> Multimodal.mediaCatalogSql,
     "q_frame_sample" -> Multimodal.frameSampleSql,
   )

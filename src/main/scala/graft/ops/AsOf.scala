@@ -67,6 +67,58 @@ object AsOf {
         payload.map(c => col("__m").getField(c).as(c))): _*)
   }
 
+  /** Range (interval) join: pairs within a time band of each other.
+    * The naive inequality join plans as a nested loop (O(n·m)); this
+    * buckets both sides by the band width and equi-joins on
+    * (key, bucket) — each left row probes its own and both adjacent
+    * buckets (any right row within ±width must land in one of them),
+    * then the exact band predicate filters. One shuffle on
+    * (key, bucket); the bucket explosion is ×3 on the left side only.
+    *
+    * @param width band half-width in the time unit of leftSec/rightSec
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                leftSec: String, rightSec: String,
+                width: Long): DataFrame = {
+    val l = left.withColumn("__bkt",
+      explode(expr(s"sequence(CAST(($leftSec - $width) / $width AS LONG), " +
+        s"CAST(($leftSec + $width) / $width AS LONG))")))
+    val r = right.withColumn("__bkt",
+      expr(s"CAST($rightSec / $width AS LONG)"))
+    l.join(r, l(leftKey) === r(rightKey) && l("__bkt") === r("__bkt"))
+      .filter(abs(col(leftSec) - col(rightSec)) <= width)
+      .drop("__bkt")
+  }
+
+  /** Driver query: order activity within ±7 days of each event, for
+    * the event's user. Second-granularity arithmetic (floor-to-second
+    * commutes with the parquet ns→µs truncation, so the DuckDB oracle
+    * is exact); left-join semantics — every event appears, zero-count
+    * included.
+    */
+  def eventOrdersNearby(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 24 * 3600
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("os"))
+    val matched = rangeJoin(events, orders, "user_id", "o_custkey", "es", "os", week)
+      .groupBy(col("event_id")).agg(count(col("o_orderkey")).as("n_orders_7d"))
+    events.select(col("event_id"))
+      .join(matched, Seq("event_id"), "left")
+      .na.fill(0L, Seq("n_orders_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventOrdersNearbySql: String =
+    """SELECT e.event_id, count(o.o_orderkey) AS n_orders_7d
+      |FROM events e LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey
+      |  AND abs(CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(o.o_orderdate) AS BIGINT)) <= 604800
+      |GROUP BY e.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   /** Driver query: each event matched to the user's most recent order
     * at or before the event time. The right side is pre-deduplicated
     * to one row per (custkey, orderdate) so the match is deterministic

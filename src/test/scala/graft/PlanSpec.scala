@@ -61,6 +61,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "window pass missing")
   }
 
+  test("range join buckets to an equi-join — no inequality nested loop") {
+    val plan = formatted(ops.AsOf.eventOrdersNearby(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+  }
+
   test("scalar/regex/array batteries stay inside whole-stage codegen") {
     Seq(
       ops.Relational.scalarFuncs(spark, sfDir),
