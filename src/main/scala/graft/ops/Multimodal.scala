@@ -12,11 +12,14 @@ case class MediaRecord(
     doc_id: Long, media_type: String, payload: Array[Byte],
     width: Int, height: Int, n_frames: Int)
 
-/** Output of the (stubbed) decode + feature-extract step. */
+/** Output of the (stubbed) decode + feature-extract step. The histogram
+  * is emitted as a fixed-format CSV string (scalar, not array<double>)
+  * so the driver's pandas-based row sort can hash every cell.
+  */
 case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Long,
     mean_byte: Double, byte_entropy: Double,
-    resized_w: Int, resized_h: Int, histogram: Seq[Double])
+    resized_w: Int, resized_h: Int, histogram: String)
 
 /** Multimodal-column operators (driver north star: image/audio/video
   * as opaque `binary` columns with typed metadata).
@@ -101,7 +104,7 @@ object Multimodal {
       byte_entropy = math.rint(entropy * 10000) / 10000,
       resized_w = math.max(1, math.rint(r.width * scale).toInt),
       resized_h = math.max(1, math.rint(r.height * scale).toInt),
-      histogram = hist.toSeq)
+      histogram = hist.map(p => String.format(java.util.Locale.ROOT, "%.4f", Double.box(p))).mkString(","))
   }
 
   /** Decode + feature-extract over the catalog. Typed `mapPartitions`

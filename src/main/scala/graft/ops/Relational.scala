@@ -658,7 +658,7 @@ object Relational {
 
   val jsonExtractSql: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n,
       |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
       |FROM events

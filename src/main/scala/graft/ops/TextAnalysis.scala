@@ -155,7 +155,9 @@ object TextAnalysis {
         expr("slice(array_sort(sh), 1, 4)").as("bottomk"))
       .select(col("doc_id"),
         expr("xxhash64(bottomk[0], bottomk[1], bottomk[2], bottomk[3])").as("fingerprint"),
-        col("bottomk"))
+        // scalar, not array<long>: the driver compare sorts rows in pandas,
+        // which cannot hash array cells
+        array_join(col("bottomk"), ",").as("bottomk_csv"))
       .orderBy(col("doc_id"))
   }
 }

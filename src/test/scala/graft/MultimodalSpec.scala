@@ -25,7 +25,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.filter(col("byte_entropy") < 0 || col("byte_entropy") > 4.0001).count() == 0)
     // resize preserves the fit-in-224 contract
     assert(a.filter(col("resized_w") > 224 || col("resized_h") > 224).count() == 0)
-    assert(a.filter(size(col("histogram")) =!= 16).count() == 0)
+    assert(a.filter(size(split(col("histogram"), ",")) =!= 16).count() == 0)
     // deterministic across runs (stub decode must be pure)
     val b = ops.Multimodal.mediaFeatures(spark, sfDir)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
