@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * verified with the exact measure. Bucket-size caps guard against
   * degenerate keys (the classic LSH skew failure at scale).
   *
+  * Cache lifecycle: sketch frames are persisted only while the SMALL
+  * verified-pair set is eagerly `localCheckpoint`ed, then unpersisted —
+  * chaining dedup ops never accumulates SQL caches, and the checkpoint
+  * cuts lineage for downstream iteration. Ops take a private
+  * `materialize = false` variant returning the full lazy plan so the
+  * plan contracts (PlanSpec) can still see the join shapes.
+  *
   * Each operator emits a per-document summary (`|documents|` rows,
   * never empty) rather than bare pairs, so the result is stable on
   * corpora with few or no duplicates.
@@ -55,23 +62,30 @@ object Dedup {
   /** Candidate pairs from equality self-join on (bucketCol id, hash),
     * with a bucket-size cap dropping degenerate buckets (boilerplate
     * content at scale would otherwise make one bucket quadratic).
+    *
+    * When materializing: the (bucket, doc) assignments are persisted —
+    * the self-join reads them twice, and without that each side would
+    * re-run the whole upstream sketch pipeline — the distinct pair set
+    * (small) is checkpointed eagerly, and the assignment cache is
+    * dropped before returning.
     */
-  private[ops] def lshCandidates(buckets: DataFrame, maxBucket: Int): DataFrame = {
-    // cache the (bucket, doc) assignments: the self-join below reads
-    // them TWICE, and without the cache each side re-runs the whole
-    // upstream sketch pipeline (at scale: persist/checkpoint here)
-    val capped = buckets
+  private[ops] def lshCandidates(buckets: DataFrame, maxBucket: Int,
+                                 materialize: Boolean = true): DataFrame = {
+    val capped0 = buckets
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_id"), col("bucket_hash"))))
       .filter(col("bsz") <= maxBucket)
       .select(col("bucket_id"), col("bucket_hash"), col("doc_id"))
-      .cache()
-    capped.as("x").join(capped.as("y"),
-        col("x.bucket_id") === col("y.bucket_id") &&
-        col("x.bucket_hash") === col("y.bucket_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val capped = if (materialize) capped0.persist() else capped0
+    try {
+      val pairs = capped.as("x").join(capped.as("y"),
+          col("x.bucket_id") === col("y.bucket_id") &&
+          col("x.bucket_hash") === col("y.bucket_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      if (materialize) pairs.localCheckpoint(true) else pairs
+    } finally if (materialize) capped.unpersist()
   }
 
   /** Left-join a per-doc pair summary back onto the full doc list so the
@@ -91,37 +105,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash + LSH near-dup: 64 minhashes from the seeded xxhash64
-    * family → 16 bands × 4 rows → band-bucket join → exact Jaccard
-    * verification at 0.7. Only candidate pairs (≪ n²) ever touch the
-    * verify join. No SQL oracle: the sketch depends on Spark's xxhash64
-    * hash family → rows-only check; correctness is pinned by DedupSpec.
+  /** MinHash-LSH candidate pairs with exact-Jaccard scores — computed
+    * ONCE per (session, dataset) and shared by the per-doc summary
+    * ([[dedupMinhash]]) and the cluster builder ([[nearDupClusters]]):
+    * the result is an eagerly checkpointed small pair set, so the
+    * second consumer pays a block read, not a sketch-pipeline rerun.
     */
-  /** MinHash-LSH candidate pairs with exact-Jaccard scores — shared by
-    * the per-doc summary ([[dedupMinhash]]) and the cluster builder
-    * ([[nearDupClusters]]).
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, dir),
+      minhashVerifiedPairs(spark, dir, materialize = true))
+
+  /** MinHash + LSH near-dup pair generation: 64 minhashes from the
+    * seeded xxhash64 family → 16 bands × 4 rows → band-bucket join →
+    * exact Jaccard verification. Only candidate pairs (≪ n²) ever touch
+    * the verify join. No SQL oracle: the sketch depends on Spark's
+    * xxhash64 hash family → rows-only check; correctness is pinned by
+    * DedupSpec.
     */
-  private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val sets = shingleSets(spark, dir).cache()
-    // native codegen'd MinHash (one fused shingles×64 loop) vs the
-    // transform/array_min built-in composition's interpreted lambdas
-    val sig = sets.withColumn("sig", expr("minhash_sig(shset, 64)"))
-    val buckets = sig.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
-      .withColumnRenamed("pos", "bucket_id")
-      .withColumnRenamed("col", "bucket_hash")
-    val cand = lshCandidates(buckets, maxBucket = 100)
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
+  private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
+                                          materialize: Boolean): DataFrame = {
+    val sets0 = shingleSets(spark, dir)
+    val sets = if (materialize) sets0.persist() else sets0
+    try {
+      // native codegen'd MinHash (one fused shingles×64 loop) vs the
+      // transform/array_min built-in composition's interpreted lambdas
+      val sig = sets.withColumn("sig", expr("minhash_sig(shset, 64)"))
+      val buckets = sig.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+        .withColumnRenamed("pos", "bucket_id")
+        .withColumnRenamed("col", "bucket_hash")
+      val cand = lshCandidates(buckets, maxBucket = 100, materialize)
+      val verified = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
+      if (materialize) verified.localCheckpoint(true) else verified
+    } finally if (materialize) sets.unpersist()
   }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
       minhashVerifiedPairs(spark, dir), "jacc", 0.7)
+
+  /** Full lazy plan (no memo, no checkpoint) for plan contracts. */
+  private[graft] def dedupMinhashPlan(spark: SparkSession, dir: String): DataFrame =
+    perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
+      minhashVerifiedPairs(spark, dir, materialize = false), "jacc", 0.7)
 
   /** Canonical-document selection for exact duplicates: keep the
     * lowest doc_id of every identical-text group. One window pass —
@@ -159,8 +192,15 @@ object Dedup {
     * one join + one aggregation; the only driver-side value is the
     * converged? counter. Rounds are bounded by the graph diameter
     * (near-dup clusters are tiny; the 20-round cap is a safety net,
-    * convergence is checked each round). Output: (doc_id, cluster,
-    * is_canonical) for every document.
+    * convergence is checked each round). Every round's label frame is
+    * eagerly `localCheckpoint`ed: the checkpoint both materializes the
+    * round (one action) and CUTS THE LINEAGE — without it, round N's
+    * plan contains N copies of the join/agg and the whole sketch
+    * pipeline, which is what kills iterative algorithms at scale.
+    * The pair graph comes from the shared memoized
+    * [[minhashVerifiedPairs]] — already checkpointed, so this op never
+    * recomputes the sketch pipeline when [[dedupMinhash]] ran first.
+    * Output: (doc_id, cluster, is_canonical) for every document.
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
@@ -176,32 +216,24 @@ object Dedup {
       .unionByName(pairs.select(col("doc_a"), col("doc_a").as("doc_b"))) // self-loops
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_b"))) // (both ends)
       .distinct()
-      .cache()
-    val connected = adj.select(col("doc_a").as("doc_id")).distinct()
-    var labels = connected.select(col("doc_id"), col("doc_id").as("cluster")).cache()
-    var prevCached = labels // the DataFrame actually holding the cache
+      .localCheckpoint(true)
+    var labels = adj.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
     var converged = false
     var round = 0
     while (!converged && round < 20) {
-      // one action per round: the filtered count scans every row of
-      // every partition of `next`, fully populating its cache before
-      // the parent cache is dropped (a partial check like isEmpty
-      // would leave cache holes that recompute the whole sketch
-      // pipeline through the unpersisted parent)
       val next = adj
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("cluster")).as("cluster"))
         .select(col("doc_a").as("doc_id"), col("cluster"))
         .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .cache()
+        .localCheckpoint(true) // materializes the round + cuts lineage
       val changed = next.filter(col("cluster") =!= col("old")).count()
-      prevCached.unpersist()
-      prevCached = next
       labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0
       round += 1
     }
-    adj.unpersist()
     if (!converged)
       // a silent partial result would violate the operator's contract
       // (labels = smallest cluster member); diameter-20 components mean
@@ -221,29 +253,40 @@ object Dedup {
     * distance ≤ 3 must agree on ≥ 1 chunk); verification = bit_count of
     * XOR. Rows-only check (hash-family dependent), pinned by DedupSpec.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhash(spark, dir, materialize = true)
+
+  private[graft] def dedupSimhash(spark: SparkSession, dir: String,
+                                  materialize: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    val sk0 = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
       // native codegen'd signature: one fused tokens×64 loop
       .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("doc_id"), col("simhash"))
-      .cache()
-    val buckets = docs.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 3), c -> shiftright(simhash, 16*c) & 65535)")))
-      .withColumnRenamed("pos", "bucket_id")
-      .withColumnRenamed("col", "bucket_hash")
-    val cand = lshCandidates(buckets, maxBucket = 100)
-    val verified = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
-      // similarity in [0,1]: 1 − hamming/64, so the shared ≥-threshold
-      // summary logic applies (hamming ≤ 3 ⇔ sim ≥ 0.953)
-      .select(col("doc_a"), col("doc_b"),
-        (lit(1.0) - expr("bit_count(ha ^ hb)") / lit(64.0)).as("sim"))
-    perDocSummary(docs, verified, "sim", 1.0 - 3.0 / 64)
+    val sk = if (materialize) sk0.persist() else sk0
+    try {
+      val buckets = sk.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), c -> shiftright(simhash, 16*c) & 65535)")))
+        .withColumnRenamed("pos", "bucket_id")
+        .withColumnRenamed("col", "bucket_hash")
+      val cand = lshCandidates(buckets, maxBucket = 100, materialize)
+      val verified0 = cand
+        .join(sk.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+        .join(sk.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+        // similarity in [0,1]: 1 − hamming/64, so the shared ≥-threshold
+        // summary logic applies (hamming ≤ 3 ⇔ sim ≥ 0.953)
+        .select(col("doc_a"), col("doc_b"),
+          (lit(1.0) - expr("bit_count(ha ^ hb)") / lit(64.0)).as("sim"))
+      val verified = if (materialize) verified0.localCheckpoint(true) else verified0
+      // doc list from the raw scan (column-pruned), NOT the signature
+      // frame — the per-doc summary must not recompute signatures after
+      // the cache is dropped
+      perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
+        verified, "sim", 1.0 - 3.0 / 64)
+    } finally if (materialize) sk.unpersist()
   }
 
   /** Embedding-cosine near-dup: documents whose embedding vectors are
@@ -268,20 +311,27 @@ object Dedup {
     * (lang, length bucket); each block is bounded by the cap. This is
     * the "small corpus / exact answer" path; MinHash is the scale path.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(spark, dir)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), (col("n_chars") / 50).cast("int").as("lenb"))
-      .join(sets, Seq("doc_id"))
-    val buckets = docs.select(
-      hash(col("lang")).as("bucket_id"),
-      col("lenb").cast("long").as("bucket_hash"),
-      col("doc_id"))
-    val cand = lshCandidates(buckets, maxBucket = 1000)
-    val verified = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
-    perDocSummary(docs, verified, "jacc", 0.7)
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(spark, dir, materialize = true)
+
+  private[graft] def dedupNgramJaccard(spark: SparkSession, dir: String,
+                                       materialize: Boolean): DataFrame = {
+    val sets0 = shingleSets(spark, dir)
+    val sets = if (materialize) sets0.persist() else sets0
+    try {
+      val meta = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), (col("n_chars") / 50).cast("int").as("lenb"))
+      val buckets = meta.select(
+        hash(col("lang")).as("bucket_id"),
+        col("lenb").cast("long").as("bucket_hash"),
+        col("doc_id"))
+      val cand = lshCandidates(buckets, maxBucket = 1000, materialize)
+      val verified0 = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
+      val verified = if (materialize) verified0.localCheckpoint(true) else verified0
+      perDocSummary(meta, verified, "jacc", 0.7)
+    } finally if (materialize) sets.unpersist()
   }
 }

@@ -2,8 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -12,13 +11,25 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - [[knnBrute]]: exact brute-force cosine top-k — the baseline and
   *    the oracle-able query. The query set is broadcast, the corpus
-  *    streams: one scan, no shuffle of the corpus side.
+  *    streams: one scan, no shuffle of the corpus side. Per-query
+  *    top-k uses [[graft.functions.TopKAggregator]], a partial
+  *    aggregate — each map task emits ≤ k rows per query, so at scale
+  *    the shuffle is |queries| × k × |tasks| rows, never the
+  *    |corpus| × |queries| candidate set a window row_number would
+  *    funnel into |queries| partitions (one serialized task per query).
   *  - [[annLsh]]: random-hyperplane LSH (sign-random-projection)
   *    bucketing — the 100 TB path. Candidates come from equality joins
   *    on band buckets (never a cross join), are verified with exact
-  *    cosine, and per-query top-k uses [[graft.functions.TopKAggregator]]
-  *    (a partial aggregate: each map task emits ≤ k rows, unlike a
-  *    window top-k which shuffles every candidate).
+  *    cosine, and per-query top-k uses the same TopK partial aggregate.
+  *  - [[annIvf]]: inverted-file coarse quantization with spherical
+  *    k-means centroids trained on a bounded sample.
+  *
+  * Cache lifecycle: every op that reuses an intermediate persists it,
+  * eagerly `localCheckpoint`s the SMALL derived frame (candidate pairs
+  * / verified sims — ≪ corpus), and unpersists the big parent before
+  * returning. Chaining ops therefore never accumulates SQL caches;
+  * the checkpoint also cuts lineage, which is what an iterative or
+  * multi-stage 100 TB job needs anyway.
   *
   * All arithmetic is double (floats cast up front, left-to-right
   * summation) so results are bit-comparable with the DuckDB oracle's
@@ -45,21 +56,25 @@ object Similarity {
   private val K = 5
 
   /** Exact k-NN: cosine top-5 for the first 10 vectors against the
-    * whole corpus. Ranking uses round(sim, 6) with vec_id tie-break so
-    * the cut is reproducible cross-engine.
+    * whole corpus. The ranking key is round(sim, 6) with vec_id
+    * tie-break so the cut is reproducible cross-engine; the rounded
+    * key flows through the TopK aggregate and is re-rounded to 4
+    * places on output (the oracle rounds twice identically — both
+    * engines see bit-identical doubles, so the double rounding is
+    * exact on both sides).
     */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spark, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr(dot) / (col("qn") * col("nrm")), 6).as("sim6"))
+    sims.groupBy(col("query_id"))
+      .agg(TopK.topK(K)(col("sim6"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -71,13 +86,14 @@ object Similarity {
        |q AS (
        |  SELECT vec_id AS qid, emb AS qe, nrm AS qn FROM n WHERE vec_id < $NQueries),
        |s AS (
-       |  SELECT qid, n.vec_id AS nid, list_dot_product(qe, emb) / (qn * nrm) AS sim
+       |  SELECT qid, n.vec_id AS nid,
+       |    round(list_dot_product(qe, emb) / (qn * nrm), 6) AS sim6
        |  FROM q, n WHERE n.vec_id <> qid),
        |r AS (
-       |  SELECT qid, nid, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, nid) AS rank
+       |  SELECT qid, nid, sim6,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rank
        |  FROM s)
-       |SELECT qid AS query_id, rank, nid AS neighbor_id, round(sim, 4) AS sim
+       |SELECT qid AS query_id, rank, nid AS neighbor_id, round(sim6, 4) AS sim
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
@@ -110,78 +126,107 @@ object Similarity {
 
   private val NCells = 16
   private val NProbe = 4
+  private val TrainIters = 3
 
-  /** Approximate k-NN via IVF (inverted-file) coarse quantization —
-    * the alternative scale path to [[annLsh]]. A fixed set of
-    * `NCells` coarse centroids partitions the corpus: every vector is
-    * assigned to its nearest centroid (one "cell"); a query probes its
-    * `NProbe` nearest cells and ranks only vectors in them. The
-    * centroids here are the first `NCells` corpus vectors (collected
-    * once — a fixed-size driver broadcast, exactly how production IVF
-    * ships its k-means centroids); swapping in trained k-means
-    * centroids changes nothing structural. Cell assignment is a pure
-    * projection (`NCells` codegen'd `vec_dot`s per row); candidate
-    * selection is an equi-join on the cell id — never a cross join.
-    * Rows-only driver check; recall vs [[knnBrute]] pinned by
-    * SimilaritySpec.
-    */
-  /** Per-row nearest-centroid similarity structs for a centroid set. */
+  /** Per-row per-centroid (sim, cid) structs for a centroid set. */
   private def centroidSims(cents: IndexedSeq[Seq[Double]]) =
     cents.zipWithIndex.map { case (cn, cid) =>
       struct(call_function("vec_dot", col("emb"), typedlit(cn)).as("sim"),
         lit(cid).as("cid"))
     }
 
-  /** Lloyd's k-means on the unit sphere (spherical k-means): assign
-    * every vector to its max-cosine centroid (NCells codegen'd
-    * `vec_dot`s, one distributed pass), recompute centroids as the
-    * normalized elementwise mean of their members, repeat. The only
-    * driver-side data is the centroid matrix itself (NCells × dim —
-    * fixed size regardless of corpus scale, exactly what production
-    * IVF broadcasts). Init: first NCells corpus vectors.
+  /** Nearest-cell argmax: `greatest` over the (sim, cid) structs —
+    * O(cells) comparisons inside codegen, no per-row array
+    * materialization or O(c log c) sort (the previous
+    * `array_sort(array(...))[-1]` built and sorted a 16-struct array
+    * for every corpus row).
     */
-  private def trainCentroids(e: DataFrame, iters: Int): IndexedSeq[Seq[Double]] = {
-    var cents: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < NCells)
-      .orderBy(col("vec_id")).select(col("emb"), col("nrm")).collect()
-      .toIndexedSeq.map { row =>
-        val v = row.getSeq[Double](0); val n = row.getDouble(1)
-        v.map(_ / n)
-      }
-    for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cell",
-        element_at(array_sort(array(centroidSims(cents): _*)), -1).getField("cid"))
-      // spherical k-means: centroid = normalized mean of UNIT members —
-      // averaging raw vectors would let large-norm members dominate
-      val means = assigned
-        .select(col("cell"), posexplode(expr("transform(emb, x -> x / nrm)")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      cents = cents.indices.map { cid =>
-        byCell.get(cid) match {
-          case Some(rows) =>
-            val dim = rows.map(_.getInt(1)).max + 1
-            val v = new Array[Double](dim)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
-            val n = math.sqrt(v.map(x => x * x).sum)
-            if (n > 0) v.toSeq.map(_ / n) else cents(cid)
-          case None => cents(cid) // empty cell keeps its centroid
+  private def nearestCell(cents: IndexedSeq[Seq[Double]]): Column =
+    greatest(centroidSims(cents): _*).getField("cid")
+
+  /** Lloyd's k-means on the unit sphere (spherical k-means): assign
+    * every sample vector to its max-cosine centroid, recompute
+    * centroids as the normalized elementwise mean of their UNIT
+    * members, repeat. Trains on the BOUNDED sample it is given
+    * (standard IVF practice — a few hundred vectors per cell suffice;
+    * training cost is independent of corpus size). The only
+    * driver-side data is the centroid matrix itself (nCells × dim —
+    * fixed size regardless of corpus scale, exactly what production
+    * IVF broadcasts). Init: first nCells sample vectors. The sample is
+    * persisted for the iterations and unpersisted before returning.
+    */
+  private def trainCentroids(sample: DataFrame, nCells: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    val s = sample.persist()
+    try {
+      var cents: IndexedSeq[Seq[Double]] = s.filter(col("vec_id") < nCells)
+        .orderBy(col("vec_id")).select(col("emb"), col("nrm")).collect()
+        .toIndexedSeq.map { row =>
+          val v = row.getSeq[Double](0); val n = row.getDouble(1)
+          v.map(_ / n)
+        }
+      for (_ <- 1 to iters) {
+        val assigned = s.withColumn("cell", nearestCell(cents))
+        // spherical k-means: centroid = normalized mean of UNIT members —
+        // averaging raw vectors would let large-norm members dominate
+        val means = assigned
+          .select(col("cell"), posexplode(expr("transform(emb, x -> x / nrm)")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0))
+        cents = cents.indices.map { cid =>
+          byCell.get(cid) match {
+            case Some(rows) =>
+              val dim = rows.map(_.getInt(1)).max + 1
+              val v = new Array[Double](dim)
+              rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+              val n = math.sqrt(v.map(x => x * x).sum)
+              if (n > 0) v.toSeq.map(_ / n) else cents(cid)
+            case None => cents(cid) // empty cell keeps its centroid
+          }
         }
       }
-    }
-    cents
+      cents
+    } finally s.unpersist()
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir).cache()
-    val simStructs = centroidSims(trainCentroids(e, iters = 3))
-    // corpus side: nearest cell only
-    val assigned = e.withColumn("cell",
-      element_at(array_sort(array(simStructs: _*)), -1).getField("cid"))
-    // query side: probe the NProbe nearest cells
-    val probed = e.filter(col("vec_id") < NQueries)
+  /** Approximate k-NN via IVF (inverted-file) coarse quantization —
+    * the alternative scale path to [[annLsh]]. Spherical-k-means
+    * centroids (trained on a bounded prefix sample — training never
+    * scans the full corpus) partition the corpus: every vector is
+    * assigned to its max-cosine centroid (one "cell") in a single
+    * scan-speed projection pass; a query probes its `nProbe` nearest
+    * cells and ranks only vectors in them. Candidate selection is an
+    * equi-join on the cell id — never a cross join. The corpus itself
+    * is never cached: both passes over it (assignment, query-side
+    * filter) are cheap projections off the parquet scan, and the
+    * query-side filter prunes at the scan. Rows-only driver check;
+    * recall vs [[knnBrute]] pinned by SimilaritySpec.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, NCells, NProbe, NQueries, K, TrainIters)
+
+  /** Parameterized IVF: cell count, probe width, query set size, k and
+    * training iterations are arguments with the driver-contract
+    * defaults above.
+    */
+  def annIvf(spark: SparkSession, dir: String, nCells: Int, nProbe: Int,
+             nQueries: Int, k: Int, iters: Int): DataFrame = {
+    require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells && k >= 1 && iters >= 0,
+      s"annIvf: bad params nCells=$nCells nProbe=$nProbe k=$k iters=$iters")
+    val e = withNorm(spark, dir)
+    // bounded training sample: ~200 vectors per cell off the vec_id
+    // prefix (synthetic ids are dense from 0; at scale swap for a
+    // hash-mod sample — the contract is only "bounded and deterministic")
+    val sample = e.filter(col("vec_id") < nCells.toLong * 200)
+    val cents = trainCentroids(sample, nCells, iters)
+    val simStructs = centroidSims(cents)
+    // corpus side: nearest cell only — ONE full-corpus projection pass
+    val assigned = e.withColumn("cell", nearestCell(cents))
+    // query side: probe the nProbe nearest cells (tiny frame — the
+    // O(c log c) sort is fine here, it runs on nQueries rows)
+    val probed = e.filter(col("vec_id") < nQueries)
       .withColumn("cells",
-        slice(reverse(array_sort(array(simStructs: _*))), 1, NProbe))
+        slice(reverse(array_sort(array(simStructs: _*))), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
         explode(expr("transform(cells, c -> c.cid)")).as("cell"))
     val verified = assigned
@@ -189,7 +234,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
     verified.groupBy(col("query_id"))
-      .agg(TopK.topK(K)(col("sim"), col("vec_id")).as("top"))
+      .agg(TopK.topK(k)(col("sim"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
@@ -200,22 +245,34 @@ object Similarity {
     * self-join on LSH band buckets (id_a < id_b), bucket-size cap
     * against degenerate keys, exact cosine verification via the
     * codegen'd `vec_dot`. Feeds [[Dedup.dedupEmbedding]]. Output:
-    * (id_a, id_b, sim).
+    * (id_a, id_b, sim) — eagerly checkpointed (small: candidates only)
+    * so the signed-corpus cache can be dropped before returning.
     */
-  def cosineCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = withSig(withNorm(spark, dir)).cache()
-    // same capped-bucket self-join machinery as the text dedup path
-    // (Dedup.lshCandidates) — shared so fixes (e.g. its self-join
-    // cache) apply to both
-    val buckets = bandBuckets(e, "doc_id")
-      .withColumnRenamed("band", "bucket_id")
-      .withColumnRenamed("bkt", "bucket_hash")
-    val pairs = Dedup.lshCandidates(buckets, maxBucket = 200)
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    pairs
-      .join(e.select(col("vec_id").as("id_a"), col("emb").as("qe"), col("nrm").as("qn")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("emb"), col("nrm")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
+  def cosineCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    cosineCandidatePairs(spark, dir, materialize = true)
+
+  /** `materialize = false` returns the full lazy plan (no persist, no
+    * checkpoint) — used by plan contracts, which would otherwise only
+    * see a LogicalRDD scan.
+    */
+  private[graft] def cosineCandidatePairs(spark: SparkSession, dir: String,
+                                          materialize: Boolean): DataFrame = {
+    val e0 = withSig(withNorm(spark, dir))
+    val e = if (materialize) e0.persist() else e0
+    try {
+      // same capped-bucket self-join machinery as the text dedup path
+      // (Dedup.lshCandidates) — shared so fixes apply to both
+      val buckets = bandBuckets(e, "doc_id")
+        .withColumnRenamed("band", "bucket_id")
+        .withColumnRenamed("bkt", "bucket_hash")
+      val pairs = Dedup.lshCandidates(buckets, maxBucket = 200, materialize)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val verified = pairs
+        .join(e.select(col("vec_id").as("id_a"), col("emb").as("qe"), col("nrm").as("qn")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("emb"), col("nrm")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
+      if (materialize) verified.localCheckpoint(true) else verified
+    } finally if (materialize) e.unpersist()
   }
 
   /** Approximate k-NN via LSH banding. Each vector lands in
@@ -238,23 +295,35 @@ object Similarity {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkt")
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withSig(withNorm(spark, dir)).cache()
-    val qb = bandBuckets(e.filter(col("vec_id") < NQueries), "query_id")
-    val cand = bandBuckets(e, "nid")
-      .join(broadcast(qb), Seq("band", "bkt"))
-      .filter(col("nid") =!= col("query_id"))
-      .select(col("query_id"), col("nid"))
-      .distinct()
-    val verified = cand
-      .join(e.select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")), Seq("query_id"))
-      .join(e.select(col("vec_id").as("nid"), col("emb"), col("nrm")), Seq("nid"))
-      .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
-    verified.groupBy(col("query_id"))
-      .agg(TopK.topK(K)(col("sim"), col("nid")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(spark, dir, materialize = true)
+
+  /** `materialize = false`: full lazy plan for plan contracts. */
+  private[graft] def annLsh(spark: SparkSession, dir: String,
+                            materialize: Boolean): DataFrame = {
+    val e0 = withSig(withNorm(spark, dir))
+    val e = if (materialize) e0.persist() else e0
+    try {
+      val qb = bandBuckets(e.filter(col("vec_id") < NQueries), "query_id")
+      val cand = bandBuckets(e, "nid")
+        .join(broadcast(qb), Seq("band", "bkt"))
+        .filter(col("nid") =!= col("query_id"))
+        .select(col("query_id"), col("nid"))
+        .distinct()
+      val verified0 = cand
+        .join(e.select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")), Seq("query_id"))
+        .join(e.select(col("vec_id").as("nid"), col("emb"), col("nrm")), Seq("nid"))
+        .select(col("query_id"), col("nid"),
+          (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
+      // checkpoint the verified candidates (small) so the signed-corpus
+      // cache can be dropped before the result is consumed
+      val verified = if (materialize) verified0.localCheckpoint(true) else verified0
+      verified.groupBy(col("query_id"))
+        .agg(TopK.topK(K)(col("sim"), col("nid")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    } finally if (materialize) e.unpersist()
   }
 }

@@ -39,11 +39,15 @@ class PlanSpec extends AnyFunSuite {
     // knnBrute is deliberately corpus × broadcast(10 queries) — a
     // bounded BroadcastNestedLoopJoin is its correct physical shape
     assert(!formatted(ops.Similarity.knnBrute(spark, sfDir)).contains("CartesianProduct"))
-    // the approximate paths must stay on equi-joins over buckets/cells
+    // the approximate paths must stay on equi-joins over buckets/cells —
+    // asserted on the materialize=false plan variants, since the real
+    // ops eagerly checkpoint their candidate sets (the explain of a
+    // checkpointed frame is just a LogicalRDD scan and would hide the
+    // join shape this contract exists to pin)
     Seq(
-      ops.Similarity.annLsh(spark, sfDir),
+      ops.Similarity.annLsh(spark, sfDir, materialize = false),
       ops.Similarity.annIvf(spark, sfDir),
-      ops.Dedup.dedupMinhash(spark, sfDir)).foreach { df =>
+      ops.Dedup.dedupMinhashPlan(spark, sfDir)).foreach { df =>
       val plan = formatted(df)
       assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join:\n$plan")
