@@ -33,6 +33,9 @@ object SparkEntry {
     "q_unpivot" -> Relational.unpivotFuncs,
     "q_regex_funcs" -> Relational.regexFuncs,
     "q_string_distance" -> Relational.stringDistance,
+    "q_grouping_sets" -> Advanced.groupingSetsAgg,
+    "q_window_battery" -> Advanced.windowBattery,
+    "q_subqueries" -> Advanced.subqueries,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
     "q_dedup_minhash" -> Dedup.dedupMinhash,
@@ -46,6 +49,10 @@ object SparkEntry {
     "q_quality_score" -> TextAnalysis.qualityScore,
     "q_lang_id" -> TextAnalysis.langId,
     "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
+    "q_tfidf" -> TextAnalysis.tfidf,
+    "q_text_normalize" -> TextAnalysis.textNormalize,
+    "q_train_split" -> Sampling.trainSplit,
+    "q_stratified_sample" -> Sampling.stratifiedSample,
     "q_knn_brute" -> Similarity.knnBrute,
     "q_ann_lsh" -> Similarity.annLsh,
     "q_ann_ivf" -> Similarity.annIvf,
@@ -81,6 +88,13 @@ object SparkEntry {
     "q_map_funcs" -> Relational.mapFuncsSql,
     "q_unpivot" -> Relational.unpivotFuncsSql,
     "q_string_distance" -> Relational.stringDistanceSql,
+    "q_grouping_sets" -> Advanced.groupingSetsAggSql,
+    "q_window_battery" -> Advanced.windowBatterySql,
+    "q_subqueries" -> Advanced.subqueriesSql,
+    "q_tfidf" -> TextAnalysis.tfidfSql,
+    "q_text_normalize" -> TextAnalysis.textNormalizeSql,
+    "q_train_split" -> Sampling.trainSplitSql,
+    "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_regex_funcs" -> Relational.regexFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,

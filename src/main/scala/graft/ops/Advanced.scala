@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational surface: grouping sets, a full window-function
+  * battery, and correlated subqueries. All DuckDB-oracle-able; all
+  * shapes chosen to survive a 100× scale-up (keyed windows only —
+  * never a global or low-cardinality-partition order-by; subqueries
+  * that Catalyst decorrelates into joins).
+  */
+object Advanced {
+
+  /** GROUPING SETS — the general form of [[Relational.rollupAgg]] /
+    * cubeAgg: per-nation totals, per-priority totals, and the grand
+    * total, WITHOUT the (nation, priority) cross detail rollup/cube
+    * would also emit. Aggregation is partial+final hash agg; the
+    * grouping-set expansion multiplies rows by |sets| before the
+    * shuffle, which Catalyst handles with a single Expand node.
+    * NULL group labels are coalesced to 'ALL' so cross-engine sort
+    * order is unambiguous (same trick as rollup/cube).
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("o_orderpriority")), Seq()),
+        col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("n_name"), col("o_orderpriority"))
+  }
+
+  val groupingSetsAggSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS n_name,
+      |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+      |ORDER BY n_name, o_orderpriority""".stripMargin
+
+  /** Window-function battery over per-customer order history:
+    * lag/lead, ntile quartiles, cume_dist, running sum, 3-row moving
+    * average — one keyed window (partitionBy customer), ordered by the
+    * UNIQUE (date, orderkey) pair so every offset/rank/frame function
+    * is deterministic cross-engine. Keyed partitions scale (each
+    * customer's history is one task's slice); the running aggregates
+    * are sequential prefix computations over that slice, identical
+    * evaluation order in Spark and DuckDB.
+    */
+  def windowBattery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("run_sum", round(sum(col("o_totalprice")).over(wRun), 2))
+      // 3 decimals, not 2: a 2-row average of 2-decimal prices is an
+      // exact multiple of 0.005 — the precise value where Spark's
+      // exact-decimal HALF_UP and DuckDB's multiply-round-divide
+      // disagree on the same double; at 3 decimals every possible
+      // average (k/100, k/200, k/300) sits away from the boundary
+      .withColumn("mov_avg3", round(avg(col("o_totalprice")).over(wMov), 3))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("prev_price"), col("next_price"), col("quartile"),
+        col("cd"), col("run_sum"), col("mov_avg3"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val windowBatterySql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+      |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+      |  ntile(4) OVER w AS quartile,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+      |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS mov_avg3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Correlated subqueries, written in SQL because correlation is
+    * SQL-native: a correlated scalar subquery (max supplier balance in
+    * the customer's nation — max, not avg, so the scalar is exact and
+    * order-insensitive cross-engine) and a correlated EXISTS. Catalyst
+    * decorrelates both into joins (aggregate-then-join for the scalar,
+    * left-semi for EXISTS) — asserted in PlanSpec — so at scale this
+    * runs as two keyed joins, never a per-row subquery evaluation.
+    * The SAME SQL string is the DuckDB oracle: true ANSI both ways.
+    */
+  val subqueriesSql: String =
+    """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT max(s.s_acctbal) FROM supplier s
+      |                   WHERE s.s_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(subqueriesSql)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Both ops use multiplicative integer hashing on the stable record id
+  * instead of an engine RNG (`rand()`/`sampleBy`): the assignment is a
+  * pure row-local projection — scan speed, no shuffle, no state — and
+  * is reproducible across engines (the DuckDB oracle runs the same
+  * arithmetic), across runs, and across repartitioning. That
+  * reproducibility is the property a 100 TB training pipeline actually
+  * needs from a split: re-running the job, or running it on a
+  * different cluster layout, must put every document in the same
+  * split. (Knuth's multiplicative method; the two ops use different
+  * multipliers so sample membership and split assignment are
+  * uncorrelated.) Arithmetic stays in BIGINT: ids up to ~2^32 × the
+  * 32-bit constant fit in 63 bits, so ANSI mode never overflows.
+  */
+object Sampling {
+
+  /** Train/validation/test split, 80/10/10, keyed on doc_id. Output is
+    * the full per-document assignment (the pipeline artifact a real
+    * run would persist next to the corpus).
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  val trainSplitSql: String =
+    """SELECT doc_id, lang,
+      |  (doc_id * 2654435761) % 1000 AS bucket,
+      |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified sample with per-stratum rates (10% of English, 20% of
+    * everything else — the downsample-the-majority-language shape).
+    * Row-local hash thresholding, NOT `row_number() over (partition by
+    * lang)`: a per-stratum window would funnel every document of a
+    * language through one task, which is exactly the serialization
+    * this engine's window queries avoid (see
+    * [[Relational.stringDistance]]'s notes). Rates hold in expectation
+    * per stratum; membership is deterministic per document.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(100L)).as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(20))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE (doc_id * 1103515245 + 12345) % 100
+      |      < (CASE WHEN lang = 'en' THEN 10 ELSE 20 END)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -142,6 +142,88 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Corpus TF-IDF: top-5 terms per language by tf·idf, where
+    * tf(lang, term) = occurrences of term in that language's documents
+    * and idf(term) = ln(N / df) over document frequency. Three keyed
+    * aggregations (term counts, document frequencies, corpus size) —
+    * all partial+final hash aggs — then a broadcast of the 1-row corpus
+    * count and the |vocab|-row df table. The final per-language top-5
+    * is a window over |lang| partitions of ≤ |vocab| rows; vocabulary
+    * is sublinear in corpus size, but for an unbounded key domain the
+    * bounded TopKAggregator (as in [[graft.ops.Similarity]]) is the
+    * drop-in replacement. Ranking key is round(score, 4) with term
+    * tie-break so a last-ulp `ln` difference between engines cannot
+    * reorder the cut.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("term"))
+    val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", round(col("tf") * log(col("n_total") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("term"), col("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val tfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+      |df AS (
+      |  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+      |  GROUP BY term),
+      |total AS (SELECT count(*) AS n_total FROM documents),
+      |scored AS (
+      |  SELECT lang, term,
+      |    round(tf * ln(CAST(n_total AS DOUBLE) / df), 4) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN total),
+      |ranked AS (
+      |  SELECT lang, term, score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT lang, CAST(rank AS INT) AS rank, term, score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace runs, trim. Applied to a deliberately-messed-up copy
+    * of each document (padding, uppercasing, punctuation injection) so
+    * the round-trip property — normalize(mess(text)) == text — is part
+    * of the verified output. Pure row-local projection: scan speed at
+    * any scale.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("messy", concat(lit("  "), upper(col("text")), lit("!!  ")))
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("messy")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        (col("norm") === col("text")).cast("int").as("roundtrip"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(n) AS BIGINT) AS n_chars_norm,
+      |  CAST(n = text AS INT) AS roundtrip
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(
+      |      lower('  ' || upper(text) || '!!  '),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

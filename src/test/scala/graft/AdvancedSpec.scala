@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-2 relational surface (grouping sets,
+  * window battery, correlated subqueries) and the deterministic
+  * sampling ops — value correctness is covered by the DuckDB oracle
+  * gate; these pin the structural properties the oracle can't express.
+  */
+class AdvancedSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("grouping sets: per-nation rows + per-priority rows + one grand total, consistent counts") {
+    val df = ops.Advanced.groupingSetsAgg(spark, sfDir).cache()
+    val nNations = df.filter(col("n_name") =!= "ALL").count()
+    val nPrios = df.filter(col("n_name") === "ALL" && col("o_orderpriority") =!= "ALL").count()
+    val grand = df.filter(col("n_name") === "ALL" && col("o_orderpriority") === "ALL")
+    assert(grand.count() == 1)
+    assert(df.count() == nNations + nPrios + 1)
+    // each grouping set partitions the same order set: totals agree
+    val total = grand.head().getAs[Long]("n_orders")
+    val byNation = df.filter(col("n_name") =!= "ALL").agg(sum("n_orders")).head().getLong(0)
+    val byPrio = df.filter(col("n_name") === "ALL" && col("o_orderpriority") =!= "ALL")
+      .agg(sum("n_orders")).head().getLong(0)
+    assert(byNation == total && byPrio == total)
+  }
+
+  test("window battery: offsets, frames and ranks agree with per-group recomputation") {
+    val df = ops.Advanced.windowBattery(spark, sfDir).cache()
+    val orders = Tables.orders(spark, sfDir)
+    assert(df.count() == orders.count())
+    // first order per customer has no predecessor; every quartile is 1..4
+    assert(df.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    assert(df.filter(col("cd") <= 0 || col("cd") > 1).count() == 0)
+    // the last running sum per customer equals that customer's total
+    val lastRun = df.join(
+        df.groupBy("o_custkey").agg(max("run_sum").as("max_run")), Seq("o_custkey"))
+      .filter(col("run_sum") === col("max_run"))
+      .select(col("o_custkey"), col("run_sum")).distinct()
+    val totals = orders.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("expect"))
+    assert(lastRun.join(totals, Seq("o_custkey"))
+      .filter(abs(col("run_sum") - col("expect")) > 0.011).count() == 0)
+  }
+
+  test("correlated subqueries decorrelate into joins — no nested loop, no cartesian") {
+    val df = ops.Advanced.subqueries(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"subquery did not decorrelate:\n$plan")
+    // semantics: every surviving customer has at least one order
+    val custWithOrders = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct()
+    assert(df.join(custWithOrders, df("c_custkey") === custWithOrders("o_custkey"), "left_anti")
+      .count() == 0)
+  }
+
+  test("train split is deterministic, disjoint and covering with ~80/10/10 mass") {
+    val df = ops.Sampling.trainSplit(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(df.count() == n)
+    val bySplit = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == n)
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // deterministic: a second evaluation assigns identically
+    val again = ops.Sampling.trainSplit(spark, sfDir)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
+  test("stratified sample downsamples the majority language harder") {
+    val doc = Tables.documents(spark, sfDir)
+    val s = ops.Sampling.stratifiedSample(spark, sfDir).cache()
+    val rates = s.groupBy("lang").count().withColumnRenamed("count", "kept")
+      .join(doc.groupBy("lang").count(), Seq("lang"))
+      .withColumn("rate", col("kept") / col("count"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    assert(rates("en") < 0.2, s"en rate ${rates("en")} should be ~0.10")
+    assert(rates.filter(_._1 != "en").values.forall(r => r > 0.05 && r < 0.4),
+      s"non-en rates should be ~0.20: $rates")
+  }
+
+  test("tfidf: exactly five non-negative-score terms per language, ranks contiguous") {
+    val df = ops.TextAnalysis.tfidf(spark, sfDir).cache()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(df.count() == 5 * langs)
+    assert(df.filter(col("score") < 0).count() == 0)
+    assert(df.groupBy("lang").agg(collect_set("rank").as("rs"))
+      .filter(size(col("rs")) =!= 5).count() == 0)
+  }
+
+  test("text normalization round-trips the messed-up copy back to the original") {
+    val df = ops.TextAnalysis.textNormalize(spark, sfDir)
+    assert(df.filter(col("roundtrip") =!= 1).count() == 0)
+  }
+}
