@@ -71,10 +71,17 @@ object Dedup {
     */
   private[ops] def lshCandidates(buckets: DataFrame, maxBucket: Int,
                                  materialize: Boolean = true): DataFrame = {
-    val capped0 = buckets
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_id"), col("bucket_hash"))))
+    // bucket sizes via partial+final hash agg + equi-join, NOT a window
+    // count over the bucket key: some blocking schemes (e.g. n-gram
+    // Jaccard's lang × length-bucket) have FEW, HUGE buckets, and a
+    // window would funnel each whole bucket through one task — the agg
+    // combines map-side and the join back is keyed and AQE-skew-safe
+    val sizes = buckets.groupBy(col("bucket_id"), col("bucket_hash"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
+      .select(col("bucket_id"), col("bucket_hash"))
+    val capped0 = buckets
+      .join(sizes, Seq("bucket_id", "bucket_hash"))
       .select(col("bucket_id"), col("bucket_hash"), col("doc_id"))
     val capped = if (materialize) capped0.persist() else capped0
     try {
