@@ -1,16 +1,34 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-audit main: prints a one-line shuffle/join summary (and with
+  * `-v` the full formatted plan) for each named query — or all of them.
+  * Usage: `runMain graft.Explain [sfDir] [queryName ...] [-v]`.
+  * This is the iterate-on-the-plan feedback loop: after a query goes
+  * oracle-green, its plan gets audited here before it counts as done.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val verbose = args.contains("-v")
+    val rest = args.filterNot(_ == "-v")
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    args.foreach { q =>
-      println(s"\n========== $q ==========")
-      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    names.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val nEx = "Exchange".r.findAllIn(plan).size
+      val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"
+        .r.findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      println(s"$n: exchanges=$nEx scans=$scans joins=${joins.mkString(",")}")
+      if (verbose) println(plan)
     }
     spark.stop()
   }

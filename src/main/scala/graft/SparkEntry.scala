@@ -51,6 +51,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.docFingerprint,
     "q_tfidf" -> TextAnalysis.tfidf,
     "q_text_normalize" -> TextAnalysis.textNormalize,
+    "q_pii_redact" -> TextAnalysis.piiRedact,
     "q_train_split" -> Sampling.trainSplit,
     "q_stratified_sample" -> Sampling.stratifiedSample,
     "q_knn_brute" -> Similarity.knnBrute,
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_subqueries" -> Advanced.subqueriesSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_text_normalize" -> TextAnalysis.textNormalizeSql,
+    "q_pii_redact" -> TextAnalysis.piiRedactSql,
     "q_train_split" -> Sampling.trainSplitSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q_regex_funcs" -> Relational.regexFuncsSql,

@@ -224,6 +224,56 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction: email / phone / IP patterns replaced with typed
+    * placeholders. The corpus is synthetic (no real PII), so each
+    * document gets deterministic PII *injected* from its own id and
+    * then redacted — the verified output includes the exactness flag
+    * `clean` = "redaction removed exactly the injected PII and nothing
+    * else". Patterns are deliberately anchored/literal-class regexes
+    * that mean the same thing in Java regex (Spark) and RE2 (DuckDB).
+    * Row-local projection: scan speed at any scale.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("contaminated", concat(
+        col("text"),
+        lit(" user"), col("doc_id"), lit("@example.com"),
+        lit(" +1-555-"), (lit(1000) + col("doc_id") % 9000),
+        lit(" 192.168."), col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("contaminated"),
+          "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+          "\\+1-555-[0-9]{4}", "<PHONE>"),
+          "192\\.168\\.[0-9]+\\.[0-9]+", "<IP>"))
+      .select(col("doc_id"),
+        length(col("contaminated")).cast("long").as("n_chars_in"),
+        length(col("redacted")).cast("long").as("n_chars_red"),
+        (col("redacted") === concat(col("text"), lit(" <EMAIL> <PHONE> <IP>")))
+          .cast("int").as("clean"))
+      .orderBy(col("doc_id"))
+
+  val piiRedactSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    text || ' user' || doc_id || '@example.com'
+      |         || ' +1-555-' || (1000 + doc_id % 9000)
+      |         || ' 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+      |      AS contaminated
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text, contaminated,
+      |    regexp_replace(regexp_replace(regexp_replace(contaminated,
+      |      '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      |      '192\.168\.[0-9]+\.[0-9]+', '<IP>', 'g') AS redacted
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(contaminated) AS BIGINT) AS n_chars_in,
+      |  CAST(len(redacted) AS BIGINT) AS n_chars_red,
+      |  CAST(redacted = text || ' <EMAIL> <PHONE> <IP>' AS INT) AS clean
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

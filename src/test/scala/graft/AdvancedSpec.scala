@@ -95,4 +95,9 @@ class AdvancedSpec extends AnyFunSuite {
     val df = ops.TextAnalysis.textNormalize(spark, sfDir)
     assert(df.filter(col("roundtrip") =!= 1).count() == 0)
   }
+
+  test("pii redaction removes exactly the injected identifiers on every document") {
+    val df = ops.TextAnalysis.piiRedact(spark, sfDir)
+    assert(df.filter(col("clean") =!= 1).count() == 0)
+  }
 }
