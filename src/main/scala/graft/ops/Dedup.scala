@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * Each operator emits a per-document summary (`|documents|` rows,
   * never empty) rather than bare pairs, so the result is stable on
   * corpora with few or no duplicates.
+  *
+  * Library API: every operator has a DataFrame-first form taking the
+  * corpus and its id/text column names (outputs use the canonical
+  * `doc_id` name); the `(spark, dir)` forms are thin wrappers binding
+  * the driver-contract `documents` table.
   */
 object Dedup {
 
@@ -31,12 +36,15 @@ object Dedup {
     * text hash; at 100 TB you'd pre-hash to a 128-bit key — semantics
     * identical, so the oracle stays exact.
     */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(Tables.documents(spark, dir), "doc_id", "text")
 
   val dedupExactSql: String =
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -46,13 +54,14 @@ object Dedup {
     * Hashing shingles to longs up front keeps every downstream join and
     * set operation on fixed-width values instead of strings.
     */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       // native one-pass shingling (ShingleHashes) — same hashes as the
       // array_distinct(transform(..., xxhash64(concat_ws(...)))) built-in
       // composition, without an interpreted lambda per shingle
-      .select(col("doc_id"), expr("shingle_hash(split(text, ' '), 3)").as("shset"))
+      .select(col(idCol).as("doc_id"),
+        expr(s"shingle_hash(split($textCol, ' '), 3)").as("shset"))
   }
 
   /** Exact Jaccard on hashed shingle sets for a candidate pair. */
@@ -123,18 +132,23 @@ object Dedup {
 
   private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate((spark, dir),
-      minhashVerifiedPairs(spark, dir, materialize = true))
+      minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
+        materialize = true))
+
+  private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
+                                          materialize: Boolean): DataFrame =
+    minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text", materialize)
 
   /** MinHash + LSH near-dup pair generation: 64 minhashes from the
     * seeded xxhash64 family → 16 bands × 4 rows → band-bucket join →
     * exact Jaccard verification. Only candidate pairs (≪ n²) ever touch
-    * the verify join. No SQL oracle: the sketch depends on Spark's
-    * xxhash64 hash family → rows-only check; correctness is pinned by
-    * DedupSpec.
+    * the verify join. Output: (doc_a, doc_b, jacc). No SQL oracle: the
+    * sketch depends on Spark's xxhash64 hash family → rows-only check;
+    * correctness is pinned by DedupSpec.
     */
-  private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
-                                          materialize: Boolean): DataFrame = {
-    val sets0 = shingleSets(spark, dir)
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           materialize: Boolean): DataFrame = {
+    val sets0 = shingleSets(docs, idCol, textCol)
     val sets = if (materialize) sets0.persist() else sets0
     try {
       // native codegen'd MinHash (one fused shingles×64 loop) vs the
@@ -153,6 +167,13 @@ object Dedup {
       if (materialize) verified.localCheckpoint(true) else verified
     } finally if (materialize) sets.unpersist()
   }
+
+  /** Per-document MinHash near-dup summary over any corpus frame. */
+  def dedupMinhash(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7): DataFrame =
+    perDocSummary(docs.select(col(idCol).as("doc_id")),
+      minhashVerifiedPairs(docs, idCol, textCol, materialize = true),
+      "jacc", threshold)
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
@@ -209,11 +230,18 @@ object Dedup {
     * recomputes the sketch pipeline when [[dedupMinhash]] ran first.
     * Output: (doc_id, cluster, is_canonical) for every document.
     */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val pairs = minhashVerifiedPairs(spark, dir)
-      .filter(col("jacc") >= 0.7)
-      .select(col("doc_a"), col("doc_b"))
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(
+      minhashVerifiedPairs(spark, dir).filter(col("jacc") >= 0.7),
+      Tables.documents(spark, dir).select(col("doc_id")))
+
+  /** Connected components over ANY duplicate-pair frame — the cluster
+    * builder is independent of which sketch produced the edges. `pairs`
+    * needs (doc_a, doc_b) columns; `docs` needs doc_id (the universe,
+    * for singleton clusters).
+    */
+  def clusterPairs(pairFrame: DataFrame, docs: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("doc_a"), col("doc_b"))
     // only docs with at least one edge enter the iteration — isolated
     // docs (the vast majority of a real corpus) are appended as
     // singleton clusters afterwards, so per-round work scales with the
@@ -264,11 +292,15 @@ object Dedup {
     dedupSimhash(spark, dir, materialize = true)
 
   private[graft] def dedupSimhash(spark: SparkSession, dir: String,
-                                  materialize: Boolean): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val sk0 = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
+                                  materialize: Boolean): DataFrame =
+    dedupSimhash(Tables.documents(spark, dir), "doc_id", "text", materialize)
+
+  def dedupSimhash(docs: DataFrame, idCol: String, textCol: String,
+                   materialize: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sk0 = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"transform(split($textCol, ' '), t -> xxhash64(t))").as("hs"))
       // native codegen'd signature: one fused tokens×64 loop
       .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("doc_id"), col("simhash"))
@@ -288,10 +320,10 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           (lit(1.0) - expr("bit_count(ha ^ hb)") / lit(64.0)).as("sim"))
       val verified = if (materialize) verified0.localCheckpoint(true) else verified0
-      // doc list from the raw scan (column-pruned), NOT the signature
+      // doc list from the raw corpus (column-pruned), NOT the signature
       // frame — the per-doc summary must not recompute signatures after
       // the cache is dropped
-      perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
+      perDocSummary(docs.select(col(idCol).as("doc_id")),
         verified, "sim", 1.0 - 3.0 / 64)
     } finally if (materialize) sk.unpersist()
   }
@@ -322,12 +354,22 @@ object Dedup {
     dedupNgramJaccard(spark, dir, materialize = true)
 
   private[graft] def dedupNgramJaccard(spark: SparkSession, dir: String,
-                                       materialize: Boolean): DataFrame = {
-    val sets0 = shingleSets(spark, dir)
+                                       materialize: Boolean): DataFrame =
+    dedupNgramJaccard(Tables.documents(spark, dir), "doc_id", "text",
+      "lang", "n_chars", materialize)
+
+  /** DataFrame-first form: `blockCol` and `sizeCol` define the blocking
+    * key (candidates must share block and length bucket).
+    */
+  def dedupNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, sizeCol: String,
+                        materialize: Boolean): DataFrame = {
+    val sets0 = shingleSets(docs, idCol, textCol)
     val sets = if (materialize) sets0.persist() else sets0
     try {
-      val meta = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), (col("n_chars") / 50).cast("int").as("lenb"))
+      val meta = docs
+        .select(col(idCol).as("doc_id"), col(blockCol).as("lang"),
+          (col(sizeCol) / 50).cast("int").as("lenb"))
       val buckets = meta.select(
         hash(col("lang")).as("bucket_id"),
         col("lenb").cast("long").as("bucket_hash"),

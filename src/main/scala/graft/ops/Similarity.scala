@@ -43,12 +43,16 @@ object Similarity {
     * `zip_with`/`aggregate` lambdas, same left-to-right double
     * summation so DuckDB oracles still match bit-exact.
     */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+  private def withNorm(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
   }
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
   private val dot = "vec_dot(qe, emb)"
 
@@ -63,15 +67,23 @@ object Similarity {
     * engines see bit-identical doubles, so the double rounding is
     * exact on both sides).
     */
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir)
-    val q = e.filter(col("vec_id") < NQueries)
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    knnBrute(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("vec_id") < NQueries, K)
+
+  /** DataFrame-first form: `queryPred` selects the query rows out of
+    * the corpus (a small set — it is broadcast).
+    */
+  def knnBrute(corpus: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, k: Int): DataFrame = {
+    val e = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(corpus.filter(queryPred), idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr(dot) / (col("qn") * col("nrm")), 6).as("sim6"))
     sims.groupBy(col("query_id"))
-      .agg(TopK.topK(K)(col("sim6"), col("vec_id")).as("top"))
+      .agg(TopK.topK(k)(col("sim6"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
@@ -210,11 +222,20 @@ object Similarity {
     * defaults above.
     */
   def annIvf(spark: SparkSession, dir: String, nCells: Int, nProbe: Int,
-             nQueries: Int, k: Int, iters: Int): DataFrame = {
+             nQueries: Int, k: Int, iters: Int): DataFrame =
+    annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("vec_id") < nQueries, nCells, nProbe, k, iters)
+
+  /** DataFrame-first form. Ids must be numeric (the bounded training
+    * sample and centroid init use an id-prefix filter); `queryPred`
+    * selects query rows by the canonical `vec_id` column name.
+    */
+  def annIvf(corpus: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+             nCells: Int, nProbe: Int, k: Int, iters: Int): DataFrame = {
     require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells && k >= 1 && iters >= 0,
       s"annIvf: bad params nCells=$nCells nProbe=$nProbe k=$k iters=$iters")
-    val e = withNorm(spark, dir)
-    // bounded training sample: ~200 vectors per cell off the vec_id
+    val e = withNorm(corpus, idCol, vecCol)
+    // bounded training sample: ~200 vectors per cell off the id
     // prefix (synthetic ids are dense from 0; at scale swap for a
     // hash-mod sample — the contract is only "bounded and deterministic")
     val sample = e.filter(col("vec_id") < nCells.toLong * 200)
@@ -223,8 +244,8 @@ object Similarity {
     // corpus side: nearest cell only — ONE full-corpus projection pass
     val assigned = e.withColumn("cell", nearestCell(cents))
     // query side: probe the nProbe nearest cells (tiny frame — the
-    // O(c log c) sort is fine here, it runs on nQueries rows)
-    val probed = e.filter(col("vec_id") < nQueries)
+    // O(c log c) sort is fine here, it runs on the query rows only)
+    val probed = e.filter(queryPred)
       .withColumn("cells",
         slice(reverse(array_sort(array(simStructs: _*))), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
@@ -256,8 +277,13 @@ object Similarity {
     * see a LogicalRDD scan.
     */
   private[graft] def cosineCandidatePairs(spark: SparkSession, dir: String,
-                                          materialize: Boolean): DataFrame = {
-    val e0 = withSig(withNorm(spark, dir))
+                                          materialize: Boolean): DataFrame =
+    cosineCandidatePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", materialize)
+
+  /** DataFrame-first form over any (id, vector) frame. */
+  def cosineCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           materialize: Boolean): DataFrame = {
+    val e0 = withSig(withNorm(corpus, idCol, vecCol))
     val e = if (materialize) e0.persist() else e0
     try {
       // same capped-bucket self-join machinery as the text dedup path
@@ -300,11 +326,19 @@ object Similarity {
 
   /** `materialize = false`: full lazy plan for plan contracts. */
   private[graft] def annLsh(spark: SparkSession, dir: String,
-                            materialize: Boolean): DataFrame = {
-    val e0 = withSig(withNorm(spark, dir))
+                            materialize: Boolean): DataFrame =
+    annLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("vec_id") < NQueries, K, materialize)
+
+  /** DataFrame-first form; `queryPred` selects query rows by the
+    * canonical `vec_id` column name.
+    */
+  def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, materialize: Boolean): DataFrame = {
+    val e0 = withSig(withNorm(corpus, idCol, vecCol))
     val e = if (materialize) e0.persist() else e0
     try {
-      val qb = bandBuckets(e.filter(col("vec_id") < NQueries), "query_id")
+      val qb = bandBuckets(e.filter(queryPred), "query_id")
       val cand = bandBuckets(e, "nid")
         .join(broadcast(qb), Seq("band", "bkt"))
         .filter(col("nid") =!= col("query_id"))
@@ -319,7 +353,7 @@ object Similarity {
       // cache can be dropped before the result is consumed
       val verified = if (materialize) verified0.localCheckpoint(true) else verified0
       verified.groupBy(col("query_id"))
-        .agg(TopK.topK(K)(col("sim"), col("nid")).as("top"))
+        .agg(TopK.topK(k)(col("sim"), col("nid")).as("top"))
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), (col("pos") + 1).as("rank"),
           col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
