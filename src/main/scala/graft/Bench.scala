@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * SPARK_GRAFT_SF_DIR over ITERS full rounds (default 3) and prints
+  * ONE JSON line. Per-query value is the MEDIAN across rounds
+  * (min/max recorded alongside) — single-shot numbers on a shared box
+  * cannot support per-query regression calls. Queries run round-robin
+  * (every query once per round) so machine-load noise spreads across
+  * the set instead of hitting one query's 3 consecutive runs. A
+  * failing query is caught per-query and recorded (median −1, error
+  * message) so the driver still gets every other timing; the process
+  * exits non-zero AFTER writing results.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,22 +26,63 @@ object Bench {
     // Warm the JVM + parquet footer caches ON THE BENCHMARKED DATASET
     // so the first timed query doesn't absorb one-time session costs.
     graft.ops.Relational.pricingSummary(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Noop sink: consumes every output row/column, so projection
-      // batteries time the full plan, not a pruned row count. A failing
-      // query fails the bench loudly instead of scoring -1.
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.toSeq
+    val times = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to iters) {
+      // the memoized MinHash pair set is cleared once per ROUND: within
+      // a round q_dedup_clusters legitimately reuses q_dedup_minhash's
+      // checkpointed pairs (the operator's documented design); across
+      // rounds each round re-pays the full sketch pipeline, so medians
+      // time the real work, not a warm checkpoint read
+      graft.ops.Dedup.clearPairsMemo()
+      names.foreach { case (name, fn) =>
+        if (!errs.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            // Noop sink: consumes every output row/column, so projection
+            // batteries time the full plan, not a pruned row count.
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times(name) += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              errs(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+          }
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    def f(d: Double) = "%.4f".format(d)
+    val qs = times.map { case (name, ts) =>
+      val m = if (errs.contains(name) || ts.isEmpty) -1.0 else median(ts.toSeq)
+      s"\"$name\":${f(m)}"
+    }.mkString("{", ",", "}")
+    val stats = times.map { case (name, ts) =>
+      val body = errs.get(name) match {
+        case Some(e) => s"""\"error\":\"$e\""""
+        case None =>
+          s"""\"median\":${f(median(ts.toSeq))},\"min\":${f(ts.min)},\"max\":${f(ts.max)}"""
+      }
+      s"\"$name\":{$body}"
+    }.mkString("{", ",", "}")
+    val failed = errs.keys.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val total = times.collect {
+      case (n, ts) if !errs.contains(n) && ts.nonEmpty => median(ts.toSeq)
+    }.sum
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+      s""""iters":$iters,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Side file: survives even if a wrapper mangles stdout decoration.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

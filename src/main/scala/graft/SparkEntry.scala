@@ -36,6 +36,8 @@ object SparkEntry {
     "q_grouping_sets" -> Advanced.groupingSetsAgg,
     "q_window_battery" -> Advanced.windowBattery,
     "q_subqueries" -> Advanced.subqueries,
+    "q_subqueries_in" -> Advanced.subqueriesIn,
+    "q_skew_join" -> Relational.skewJoin,
     // LLM-pipeline extensions (SURVEY.md §7.5): dedup + text analysis
     "q_dedup_exact" -> Dedup.dedupExact,
     "q_dedup_minhash" -> Dedup.dedupMinhash,
@@ -92,6 +94,9 @@ object SparkEntry {
     "q_grouping_sets" -> Advanced.groupingSetsAggSql,
     "q_window_battery" -> Advanced.windowBatterySql,
     "q_subqueries" -> Advanced.subqueriesSql,
+    "q_subqueries_in" -> Advanced.subqueriesInSql,
+    "q_skew_join" -> Relational.skewJoinSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_text_normalize" -> TextAnalysis.textNormalizeSql,
     "q_pii_redact" -> TextAnalysis.piiRedactSql,
@@ -101,9 +106,9 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,
     // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram_jaccard /
-    // q_lang_id / q_doc_fingerprint: sketch/heuristic ops built on
-    // Spark's xxhash64 hash family — not SQL-expressible in DuckDB →
-    // rows-only check; invariants pinned by DedupSpec/TextAnalysisSpec.
+    // q_doc_fingerprint: sketch ops built on Spark's xxhash64 hash
+    // family — not SQL-expressible in DuckDB → rows-only check;
+    // invariants pinned by DedupSpec/TextAnalysisSpec.
     "q_text_stats" -> TextAnalysis.textStatsSql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_quality_score" -> TextAnalysis.qualityScoreSql,

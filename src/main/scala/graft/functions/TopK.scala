@@ -42,6 +42,39 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuffer, Seq[Scored
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
 }
 
+/** A (score, term) pair for string-keyed top-k (e.g. tf·idf terms). */
+case class ScoredTerm(score: Double, term: String)
+
+case class TopKTermBuffer(items: Seq[ScoredTerm])
+
+/** String-keyed variant of [[TopKAggregator]]: top-k terms per group by
+  * (score desc, term asc) — the same bounded partial aggregate, for key
+  * domains that are strings rather than numeric ids. Each map task
+  * emits ≤ k rows per group before the shuffle, so "top terms per
+  * language" never funnels a language's whole vocabulary through one
+  * window task.
+  */
+class TopKTermAggregator(k: Int) extends Aggregator[ScoredTerm, TopKTermBuffer, Seq[ScoredTerm]] {
+  private val maxSlack = math.max(4 * k, 64)
+
+  private def sorted(xs: Seq[ScoredTerm]): Seq[ScoredTerm] =
+    xs.sortBy(s => (-s.score, s.term))
+
+  private def compact(xs: Seq[ScoredTerm]): Seq[ScoredTerm] =
+    if (xs.length <= maxSlack) xs else sorted(xs).take(k)
+
+  def zero: TopKTermBuffer = TopKTermBuffer(Vector.empty)
+  def reduce(b: TopKTermBuffer, a: ScoredTerm): TopKTermBuffer =
+    TopKTermBuffer(compact(b.items :+ a))
+  def merge(b1: TopKTermBuffer, b2: TopKTermBuffer): TopKTermBuffer =
+    TopKTermBuffer(compact(b1.items ++ b2.items))
+  def finish(r: TopKTermBuffer): Seq[ScoredTerm] = sorted(r.items).take(k)
+
+  def bufferEncoder: Encoder[TopKTermBuffer] = Encoders.product[TopKTermBuffer]
+  def outputEncoder: Encoder[Seq[ScoredTerm]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredTerm]]()
+}
+
 object TopK {
   /** `topK(5)(col("sim"), col("id"))` → array<struct<score,id>> of the
     * k best per group, usable inside `groupBy(...).agg(...)`.
@@ -49,5 +82,11 @@ object TopK {
   def topK(k: Int): (Column, Column) => Column = {
     val f = udaf(new TopKAggregator(k), Encoders.product[ScoredId])
     (score, id) => f(score, id)
+  }
+
+  /** `topKTerms(5)(col("score"), col("term"))` → array<struct<score,term>>. */
+  def topKTerms(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopKTermAggregator(k), Encoders.product[ScoredTerm])
+    (score, term) => f(score, term)
   }
 }

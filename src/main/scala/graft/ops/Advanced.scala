@@ -111,10 +111,58 @@ object Advanced {
       |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  def subqueries(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(subqueriesSql)
+  def subqueries(spark: SparkSession, dir: String): DataFrame =
+    runWithTables(spark, dir, subqueriesSql, Seq("customer", "supplier", "orders"))
+
+  /** Correlated IN + correlated NOT IN — the third leg of the subquery
+    * triple, chosen to hit the NOT IN NULL-semantics trap: the inner
+    * CASE emits NULL for a customer's urgent orders above the price
+    * line, and per ANSI `x NOT IN (… NULL …)` is never TRUE — an
+    * implementation that decorrelates NOT IN to a plain (non
+    * null-aware) anti join would wrongly KEEP those customers. Catalyst
+    * plans the IN as a left-semi join and the NOT IN as a null-aware
+    * anti join (pinned in AdvancedSpec); both are keyed joins at scale,
+    * never per-row subquery evaluation. Same ANSI string is the DuckDB
+    * oracle.
+    */
+  val subqueriesInSql: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE c_nationkey IN (SELECT s.s_nationkey FROM supplier s
+      |                      WHERE s.s_acctbal > c.c_acctbal)
+      |  AND c_custkey NOT IN (SELECT CASE WHEN o.o_totalprice > 400000
+      |                                    THEN NULL ELSE o.o_custkey END
+      |                        FROM orders o
+      |                        WHERE o.o_custkey = c.c_custkey
+      |                          AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def subqueriesIn(spark: SparkSession, dir: String): DataFrame =
+    runWithTables(spark, dir, subqueriesInSql, Seq("customer", "supplier", "orders"))
+
+  /** Run `sql` with the named driver tables registered under
+    * collision-free temp-view names. The ANSI string doubles as the
+    * DuckDB oracle, so the canonical table names must survive in the
+    * published SQL; Spark-side they are rewritten to per-call views so
+    * two concurrent queries in one session cannot race on
+    * `createOrReplaceTempView`. `spark.sql` analyzes eagerly, so the
+    * views can be dropped before the DataFrame is consumed.
+    */
+  private def runWithTables(spark: SparkSession, dir: String, sql: String,
+                            names: Seq[String]): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rewritten = names.foldLeft(sql)((s, n) => s.replaceAll(s"\\b$n\\b", s"${n}_$tag"))
+    names.foreach { n =>
+      val df = n match {
+        case "customer" => Tables.customer(spark, dir)
+        case "supplier" => Tables.supplier(spark, dir)
+        case "orders"   => Tables.orders(spark, dir)
+        case "nation"   => Tables.nation(spark, dir)
+        case other      => throw new IllegalArgumentException(s"unknown table $other")
+      }
+      df.createOrReplaceTempView(s"${n}_$tag")
+    }
+    try spark.sql(rewritten)
+    finally names.foreach(n => spark.catalog.dropTempView(s"${n}_$tag"))
   }
 }

@@ -104,11 +104,26 @@ object Dedup {
     } finally if (materialize) capped.unpersist()
   }
 
+  /** Documents that belong to at least one over-cap (dropped) bucket —
+    * the visibility half of the bucket cap: a capped LSH scheme that
+    * silently discards huge buckets reports zero duplicates for their
+    * members, so callers surface this set (as a count or a per-doc
+    * flag) instead of letting recall collapse invisibly at scale.
+    */
+  private[ops] def overCapDocs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val big = buckets.groupBy(col("bucket_id"), col("bucket_hash"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(col("bucket_id"), col("bucket_hash"))
+    buckets.join(big, Seq("bucket_id", "bucket_hash"))
+      .select(col("doc_id")).distinct()
+  }
+
   /** Left-join a per-doc pair summary back onto the full doc list so the
     * output always has one row per document.
     */
-  private def perDocSummary(docs: DataFrame, pairs: DataFrame, simCol: String,
-                            threshold: Double): DataFrame = {
+  private def perDocSummaryUnsorted(docs: DataFrame, pairs: DataFrame, simCol: String,
+                                    threshold: Double): DataFrame = {
     val directed = pairs.select(col("doc_a").as("doc_id"), col(simCol))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col(simCol)))
     val agg = directed.groupBy(col("doc_id")).agg(
@@ -118,8 +133,11 @@ object Dedup {
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_candidates", "n_dups"))
       .na.fill(0.0, Seq("max_sim"))
-      .orderBy(col("doc_id"))
   }
+
+  private def perDocSummary(docs: DataFrame, pairs: DataFrame, simCol: String,
+                            threshold: Double): DataFrame =
+    perDocSummaryUnsorted(docs, pairs, simCol, threshold).orderBy(col("doc_id"))
 
   /** MinHash-LSH candidate pairs with exact-Jaccard scores — computed
     * ONCE per (session, dataset) and shared by the per-doc summary
@@ -128,12 +146,42 @@ object Dedup {
     * second consumer pays a block read, not a sketch-pipeline rerun.
     */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Set[Int])]
 
   private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, dir),
-      minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
-        materialize = true))
+    pairsMemo.getOrElseUpdate((spark, dir), {
+      // record which persisted RDDs (the eager localCheckpoint blocks)
+      // this computation creates, so releasePairs can free them — a
+      // memoized strong reference defeats the ContextCleaner's
+      // GC-driven cleanup, which handles every non-memoized checkpoint
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
+        materialize = true)
+      val ids = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+      (df, ids.toSet)
+    })._1
+
+  /** Release the memoized verified-pair set for (session, dir):
+    * unpersists its checkpointed RDD blocks and drops the memo entry.
+    * Call when done with a dataset in a long-lived session, or when the
+    * data under `dir` has changed (the memo would otherwise serve stale
+    * pairs — the memo key is the path, not a data version).
+    */
+  def releasePairs(spark: SparkSession, dir: String): Unit =
+    pairsMemo.remove((spark, dir)).foreach { case (_, ids) =>
+      val persisted = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+    }
+
+  /** Drop every memoized pair set across all sessions/datasets. */
+  def clearPairsMemo(): Unit =
+    pairsMemo.keys.toSeq.foreach { case (s, d) => releasePairs(s, d) }
+
+  /** Checkpointed-RDD ids retained by the memo for (session, dir) —
+    * exposed for the cache-lifecycle contract tests.
+    */
+  private[graft] def memoRddIds(spark: SparkSession, dir: String): Set[Int] =
+    pairsMemo.get((spark, dir)).map(_._2).getOrElse(Set.empty)
 
   private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
                                           materialize: Boolean): DataFrame =
@@ -346,9 +394,21 @@ object Dedup {
       "sim", 0.95)
   }
 
-  /** Exact n-gram Jaccard dedup with cheap blocking: candidates share
-    * (lang, length bucket); each block is bounded by the cap. This is
-    * the "small corpus / exact answer" path; MinHash is the scale path.
+  /** Exact n-gram Jaccard dedup with content-banded blocking:
+    * candidates share (lang, length bucket, one of their 3 smallest
+    * shingle hashes). The content band is the scale-safety fix over
+    * plain (lang, length) blocking: lang × length has FIXED cardinality,
+    * so at 100× corpus scale every bucket blows past the cap and gets
+    * dropped — recall silently collapses to zero. Banding on the
+    * min-shingles makes bucket count grow with corpus content (MinHash
+    * principle: docs with Jaccard ≥ J share their min shingle w.p. ≈ J,
+    * and ≥1 of bottom-3 with much higher probability; exact duplicates
+    * share all three), so buckets stay bounded as the corpus grows.
+    *
+    * Degradation is VISIBLE, not silent: the output carries a per-doc
+    * `in_dropped_bucket` flag marking membership in any over-cap
+    * (discarded) bucket — a monitoring query over the flag tells a
+    * pipeline owner exactly how much recall the cap cost.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccard(spark, dir, materialize = true)
@@ -359,20 +419,28 @@ object Dedup {
       "lang", "n_chars", materialize)
 
   /** DataFrame-first form: `blockCol` and `sizeCol` define the blocking
-    * key (candidates must share block and length bucket).
+    * key (candidates must share block, length bucket, and a content
+    * band).
     */
   def dedupNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, sizeCol: String,
                         materialize: Boolean): DataFrame = {
-    val sets0 = shingleSets(docs, idCol, textCol)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // one scan-speed projection carrying sketch + blocking metadata —
+    // NOT shingleSets ⋈ meta, which would shuffle the corpus on doc_id
+    val sets0 = docs.select(col(idCol).as("doc_id"),
+      expr(s"shingle_hash(split($textCol, ' '), 3)").as("shset"),
+      col(blockCol).as("lang"),
+      (col(sizeCol) / 50).cast("int").as("lenb"))
     val sets = if (materialize) sets0.persist() else sets0
     try {
-      val meta = docs
-        .select(col(idCol).as("doc_id"), col(blockCol).as("lang"),
-          (col(sizeCol) / 50).cast("int").as("lenb"))
-      val buckets = meta.select(
+      val meta = sets.select(col("doc_id"))
+      // one bucket per bottom-3 shingle hash: content grows the key
+      // space; lang+length still restrict candidates to plausible pairs
+      val buckets = sets.select(
         hash(col("lang")).as("bucket_id"),
-        col("lenb").cast("long").as("bucket_hash"),
+        explode(expr("transform(slice(array_sort(shset), 1, 3), " +
+          "b -> xxhash64(lenb, b))")).as("bucket_hash"),
         col("doc_id"))
       val cand = lshCandidates(buckets, maxBucket = 1000, materialize)
       val verified0 = cand
@@ -380,7 +448,12 @@ object Dedup {
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
       val verified = if (materialize) verified0.localCheckpoint(true) else verified0
-      perDocSummary(meta, verified, "jacc", 0.7)
+      val dropped = overCapDocs(buckets, maxBucket = 1000)
+        .withColumn("in_dropped_bucket", lit(1))
+      perDocSummaryUnsorted(meta, verified, "jacc", 0.7)
+        .join(dropped, Seq("doc_id"), "left")
+        .na.fill(0, Seq("in_dropped_bucket"))
+        .orderBy(col("doc_id"))
     } finally if (materialize) sets.unpersist()
   }
 }

@@ -664,4 +664,37 @@ object Relational {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Deliberately skewed fact-dim join through the salted path
+    * ([[graft.functions.Skew.saltedJoin]]): ~1/3 of orders are remapped
+    * onto ONE hot customer key (the replayed-log / default-record
+    * pathology that AQE can't always split, e.g. on bucketed reads),
+    * then joined to customer with an 8-way salt — the hot key's rows
+    * spread across 8 shuffle partitions instead of one straggler task.
+    * The salted join is row-identical to the plain join, so the oracle
+    * runs the unsalted SQL. Plan contract (PlanSpec): the shuffle
+    * partitions on (key, salt), never on the bare hot key.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .select(
+        when(col("o_custkey") % 3 === 0, lit(1L)).otherwise(col("o_custkey")).as("skey"),
+        col("o_totalprice"))
+    val small = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.functions.Skew.saltedJoin(big, small, "skey", "c_custkey", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val skewJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM (SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE o_custkey END AS skey,
+      |             o_totalprice
+      |      FROM orders) o
+      |JOIN customer ON skey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * different cluster layout, must put every document in the same
   * split. (Knuth's multiplicative method; the two ops use different
   * multipliers so sample membership and split assignment are
-  * uncorrelated.) Arithmetic stays in BIGINT: ids up to ~2^32 × the
-  * 32-bit constant fit in 63 bits, so ANSI mode never overflows.
+  * uncorrelated.) Arithmetic stays in BIGINT and is overflow-safe for
+  * ANY 64-bit id: the id is first reduced mod the prime 1e9+7, so the
+  * product is < 1e9 × the 32-bit constant ≈ 2.7e18 < 2^63−1 — ANSI
+  * mode never overflows. (A bare id × constant would overflow at ids
+  * above ~2^31.7.)
   */
 object Sampling {
 
@@ -28,7 +31,8 @@ object Sampling {
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"))
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000L))
+          .as("bucket"))
       .withColumn("split",
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "val")
@@ -37,9 +41,9 @@ object Sampling {
 
   val trainSplitSql: String =
     """SELECT doc_id, lang,
-      |  (doc_id * 2654435761) % 1000 AS bucket,
-      |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-      |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+      |  ((doc_id % 1000000007) * 2654435761) % 1000 AS bucket,
+      |  CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train'
+      |       WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -56,7 +60,8 @@ object Sampling {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(100L)).as("bucket"))
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(1103515245L) + lit(12345L),
+          lit(100L)).as("bucket"))
       .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(20))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -64,7 +69,7 @@ object Sampling {
   val stratifiedSampleSql: String =
     """SELECT doc_id, lang, n_chars
       |FROM documents
-      |WHERE (doc_id * 1103515245 + 12345) % 100
+      |WHERE ((doc_id % 1000000007) * 1103515245 + 12345) % 100
       |      < (CASE WHEN lang = 'en' THEN 10 ELSE 20 END)
       |ORDER BY doc_id""".stripMargin
 }

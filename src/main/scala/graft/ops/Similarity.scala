@@ -72,12 +72,14 @@ object Similarity {
       col("vec_id") < NQueries, K)
 
   /** DataFrame-first form: `queryPred` selects the query rows out of
-    * the corpus (a small set — it is broadcast).
+    * the corpus (a small set — it is broadcast). Like annLsh/annIvf,
+    * the predicate is applied AFTER renaming to the canonical `vec_id`
+    * column — the same predicate expression works on all three ops.
     */
   def knnBrute(corpus: DataFrame, idCol: String, vecCol: String,
                queryPred: Column, k: Int): DataFrame = {
     val e = withNorm(corpus, idCol, vecCol)
-    val q = withNorm(corpus.filter(queryPred), idCol, vecCol)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -170,12 +172,18 @@ object Similarity {
   private def trainCentroids(sample: DataFrame, nCells: Int, iters: Int): IndexedSeq[Seq[Double]] = {
     val s = sample.persist()
     try {
-      var cents: IndexedSeq[Seq[Double]] = s.filter(col("vec_id") < nCells)
-        .orderBy(col("vec_id")).select(col("emb"), col("nrm")).collect()
+      // init: first nCells sample vectors in hash order — works on any
+      // id space (dense, sparse, offset); fail loudly if the corpus is
+      // smaller than the cell count instead of training a broken index
+      var cents: IndexedSeq[Seq[Double]] = s
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+        .select(col("emb"), col("nrm")).collect()
         .toIndexedSeq.map { row =>
           val v = row.getSeq[Double](0); val n = row.getDouble(1)
           v.map(_ / n)
         }
+      require(cents.length == nCells,
+        s"annIvf: corpus has ${cents.length} vectors, fewer than nCells=$nCells")
       for (_ <- 1 to iters) {
         val assigned = s.withColumn("cell", nearestCell(cents))
         // spherical k-means: centroid = normalized mean of UNIT members —
@@ -226,19 +234,22 @@ object Similarity {
     annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
       col("vec_id") < nQueries, nCells, nProbe, k, iters)
 
-  /** DataFrame-first form. Ids must be numeric (the bounded training
-    * sample and centroid init use an id-prefix filter); `queryPred`
-    * selects query rows by the canonical `vec_id` column name.
+  /** DataFrame-first form. Works on ANY id space (dense, sparse,
+    * offset): the bounded training sample is the nCells×200 smallest
+    * rows by id hash — deterministic, id-distribution-independent, and
+    * computed as a TakeOrdered (top-k per partition, no global sort
+    * materialization). `queryPred` selects query rows by the canonical
+    * `vec_id` column name.
     */
   def annIvf(corpus: DataFrame, idCol: String, vecCol: String, queryPred: Column,
              nCells: Int, nProbe: Int, k: Int, iters: Int): DataFrame = {
     require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells && k >= 1 && iters >= 0,
       s"annIvf: bad params nCells=$nCells nProbe=$nProbe k=$k iters=$iters")
     val e = withNorm(corpus, idCol, vecCol)
-    // bounded training sample: ~200 vectors per cell off the id
-    // prefix (synthetic ids are dense from 0; at scale swap for a
-    // hash-mod sample — the contract is only "bounded and deterministic")
-    val sample = e.filter(col("vec_id") < nCells.toLong * 200)
+    // bounded deterministic training sample: ~200 vectors per cell by
+    // id-hash order (training cost independent of corpus size)
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells * 200)
     val cents = trainCentroids(sample, nCells, iters)
     val simStructs = centroidSims(cents)
     // corpus side: nearest cell only — ONE full-corpus projection pass

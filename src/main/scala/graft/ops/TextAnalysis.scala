@@ -109,8 +109,11 @@ object TextAnalysis {
 
   /** Language identification via stopword-profile scoring plus a CJK
     * codepoint check — the classic cheap n-gram/wordlist heuristic.
-    * Emits a (labelled lang × predicted lang) confusion table. Not
-    * SQL-oracle-able (heuristic, not relational) → rows-only check.
+    * Emits a (labelled lang × predicted lang) confusion table. The
+    * heuristic is pure relational arithmetic (stopword counting +
+    * greatest + a deterministic tie-break CASE), so it IS
+    * oracle-checkable: [[langIdSql]] replicates it in DuckDB
+    * (list_filter/list_contains; the CJK class in RE2 syntax).
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val profiles = Map(
@@ -142,16 +145,44 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  val langIdSql: String = {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    val en = arr(Seq("the", "a", "of", "and", "to", "in", "is"))
+    val de = arr(Seq("der", "die", "das", "und", "ist", "nicht", "ein"))
+    val es = arr(Seq("el", "la", "de", "los", "que", "y", "un"))
+    val fr = arr(Seq("le", "la", "les", "et", "des", "une", "est"))
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($en, t))) AS s_en,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($de, t))) AS s_de,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($es, t))) AS s_es,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($fr, t))) AS s_fr,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN has_cjk THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM s)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
   /** Corpus TF-IDF: top-5 terms per language by tf·idf, where
     * tf(lang, term) = occurrences of term in that language's documents
     * and idf(term) = ln(N / df) over document frequency. Three keyed
     * aggregations (term counts, document frequencies, corpus size) —
     * all partial+final hash aggs — then a broadcast of the 1-row corpus
     * count and the |vocab|-row df table. The final per-language top-5
-    * is a window over |lang| partitions of ≤ |vocab| rows; vocabulary
-    * is sublinear in corpus size, but for an unbounded key domain the
-    * bounded TopKAggregator (as in [[graft.ops.Similarity]]) is the
-    * drop-in replacement. Ranking key is round(score, 4) with term
+    * is the bounded [[graft.functions.TopKTermAggregator]] partial
+    * aggregate — each map task emits ≤ 5 terms per language before the
+    * shuffle, so an unbounded vocabulary never funnels through one
+    * window task per language. Ranking key is round(score, 4) with term
     * tie-break so a last-ulp `ln` difference between engines cannot
     * reorder the cut.
     */
@@ -166,11 +197,11 @@ object TextAnalysis {
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(total))
       .withColumn("score", round(col("tf") * log(col("n_total") / col("df")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("lang"), col("rank"), col("term"), col("score"))
+    scored.groupBy(col("lang"))
+      .agg(graft.functions.TopK.topKTerms(5)(col("score"), col("term")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"), col("col.score").as("score"))
       .orderBy(col("lang"), col("rank"))
   }
 

@@ -56,6 +56,39 @@ class AdvancedSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("correlated IN / NOT IN decorrelate, and NOT IN honors NULL semantics") {
+    val df = ops.Advanced.subqueriesIn(spark, sfDir).cache()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian sneaked in:\n$plan")
+    // expected set, recomputed with explicit joins: the correlated IN is
+    // a semi join; the NOT IN excludes EVERY customer with an urgent
+    // order — matching ones via equality, price>400000 ones via the
+    // injected NULL (x NOT IN (...NULL...) is never TRUE). A non
+    // null-aware anti join would wrongly keep the latter group.
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val richer = c.join(s,
+      c("c_nationkey") === s("s_nationkey") && s("s_acctbal") > c("c_acctbal"), "left_semi")
+    val expected = richer.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        richer("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+    val got = df.select(col("c_custkey"))
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0,
+      "NOT IN NULL semantics diverge from the ANSI expectation")
+  }
+
+  test("SQL-backed queries leave no canonically-named temp views behind") {
+    ops.Advanced.subqueries(spark, sfDir).count()
+    ops.Advanced.subqueriesIn(spark, sfDir).count()
+    val views = spark.catalog.listTables().collect().map(_.name).toSet
+    Seq("customer", "supplier", "orders", "nation").foreach { n =>
+      assert(!views.contains(n),
+        s"global temp view '$n' leaked — concurrent queries would race on it")
+    }
+  }
+
   test("train split is deterministic, disjoint and covering with ~80/10/10 mass") {
     val df = ops.Sampling.trainSplit(spark, sfDir).cache()
     val n = Tables.documents(spark, sfDir).count()

@@ -26,4 +26,22 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "an op returned without unpersisting its internal cache")
   }
+
+  test("releasePairs frees the memoized MinHash checkpoint blocks") {
+    // materialize (and memoize) the shared verified-pair set
+    ops.Dedup.dedupMinhash(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val ids = ops.Dedup.memoRddIds(spark, sfDir)
+    assert(ids.nonEmpty, "memo recorded no checkpointed RDDs")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    // intermediates among the tracked ids may already be gone — the
+    // ContextCleaner frees checkpoints whose frames got GC'd; the
+    // memoized final pair set itself MUST still be resident
+    assert(ids.intersect(persisted).nonEmpty,
+      s"no memo id among persisted RDDs $persisted — memo holds nothing")
+    ops.Dedup.releasePairs(spark, sfDir)
+    assert(ops.Dedup.memoRddIds(spark, sfDir).isEmpty, "memo entry not evicted")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(after).isEmpty,
+      s"released RDD blocks still retained: ${ids.intersect(after)}")
+  }
 }

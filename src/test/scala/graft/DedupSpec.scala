@@ -102,4 +102,21 @@ class DedupSpec extends AnyFunSuite {
     val missed = df.join(dupIds, Seq("doc_id")).filter(col("max_sim") < 1.0).count()
     assert(missed == 0, s"$missed exact-duplicate docs not flagged by n-gram blocking")
   }
+
+  test("dedupNgramJaccard: content-banded blocking keeps dropped-bucket loss visible and <1% at sf0.1") {
+    // the scale check runs at the bench scale factor, not the tiny test
+    // one: fixed-cardinality blocking is exactly the failure that only
+    // shows up as the corpus grows
+    val big = "/root/testdata/sf0.1"
+    val df = ops.Dedup.dedupNgramJaccard(spark, big).cache()
+    try {
+      val n = df.count()
+      assert(df.columns.contains("in_dropped_bucket"),
+        "dropped-bucket visibility column missing")
+      val dropped = df.filter(col("in_dropped_bucket") === 1).count()
+      assert(dropped < n / 100,
+        s"$dropped of $n docs sit in over-cap (silently dropped) buckets — " +
+          "blocking key cardinality is not scaling with the corpus")
+    } finally df.unpersist()
+  }
 }

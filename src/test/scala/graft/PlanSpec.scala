@@ -71,6 +71,28 @@ class PlanSpec extends AnyFunSuite {
       s"range join degraded to a nested loop:\n$plan")
   }
 
+  test("salted skew join shuffles on (key, salt) — the hot key cannot land in one partition") {
+    // force the shuffle-join path: with a broadcastable dim the planner
+    // broadcasts and salting is moot (broadcast joins have no skew
+    // problem); the salt contract matters exactly when the join shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = formatted(ops.Relational.skewJoin(spark, sfDir))
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"join shuffle does not include the salt column:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("tfidf top-5 is a bounded partial aggregate, not a per-language window") {
+    val plan = formatted(ops.TextAnalysis.tfidf(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"tfidf still ranks through a window exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the TopK UDAF aggregate in the plan:\n$plan")
+  }
+
   test("scalar/regex/array batteries stay inside whole-stage codegen") {
     Seq(
       ops.Relational.scalarFuncs(spark, sfDir),
