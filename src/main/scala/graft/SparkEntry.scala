@@ -56,6 +56,10 @@ object SparkEntry {
     "q_pii_redact" -> TextAnalysis.piiRedact,
     "q_train_split" -> Sampling.trainSplit,
     "q_stratified_sample" -> Sampling.stratifiedSample,
+    "q_repetition_stats" -> Curation.repetitionStats,
+    "q_chunk_tokens" -> Curation.chunkTokens,
+    "q_contamination" -> Curation.contamination,
+    "q_pack_sequences" -> Curation.packSequences,
     "q_knn_brute" -> Similarity.knnBrute,
     "q_ann_lsh" -> Similarity.annLsh,
     "q_ann_ivf" -> Similarity.annIvf,
@@ -102,6 +106,10 @@ object SparkEntry {
     "q_pii_redact" -> TextAnalysis.piiRedactSql,
     "q_train_split" -> Sampling.trainSplitSql,
     "q_stratified_sample" -> Sampling.stratifiedSampleSql,
+    "q_repetition_stats" -> Curation.repetitionStatsSql,
+    "q_chunk_tokens" -> Curation.chunkTokensSql,
+    "q_contamination" -> Curation.contaminationSql,
+    "q_pack_sequences" -> Curation.packSequencesSql,
     "q_regex_funcs" -> Relational.regexFuncsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_dedup_canonical" -> Dedup.dedupCanonicalSql,

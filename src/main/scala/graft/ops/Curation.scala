@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the C4/Gopher-style corpus
+  * hygiene passes a large-scale LLM data pipeline runs between raw
+  * ingestion and tokenization (reference framework is data-agnostic,
+  * SURVEY.md §0; these extend the north-star surface like
+  * [[TextAnalysis]] / [[Dedup]]).
+  *
+  * All four are DuckDB-oracle-checked: repetition metrics and token
+  * chunking are (near-)row-local projections; decontamination is a
+  * hashed-shingle equi-join; sequence packing is a shard-local window.
+  */
+object Curation {
+
+  private def toks = split(col("text"), " ")
+
+  /** Repetition / diversity metrics per document — the classic
+    * quality-filter features (Gopher's repetition rules, C4's
+    * boilerplate heuristics): duplicate-word ratio, duplicate-bigram
+    * ratio (both row-local via array_distinct — scan speed), and the
+    * top single word's frequency share (one keyed explode+agg — the
+    * only shuffle, on (doc_id, term)). Ratios round to 4 places for
+    * the cross-engine cut.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n_toks"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        expr("size(array_distinct(transform(sequence(0, size(tk) - 2), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1]))))").cast("long").as("n_distinct_2g"))
+    val rowLocal = base.select(col("doc_id"), col("n_toks"),
+      round(lit(1.0) - col("n_distinct") / col("n_toks"), 4).as("dup_word_ratio"),
+      round(lit(1.0) - col("n_distinct_2g") / (col("n_toks") - 1), 4).as("dup_2gram_ratio"))
+    val topWord = base
+      .select(col("doc_id"), col("n_toks"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("n_toks"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(max(col("c")).as("topc"))
+      .select(col("doc_id"), round(col("topc") / col("n_toks"), 4).as("top_word_frac"))
+    rowLocal.join(topWord, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionStatsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+      |                            FOR i IN generate_series(1, len(tk) - 1)]))
+      |      AS BIGINT) AS n_distinct_2g
+      |  FROM b),
+      |tw AS (
+      |  SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, term, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(tk) AS term FROM b)
+      |    GROUP BY doc_id, term)
+      |  GROUP BY doc_id)
+      |SELECT m.doc_id, m.n_toks,
+      |  round(1.0 - m.n_distinct / m.n_toks, 4) AS dup_word_ratio,
+      |  round(1.0 - m.n_distinct_2g / (m.n_toks - 1), 4) AS dup_2gram_ratio,
+      |  round(tw.topc / m.n_toks, 4) AS top_word_frac
+      |FROM m JOIN tw USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  private val ChunkSize = 64
+
+  /** Fixed-size token chunking: each document becomes
+    * ceil(n_toks / 64) chunks of ≤ 64 tokens — the pre-tokenization
+    * windowing step of a training pipeline. Pure row-local explode
+    * (rows multiply by ~n_toks/64, no shuffle until the output sort);
+    * at 100 TB this runs at scan speed and the chunk count per task is
+    * bounded by its input split.
+    */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        explode(expr(s"sequence(0L, (n_toks - 1) div $ChunkSize)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkSize.toLong), col("n_toks") - col("chunk_id") * ChunkSize)
+          .as("n_chunk_toks"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkTokensSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |    unnest(generate_series(0, (n_toks - 1) // $ChunkSize)) AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, chunk_id,
+       |  least($ChunkSize, n_toks - chunk_id * $ChunkSize) AS n_chunk_toks
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  private val ShingleN = 5
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 5-gram with a held-out "benchmark" set (here: every 97th doc —
+    * in production, the eval suites). The mechanism is the standard
+    * n-gram-overlap check at scale: per-side hashed-shingle explosion
+    * (md5 over the joined token window — the one hash both engines
+    * compute identically), distinct, then a hash equi-join of corpus
+    * shingles against the (much smaller, broadcastable) benchmark
+    * shingle set — never a doc × doc comparison. Output: every
+    * non-benchmark doc with its count of distinct contaminated
+    * shingles and a flag.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val shingled = docs.select(col("doc_id"),
+      expr(s"""CASE WHEN size(split(text, ' ')) >= $ShingleN
+              |  THEN array_distinct(transform(
+              |    sequence(0, size(split(text, ' ')) - $ShingleN),
+              |    i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, $ShingleN)))))
+              |  ELSE array() END""".stripMargin).as("sh"))
+    val corpusSh = shingled.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val benchSh = shingled.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val hits = corpusSh.join(benchSh, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(text, ' ')) >= $ShingleN
+       |      THEN list_distinct([md5(array_to_string(
+       |             string_split(text, ' ')[i + 1 : i + $ShingleN], ' '))
+       |           FOR i IN generate_series(0, len(string_split(text, ' ')) - $ShingleN)])
+       |      ELSE [] END AS s
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id % 97 <> 0),
+       |bench AS (
+       |  SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_contaminated
+       |  FROM corpus JOIN bench USING (h)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(coalesce(hits.n_contaminated, 0) > 0 AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val PackBudget = 256L
+  private val NShards = 32
+
+  /** Shard-local sequence packing: assign documents to fixed-budget
+    * (256-token) training packs. Greedy global packing is inherently
+    * sequential — one running sum over the whole corpus — so the scale
+    * shape shards the corpus (doc_id mod 32; in production ~O(cluster
+    * cores) shards) and packs WITHIN each shard by a running token sum:
+    * pack = floor(start_offset / budget). Each shard's window is an
+    * independent partition, so the packing parallelizes across shards
+    * and is deterministic (ordered by doc_id). A doc may straddle a
+    * pack boundary — the consumer splits it — which keeps assignment a
+    * pure prefix-sum, never a bin-packing search.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
+        size(toks).cast("long").as("n_toks"))
+      .withColumn("run", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_toks"),
+        floor((col("run") - col("n_toks")) / PackBudget).as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, doc_id % $NShards AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, shard, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM n)
+       |SELECT doc_id, shard, n_toks,
+       |  CAST(floor((run - n_toks) / $PackBudget) AS BIGINT) AS pack_id
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the curation operators (value correctness
+  * is covered by the DuckDB oracle gate).
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("repetition stats: ratios in [0,1]; top word bounded below by uniform share") {
+    val df = ops.Curation.repetitionStats(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    Seq("dup_word_ratio", "dup_2gram_ratio", "top_word_frac").foreach { c =>
+      assert(df.filter(col(c) < 0 || col(c) > 1).count() == 0, s"$c out of range")
+    }
+    // the most frequent word's share is at least 1/n_toks by definition
+    // (tolerance for the 4-decimal rounding of the published ratio)
+    assert(df.filter(col("top_word_frac") * col("n_toks") < 0.99).count() == 0)
+  }
+
+  test("token chunks partition every document exactly") {
+    val chunks = ops.Curation.chunkTokens(spark, sfDir)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_chunk_toks").as("tok_sum"), count(lit(1)).as("n_chunks"),
+        max("n_chunk_toks").as("max_chunk"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val joined = perDoc.join(docs, Seq("doc_id")).cache()
+    assert(joined.filter(col("tok_sum") =!= col("n_toks")).count() == 0,
+      "chunk token counts do not sum back to the document length")
+    assert(joined.filter(col("max_chunk") > 64).count() == 0, "oversized chunk")
+    assert(joined.filter(col("n_chunks") =!= ceil(col("n_toks") / 64.0)).count() == 0)
+  }
+
+  test("contamination: exact copies of benchmark docs are flagged; benchmark excluded; no cartesian") {
+    val df = ops.Curation.contamination(spark, sfDir).cache()
+    assert(df.filter(col("doc_id") % 97 === 0).count() == 0, "benchmark doc in output")
+    // a corpus doc with text identical to some benchmark doc shares all
+    // its shingles — it must be flagged
+    val docs = Tables.documents(spark, sfDir)
+    val benchTexts = docs.filter(col("doc_id") % 97 === 0).select("text").distinct()
+    val exactCopies = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(benchTexts, Seq("text"), "left_semi").select("doc_id")
+    val missed = df.join(exactCopies, Seq("doc_id"))
+      .filter(col("contaminated") =!= 1).count()
+    assert(missed == 0, s"$missed exact benchmark copies not flagged")
+    val plan = ops.Curation.contamination(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination joined docs by brute force:\n$plan")
+  }
+
+  test("sequence packing: per-shard pack ids start at 0, never decrease, and respect start offsets") {
+    val df = ops.Curation.packSequences(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    val perShard = df.groupBy("shard").agg(min("pack_id").as("first_pack"))
+    assert(perShard.filter(col("first_pack") =!= 0).count() == 0,
+      "some shard's packing does not start at pack 0")
+    // pack_id = floor(start_offset / budget): recompute via a window and compare
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val recomputed = df
+      .withColumn("start", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .filter(col("pack_id") =!= floor(col("start") / 256))
+    assert(recomputed.count() == 0, "pack assignment diverges from prefix sums")
+  }
+}
