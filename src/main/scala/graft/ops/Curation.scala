@@ -118,23 +118,43 @@ object Curation {
     * non-benchmark doc with its count of distinct contaminated
     * shingles and a flag.
     */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(spark, dir, materialize = true)
+
+  /** `materialize = false` returns the full lazy plan for plan
+    * contracts (the checkpointed hits set explains as a LogicalRDD).
+    */
+  private[graft] def contamination(spark: SparkSession, dir: String,
+                                   materialize: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val shingled = docs.select(col("doc_id"),
-      expr(s"""CASE WHEN size(split(text, ' ')) >= $ShingleN
-              |  THEN array_distinct(transform(
-              |    sequence(0, size(split(text, ' ')) - $ShingleN),
-              |    i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, $ShingleN)))))
-              |  ELSE array() END""".stripMargin).as("sh"))
-    val corpusSh = shingled.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-    val benchSh = shingled.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("sh")).as("h")).distinct()
-    val hits = corpusSh.join(benchSh, Seq("h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+    // tokenize ONCE into a column the shingle lambda references —
+    // inlining split(text) into the lambda would re-split the document
+    // for every shingle (Catalyst keeps the alias: non-cheap exprs with
+    // multiple references are not collapsed into consumers)
+    val shingled0 = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        expr(s"""CASE WHEN size(tk) >= $ShingleN
+                |  THEN array_distinct(transform(
+                |    sequence(0, size(tk) - $ShingleN),
+                |    i -> md5(concat_ws(' ', slice(tk, i + 1, $ShingleN)))))
+                |  ELSE array() END""".stripMargin).as("sh"))
+    // both sides derive from one shingling pass; the persisted frame is
+    // dropped after the SMALL per-doc hit counts are checkpointed
+    val shingled = if (materialize) shingled0.persist() else shingled0
+    val hitsM = try {
+      val corpusSh = shingled.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      // the benchmark shingle set is small and fixed (the eval suites) —
+      // broadcast it so the corpus side never shuffles
+      val benchSh = shingled.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      val hits = corpusSh.join(broadcast(benchSh), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      if (materialize) hits.localCheckpoint(true) else hits
+    } finally if (materialize) shingled.unpersist()
+    docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(hitsM, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_contaminated"))
       .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
       .orderBy(col("doc_id"))

@@ -46,8 +46,11 @@ class CurationSpec extends AnyFunSuite {
     val missed = df.join(exactCopies, Seq("doc_id"))
       .filter(col("contaminated") =!= 1).count()
     assert(missed == 0, s"$missed exact benchmark copies not flagged")
-    val plan = ops.Curation.contamination(spark, sfDir).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // materialize=false: the real op checkpoints the hits set, whose
+    // explain is a LogicalRDD scan that would hide the join shape
+    val plan = ops.Curation.contamination(spark, sfDir, materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"contamination joined docs by brute force:\n$plan")
   }
