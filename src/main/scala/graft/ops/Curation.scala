@@ -22,32 +22,34 @@ object Curation {
   /** Repetition / diversity metrics per document — the classic
     * quality-filter features (Gopher's repetition rules, C4's
     * boilerplate heuristics): duplicate-word ratio, duplicate-bigram
-    * ratio (both row-local via array_distinct — scan speed), and the
-    * top single word's frequency share (one keyed explode+agg — the
-    * only shuffle, on (doc_id, term)). Ratios round to 4 places for
-    * the cross-engine cut.
+    * ratio, and the top single word's frequency share. ALL row-local
+    * (array_distinct + a distinct×tokens counting loop inside one
+    * projection): the whole operator is scan-speed with zero shuffles
+    * before the output sort — at 100 TB nothing beats that. The
+    * row-local top-word count is O(distinct × tokens) per document,
+    * the right trade for bounded-length documents; for very long
+    * documents an explode + (doc, term) keyed aggregation is the
+    * fallback shape. Ratios round to 4 places for the cross-engine cut.
     */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), col("tk"),
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) corpus. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_toks"),
         size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
         expr("size(array_distinct(transform(sequence(0, size(tk) - 2), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1]))))").cast("long").as("n_distinct_2g"))
-    val rowLocal = base.select(col("doc_id"), col("n_toks"),
-      round(lit(1.0) - col("n_distinct") / col("n_toks"), 4).as("dup_word_ratio"),
-      round(lit(1.0) - col("n_distinct_2g") / (col("n_toks") - 1), 4).as("dup_2gram_ratio"))
-    val topWord = base
-      .select(col("doc_id"), col("n_toks"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("n_toks"), col("term"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_toks"))
-      .agg(max(col("c")).as("topc"))
-      .select(col("doc_id"), round(col("topc") / col("n_toks"), 4).as("top_word_frac"))
-    rowLocal.join(topWord, Seq("doc_id"))
+          "i -> concat_ws(' ', tk[i], tk[i+1]))))").cast("long").as("n_distinct_2g"),
+        expr("array_max(transform(array_distinct(tk), " +
+          "w -> size(filter(tk, t -> t = w))))").cast("long").as("topc"))
+      .select(col("doc_id"), col("n_toks"),
+        round(lit(1.0) - col("n_distinct") / col("n_toks"), 4).as("dup_word_ratio"),
+        round(lit(1.0) - col("n_distinct_2g") / (col("n_toks") - 1), 4).as("dup_2gram_ratio"),
+        round(col("topc") / col("n_toks"), 4).as("top_word_frac"))
       .orderBy(col("doc_id"))
-  }
 
   val repetitionStatsSql: String =
     """WITH b AS (
@@ -58,19 +60,15 @@ object Curation {
       |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
       |    CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
       |                            FOR i IN generate_series(1, len(tk) - 1)]))
-      |      AS BIGINT) AS n_distinct_2g
-      |  FROM b),
-      |tw AS (
-      |  SELECT doc_id, max(c) AS topc FROM (
-      |    SELECT doc_id, term, count(*) AS c FROM (
-      |      SELECT doc_id, unnest(tk) AS term FROM b)
-      |    GROUP BY doc_id, term)
-      |  GROUP BY doc_id)
-      |SELECT m.doc_id, m.n_toks,
-      |  round(1.0 - m.n_distinct / m.n_toks, 4) AS dup_word_ratio,
-      |  round(1.0 - m.n_distinct_2g / (m.n_toks - 1), 4) AS dup_2gram_ratio,
-      |  round(tw.topc / m.n_toks, 4) AS top_word_frac
-      |FROM m JOIN tw USING (doc_id)
+      |      AS BIGINT) AS n_distinct_2g,
+      |    CAST(list_max(list_transform(list_distinct(tk),
+      |           w -> len(list_filter(tk, t -> t = w)))) AS BIGINT) AS topc
+      |  FROM b)
+      |SELECT doc_id, n_toks,
+      |  round(1.0 - n_distinct / n_toks, 4) AS dup_word_ratio,
+      |  round(1.0 - n_distinct_2g / (n_toks - 1), 4) AS dup_2gram_ratio,
+      |  round(topc / n_toks, 4) AS top_word_frac
+      |FROM m
       |ORDER BY doc_id""".stripMargin
 
   private val ChunkSize = 64
@@ -83,14 +81,22 @@ object Curation {
     * bounded by its input split.
     */
   def chunkTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+    chunkTokens(Tables.documents(spark, dir), "doc_id", "text", ChunkSize)
+
+  /** DataFrame-first form with a configurable chunk size. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be positive")
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
       .select(col("doc_id"), col("n_toks"),
-        explode(expr(s"sequence(0L, (n_toks - 1) div $ChunkSize)")).as("chunk_id"))
+        explode(expr(s"sequence(0L, (n_toks - 1) div $chunkSize)")).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
-        least(lit(ChunkSize.toLong), col("n_toks") - col("chunk_id") * ChunkSize)
+        least(lit(chunkSize.toLong), col("n_toks") - col("chunk_id") * chunkSize)
           .as("n_chunk_toks"))
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
 
   val chunkTokensSql: String =
     s"""WITH n AS (
@@ -125,8 +131,18 @@ object Curation {
     * contracts (the checkpointed hits set explains as a LogicalRDD).
     */
   private[graft] def contamination(spark: SparkSession, dir: String,
-                                   materialize: Boolean): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                                   materialize: Boolean): DataFrame =
+    contamination(Tables.documents(spark, dir), "doc_id", "text",
+      col("doc_id") % 97 === 0, materialize)
+
+  /** DataFrame-first form: `benchPred` selects the held-out benchmark
+    * rows (by the canonical `doc_id` column); everything else is the
+    * corpus under test.
+    */
+  def contamination(docs0: DataFrame, idCol: String, textCol: String,
+                    benchPred: org.apache.spark.sql.Column,
+                    materialize: Boolean = true): DataFrame = {
+    val docs = docs0.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // tokenize ONCE into a column the shingle lambda references —
     // inlining split(text) into the lambda would re-split the document
     // for every shingle (Catalyst keeps the alias: non-cheap exprs with
@@ -142,17 +158,17 @@ object Curation {
     // dropped after the SMALL per-doc hit counts are checkpointed
     val shingled = if (materialize) shingled0.persist() else shingled0
     val hitsM = try {
-      val corpusSh = shingled.filter(col("doc_id") % 97 =!= 0)
+      val corpusSh = shingled.filter(!benchPred)
         .select(col("doc_id"), explode(col("sh")).as("h"))
       // the benchmark shingle set is small and fixed (the eval suites) —
       // broadcast it so the corpus side never shuffles
-      val benchSh = shingled.filter(col("doc_id") % 97 === 0)
+      val benchSh = shingled.filter(benchPred)
         .select(explode(col("sh")).as("h")).distinct()
       val hits = corpusSh.join(broadcast(benchSh), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
       if (materialize) hits.localCheckpoint(true) else hits
     } finally if (materialize) shingled.unpersist()
-    docs.filter(col("doc_id") % 97 =!= 0)
+    docs.filter(!benchPred)
       .select(col("doc_id"))
       .join(hitsM, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_contaminated"))
@@ -198,15 +214,24 @@ object Curation {
     * pack boundary — the consumer splits it — which keeps assignment a
     * pure prefix-sum, never a bin-packing search.
     */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), "doc_id", "text", PackBudget, NShards)
+
+  /** DataFrame-first form: `budget` tokens per pack, packing
+    * parallelized over `nShards` independent shards (set ~O(cluster
+    * cores) in production).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nShards: Int): DataFrame = {
+    require(budget >= 1 && nShards >= 1, "budget and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
-        size(toks).cast("long").as("n_toks"))
+    docs
+      .select(col(idCol).as("doc_id"), (col(idCol) % nShards).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
       .withColumn("run", sum(col("n_toks")).over(w))
       .select(col("doc_id"), col("shard"), col("n_toks"),
-        floor((col("run") - col("n_toks")) / PackBudget).as("pack_id"))
+        floor((col("run") - col("n_toks")) / budget).as("pack_id"))
       .orderBy(col("doc_id"))
   }
 
