@@ -79,44 +79,55 @@ object Dedup {
     * dropped before returning.
     */
   private[ops] def lshCandidates(buckets: DataFrame, maxBucket: Int,
-                                 materialize: Boolean = true): DataFrame = {
+                                 materialize: Boolean = true): DataFrame =
+    lshCandidatesImpl(buckets, maxBucket, materialize, withDropped = false)._1
+
+  /** As [[lshCandidates]], but ALSO returns the docs whose buckets were
+    * dropped by the cap — bucket sizes are computed once and shared by
+    * the cap filter and the dropped-doc detection.
+    */
+  private[ops] def lshCandidatesWithDropped(buckets: DataFrame, maxBucket: Int,
+                                            materialize: Boolean): (DataFrame, DataFrame) =
+    lshCandidatesImpl(buckets, maxBucket, materialize, withDropped = true)
+
+  private def lshCandidatesImpl(buckets: DataFrame, maxBucket: Int,
+                                materialize: Boolean,
+                                withDropped: Boolean): (DataFrame, DataFrame) = {
     // bucket sizes via partial+final hash agg + equi-join, NOT a window
     // count over the bucket key: some blocking schemes (e.g. n-gram
     // Jaccard's lang × length-bucket) have FEW, HUGE buckets, and a
     // window would funnel each whole bucket through one task — the agg
     // combines map-side and the join back is keyed and AQE-skew-safe
-    val sizes = buckets.groupBy(col("bucket_id"), col("bucket_hash"))
+    val sizes0 = buckets.groupBy(col("bucket_id"), col("bucket_hash"))
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("bucket_id"), col("bucket_hash"))
-    val capped0 = buckets
-      .join(sizes, Seq("bucket_id", "bucket_hash"))
-      .select(col("bucket_id"), col("bucket_hash"), col("doc_id"))
-    val capped = if (materialize) capped0.persist() else capped0
+    // persisted only when read twice (cap filter + dropped detection);
+    // small: one row per bucket
+    val sizes = if (materialize && withDropped) sizes0.persist() else sizes0
     try {
-      val pairs = capped.as("x").join(capped.as("y"),
-          col("x.bucket_id") === col("y.bucket_id") &&
-          col("x.bucket_hash") === col("y.bucket_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      if (materialize) pairs.localCheckpoint(true) else pairs
-    } finally if (materialize) capped.unpersist()
-  }
-
-  /** Documents that belong to at least one over-cap (dropped) bucket —
-    * the visibility half of the bucket cap: a capped LSH scheme that
-    * silently discards huge buckets reports zero duplicates for their
-    * members, so callers surface this set (as a count or a per-doc
-    * flag) instead of letting recall collapse invisibly at scale.
-    */
-  private[ops] def overCapDocs(buckets: DataFrame, maxBucket: Int): DataFrame = {
-    val big = buckets.groupBy(col("bucket_id"), col("bucket_hash"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucket)
-      .select(col("bucket_id"), col("bucket_hash"))
-    buckets.join(big, Seq("bucket_id", "bucket_hash"))
-      .select(col("doc_id")).distinct()
+      val keep = sizes.filter(col("bsz") <= maxBucket)
+        .select(col("bucket_id"), col("bucket_hash"))
+      val capped0 = buckets
+        .join(keep, Seq("bucket_id", "bucket_hash"))
+        .select(col("bucket_id"), col("bucket_hash"), col("doc_id"))
+      val capped = if (materialize) capped0.persist() else capped0
+      val pairs = try {
+        val p = capped.as("x").join(capped.as("y"),
+            col("x.bucket_id") === col("y.bucket_id") &&
+            col("x.bucket_hash") === col("y.bucket_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        if (materialize) p.localCheckpoint(true) else p
+      } finally if (materialize) capped.unpersist()
+      val dropped = if (!withDropped) null else {
+        val over = sizes.filter(col("bsz") > maxBucket)
+          .select(col("bucket_id"), col("bucket_hash"))
+        val d = buckets.join(over, Seq("bucket_id", "bucket_hash"))
+          .select(col("doc_id")).distinct()
+        if (materialize) d.localCheckpoint(true) else d
+      }
+      (pairs, dropped)
+    } finally if (materialize && withDropped) sizes.unpersist()
   }
 
   /** Left-join a per-doc pair summary back onto the full doc list so the
@@ -442,14 +453,18 @@ object Dedup {
         explode(expr("transform(slice(array_sort(shset), 1, 3), " +
           "b -> xxhash64(lenb, b))")).as("bucket_hash"),
         col("doc_id"))
-      val cand = lshCandidates(buckets, maxBucket = 1000, materialize)
+      val (cand, droppedDocs) =
+        lshCandidatesWithDropped(buckets, maxBucket = 1000, materialize)
       val verified0 = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jacc"))
       val verified = if (materialize) verified0.localCheckpoint(true) else verified0
-      val dropped = overCapDocs(buckets, maxBucket = 1000)
-        .withColumn("in_dropped_bucket", lit(1))
+      // visibility half of the bucket cap: a capped LSH scheme that
+      // silently discards huge buckets reports zero duplicates for
+      // their members — flag them instead of letting recall collapse
+      // invisibly at scale
+      val dropped = droppedDocs.withColumn("in_dropped_bucket", lit(1))
       perDocSummaryUnsorted(meta, verified, "jacc", 0.7)
         .join(dropped, Seq("doc_id"), "left")
         .na.fill(0, Seq("in_dropped_bucket"))
