@@ -200,6 +200,75 @@ object Curation {
        |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Composite quality filter — the pipeline stage the individual
+    * signals exist for: every document gets a keep/drop verdict plus
+    * the FIRST failing rule as an audit reason (a production corpus
+    * filter must be explainable, not just a boolean). Rules, in
+    * precedence order: too short (< 20 tokens), too repetitive
+    * (duplicate-word ratio > 0.8), dominated by one word (top-word
+    * share > 0.3), no stopwords (stopword ratio < 0.01 — word-salad /
+    * non-language signal). One row-local projection — scan-speed, zero
+    * shuffles before the output sort; thresholds follow the C4/Gopher
+    * shape, tuned so the synthetic corpus exercises both outcomes.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilter(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) corpus. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopArr = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => s"'$w'").mkString("array(", ",", ")")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_toks"),
+        round(lit(1.0) - size(array_distinct(col("tk"))) / size(col("tk")), 4)
+          .as("dup_word_ratio"),
+        round(expr("array_max(transform(array_distinct(tk), " +
+          "w -> size(filter(tk, t -> t = w))))") / size(col("tk")), 4)
+          .as("top_word_frac"),
+        round(expr(s"size(filter(tk, t -> array_contains($stopArr, t)))") / size(col("tk")), 4)
+          .as("stop_ratio"))
+      .withColumn("reason",
+        when(col("n_toks") < 20, "too_short")
+          .when(col("dup_word_ratio") > 0.8, "too_repetitive")
+          .when(col("top_word_frac") > 0.3, "one_word_dominates")
+          .when(col("stop_ratio") < 0.01, "no_stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .select(col("doc_id"), col("n_toks"), col("dup_word_ratio"),
+        col("top_word_frac"), col("stop_ratio"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql: String = {
+    val stopList = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_toks,
+       |    round(1.0 - len(list_distinct(tk)) / len(tk), 4) AS dup_word_ratio,
+       |    round(list_max(list_transform(list_distinct(tk),
+       |            w -> len(list_filter(tk, t -> t = w)))) / len(tk), 4) AS top_word_frac,
+       |    round(len(list_filter(tk, t -> list_contains($stopList, t))) / len(tk), 4)
+       |      AS stop_ratio
+       |  FROM b),
+       |v AS (
+       |  SELECT doc_id, n_toks, dup_word_ratio, top_word_frac, stop_ratio,
+       |    CASE WHEN n_toks < 20 THEN 'too_short'
+       |         WHEN dup_word_ratio > 0.8 THEN 'too_repetitive'
+       |         WHEN top_word_frac > 0.3 THEN 'one_word_dominates'
+       |         WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+       |         ELSE 'ok' END AS reason
+       |  FROM m)
+       |SELECT doc_id, n_toks, dup_word_ratio, top_word_frac, stop_ratio,
+       |  CAST(reason = 'ok' AS INT) AS keep, reason
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val PackBudget = 256L
   private val NShards = 32
 

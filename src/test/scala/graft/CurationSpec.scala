@@ -55,6 +55,21 @@ class CurationSpec extends AnyFunSuite {
       s"contamination joined docs by brute force:\n$plan")
   }
 
+  test("quality filter: verdict agrees with its own published signals; filtering is explainable") {
+    val df = ops.Curation.qualityFilter(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    // the keep flag must be derivable from the published ratios — the
+    // audit trail cannot contradict the verdict
+    val recomputed = df.withColumn("expect",
+      when(col("n_toks") < 20, "too_short")
+        .when(col("dup_word_ratio") > 0.8, "too_repetitive")
+        .when(col("top_word_frac") > 0.3, "one_word_dominates")
+        .when(col("stop_ratio") < 0.01, "no_stopwords")
+        .otherwise("ok"))
+    assert(recomputed.filter(col("reason") =!= col("expect")).count() == 0)
+    assert(df.filter((col("keep") === 1) =!= (col("reason") === "ok")).count() == 0)
+  }
+
   test("sequence packing: per-shard pack ids start at 0, never decrease, and respect start offsets") {
     val df = ops.Curation.packSequences(spark, sfDir).cache()
     assert(df.count() == Tables.documents(spark, sfDir).count())
