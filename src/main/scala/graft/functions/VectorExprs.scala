@@ -244,6 +244,82 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `top_token_count(tokens)`: highest frequency of any single token in
+  * an array<string> — one hash-count pass, O(tokens). The higher-order
+  * built-in formulation `array_max(transform(array_distinct(tk), w ->
+  * size(filter(tk, t -> t = w))))` is O(distinct × tokens)
+  * *interpreted lambda calls* per row — quadratic-ish per document and
+  * the dominant cost of the repetition/quality-filter curation ops.
+  * Codegen fallback (single native call per row; nothing to fuse).
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = counts.merge(t, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
+/** `ngram_distinct_count(tokens, n)`: number of distinct word n-gram
+  * strings (space-joined sliding windows) in an array<string> — the
+  * native replacement for `size(array_distinct(transform(sequence(...),
+  * i -> concat_ws(' ', ...))))`, which allocates and interprets a
+  * lambda per n-gram. Same semantics: n = 1 counts distinct tokens;
+  * fewer than n tokens → 0. Codegen fallback (single native call).
+  */
+case class NgramDistinctCount(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) 0L
+    else {
+      val seen = new java.util.HashSet[UTF8String]((len - n + 1) * 2)
+      if (n == 1) {
+        var i = 0
+        while (i < len) { seen.add(toks.getUTF8String(i)); i += 1 }
+      } else {
+        val window = new Array[UTF8String](n)
+        var i = 0
+        while (i <= len - n) {
+          var j = 0
+          while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+          seen.add(UTF8String.concatWs(space, window: _*))
+          i += 1
+        }
+      }
+      seen.size.toLong
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramDistinctCount =
+    copy(child = newChild)
+}
+
 /** Registration for the native expressions.
   *
   * Two paths:
@@ -269,6 +345,17 @@ object GraftFunctions {
         case n: Number if n.intValue() >= 1 => n.intValue()
         case other => throw new IllegalArgumentException(
           s"shingle_hash: n must be a literal integer >= 1, got $other")
+      })
+    }),
+    "top_token_count" -> (es => TopTokenCount(es(0))),
+    "ngram_distinct_count" -> (es => {
+      if (es.length != 2 || !es(1).foldable)
+        throw new IllegalArgumentException(
+          "ngram_distinct_count(tokens, n) requires exactly 2 arguments with a literal integer n")
+      NgramDistinctCount(es(0), es(1).eval(null) match {
+        case n: Number if n.intValue() >= 1 => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"ngram_distinct_count: n must be a literal integer >= 1, got $other")
       })
     }),
     "minhash_sig" -> (es => {

@@ -35,21 +35,24 @@ object Curation {
     repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
 
   /** DataFrame-first form over any (id, text) corpus. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      // native one-pass counts (ngram_distinct_count / top_token_count):
+      // the built-in higher-order formulations interpret a lambda per
+      // (n-gram | distinct×token pair) — the latter O(d·n) per row
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_toks"),
-        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-        expr("size(array_distinct(transform(sequence(0, size(tk) - 2), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1]))))").cast("long").as("n_distinct_2g"),
-        expr("array_max(transform(array_distinct(tk), " +
-          "w -> size(filter(tk, t -> t = w))))").cast("long").as("topc"))
+        expr("ngram_distinct_count(tk, 1)").as("n_distinct"),
+        expr("ngram_distinct_count(tk, 2)").as("n_distinct_2g"),
+        expr("top_token_count(tk)").as("topc"))
       .select(col("doc_id"), col("n_toks"),
         round(lit(1.0) - col("n_distinct") / col("n_toks"), 4).as("dup_word_ratio"),
         round(lit(1.0) - col("n_distinct_2g") / (col("n_toks") - 1), 4).as("dup_2gram_ratio"),
         round(col("topc") / col("n_toks"), 4).as("top_word_frac"))
       .orderBy(col("doc_id"))
+  }
 
   val repetitionStatsSql: String =
     """WITH b AS (
@@ -216,16 +219,16 @@ object Curation {
 
   /** DataFrame-first form over any (id, text) corpus. */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val stopArr = Seq("the", "a", "of", "and", "to", "in", "is")
       .map(w => s"'$w'").mkString("array(", ",", ")")
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_toks"),
-        round(lit(1.0) - size(array_distinct(col("tk"))) / size(col("tk")), 4)
+        round(lit(1.0) - expr("ngram_distinct_count(tk, 1)") / size(col("tk")), 4)
           .as("dup_word_ratio"),
-        round(expr("array_max(transform(array_distinct(tk), " +
-          "w -> size(filter(tk, t -> t = w))))") / size(col("tk")), 4)
+        round(expr("top_token_count(tk)") / size(col("tk")), 4)
           .as("top_word_frac"),
         round(expr(s"size(filter(tk, t -> array_contains($stopArr, t)))") / size(col("tk")), 4)
           .as("stop_ratio"))

@@ -70,6 +70,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](0) == row.getSeq[Long](1))
   }
 
+  test("top_token_count and ngram_distinct_count match their higher-order compositions") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("tk"))
+    val diff = d.select(
+      expr("top_token_count(tk)").as("top_native"),
+      expr("CAST(array_max(transform(array_distinct(tk), w -> size(filter(tk, t -> t = w)))) AS BIGINT)")
+        .as("top_builtin"),
+      expr("ngram_distinct_count(tk, 1)").as("d1_native"),
+      expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("d1_builtin"),
+      expr("ngram_distinct_count(tk, 2)").as("d2_native"),
+      expr("CAST(size(array_distinct(transform(sequence(0, size(tk) - 2), " +
+        "i -> concat_ws(' ', tk[i], tk[i+1])))) AS BIGINT)").as("d2_builtin"))
+      .filter(col("top_native") =!= col("top_builtin") ||
+        col("d1_native") =!= col("d1_builtin") ||
+        col("d2_native") =!= col("d2_builtin"))
+    assert(diff.count() == 0)
+  }
+
   test("GraftExtensions injects all function specs") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
