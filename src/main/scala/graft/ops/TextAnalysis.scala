@@ -17,12 +17,25 @@ object TextAnalysis {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Canonical-rename helper: every operator's DataFrame-first form
+    * binds caller column names onto the canonical (doc_id, text, …)
+    * names its body uses.
+    */
+  private def canon(docs: DataFrame, renames: (String, String)*): DataFrame =
+    docs.select(renames.map { case (from, to) => col(from).as(to) }: _*)
+
   /** Corpus statistics per (lang, source): document counts, char and
     * whitespace-token distributions. Partial aggregation keeps the
     * shuffle at |lang|×|source| rows.
     */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    textStats(Tables.documents(spark, dir), "lang", "source", "text", "n_chars")
+
+  /** DataFrame-first form. */
+  def textStats(docs: DataFrame, langCol: String, sourceCol: String,
+                textCol: String, nCharsCol: String): DataFrame =
+    canon(docs, langCol -> "lang", sourceCol -> "source",
+        textCol -> "text", nCharsCol -> "n_chars")
       .select(col("lang"), col("source"), col("n_chars"),
         size(toks).cast("long").as("n_toks"))
       .groupBy(col("lang"), col("source"))
@@ -52,7 +65,11 @@ object TextAnalysis {
     * scan-speed at any scale.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    tokenCount(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    canon(docs, idCol -> "doc_id", textCol -> "text")
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_ws_tokens"),
@@ -72,9 +89,14 @@ object TextAnalysis {
     * bucketed into low/medium/high. Ratios are rounded before the
     * bucket comparison so the cut is reproducible cross-engine.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir), "doc_id", "text", "n_chars")
+
+  /** DataFrame-first form. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   nCharsCol: String): DataFrame = {
     val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ",", ")")
-    Tables.documents(spark, dir)
+    canon(docs, idCol -> "doc_id", textCol -> "text", nCharsCol -> "n_chars")
       .select(col("doc_id"), col("n_chars"), col("text"),
         size(toks).cast("long").as("n_tokens"),
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("n_punct"),
@@ -115,7 +137,11 @@ object TextAnalysis {
     * oracle-checkable: [[langIdSql]] replicates it in DuckDB
     * (list_filter/list_contains; the CJK class in RE2 syntax).
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir), "lang", "text")
+
+  /** DataFrame-first form: `langCol` is the labelled language. */
+  def langId(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
     val profiles = Map(
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
@@ -125,7 +151,7 @@ object TextAnalysis {
       val arr = words.map(w => s"'$w'").mkString("array(", ",", ")")
       expr(s"size(filter(split(text, ' '), t -> array_contains($arr, t)))")
     }
-    val scored = Tables.documents(spark, dir)
+    val scored = canon(docs, langCol -> "lang", textCol -> "text")
       .withColumn("s_en", score(profiles("en")))
       .withColumn("s_de", score(profiles("de")))
       .withColumn("s_es", score(profiles("es")))
@@ -186,13 +212,18 @@ object TextAnalysis {
     * tie-break so a last-ulp `ln` difference between engines cannot
     * reorder the cut.
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(toks).as("term"))
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidf(Tables.documents(spark, dir), "doc_id", "lang", "text")
+
+  /** DataFrame-first form. */
+  def tfidf(docs: DataFrame, idCol: String, langCol: String,
+            textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", langCol -> "lang", textCol -> "text")
+    val tok = d.select(col("doc_id"), col("lang"), explode(toks).as("term"))
     val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tok.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val total = d.agg(count(lit(1)).as("n_total"))
     val scored = tf
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(total))
@@ -234,7 +265,11 @@ object TextAnalysis {
     * any scale.
     */
   def textNormalize(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    textNormalize(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def textNormalize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    canon(docs, idCol -> "doc_id", textCol -> "text")
       .withColumn("messy", concat(lit("  "), upper(col("text")), lit("!!  ")))
       .withColumn("norm",
         trim(regexp_replace(regexp_replace(lower(col("messy")), "[^a-z0-9 ]", ""), " +", " ")))
@@ -265,7 +300,13 @@ object TextAnalysis {
     * Row-local projection: scan speed at any scale.
     */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    piiRedact(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form (the deterministic PII injection derives from
+    * the id column, so any numeric id works).
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    canon(docs, idCol -> "doc_id", textCol -> "text")
       .withColumn("contaminated", concat(
         col("text"),
         lit(" user"), col("doc_id"), lit("@example.com"),
@@ -310,9 +351,13 @@ object TextAnalysis {
     * same fingerprint with high probability. Per-doc output (always
     * |documents| rows). Hash family is Spark's xxhash64 → no SQL oracle.
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def docFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    canon(docs, idCol -> "doc_id", textCol -> "text")
       .select(col("doc_id"), expr("shingle_hash(split(text, ' '), 5)").as("sh"))
       .select(col("doc_id"),
         expr("slice(array_sort(sh), 1, 4)").as("bottomk"))

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{MinHashSig, ScoredId, SimHash64, TopKAggregator, VecDot}
+import graft.functions.{MinHashSig, NgramDistinctCount, ScoredId, ScoredTerm, SimHash64, TopKAggregator, TopKTermAggregator, TopTokenCount, VecDot}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.scalacheck.{Gen, Prop, Properties}
@@ -81,5 +82,53 @@ object GraftLaws extends Properties("graft") {
       val merged = rnd.shuffle(chunks).reduce(agg.merge)
       val expect = xs.sortBy(s => (-s.score, s.id)).take(k)
       agg.finish(merged) == expect
+    }
+
+  private val scoredTerms: Gen[List[ScoredTerm]] =
+    Gen.listOf(Gen.zip(finiteD, Gen.alphaStr.map(_.take(8)))
+      .map { case (s, t) => ScoredTerm(s, t) })
+
+  property("topKTerms equals global sort-take-k under arbitrary partitioning and merge order") =
+    forAll(scoredTerms, Gen.chooseNum(1, 10), Gen.long) { (xs, k, seed) =>
+      val agg = new TopKTermAggregator(k)
+      val rnd = new scala.util.Random(seed)
+      val chunks =
+        if (xs.isEmpty) Seq(agg.zero)
+        else xs.grouped(math.max(1, rnd.nextInt(5) + 1)).toSeq
+          .map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(chunks).reduce(agg.merge)
+      val expect = xs.sortBy(s => (-s.score, s.term)).take(k)
+      agg.finish(merged) == expect
+    }
+
+  private val tokens: Gen[Array[UTF8String]] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "dog", "cat", "x1"))
+      .map(_.map(UTF8String.fromString).toArray)
+
+  private def topCount(tk: Array[UTF8String]): Long =
+    TopTokenCount(Literal(1)).nullSafeEval(new GenericArrayData(tk.map(_.asInstanceOf[Any])))
+      .asInstanceOf[Long]
+
+  private def distinctN(tk: Array[UTF8String], n: Int): Long =
+    NgramDistinctCount(Literal(1), n)
+      .nullSafeEval(new GenericArrayData(tk.map(_.asInstanceOf[Any])))
+      .asInstanceOf[Long]
+
+  property("top_token_count equals the max groupBy count; order-invariant") =
+    forAll(tokens, Gen.long) { (tk, seed) =>
+      val expect =
+        if (tk.isEmpty) 0L
+        else tk.groupBy(_.toString).values.map(_.length).max.toLong
+      val shuffled = new scala.util.Random(seed).shuffle(tk.toSeq).toArray
+      topCount(tk) == expect && topCount(shuffled) == expect
+    }
+
+  property("ngram_distinct_count matches a sliding-window set; n=1 is distinct tokens") =
+    forAll(tokens, Gen.chooseNum(1, 4)) { (tk, n) =>
+      val expect =
+        if (tk.length < n) 0L
+        else tk.map(_.toString).sliding(n).map(_.mkString(" ")).toSet.size.toLong
+      distinctN(tk, n) == expect &&
+        distinctN(tk, 1) == tk.map(_.toString).distinct.length.toLong
     }
 }

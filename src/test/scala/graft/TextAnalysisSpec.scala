@@ -7,6 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("DataFrame-first forms agree with the table-bound forms under renamed columns") {
+    val renamed = Tables.documents(spark, sfDir)
+      .withColumnRenamed("doc_id", "my_id")
+      .withColumnRenamed("text", "body")
+      .withColumnRenamed("lang", "language")
+    val viaDf = ops.TextAnalysis.tokenCount(renamed, "my_id", "body")
+    val viaTable = ops.TextAnalysis.tokenCount(spark, sfDir)
+    assert(viaDf.exceptAll(viaTable).count() == 0 && viaTable.exceptAll(viaDf).count() == 0)
+    val tfDf = ops.TextAnalysis.tfidf(renamed, "my_id", "language", "body")
+    val tfTable = ops.TextAnalysis.tfidf(spark, sfDir)
+    assert(tfDf.exceptAll(tfTable).count() == 0 && tfTable.exceptAll(tfDf).count() == 0)
+  }
+
   private lazy val nDocs = Tables.documents(spark, sfDir).count()
 
   test("textStats: doc counts sum to corpus size; min<=avg<=max") {
