@@ -272,6 +272,64 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** End-to-end corpus pipeline — the "user switches their pipeline to
+    * this library" capstone, composed entirely from the library's own
+    * operators: quality-filter the corpus ([[qualityFilter]]), keep
+    * one canonical copy per duplicate text
+    * ([[Dedup.canonicalize]]), assign deterministic train/val/test
+    * splits ([[Sampling.splitBucket]]), and report per-(split, lang)
+    * document and token counts. Every stage is the scale shape its
+    * operator documented (row-local filter, one hash-agg dedup window,
+    * row-local split, one final partial+final aggregation); the whole
+    * composition is oracle-checked as one SQL statement.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs.join(
+      qualityFilter(docs, "doc_id", "text")
+        .filter(col("keep") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val canon = Dedup.canonicalize(kept)
+    canon
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        Sampling.splitName(Sampling.splitBucket(col("doc_id"))).as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val corpusPipelineSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_toks,
+       |    round(1.0 - len(list_distinct(tk)) / len(tk), 4) AS dup_word_ratio,
+       |    round(list_max(list_transform(list_distinct(tk),
+       |            w -> len(list_filter(tk, t -> t = w)))) / len(tk), 4) AS top_word_frac,
+       |    round(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is'], t)))
+       |          / len(tk), 4) AS stop_ratio
+       |  FROM b),
+       |kept AS (
+       |  SELECT doc_id FROM q
+       |  WHERE n_toks >= 20 AND dup_word_ratio <= 0.8
+       |    AND top_word_frac <= 0.3 AND stop_ratio >= 0.01),
+       |canon AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM b JOIN kept USING (doc_id)
+       |  GROUP BY text),
+       |final AS (
+       |  SELECT b.doc_id, b.lang, CAST(len(b.tk) AS BIGINT) AS n_toks,
+       |    CASE WHEN ((b.doc_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train'
+       |         WHEN ((b.doc_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM b JOIN canon USING (doc_id))
+       |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_toks
+       |FROM final
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+
   private val PackBudget = 256L
   private val NShards = 32
 

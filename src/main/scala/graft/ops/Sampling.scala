@@ -28,15 +28,25 @@ object Sampling {
     * the full per-document assignment (the pipeline artifact a real
     * run would persist next to the corpus).
     */
+  /** The split-assignment column for any id column: 0..999 bucket from
+    * overflow-safe multiplicative hashing. Exposed so other operators
+    * (e.g. the end-to-end corpus pipeline) assign identical splits.
+    */
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(1000L))
+
+  def splitName(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000L))
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 800, "train")
-          .when(col("bucket") < 900, "val")
-          .otherwise("test"))
+    trainSplit(Tables.documents(spark, dir), "doc_id", "lang")
+
+  /** DataFrame-first form. */
+  def trainSplit(docs: DataFrame, idCol: String, langCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        splitBucket(col(idCol)).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
       .orderBy(col("doc_id"))
 
   val trainSplitSql: String =
@@ -58,9 +68,15 @@ object Sampling {
     * per stratum; membership is deterministic per document.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(1103515245L) + lit(12345L),
+    stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang", "n_chars")
+
+  /** DataFrame-first form (rates: 10% for 'en', 20% otherwise). */
+  def stratifiedSample(docs: DataFrame, idCol: String, langCol: String,
+                       nCharsCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(nCharsCol).as("n_chars"),
+        pmod(pmod(col(idCol), lit(1000000007L)) * lit(1103515245L) + lit(12345L),
           lit(100L)).as("bucket"))
       .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(20))
       .select(col("doc_id"), col("lang"), col("n_chars"))
