@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-API edge cases: the DataFrame-first operators must behave
+  * sanely on degenerate corpora — empty input yields empty (or
+  * empty-summary) output without throwing, a single document flows
+  * through the pair-based ops as a singleton, and operators with hard
+  * preconditions fail loudly rather than returning broken results.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsOf(rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), docSchema)
+
+  private lazy val empty = docsOf()
+  private lazy val single = docsOf(Row(7L, "only one doc here with a few words", "en", "web", 34L))
+
+  test("empty corpus flows through dedup/curation/text ops without throwing") {
+    assert(ops.Dedup.dedupExact(empty, "doc_id", "text").count() == 0)
+    assert(ops.Dedup.dedupMinhash(empty, "doc_id", "text").count() == 0)
+    assert(ops.Dedup.canonicalize(empty).count() == 0)
+    assert(ops.Dedup.dedupNgramJaccard(empty, "doc_id", "text", "lang", "n_chars",
+      materialize = true).count() == 0)
+    assert(ops.Curation.repetitionStats(empty, "doc_id", "text").count() == 0)
+    assert(ops.Curation.chunkTokens(empty, "doc_id", "text", 64).count() == 0)
+    assert(ops.Curation.qualityFilter(empty, "doc_id", "text").count() == 0)
+    assert(ops.Curation.packSequences(empty, "doc_id", "text", 256L, 8).count() == 0)
+    assert(ops.TextAnalysis.tokenCount(empty, "doc_id", "text").count() == 0)
+    assert(ops.TextAnalysis.tfidf(empty, "doc_id", "lang", "text").count() == 0)
+    assert(ops.Sampling.trainSplit(empty, "doc_id", "lang").count() == 0)
+  }
+
+  test("single-document corpus: pair-based ops emit one clean singleton row") {
+    val mh = ops.Dedup.dedupMinhash(single, "doc_id", "text").collect()
+    assert(mh.length == 1 && mh(0).getAs[Long]("n_candidates") == 0)
+    val ng = ops.Dedup.dedupNgramJaccard(single, "doc_id", "text", "lang", "n_chars",
+      materialize = true).collect()
+    assert(ng.length == 1 && ng(0).getAs[Long]("n_dups") == 0
+      && ng(0).getAs[Int]("in_dropped_bucket") == 0)
+    val qf = ops.Curation.qualityFilter(single, "doc_id", "text").collect()
+    assert(qf.length == 1)
+    val chunks = ops.Curation.chunkTokens(single, "doc_id", "text", 3).collect()
+    assert(chunks.map(_.getAs[Long]("n_chunk_toks")).sum == 8) // 8 whitespace tokens
+  }
+
+  test("annIvf fails loudly when the corpus is smaller than the cell count") {
+    val few = docsOf() // build a 3-vector embedding frame instead
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq.fill(8)(1.0f)), Row(1L, Seq.fill(8)(0.5f)), Row(2L, Seq.fill(8)(0.25f))), 1),
+      embSchema)
+    val ex = intercept[Exception] {
+      ops.Similarity.annIvf(emb, "vec_id", "embedding",
+        col("vec_id") < 1, nCells = 16, nProbe = 2, k = 1, iters = 1).count()
+    }
+    assert(ex.getMessage.contains("fewer than nCells"), s"wrong failure: ${ex.getMessage}")
+    assert(few.count() == 0)
+  }
+}
