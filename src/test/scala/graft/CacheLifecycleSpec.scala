@@ -44,4 +44,26 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assert(ids.intersect(after).isEmpty,
       s"released RDD blocks still retained: ${ids.intersect(after)}")
   }
+
+  test("pairs memo recomputes when the data under the path changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmemo").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // two identical docs → a 1.0-similarity pair
+    write(Seq((0L, "a b c d e f g", "en", "w", 13L), (1L, "a b c d e f g", "en", "w", 13L)))
+    val first = ops.Dedup.dedupMinhash(spark, dir).collect()
+    assert(first.length == 2 && first.forall(_.getAs[Double]("max_sim") == 1.0))
+    // overwrite with three mutually-distinct docs: a stale memo would
+    // still report the old 1.0 pair
+    write(Seq((0L, "p q r s t u v", "en", "w", 13L), (1L, "h i j k l m n", "en", "w", 13L),
+      (2L, "w x y z aa bb cc", "en", "w", 16L)))
+    val second = ops.Dedup.dedupMinhash(spark, dir).collect()
+    assert(second.length == 3, "doc list not refreshed")
+    assert(second.forall(_.getAs[Long]("n_dups") == 0L),
+      "stale memoized pairs served after the data changed")
+    ops.Dedup.releasePairs(spark, dir)
+  }
 }
