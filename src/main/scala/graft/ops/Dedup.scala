@@ -317,6 +317,16 @@ object Dedup {
       minhashVerifiedPairs(spark, dir).filter(col("jacc") >= 0.7),
       Tables.documents(spark, dir).select(col("doc_id")))
 
+  /** DataFrame-first form over any (id, text) corpus (no memoization —
+    * caller owns the frame's lifecycle).
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7): DataFrame =
+    clusterPairs(
+      minhashVerifiedPairs(docs, idCol, textCol, materialize = true)
+        .filter(col("jacc") >= threshold),
+      docs.select(col(idCol).as("doc_id")))
+
   /** Connected components over ANY duplicate-pair frame — the cluster
     * builder is independent of which sketch produced the edges. `pairs`
     * needs (doc_a, doc_b) columns; `docs` needs doc_id (the universe,
@@ -426,6 +436,16 @@ object Dedup {
     perDocSummary(docs,
       pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("sim")),
       "sim", 0.95)
+  }
+
+  /** DataFrame-first form over any (id, vector) corpus. */
+  def dedupEmbedding(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95): DataFrame = {
+    val pairs = Similarity.cosineCandidatePairs(corpus, idCol, vecCol,
+      materialize = true)
+    perDocSummary(corpus.select(col(idCol).as("doc_id")),
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("sim")),
+      "sim", threshold)
   }
 
   /** Exact n-gram Jaccard dedup with content-banded blocking:
