@@ -114,9 +114,16 @@ object Multimodal {
     * every other query prunes it at the scan. Rows-only driver check
     * (byte-level stub), invariants pinned by MultimodalSpec.
     */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaFeatures(catalog(spark, dir))
+
+  /** DataFrame-first form over any catalog-shaped frame (doc_id,
+    * media_type, payload, width, height, n_frames).
+    */
+  def mediaFeatures(cat: DataFrame): DataFrame = {
+    val spark = cat.sparkSession
     import spark.implicits._
-    catalog(spark, dir)
+    cat
       .select(col("doc_id"), col("media_type"), col("payload"),
         col("width"), col("height"), col("n_frames"))
       .as[MediaRecord]
@@ -136,7 +143,13 @@ object Multimodal {
     * so the md5 oracle is exact.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
-    catalog(spark, dir)
+    frameSample(catalog(spark, dir))
+
+  /** DataFrame-first form over any catalog-shaped frame with text +
+    * n_chars columns.
+    */
+  def frameSample(cat: DataFrame): DataFrame =
+    cat
       .filter(col("media_type") === "video")
       .withColumn("k", least(col("n_frames"), lit(4)))
       .withColumn("frame_idx", explode(expr("sequence(0, k - 1)")))
