@@ -312,15 +312,16 @@ object Similarity {
     } finally if (materialize) e.unpersist()
   }
 
-  /** Approximate k-NN via LSH banding. Each vector lands in
-    * $NBands buckets; a query's candidates are corpus vectors sharing
-    * at least one (band, bucket-key). Collision probability per band is
-    * (1 - θ/π)^$RowsPerBand — near-duplicates collide with high
-    * probability, random pairs rarely. Candidates are verified with
-    * exact cosine; per-query top-k via the bounded TopK partial
-    * aggregate. Not SQL-oracle-able (depends on the xxhash64 plane
-    * family) → rows-only check; recall vs [[knnBrute]] is pinned by
-    * SimilaritySpec.
+  /** Approximate k-NN via multi-probe LSH banding. Each corpus vector
+    * lands in $NBands buckets; a QUERY probes each band's exact bucket
+    * plus its one-bit-flip neighbors ([[multiProbeBandBuckets]]), so
+    * candidates are corpus vectors within Hamming distance ≤ 1 of the
+    * query on at least one band — the standard recall lever that costs
+    * only query-side probe rows, not index size. Candidates are
+    * verified with exact cosine; per-query top-k via the bounded TopK
+    * partial aggregate. Not SQL-oracle-able (depends on the xxhash64
+    * plane family) → rows-only check; recall vs [[knnBrute]] is pinned
+    * by SimilaritySpec.
     */
   /** (id, band, bkt) LSH band-bucket assignments for a signed corpus. */
   private def bandBuckets(e: DataFrame, idAs: String): DataFrame =
@@ -331,6 +332,31 @@ object Similarity {
            |  xxhash64(b, ${(0 until RowsPerBand).map(r => s"sig[$RowsPerBand * b + $r]").mkString(", ")}))""".stripMargin)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkt")
+
+  /** Multi-probe band buckets for the QUERY side: each band's exact
+    * bucket plus its $RowsPerBand one-bit-flip neighbors — the standard
+    * multi-probe LSH recall lever. A query now probes buckets within
+    * Hamming distance 1 of its signature per band, so near neighbors
+    * that differ on a single projection bit still collide. Cost is
+    * query-side only (×(1+$RowsPerBand) probe rows on the tiny query
+    * set); the corpus keeps one bucket per band, so index size and the
+    * scan are unchanged.
+    */
+  private def multiProbeBandBuckets(q: DataFrame, idAs: String): DataFrame = {
+    def sigAt(r: Int) = s"sig[$RowsPerBand * b + $r]"
+    val probes = (0 to RowsPerBand).map { p =>
+      val args = (0 until RowsPerBand).map { r =>
+        if (p == r + 1) s"1 - ${sigAt(r)}" else sigAt(r)
+      }.mkString(", ")
+      s"named_struct('band', b, 'bkt', xxhash64(b, $args))"
+    }.mkString(", ")
+    q.select(
+        col("vec_id").as(idAs),
+        explode(expr(
+          s"flatten(transform(sequence(0, ${NBands - 1}), b -> array($probes)))")).as("pb"))
+      .select(col(idAs), col("pb.band").as("band"), col("pb.bkt").as("bkt"))
+      .distinct()
+  }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(spark, dir, materialize = true)
@@ -349,7 +375,7 @@ object Similarity {
     val e0 = withSig(withNorm(corpus, idCol, vecCol))
     val e = if (materialize) e0.persist() else e0
     try {
-      val qb = bandBuckets(e.filter(queryPred), "query_id")
+      val qb = multiProbeBandBuckets(e.filter(queryPred), "query_id")
       val cand = bandBuckets(e, "nid")
         .join(broadcast(qb), Seq("band", "bkt"))
         .filter(col("nid") =!= col("query_id"))

@@ -49,6 +49,8 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     val recall = hit.toDouble / 50
     info(f"ANN recall@5 = $recall%.2f")
-    assert(recall >= 0.2, f"LSH recall collapsed: $recall%.2f")
+    // multi-probe (1-bit-flip neighbors per band) lifted this from
+    // ~0.78 to 1.00 at the test SF — pin well above the single-probe level
+    assert(recall >= 0.6, f"LSH recall collapsed: $recall%.2f")
   }
 }
