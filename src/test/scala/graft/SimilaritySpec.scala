@@ -32,7 +32,7 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     val recall = hit.toDouble / 50
     info(f"IVF recall@5 = $recall%.2f")
-    assert(recall >= 0.2, f"IVF recall collapsed: $recall%.2f")
+    assert(recall >= 0.6, f"IVF recall collapsed: $recall%.2f")
   }
 
   test("annLsh: valid shape; no sim above the exact best; usable recall") {
