@@ -58,9 +58,13 @@ class AdvancedSpec extends AnyFunSuite {
 
   test("correlated IN / NOT IN decorrelate, and NOT IN honors NULL semantics") {
     val df = ops.Advanced.subqueriesIn(spark, sfDir).cache()
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!plan.contains("CartesianProduct"), s"cartesian sneaked in:\n$plan")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated IN/NOT IN degraded to a nested loop:\n$plan")
+    // the IN decorrelates to a semi join and the NOT IN to Spark's
+    // null-aware anti hash join — keyed joins at any scale
+    assert(plan.contains("LeftSemi"), s"IN did not become a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$plan")
     // expected set, recomputed with explicit joins: the correlated IN is
     // a semi join; the NOT IN excludes EVERY customer with an urgent
     // order — matching ones via equality, price>400000 ones via the
