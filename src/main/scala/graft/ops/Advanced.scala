@@ -94,6 +94,36 @@ object Advanced {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** RANGE-frame window: 30-day trailing revenue per customer — the
+    * time-based complement of [[windowBattery]]'s ROWS frames. The
+    * frame is defined over day numbers (days since 1990-01-01), so
+    * same-day orders are peers and the trailing sum includes all of
+    * them regardless of their physical order — RANGE frames are
+    * deterministic under ties where ROWS frames are not. Keyed window
+    * (per-customer partitions) — scales like every other window here.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val dayNo = expr("datediff(o_orderdate, DATE '1990-01-01')")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNo)
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("trail30_sum", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("trail30_n", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("trail30_sum"), col("trail30_n"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val windowRangeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  round(sum(o_totalprice) OVER w, 2) AS trail30_sum,
+      |  count(*) OVER w AS trail30_n
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Correlated subqueries, written in SQL because correlation is
     * SQL-native: a correlated scalar subquery (max supplier balance in
     * the customer's nation — max, not avg, so the scalar is exact and
