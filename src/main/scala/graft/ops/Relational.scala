@@ -665,6 +665,47 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** FULL OUTER join — the reconciliation shape: per-customer order
+    * counts from the early and late halves of the order history, full
+    * outer joined so customers active in only one half still appear
+    * (null side coalesced to 0). Completes the join matrix next to
+    * inner/broadcast/semi/anti/as-of/range/salted. Shuffles once per
+    * side on the join key; the outer join itself is a standard
+    * sort-merge full outer at scale.
+    */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val early = o.filter(col("o_orderdate") < "1996-01-01")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_early"))
+    val late = o.filter(col("o_orderdate") >= "1996-01-01")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_late"))
+    early.join(late, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .withColumn("status",
+        when(col("n_early") === 0, "late_only")
+          .when(col("n_late") === 0, "early_only")
+          .otherwise("both"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val fullOuterJoinSql: String =
+    """WITH early AS (
+      |  SELECT o_custkey, count(*) AS n_early FROM orders
+      |  WHERE o_orderdate < DATE '1996-01-01' GROUP BY o_custkey),
+      |late AS (
+      |  SELECT o_custkey, count(*) AS n_late FROM orders
+      |  WHERE o_orderdate >= DATE '1996-01-01' GROUP BY o_custkey)
+      |SELECT coalesce(early.o_custkey, late.o_custkey) AS o_custkey,
+      |  coalesce(n_early, 0) AS n_early,
+      |  coalesce(n_late, 0) AS n_late,
+      |  CASE WHEN coalesce(n_early, 0) = 0 THEN 'late_only'
+      |       WHEN coalesce(n_late, 0) = 0 THEN 'early_only'
+      |       ELSE 'both' END AS status
+      |FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** Deliberately skewed fact-dim join through the salted path
     * ([[graft.functions.Skew.saltedJoin]]): ~1/3 of orders are remapped
     * onto ONE hot customer key (the replayed-log / default-record
