@@ -124,6 +124,58 @@ object Advanced {
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Time-series gap filling — the dense-calendar pattern every
+    * metrics pipeline needs: build the full (event_type × day) grid
+    * from the observed date bounds, left-join the daily aggregates,
+    * zero-fill counts, and forward-fill the daily average
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame) so
+    * days with no events carry the last observed value. The grid sides
+    * are tiny (|types| and |days| — the only cross join in the
+    * relational surface, both inputs broadcastable); everything else is
+    * one keyed aggregation plus a keyed window. Scales: the grid is
+    * metadata-sized regardless of event volume.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+    val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("avg_ffill",
+        coalesce(last(col("avg_value"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("event_type"), col("day"), col("n"), col("avg_ffill"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val gapFillSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+      |daily AS (
+      |  SELECT event_type, day, count(*) AS n, round(avg(value), 2) AS avg_value
+      |  FROM e GROUP BY event_type, day),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT CAST(min(day) AS TIMESTAMP) AS d0, CAST(max(day) AS TIMESTAMP) AS d1 FROM e)),
+      |grid AS (
+      |  SELECT event_type, day
+      |  FROM (SELECT DISTINCT event_type FROM e) CROSS JOIN days),
+      |filled AS (
+      |  SELECT g.event_type, g.day, coalesce(daily.n, 0) AS n, daily.avg_value
+      |  FROM grid g LEFT JOIN daily ON g.event_type = daily.event_type AND g.day = daily.day)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |  coalesce(last_value(avg_value IGNORE NULLS)
+      |             OVER (PARTITION BY event_type ORDER BY day
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS avg_ffill
+      |FROM filled
+      |ORDER BY event_type, day""".stripMargin
+
   /** Correlated subqueries, written in SQL because correlation is
     * SQL-native: a correlated scalar subquery (max supplier balance in
     * the customer's nation — max, not avg, so the scalar is exact and
