@@ -176,6 +176,58 @@ object Advanced {
       |FROM filled
       |ORDER BY event_type, day""".stripMargin
 
+  /** Event-sequence funnel: per user, the first `view`, the first
+    * `click` strictly after that view, and the first `purchase`
+    * strictly after that click — then the per-stage user counts with
+    * conversion rates. The ordered-sequence constraint is what makes
+    * this a distinct workload from plain aggregation: each stage is a
+    * keyed aggregation joined back and filtered on the previous
+    * stage's timestamp (never a per-user sort or collect). Three keyed
+    * aggs + two keyed joins — every shuffle is on user_id, AQE-friendly
+    * at any scale.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val counts = views.agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_click")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_purchase")))
+    counts.select(
+      col("n_view"), col("n_click"), col("n_purchase"),
+      round(col("n_click") / col("n_view"), 4).as("view_to_click"),
+      round(col("n_purchase") / col("n_click"), 4).as("click_to_purchase"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(ts) AS t_click
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(ts) AS t_purchase
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4) AS view_to_click,
+      |  round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4) AS click_to_purchase""".stripMargin
+
   /** Correlated subqueries, written in SQL because correlation is
     * SQL-native: a correlated scalar subquery (max supplier balance in
     * the customer's nation — max, not avg, so the scalar is exact and
