@@ -179,32 +179,36 @@ object Advanced {
   /** Event-sequence funnel: per user, the first `view`, the first
     * `click` strictly after that view, and the first `purchase`
     * strictly after that click — then the per-stage user counts with
-    * conversion rates. The ordered-sequence constraint is what makes
-    * this a distinct workload from plain aggregation: each stage is a
-    * keyed aggregation joined back and filtered on the previous
-    * stage's timestamp (never a per-user sort or collect). Three keyed
-    * aggs + two keyed joins — every shuffle is on user_id, AQE-friendly
-    * at any scale.
+    * conversion rates. ONE scan and ONE shuffle: the staged timestamps
+    * are conditional-min window functions over the same user_id
+    * partitioning (each stage's `min(CASE …)` references the previous
+    * stage's window output; same partitioning → Catalyst adds Window
+    * operators without new exchanges), then a per-user dedup and one
+    * global count — never a per-user sort, collect, or repeated scan.
+    * The oracle deliberately uses the textbook join-per-stage SQL
+    * formulation: two independent derivations agreeing is a stronger
+    * check than one shape transcribed twice.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
-    val views = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val clicks = e.filter(col("event_type") === "click")
-      .join(views, Seq("user_id"))
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .join(clicks, Seq("user_id"))
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    val counts = views.agg(count(lit(1)).as("n_view"))
-      .crossJoin(clicks.agg(count(lit(1)).as("n_click")))
-      .crossJoin(purchases.agg(count(lit(1)).as("n_purchase")))
-    counts.select(
-      col("n_view"), col("n_click"), col("n_purchase"),
-      round(col("n_click") / col("n_view"), 4).as("view_to_click"),
-      round(col("n_purchase") / col("n_click"), 4).as("click_to_purchase"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+    staged
+      .groupBy(col("user_id"))
+      .agg(first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"),
+        first(col("t_purchase")).as("t_purchase"))
+      .agg(count(col("t_view")).as("n_view"), count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .select(
+        col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click") / col("n_view"), 4).as("view_to_click"),
+        round(col("n_purchase") / col("n_click"), 4).as("click_to_purchase"))
   }
 
   val funnelSql: String =
