@@ -232,6 +232,39 @@ object Advanced {
       |  round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4) AS view_to_click,
       |  round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4) AS click_to_purchase""".stripMargin
 
+  /** Retention cohorts — the other classic event-analytics rollup next
+    * to [[funnel]] and [[gapFill]]: group users by first-activity day
+    * (their cohort), then count distinct users active at each day
+    * offset 0..7 from their cohort day. Two keyed aggregations (first
+    * day per user, distinct user-days) and one keyed join, all on
+    * user_id; the output is |cohorts| × 8 rows regardless of event
+    * volume.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM activity JOIN cohorts USING (user_id)
+      |WHERE datediff('day', cohort_day, day) <= 7
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Correlated subqueries, written in SQL because correlation is
     * SQL-native: a correlated scalar subquery (max supplier balance in
     * the customer's nation — max, not avg, so the scalar is exact and
