@@ -83,6 +83,26 @@ class AdvancedSpec extends AnyFunSuite {
       "NOT IN NULL semantics diverge from the ANSI expectation")
   }
 
+  test("SQL-backed queries run concurrently without racing on temp views") {
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // before per-call namespaced views, concurrent createOrReplaceTempView
+      // calls could rebind another in-flight query's table mid-analysis
+      val futs = (1 to 4).map { _ =>
+        Future {
+          ops.Advanced.subqueries(spark, sfDir).count() * 100000 +
+            ops.Advanced.subqueriesIn(spark, sfDir).count()
+        }
+      }
+      val results = Await.result(Future.sequence(futs),
+        duration.Duration(180, "s"))
+      assert(results.distinct.size == 1,
+        s"concurrent runs disagreed: $results")
+    } finally pool.shutdown()
+  }
+
   test("SQL-backed queries leave no canonically-named temp views behind") {
     ops.Advanced.subqueries(spark, sfDir).count()
     ops.Advanced.subqueriesIn(spark, sfDir).count()
