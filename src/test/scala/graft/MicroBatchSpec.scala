@@ -32,6 +32,47 @@ class MicroBatchSpec extends AnyFunSuite {
     assert(!q.isActive)
   }
 
+  test("curation quality filter composes into the streaming bridge: per-batch == whole-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val seen = new AtomicInteger(0)
+    val kept = new AtomicInteger(0)
+    val q = MicroBatch.start(
+      in.toDF().toDF("doc_id", "text"),
+      // the batch-mode curation op runs unchanged on each micro-batch
+      // (foreachBatch hands the processor a plain batch DataFrame)
+      processor = (_, df) => Success(ops.Curation.qualityFilter(df, "doc_id", "text")),
+      finalizer = (p, e) => {
+        assert(e.isEmpty, s"quality filter failed in-stream: $e")
+        p.foreach { df =>
+          // ONE action per batch, and `seen` updated last: the test
+          // stops the query once seen reaches the corpus size, so any
+          // work after the seen update would race the shutdown
+          val agg = df.agg(
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(col("keep"))).head()
+          kept.addAndGet(agg.getLong(1).toInt)
+          seen.addAndGet(agg.getLong(0).toInt)
+        }
+      },
+      pollInterval = 100.millis)
+    in.addData(docs.take(docs.size / 2))
+    in.addData(docs.drop(docs.size / 2))
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.get() < docs.size && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    MicroBatch.stopGracefully(q)
+    assert(seen.get() == docs.size, s"streamed ${seen.get()} of ${docs.size} docs")
+    // row-local op ⇒ splitting the corpus across micro-batches cannot
+    // change any verdict: streamed keep-count equals the batch run's
+    val batchKept = ops.Curation.qualityFilter(spark, sfDir)
+      .filter(col("keep") === 1).count()
+    assert(kept.get() == batchKept)
+  }
+
   test("processor failure reaches the finalizer and the stream continues") {
     val errs = new AtomicInteger(0)
     val oks = new AtomicInteger(0)
