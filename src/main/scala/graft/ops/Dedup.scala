@@ -156,43 +156,12 @@ object Dedup {
     * the result is an eagerly checkpointed small pair set, so the
     * second consumer pays a block read, not a sketch-pipeline rerun.
     */
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame, Set[Int])]
+  private val pairsMemo = new DatasetMemo("documents.parquet")
 
-  /** Cheap fingerprint of the dataset under `dir`: parquet part file
-    * names, sizes and mtimes. The memo key includes it, so a rewrite of
-    * the data invalidates the entry instead of silently serving stale
-    * pairs (file names are unique per write, so even a same-millisecond
-    * overwrite changes the version).
-    */
-  private def dataVersion(spark: SparkSession, dir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|").hashCode.toString
-  }
-
-  private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ver = dataVersion(spark, dir)
-    pairsMemo.get((spark, dir)) match {
-      case Some((v, df, _)) if v == ver => df
-      case stale =>
-        // data changed (or first use): free the stale entry's blocks,
-        // recompute, re-memoize under the current version
-        if (stale.isDefined) releasePairs(spark, dir)
-        // record which persisted RDDs (the eager localCheckpoint blocks)
-        // this computation creates, so releasePairs can free them — a
-        // memoized strong reference defeats the ContextCleaner's
-        // GC-driven cleanup, which handles every non-memoized checkpoint
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val df = minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
-          materialize = true)
-        val ids = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-        pairsMemo.put((spark, dir), (ver, df, ids.toSet))
-        df
-    }
-  }
+  private[ops] def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrCompute(spark, dir)(
+      minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
+        materialize = true))
 
   /** Release the memoized verified-pair set for (session, dir):
     * unpersists its checkpointed RDD blocks and drops the memo entry.
@@ -202,20 +171,16 @@ object Dedup {
     * storage-release API.)
     */
   def releasePairs(spark: SparkSession, dir: String): Unit =
-    pairsMemo.remove((spark, dir)).foreach { case (_, _, ids) =>
-      val persisted = spark.sparkContext.getPersistentRDDs
-      ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
-    }
+    pairsMemo.release(spark, dir)
 
   /** Drop every memoized pair set across all sessions/datasets. */
-  def clearPairsMemo(): Unit =
-    pairsMemo.keys.toSeq.foreach { case (s, d) => releasePairs(s, d) }
+  def clearPairsMemo(): Unit = pairsMemo.clear()
 
   /** Checkpointed-RDD ids retained by the memo for (session, dir) —
     * exposed for the cache-lifecycle contract tests.
     */
   private[graft] def memoRddIds(spark: SparkSession, dir: String): Set[Int] =
-    pairsMemo.get((spark, dir)).map(_._3).getOrElse(Set.empty)
+    pairsMemo.rddIds(spark, dir)
 
   private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
                                           materialize: Boolean): DataFrame =

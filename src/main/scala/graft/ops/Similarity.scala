@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   *  - [[annIvf]]: inverted-file coarse quantization with spherical
   *    k-means centroids trained on a bounded sample.
   *
-  * Cache lifecycle: every op that reuses an intermediate persists it,
-  * eagerly `localCheckpoint`s the SMALL derived frame (candidate pairs
-  * / verified sims — ≪ corpus), and unpersists the big parent before
-  * returning. Chaining ops therefore never accumulates SQL caches;
-  * the checkpoint also cuts lineage, which is what an iterative or
-  * multi-stage 100 TB job needs anyway.
+  * Cache lifecycle: the driver-contract (spark, dir) forms share ONE
+  * memoized signed-norm corpus per (session, dir, data-version) —
+  * [[signedCorpus]] — so chaining annLsh / cosineCandidatePairs /
+  * Dedup.dedupEmbedding pays the projection + 32 plane dot products
+  * once; [[releaseSigned]] frees it, a data rewrite auto-invalidates
+  * it. DataFrame-first forms persist per call (the caller owns the
+  * corpus), eagerly `localCheckpoint` the SMALL derived frame
+  * (candidate pairs / verified sims — ≪ corpus), and unpersist the big
+  * parent before returning, so chained ops never accumulate SQL caches
+  * and the checkpoint cuts lineage for iteration.
   *
   * All arithmetic is double (floats cast up front, left-to-right
   * summation) so results are bit-comparable with the DuckDB oracle's
@@ -137,6 +141,32 @@ object Similarity {
       (0 until NPlanes).map { p =>
         when(call_function("vec_dot", col("emb"), typedlit(planes(p))) > 0, 1).otherwise(0)
       }: _*))
+
+  private val signedMemo = new DatasetMemo("embeddings.parquet")
+
+  /** Memoized signed-norm corpus for the driver-contract `embeddings`
+    * table: `withSig(withNorm(...))` eagerly `localCheckpoint`ed ONCE
+    * per (session, dir, data-version) and shared by [[annLsh]],
+    * [[cosineCandidatePairs]] and [[Dedup.dedupEmbedding]] — before the
+    * memo each op recomputed the projection + 32 plane dot products per
+    * row independently, and they were the two slowest bench queries.
+    * A data rewrite auto-invalidates (file-level version in the key);
+    * [[releaseSigned]]/[[clearSignedMemo]] free the blocks.
+    */
+  private[ops] def signedCorpus(spark: SparkSession, dir: String): DataFrame =
+    signedMemo.getOrCompute(spark, dir)(
+      withSig(withNorm(spark, dir)).localCheckpoint(true))
+
+  /** Release the memoized signed corpus for (session, dir). */
+  def releaseSigned(spark: SparkSession, dir: String): Unit =
+    signedMemo.release(spark, dir)
+
+  /** Drop every memoized signed corpus across sessions/datasets. */
+  def clearSignedMemo(): Unit = signedMemo.clear()
+
+  /** Retained RDD ids — for the cache-lifecycle contract tests. */
+  private[graft] def signedMemoRddIds(spark: SparkSession, dir: String): Set[Int] =
+    signedMemo.rddIds(spark, dir)
 
   private val NCells = 16
   // half the cells: right for a 16-cell demo index (recall@5 0.90 vs
@@ -284,35 +314,43 @@ object Similarity {
     * so the signed-corpus cache can be dropped before returning.
     */
   def cosineCandidatePairs(spark: SparkSession, dir: String): DataFrame =
-    cosineCandidatePairs(spark, dir, materialize = true)
+    cosinePairsOn(signedCorpus(spark, dir), materialize = true)
 
   /** `materialize = false` returns the full lazy plan (no persist, no
-    * checkpoint) — used by plan contracts, which would otherwise only
-    * see a LogicalRDD scan.
+    * checkpoint, no memo) — used by plan contracts, which would
+    * otherwise only see a LogicalRDD scan.
     */
   private[graft] def cosineCandidatePairs(spark: SparkSession, dir: String,
                                           materialize: Boolean): DataFrame =
-    cosineCandidatePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", materialize)
+    if (materialize) cosineCandidatePairs(spark, dir)
+    else cosinePairsOn(withSig(withNorm(spark, dir)), materialize = false)
 
-  /** DataFrame-first form over any (id, vector) frame. */
+  /** DataFrame-first form over any (id, vector) frame — the caller owns
+    * the corpus lifecycle, so the signed frame is persisted for this
+    * call only (the (spark, dir) form shares the memoized checkpoint).
+    */
   def cosineCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                            materialize: Boolean): DataFrame = {
     val e0 = withSig(withNorm(corpus, idCol, vecCol))
     val e = if (materialize) e0.persist() else e0
-    try {
-      // same capped-bucket self-join machinery as the text dedup path
-      // (Dedup.lshCandidates) — shared so fixes apply to both
-      val buckets = bandBuckets(e, "doc_id")
-        .withColumnRenamed("band", "bucket_id")
-        .withColumnRenamed("bkt", "bucket_hash")
-      val pairs = Dedup.lshCandidates(buckets, maxBucket = 200, materialize)
-        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val verified = pairs
-        .join(e.select(col("vec_id").as("id_a"), col("emb").as("qe"), col("nrm").as("qn")), Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("emb"), col("nrm")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
-      if (materialize) verified.localCheckpoint(true) else verified
-    } finally if (materialize) e.unpersist()
+    try cosinePairsOn(e, materialize)
+    finally if (materialize) e.unpersist()
+  }
+
+  /** Core pair generation over an already-materialized signed corpus. */
+  private def cosinePairsOn(e: DataFrame, materialize: Boolean): DataFrame = {
+    // same capped-bucket self-join machinery as the text dedup path
+    // (Dedup.lshCandidates) — shared so fixes apply to both
+    val buckets = bandBuckets(e, "doc_id")
+      .withColumnRenamed("band", "bucket_id")
+      .withColumnRenamed("bkt", "bucket_hash")
+    val pairs = Dedup.lshCandidates(buckets, maxBucket = 200, materialize)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val verified = pairs
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("qe"), col("nrm").as("qn")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("emb"), col("nrm")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
+    if (materialize) verified.localCheckpoint(true) else verified
   }
 
   /** Approximate k-NN via multi-probe LSH banding. Each corpus vector
@@ -362,42 +400,51 @@ object Similarity {
   }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    annLsh(spark, dir, materialize = true)
+    annLshOn(signedCorpus(spark, dir), col("vec_id") < NQueries, K,
+      materialize = true)
 
-  /** `materialize = false`: full lazy plan for plan contracts. */
+  /** `materialize = false`: full lazy plan (no memo) for plan contracts. */
   private[graft] def annLsh(spark: SparkSession, dir: String,
                             materialize: Boolean): DataFrame =
-    annLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      col("vec_id") < NQueries, K, materialize)
+    if (materialize) annLsh(spark, dir)
+    else annLshOn(withSig(withNorm(spark, dir)), col("vec_id") < NQueries, K,
+      materialize = false)
 
   /** DataFrame-first form; `queryPred` selects query rows by the
-    * canonical `vec_id` column name.
+    * canonical `vec_id` column name. The caller owns the corpus
+    * lifecycle — the signed frame is persisted for this call only
+    * (the (spark, dir) form shares the memoized checkpoint).
     */
   def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, materialize: Boolean): DataFrame = {
     val e0 = withSig(withNorm(corpus, idCol, vecCol))
     val e = if (materialize) e0.persist() else e0
-    try {
-      val qb = multiProbeBandBuckets(e.filter(queryPred), "query_id")
-      val cand = bandBuckets(e, "nid")
-        .join(broadcast(qb), Seq("band", "bkt"))
-        .filter(col("nid") =!= col("query_id"))
-        .select(col("query_id"), col("nid"))
-        .distinct()
-      val verified0 = cand
-        .join(e.select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")), Seq("query_id"))
-        .join(e.select(col("vec_id").as("nid"), col("emb"), col("nrm")), Seq("nid"))
-        .select(col("query_id"), col("nid"),
-          (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
-      // checkpoint the verified candidates (small) so the signed-corpus
-      // cache can be dropped before the result is consumed
-      val verified = if (materialize) verified0.localCheckpoint(true) else verified0
-      verified.groupBy(col("query_id"))
-        .agg(TopK.topK(k)(col("sim"), col("nid")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
-        .orderBy(col("query_id"), col("rank"))
-    } finally if (materialize) e.unpersist()
+    try annLshOn(e, queryPred, k, materialize)
+    finally if (materialize) e.unpersist()
+  }
+
+  /** Core multi-probe ANN over an already-materialized signed corpus. */
+  private def annLshOn(e: DataFrame, queryPred: Column, k: Int,
+                       materialize: Boolean): DataFrame = {
+    val qb = multiProbeBandBuckets(e.filter(queryPred), "query_id")
+    val cand = bandBuckets(e, "nid")
+      .join(broadcast(qb), Seq("band", "bkt"))
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("nid"))
+      .distinct()
+    val verified0 = cand
+      .join(e.select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("nrm")), Seq("nid"))
+      .select(col("query_id"), col("nid"),
+        (expr(dot) / (col("qn") * col("nrm"))).as("sim"))
+    // checkpoint the verified candidates (small) so downstream consumers
+    // never re-run the candidate joins
+    val verified = if (materialize) verified0.localCheckpoint(true) else verified0
+    verified.groupBy(col("query_id"))
+      .agg(TopK.topK(k)(col("sim"), col("nid")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -203,8 +203,9 @@ object TextAnalysis {
     * tf(lang, term) = occurrences of term in that language's documents
     * and idf(term) = ln(N / df) over document frequency. Three keyed
     * aggregations (term counts, document frequencies, corpus size) —
-    * all partial+final hash aggs — then a broadcast of the 1-row corpus
-    * count and the |vocab|-row df table. The final per-language top-5
+    * all partial+final hash aggs — then a shuffled equi-join of the two
+    * term-keyed tables (the df side is vocabulary-sized, never broadcast)
+    * and a broadcast of the 1-row corpus count. The final per-language top-5
     * is the bounded [[graft.functions.TopKTermAggregator]] partial
     * aggregate — each map task emits ≤ 5 terms per language before the
     * shuffle, so an unbounded vocabulary never funnels through one
@@ -224,8 +225,12 @@ object TextAnalysis {
     val df = tok.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = d.agg(count(lit(1)).as("n_total"))
+    // tf⋈df is a plain shuffled equi-join on `term`: both sides are
+    // term-keyed aggregates, and the df side is |vocabulary|-sized — at
+    // web-corpus scale that is 1e8-1e9 distinct terms, far past anything
+    // broadcastable. Only the 1-row corpus count is broadcast.
     val scored = tf
-      .join(broadcast(df), Seq("term"))
+      .join(df, Seq("term"))
       .crossJoin(broadcast(total))
       .withColumn("score", round(col("tf") * log(col("n_total") / col("df")), 4))
     scored.groupBy(col("lang"))

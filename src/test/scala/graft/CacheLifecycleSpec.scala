@@ -45,6 +45,59 @@ class CacheLifecycleSpec extends AnyFunSuite {
       s"released RDD blocks still retained: ${ids.intersect(after)}")
   }
 
+  test("releaseSigned frees the memoized signed-corpus checkpoint blocks") {
+    ops.Similarity.annLsh(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val ids = ops.Similarity.signedMemoRddIds(spark, sfDir)
+    assert(ids.nonEmpty, "signed memo recorded no checkpointed RDDs")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(persisted).nonEmpty,
+      s"no signed-memo id among persisted RDDs $persisted — memo holds nothing")
+    ops.Similarity.releaseSigned(spark, sfDir)
+    assert(ops.Similarity.signedMemoRddIds(spark, sfDir).isEmpty,
+      "signed memo entry not evicted")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(after).isEmpty,
+      s"released signed-corpus blocks still retained: ${ids.intersect(after)}")
+  }
+
+  test("ann ops reuse ONE memoized signed corpus per (session, dir)") {
+    ops.Similarity.clearSignedMemo()
+    ops.Similarity.annLsh(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val ids1 = ops.Similarity.signedMemoRddIds(spark, sfDir)
+    assert(ids1.nonEmpty)
+    // a second op over the same dataset must serve the memo, not
+    // checkpoint a second signed corpus
+    ops.Dedup.dedupEmbedding(spark, sfDir).write.format("noop").mode("overwrite").save()
+    assert(ops.Similarity.signedMemoRddIds(spark, sfDir) == ids1,
+      "dedupEmbedding re-materialized the signed corpus instead of sharing the memo")
+    ops.Similarity.releaseSigned(spark, sfDir)
+  }
+
+  test("signed memo recomputes when the embedding data under the path changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsigmemo").toString
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => (((seed * 31 + d) % 17) - 8).toFloat / 8f)
+    def write(ids: Seq[Int]): Unit =
+      ids.map(i => (i.toLong, if (i >= 20) vec(i % 2) else vec(i)))
+        .toDF("vec_id", "embedding").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // corpus A: queries 0..9 plus near-identical twins 20,21 of 0 and 1
+    write((0 until 10) ++ Seq(20, 21))
+    val first = ops.Similarity.annLsh(spark, dir).collect()
+    assert(first.map(_.getAs[Long]("neighbor_id")).toSet.intersect(Set(20L, 21L)).nonEmpty,
+      "planted twins not found on the first corpus")
+    // corpus B: the twins move to ids 50,51 — a stale memo would still
+    // emit neighbors 20/21, which no longer exist
+    write((0 until 10) ++ Seq(50, 51))
+    val second = ops.Similarity.annLsh(spark, dir).collect()
+    val neighbors = second.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors.intersect(Set(20L, 21L)).isEmpty,
+      "stale memoized signed corpus served after the data changed")
+    assert(neighbors.subsetOf((0L until 10L).toSet ++ Set(50L, 51L)))
+    ops.Similarity.releaseSigned(spark, dir)
+  }
+
   test("pairs memo recomputes when the data under the path changes") {
     val dir = java.nio.file.Files.createTempDirectory("graftmemo").toString
     import spark.implicits._

@@ -93,6 +93,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected the TopK UDAF aggregate in the plan:\n$plan")
   }
 
+  test("tfidf joins tf to the vocabulary-sized df table by shuffle, never broadcast") {
+    // kill size-estimate-driven broadcasts so any BroadcastExchange left
+    // is hint-driven; the ONLY legitimate hint in tfidf is the 1-row
+    // corpus count — a broadcast of the df side would ship the whole
+    // vocabulary (1e8-1e9 terms on a web corpus) to every executor
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = formatted(ops.TextAnalysis.tfidf(spark, sfDir))
+      // count tree nodes ("BroadcastExchange (n)"), not the per-node
+      // detail section that repeats each operator name
+      val broadcasts = "BroadcastExchange \\(\\d".r.findAllIn(plan).size
+      assert(broadcasts == 1,
+        s"expected exactly the 1-row corpus-count broadcast, got $broadcasts:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("scalar/regex/array batteries stay inside whole-stage codegen") {
     Seq(
       ops.Relational.scalarFuncs(spark, sfDir),
