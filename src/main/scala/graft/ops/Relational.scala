@@ -410,7 +410,7 @@ object Relational {
     * single pass, fixed memory per group, mergeable across partitions:
     * the 100 TB replacement for [[percentiles]]' exact sort. No SQL
     * oracle (sketch estimates are engine-specific); error vs the exact
-    * values is bounded by RelationalApproxSpec.
+    * values is bounded by RelationalSpec.
     */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -738,4 +738,218 @@ object Relational {
       |JOIN customer ON skey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Ordered string aggregation: per nation, a CSV of "segment:count"
+    * entries over its customers — both the native `listagg ... WITHIN
+    * GROUP (ORDER BY ...)` form (Spark 4) and the classic
+    * `array_join(array_sort(collect_list(...)))` composition, in one
+    * output so the oracle pins them equal. Two-level aggregation: the
+    * inner (nation, segment) count is a partial+final hash agg, so the
+    * string agg itself only ever sees |segments| rows per nation —
+    * the group size is bounded by the segment domain, which is the
+    * contract that makes string aggregation safe at 100 TB (an ordered
+    * string agg over UNBOUNDED groups concentrates whole groups in
+    * memory and has no scale story).
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val seg = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("entry", concat_ws(":", col("c_mktsegment"), col("cnt")))
+    seg.groupBy(col("n_name"))
+      .agg(
+        expr("listagg(entry, ',') WITHIN GROUP (ORDER BY entry)").as("segments"),
+        array_join(array_sort(collect_list(col("entry"))), ",").as("segments_composed"),
+        sum(col("cnt")).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  val stringAggSql: String =
+    """WITH seg AS (
+      |  SELECT n_name, c_mktsegment || ':' || count(*) AS entry, count(*) AS cnt
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_mktsegment)
+      |SELECT n_name,
+      |  string_agg(entry, ',' ORDER BY entry) AS segments,
+      |  string_agg(entry, ',' ORDER BY entry) AS segments_composed,
+      |  sum(cnt) AS n_customers
+      |FROM seg GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Statistical-aggregate battery: correlation, covariance, standard
+    * deviation / variance and least-squares slope+intercept of
+    * extendedprice on quantity, per return flag. All are single-pass
+    * co-moment aggregates (partial+final, map-side combined) — the
+    * shape that replaces "collect and fit" at scale. Unit-scale
+    * outputs (corr, slope) round at 4; price-scale moments at 2.
+    */
+  def statsBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
+      .orderBy(col("l_returnflag"))
+
+  val statsBatterySql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Latest-record-per-key compaction (the CDC / upsert-log shape):
+    * one row per user carrying their most recent event, via
+    * `max(struct(ts, event_id, ...))` — an ARGMAX AGGREGATION, not a
+    * window: partial aggregation reduces each map task to one row per
+    * key before the shuffle, where a row_number window would shuffle
+    * every event and sort each user's history just to keep one row.
+    * The (ts, event_id) prefix makes the pick deterministic under
+    * same-timestamp ties.
+    */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("es"), col("event_id"), col("event_type"))).as("m"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.es").as("last_ts_sec"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+
+  val latestByKeySql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) // 1000000 AS es,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  es AS last_ts_sec, n_events
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Equi-width numeric histogram of order totals: the bucket id is a
+    * row-local floor division, so the whole histogram is one
+    * partial+final hash agg over ≤ |buckets| groups — scan speed at
+    * any scale. (Equi-DEPTH histograms at scale go through
+    * approx_percentile — see [[approxPercentiles]] — never a global
+    * ntile sort.)
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((floor(col("o_totalprice") / 50000) * 50000).cast("long").as("bucket_lo"),
+        col("o_totalprice"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("bucket_lo"))
+
+  val histogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+      |  count(*) AS n_orders,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket_lo""".stripMargin
+
+  /** Grouped argmax: each nation's dominant market segment — the
+    * `max(struct(metric, key))` pick again ([[latestByKey]]), stacked
+    * on a keyed count. Deterministic under count ties via the segment
+    * name in the struct; both levels are partial+final hash aggs.
+    */
+  def argmaxSegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("n_name"))
+      .agg(max(struct(col("cnt"), col("c_mktsegment"))).as("m"),
+        sum(col("cnt")).as("n_customers"))
+      .select(col("n_name"), col("m.c_mktsegment").as("top_segment"),
+        col("m.cnt").as("top_count"), col("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  val argmaxSegmentSql: String =
+    """WITH seg AS (
+      |  SELECT n_name, c_mktsegment, count(*) AS cnt
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_mktsegment),
+      |r AS (
+      |  SELECT n_name, c_mktsegment, cnt,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY cnt DESC, c_mktsegment DESC) AS rn,
+      |    sum(cnt) OVER (PARTITION BY n_name) AS n_customers
+      |  FROM seg)
+      |SELECT n_name, c_mktsegment AS top_segment, cnt AS top_count, n_customers
+      |FROM r WHERE rn = 1
+      |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    * supplier region and customer region by ship year, through a
+    * five-way join — lineitem ⋈ supplier ⋈ orders ⋈ customer plus TWO
+    * roles of the (nation ⋈ region) dim. The dims are broadcast; the
+    * fact-fact join (lineitem ⋈ orders) shuffles on the order key; the
+    * output is bounded by |regions|² × |years|. (Regions rather than a
+    * nation pair so the result is non-empty at every scale factor —
+    * the smallest test corpus covers only 10 of 25 nations.)
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+    val n1 = nr.select(col("n_nationkey").as("s_nk"), col("r_name").as("supp_region"))
+    val n2 = nr.select(col("n_nationkey").as("c_nk"), col("r_name").as("cust_region"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).as("l_year"))
+      // sum exact integer CENTS, not doubles: each row rounds
+      // deterministically on both engines, and the BIGINT sum is
+      // order-independent — round(sum(double)) flips the last cent
+      // whenever the engines' summation orders differ at a .005 boundary
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+  }
+
+  val volumeShippingSql: String =
+    """SELECT supp_region, cust_region, l_year,
+      |  sum(CAST(round(volume * 100) AS BIGINT)) AS revenue_cents
+      |FROM (
+      |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+      |    year(l_shipdate) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey) t
+      |GROUP BY supp_region, cust_region, l_year
+      |ORDER BY supp_region, cust_region, l_year""".stripMargin
 }
