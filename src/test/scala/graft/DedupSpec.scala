@@ -119,4 +119,33 @@ class DedupSpec extends AnyFunSuite {
           "blocking key cardinality is not scaling with the corpus")
     } finally df.unpersist()
   }
+
+  test("dedupNgramJaccard flags EXACTLY the members of a planted over-cap bucket") {
+    // 1100 identical docs share all three bottom-shingle buckets, each
+    // of size 1100 > the 1000 cap → every bucket they touch is dropped.
+    // The visibility contract: each of them (and ONLY them) must come
+    // back with in_dropped_bucket=1 and zero candidates — that flag is
+    // how a pipeline owner measures the recall the cap cost, instead of
+    // reading "no duplicates" for what are in fact exact copies.
+    import spark.implicits._
+    val boiler = (0 until 1100).map(i =>
+      (i.toLong, "same boilerplate navigation footer text repeated on every page", "en", 62L))
+    val unique = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta iota", "en", 50L),
+      (5001L, "one two three four five six seven eight nine ten", "en", 48L))
+    val docs = (boiler ++ unique).toDF("doc_id", "text", "lang", "n_chars")
+    val out = ops.Dedup
+      .dedupNgramJaccard(docs, "doc_id", "text", "lang", "n_chars", materialize = true)
+      .cache()
+    try {
+      val flagged = out.filter(col("in_dropped_bucket") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(flagged == (0L until 1100L).toSet,
+        s"flag set wrong: ${flagged.size} flagged, expected the 1100 planted docs")
+      assert(out.filter(col("in_dropped_bucket") === 1 && col("n_candidates") =!= 0)
+        .count() == 0, "docs whose every bucket was dropped must report zero candidates")
+      assert(out.filter(col("doc_id") >= 5000L && col("in_dropped_bucket") === 1)
+        .count() == 0, "unique docs wrongly marked as dropped-bucket members")
+    } finally out.unpersist()
+  }
 }
