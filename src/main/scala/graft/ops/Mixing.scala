@@ -1,0 +1,184 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition & data-mixing operators — the "what goes into the
+  * training run" half of a pipeline, next to [[Dedup]]/[[Curation]]'s
+  * "is each document good" half. (Driver north star; the reference
+  * engine — go-batch-processor `batch_processor.go:1-194` — has no
+  * relational surface, so these derive from the training-data-pipeline
+  * extension mandate, not a reference operator.)
+  *
+  * Everything here follows the same scale discipline: per-group
+  * metadata frames (|langs|, |sources| rows) are computed with keyed
+  * partial+final aggregations, broadcast back onto the corpus, and the
+  * per-document decisions are row-local, deterministic, RNG-free
+  * arithmetic — reproducible across engines, runs, and partitionings,
+  * which is what lets the DuckDB oracle pin them exactly.
+  */
+object Mixing {
+
+  /** Temperature-scaled language resampling (the standard multilingual
+    * data-mixing move): with α = 0.5, a language with share p is
+    * sampled at a rate ∝ p^(α−1) = p^(−1/2), normalized so the RAREST
+    * language keeps everything — high-resource languages are
+    * down-sampled toward the temperature-flattened mix. Per-language
+    * keep rates are basis points (floor(√(n_min/n_l) · 10000)), and
+    * membership is the overflow-safe multiplicative hash of the doc id
+    * ([[Sampling.splitBucket]]'s arithmetic over 10000 buckets) — a
+    * row-local deterministic decision, so the mix is reproducible and
+    * the oracle exact. One aggregation + one broadcast join + one
+    * conditional re-aggregation; nothing corpus-sized shuffles twice.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir), "doc_id", "lang")
+
+  /** DataFrame-first form over any (id, group) frame. */
+  def temperatureMix(docs: DataFrame, idCol: String, langCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate_bp",
+        floor(sqrt(col("n_min") / col("n_docs")) * 10000).cast("long"))
+      .select(col("lang"), col("n_docs"), col("rate_bp"))
+    d.withColumn("bucket",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(10000L)))
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"), col("rate_bp"))
+      .agg(sum(when(col("bucket") < col("rate_bp"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |m AS (SELECT min(n_docs) AS n_min FROM c),
+      |r AS (SELECT lang, n_docs,
+      |        CAST(floor(sqrt(n_min / n_docs) * 10000) AS BIGINT) AS rate_bp
+      |      FROM c, m),
+      |d AS (SELECT lang,
+      |        ((doc_id % 1000000007) * 2654435761) % 10000 AS bucket
+      |      FROM documents)
+      |SELECT r.lang, r.n_docs, r.rate_bp,
+      |  sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS n_kept
+      |FROM d JOIN r ON d.lang = r.lang
+      |GROUP BY r.lang, r.n_docs, r.rate_bp
+      |ORDER BY r.lang""".stripMargin
+
+  private val TokenBudget = 3000L
+
+  /** Per-language token-budget trimming: rank documents within each
+    * language by quality (length proxy here, unique-keyed on doc_id)
+    * and keep the prefix whose RUNNING token total stays within the
+    * budget — "give me the best B tokens per language". One keyed
+    * window (partitioned by language, never global), and the OUTPUT is
+    * bounded by budget × |languages| regardless of corpus size — the
+    * trim is exactly the operator whose result stays small as the
+    * input grows.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.documents(spark, dir), "doc_id", "lang", "text",
+      "n_chars", TokenBudget)
+
+  /** DataFrame-first form; `qualityCol` orders candidates (descending)
+    * inside each language.
+    */
+  def tokenBudget(docs: DataFrame, idCol: String, langCol: String,
+                  textCol: String, qualityCol: String, budget: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      col(qualityCol).as("quality"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT lang, doc_id, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudget
+       |ORDER BY lang, doc_id""".stripMargin
+
+  /** Length-outlier detection per language: exact interpolated
+    * percentiles (p05/p95 — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) define each language's normal band; documents
+    * outside it are counted as outliers. The percentile aggregation is
+    * per-language (keyed, partial+final); the |langs|-row band table is
+    * broadcast back, so flagging is a row-local comparison at scan
+    * speed. The classic pre-training length filter, made explainable:
+    * the band bounds ship with the counts.
+    */
+  def outlierBands(spark: SparkSession, dir: String): DataFrame =
+    outlierBands(Tables.documents(spark, dir), "lang", "n_chars")
+
+  /** DataFrame-first form over any (group, measure) frame. */
+  def outlierBands(docs: DataFrame, langCol: String, measureCol: String): DataFrame = {
+    val d = docs.select(col(langCol).as("lang"), col(measureCol).as("m"))
+    val bands = d.groupBy(col("lang")).agg(
+      round(percentile(col("m"), lit(0.05)), 2).as("p05"),
+      round(percentile(col("m"), lit(0.95)), 2).as("p95"))
+    d.join(broadcast(bands), Seq("lang"))
+      .groupBy(col("lang"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("m") < col("p05") || col("m") > col("p95"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("lang"), col("n_docs"), col("n_outliers"), col("p05"), col("p95"))
+      .orderBy(col("lang"))
+  }
+
+  val outlierBandsSql: String =
+    """WITH b AS (
+      |  SELECT lang, round(quantile_cont(n_chars, 0.05), 2) AS p05,
+      |    round(quantile_cont(n_chars, 0.95), 2) AS p95
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, count(*) AS n_docs,
+      |  sum(CASE WHEN n_chars < p05 OR n_chars > p95 THEN 1 ELSE 0 END) AS n_outliers,
+      |  p05, p95
+      |FROM documents d JOIN b ON d.lang = b.lang
+      |GROUP BY d.lang, p05, p95
+      |ORDER BY d.lang""".stripMargin
+
+  /** Per-source duplication-rate report: how much of each source's
+    * volume is redundant (1 − distinct texts / docs) — the monitoring
+    * artifact a pipeline owner watches to decide which crawl sources
+    * to throttle. `countDistinct` on the text expands to the standard
+    * two-phase distinct aggregation; at 100 TB the text would be
+    * pre-hashed to a 128-bit key first (semantics identical — see
+    * [[Dedup.dedupExact]]).
+    */
+  def sourceDupRate(spark: SparkSession, dir: String): DataFrame =
+    sourceDupRate(Tables.documents(spark, dir), "source", "text")
+
+  /** DataFrame-first form over any (group, content) frame. */
+  def sourceDupRate(docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"), col(textCol).as("text"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique") / col("n_docs"), 4))
+      .orderBy(col("source"))
+
+  val sourceDupRateSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT text) AS n_unique,
+      |  round(1.0 - count(DISTINCT text) / count(*), 4) AS dup_rate
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+}
