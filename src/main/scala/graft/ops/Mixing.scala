@@ -40,8 +40,15 @@ object Mixing {
   def temperatureMix(docs: DataFrame, idCol: String, langCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    // n_min via an unpartitioned window OVER THE |langs|-ROW COUNTS
+    // FRAME (metadata-sized — the single-partition window is fine
+    // there), not counts.agg(min).crossJoin: without a cache the agg
+    // branch would re-derive the counts subtree and scan the corpus a
+    // third time
+    val rates = counts
+      .withColumn("n_min",
+        min(col("n_docs")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rate_bp",
         floor(sqrt(col("n_min") / col("n_docs")) * 10000).cast("long"))
       .select(col("lang"), col("n_docs"), col("rate_bp"))

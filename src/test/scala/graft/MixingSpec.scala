@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the corpus-composition operators beyond
+  * the DuckDB oracle: the oracle pins exact values on the test corpus;
+  * these pin the SEMANTIC contracts (rarest-language anchoring, budget
+  * maximality, determinism) on planted data where the expected shape
+  * is known by construction.
+  */
+class MixingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("temperatureMix: rarest language keeps everything, larger ones are down-sampled") {
+    import spark.implicits._
+    // 400 en, 100 de, 25 fr → rates ∝ 1/sqrt(n): fr (rarest) = 10000 bp,
+    // de = sqrt(25/100) = 5000 bp, en = sqrt(25/400) = 2500 bp
+    val docs = ((0 until 400).map(i => (i.toLong, "en")) ++
+      (1000 until 1100).map(i => (i.toLong, "de")) ++
+      (2000 until 2025).map(i => (i.toLong, "fr")))
+      .toDF("doc_id", "lang")
+    val out = ops.Mixing.temperatureMix(docs, "doc_id", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("rate_bp"), r.getAs[Long]("n_kept"))).toMap
+    assert(out("fr") == ((25L, 10000L, 25L)), s"rarest language must keep all: $out")
+    assert(out("de")._2 == 5000L && out("en")._2 == 2500L, s"rates off: $out")
+    // hash membership is uniform-ish, not exact — bound it loosely; the
+    // DETERMINISM is the contract (re-run must agree exactly)
+    assert(out("en")._3 > 50 && out("en")._3 < 200, s"en keep count implausible: $out")
+    val again = ops.Mixing.temperatureMix(docs, "doc_id", "lang")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(again == out.map { case (k, v) => k -> v._3 }, "mix is not deterministic")
+  }
+
+  test("tokenBudget: kept set is the maximal quality-ranked prefix within budget") {
+    import spark.implicits._
+    // 10 docs, 100 tokens each (quality = doc_id here), budget 350 →
+    // exactly the top-3 quality docs fit (300 ≤ 350 < 400)
+    val text = (1 to 100).map(_ => "w").mkString(" ")
+    val docs = (0 until 10).map(i => (i.toLong, "en", text, i.toLong))
+      .toDF("doc_id", "lang", "text", "quality")
+    val out = ops.Mixing.tokenBudget(docs, "doc_id", "lang", "text", "quality", 350L)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(9L, 8L, 7L),
+      s"must keep exactly the top-3 quality docs: ${out.mkString(",")}")
+    assert(out.map(_.getAs[Long]("cum_tokens")).max == 300L)
+  }
+
+  test("outlierBands: flags exactly the planted extremes") {
+    import spark.implicits._
+    // 98 docs at length 100 plus two planted extremes → p05 = p95 = 100,
+    // so exactly the extremes fall outside the band
+    val docs = ((0 until 98).map(i => (i.toLong, "en", 100L)) ++
+      Seq((98L, "en", 1L), (99L, "en", 100000L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val row = ops.Mixing.outlierBands(docs, "lang", "n_chars").collect().head
+    assert(row.getAs[Long]("n_docs") == 100L)
+    assert(row.getAs[Long]("n_outliers") == 2L,
+      s"expected exactly the two planted extremes: $row")
+  }
+
+  test("sourceDupRate: rate reflects planted duplication exactly") {
+    import spark.implicits._
+    val docs = (Seq.fill(8)("copy me") ++ Seq("a", "b")).zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i < 8) "dupsrc" else "clean", t) }
+      .toDF("doc_id", "source", "text")
+    val out = ops.Mixing.sourceDupRate(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"), r.getAs[Double]("dup_rate"))).toMap
+    assert(out("dupsrc") == ((8L, 1L, 0.875)), s"dup rate wrong: $out")
+    assert(out("clean") == ((2L, 2L, 0.0)), s"clean source must show zero dup: $out")
+  }
+}
