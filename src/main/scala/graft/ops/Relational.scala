@@ -739,6 +739,69 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): both sides
+    * aggregate on a key with injected NULLs, then join null-safely so
+    * the NULL group MATCHES (a plain `=` join silently drops it — the
+    * classic missing-row bug when a bucketing expression can produce
+    * NULL). Both sides are pre-aggregated so the NULL key is one row
+    * per side, never a hot key; Spark plans `<=>` as an ordinary
+    * equi-join key (hash/SMJ-able), not a nested loop. The NULL key is
+    * coalesced to −1 on output so Spark/DuckDB NULL-ordering
+    * differences cannot perturb the compare.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.orders(spark, dir)
+      .select(expr("nullif(o_custkey % 50, 7)").as("nkey"))
+      .groupBy(col("nkey")).agg(count(lit(1)).as("n_orders"))
+    val r = Tables.customer(spark, dir)
+      .select(expr("nullif(c_custkey % 50, 7)").as("nkey"))
+      .groupBy(col("nkey")).agg(count(lit(1)).as("n_cust"))
+    l.join(r, l("nkey") <=> r("nkey"))
+      .select(coalesce(l("nkey"), lit(-1L)).as("nkey"),
+        col("n_orders"), col("n_cust"))
+      .orderBy(col("nkey"))
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH l AS (
+      |  SELECT nullif(o_custkey % 50, 7) AS nkey, count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT nullif(c_custkey % 50, 7) AS nkey, count(*) AS n_cust
+      |  FROM customer GROUP BY 1)
+      |SELECT coalesce(l.nkey, -1) AS nkey, n_orders, n_cust
+      |FROM l JOIN r ON l.nkey IS NOT DISTINCT FROM r.nkey
+      |ORDER BY nkey""".stripMargin
+
+  /** Exact DECIMAL aggregation: prices cast to DECIMAL(18,2) up front,
+    * so the sum is EXACT and order-independent — the principled answer
+    * to cross-engine double-sum drift (see [[volumeShipping]]'s
+    * integer-cent workaround): financial rollups at 100 TB should
+    * aggregate decimals, where any summation order gives the same
+    * digits. Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2) — same
+    * scale, so the oracle compares value-exact with no rounding.
+    */
+  def decimalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("price")).as("sum_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  val decimalAggSql: String =
+    """SELECT o_orderstatus,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+      |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+      |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Ordered string aggregation: per nation, a CSV of "segment:count"
     * entries over its customers — both the native `listagg ... WITHIN
     * GROUP (ORDER BY ...)` form (Spark 4) and the classic
