@@ -53,6 +53,23 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(chunks.map(_.getAs[Long]("n_chunk_toks")).sum == 8) // 8 whitespace tokens
   }
 
+  test("empty and single-group corpora flow through the mixing ops") {
+    assert(ops.Mixing.temperatureMix(empty, "doc_id", "lang").count() == 0)
+    assert(ops.Mixing.tokenBudget(empty, "doc_id", "lang", "text", "n_chars", 100L)
+      .count() == 0)
+    assert(ops.Mixing.outlierBands(empty, "lang", "n_chars").count() == 0)
+    assert(ops.Mixing.sourceDupRate(empty, "source", "text").count() == 0)
+    // one language: it is its own rarest language → rate 10000, keeps all
+    val one = ops.Mixing.temperatureMix(single, "doc_id", "lang").collect()
+    assert(one.length == 1 && one(0).getAs[Long]("rate_bp") == 10000L
+      && one(0).getAs[Long]("n_kept") == 1L)
+    // one doc under budget: kept; its own percentile band: not an outlier
+    assert(ops.Mixing.tokenBudget(single, "doc_id", "lang", "text", "n_chars", 100L)
+      .count() == 1)
+    val band = ops.Mixing.outlierBands(single, "lang", "n_chars").collect().head
+    assert(band.getAs[Long]("n_outliers") == 0L)
+  }
+
   test("annIvf fails loudly when the corpus is smaller than the cell count") {
     val few = docsOf() // build a 3-vector embedding frame instead
     val embSchema = StructType(Seq(
