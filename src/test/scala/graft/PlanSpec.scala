@@ -122,6 +122,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE re-plans at runtime: fact-fact join finalizes adaptively") {
+    // the scale contract: plans stay adaptive so real clusters get
+    // runtime partition coalescing / skew handling / join re-selection
+    // from actual shuffle statistics, not estimates. Execute a
+    // fact-fact join and require the finalized adaptive plan; at this
+    // tiny SF the runtime stats also let AQE upgrade the static
+    // sort-merge join to a broadcast join — assert at least one of the
+    // adaptive artifacts (upgrade or AQEShuffleRead) materialized.
+    val df = ops.Relational.orderLineitemJoin(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"),
+      s"query did not run through AQE:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("AQEShuffleRead"),
+      s"no adaptive artifact (runtime join upgrade / shuffle read) in final plan:\n$plan")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
