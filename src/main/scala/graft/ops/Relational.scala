@@ -739,6 +739,33 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Conditional / boolean aggregate battery: `count_if`, `bool_or`,
+    * `bool_and` and interpolated `median` per order priority — the
+    * "quality gate" aggregation shapes (how many violations, does any
+    * row violate, do all rows satisfy) as single-pass hash aggregates.
+    * median == DuckDB quantile_cont(0.5), value-exact cross-engine.
+    */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") > 300000).as("n_big"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        bool_and(col("o_totalprice") > 0).as("all_pos"),
+        round(median(col("o_totalprice")), 2).as("med_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val condAggSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+      |  bool_or(o_orderstatus = 'F') AS any_f,
+      |  bool_and(o_totalprice > 0) AS all_pos,
+      |  round(median(o_totalprice), 2) AS med_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): both sides
     * aggregate on a key with injected NULLs, then join null-safely so
     * the NULL group MATCHES (a plain `=` join silently drops it — the
