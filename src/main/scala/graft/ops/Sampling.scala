@@ -88,4 +88,47 @@ object Sampling {
       |WHERE ((doc_id % 1000000007) * 1103515245 + 12345) % 100
       |      < (CASE WHEN lang = 'en' THEN 10 ELSE 20 END)
       |ORDER BY doc_id""".stripMargin
+
+  /** Split-leakage detection — the training-data QA check that a
+    * duplicated document does not straddle splits (an eval doc whose
+    * text also sits in train invalidates the eval): per split, how many
+    * documents' text also appears in ANOTHER split. Documents are keyed
+    * by md5(text) (the one hash both engines share), so the two
+    * text-keyed shuffles carry a 32-char digest, never the document
+    * body — the same pre-hash discipline as [[Curation]]'s
+    * decontamination join, and the right shape at 100 TB. Output is
+    * one row per split (always 3 rows), so the report is stable even
+    * on a leak-free corpus.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, content) frame. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("tkey"),
+      splitName(splitBucket(col(idCol))).as("split"))
+    val spread = d.groupBy(col("tkey"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    d.join(spread, Seq("tkey"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("n_splits") > 1).as("n_leaked"))
+      .orderBy(col("split"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS tkey,
+      |    CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train'
+      |         WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |s AS (
+      |  SELECT tkey, count(DISTINCT split) AS n_splits FROM d GROUP BY tkey)
+      |SELECT split, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE n_splits > 1) AS n_leaked
+      |FROM d JOIN s ON d.tkey = s.tkey
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
 }
