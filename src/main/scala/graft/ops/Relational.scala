@@ -909,9 +909,23 @@ object Relational {
     * same-timestamp ties.
     */
   def latestByKey(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("es"))
+    latestByKey(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es")),
+      "user_id", "event_id", "event_type", "es")
+
+  /** DataFrame-first form over any (key, seq-id, payload, epoch-sec)
+    * frame. The argmax is MERGEABLE: re-aggregating per-partition (or
+    * per-micro-batch) outputs with max(struct)+sum(n_events) yields the
+    * exact global result — pinned by MicroBatchSpec's streaming parity
+    * test, and the property that makes the op incremental-friendly.
+    */
+  def latestByKey(events: DataFrame, keyCol: String, idCol: String,
+                  typeCol: String, tsCol: String): DataFrame =
+    events
+      .select(col(keyCol).as("user_id"), col(idCol).as("event_id"),
+        col(typeCol).as("event_type"), col(tsCol).as("es"))
       .groupBy(col("user_id"))
       .agg(
         max(struct(col("es"), col("event_id"), col("event_type"))).as("m"),

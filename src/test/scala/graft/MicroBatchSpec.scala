@@ -73,6 +73,68 @@ class MicroBatchSpec extends AnyFunSuite {
     assert(kept.get() == batchKept)
   }
 
+  test("latest-by-key argmax merges across micro-batches to the exact whole-batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val partials = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long, Long)]
+    val seen = new AtomicInteger(0)
+    val q = MicroBatch.start(
+      in.toDF().toDF("user_id", "event_id", "event_type", "es"),
+      // the BATCH op runs unchanged per micro-batch; each batch emits
+      // its own per-key argmax partial
+      processor = (_, df) =>
+        Success(ops.Relational.latestByKey(df, "user_id", "event_id", "event_type", "es")),
+      finalizer = (p, e) => {
+        assert(e.isEmpty, s"latest-by-key failed in-stream: $e")
+        p.foreach { df =>
+          val rows = df.select("user_id", "last_event_id", "last_type",
+            "last_ts_sec", "n_events").collect()
+          rows.foreach(r => partials.add((r.getLong(0), r.getLong(1),
+            r.getString(2), r.getLong(3), r.getLong(4))))
+          seen.addAndGet(rows.map(_.getLong(4)).sum.toInt)
+        }
+      },
+      pollInterval = 100.millis)
+    // three uneven chunks: keys straddle batch boundaries, so the merge
+    // step below actually has conflicts to resolve
+    val (a, rest) = events.splitAt(events.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 3)
+    in.addData(a); in.addData(b); in.addData(c)
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.get() < events.size && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    MicroBatch.stopGracefully(q)
+    assert(seen.get() == events.size, s"streamed ${seen.get()} of ${events.size} events")
+    // merge the per-batch partials with the SAME argmax + a count sum:
+    // the result must be bit-identical to the single-pass batch op
+    val partialRows: Seq[(Long, Long, String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      partials.asScala.toSeq
+    }
+    val merged = partialRows
+      .toDF("user_id", "last_event_id", "last_type", "last_ts_sec", "n_events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("last_ts_sec"), col("last_event_id"), col("last_type"))).as("m"),
+        sum(col("n_events")).as("n_events"))
+      .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
+        col("m.last_type").as("last_type"), col("m.last_ts_sec").as("last_ts_sec"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq).toSeq
+    val whole = ops.Relational.latestByKey(spark, sfDir)
+      .select("user_id", "last_event_id", "last_type", "last_ts_sec", "n_events")
+      .collect().map(_.toSeq).toSeq
+    assert(merged == whole,
+      "re-aggregated per-batch argmax partials differ from the whole-batch result")
+  }
+
   test("processor failure reaches the finalizer and the stream continues") {
     val errs = new AtomicInteger(0)
     val oks = new AtomicInteger(0)
