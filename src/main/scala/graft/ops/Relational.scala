@@ -739,6 +739,43 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation (the
+    * same operator Structured Streaming uses for session state), cross-
+    * validated against an INDEPENDENT derivation: the DuckDB oracle
+    * computes sessions with the lag-gap algorithm instead — two
+    * different session constructions must agree on every user's
+    * session/event counts. Timestamps are second-truncated on both
+    * sides first; session_window's window is [start, last+gap), so a
+    * gap of exactly 1800 s starts a NEW session — the oracle's rule is
+    * `>= 1800`, where the lag-gap query [[eventsSessionize]] keeps the
+    * reference `> 1800` convention (both are valid session semantics;
+    * each query's oracle pins its own). One shuffle on user_id; the
+    * session assembly is Spark's specialized session-merge exec, not a
+    * window sort.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        to_timestamp(unix_timestamp(col("ts"))).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  val sessionWindowAggSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+      |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e)
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Conditional / boolean aggregate battery: `count_if`, `bool_or`,
     * `bool_and` and interpolated `median` per order priority — the
     * "quality gate" aggregation shapes (how many violations, does any
