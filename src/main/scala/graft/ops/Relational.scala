@@ -739,6 +739,45 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Schema-evolution union: two snapshots with DIFFERENT columns are
+    * combined with `unionByName(allowMissingColumns = true)` — missing
+    * columns null-fill, names align by NAME (positional union silently
+    * mismatches columns when schemas drift, the classic ingestion bug
+    * when a source adds a field). The unioned frame is then aggregated
+    * per key with null-safe coalesces. DuckDB's `UNION ALL BY NAME`
+    * oracles the exact semantics.
+    */
+  def unionByNameEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // old-schema snapshot: count only; new-schema snapshot adds a sum
+    val early = o.filter(col("o_orderdate") < "1996-01-01")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_early"))
+    val late = o.filter(col("o_orderdate") >= "1996-01-01")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_late"),
+        round(sum(col("o_totalprice")), 2).as("late_price"))
+    early.unionByName(late, allowMissingColumns = true)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(coalesce(col("n_early"), lit(0L))).as("n_early"),
+        sum(coalesce(col("n_late"), lit(0L))).as("n_late"),
+        round(sum(coalesce(col("late_price"), lit(0.0))), 2).as("late_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val unionByNameEvolvedSql: String =
+    """WITH u AS (
+      |  SELECT o_custkey, count(*) AS n_early FROM orders
+      |  WHERE o_orderdate < DATE '1996-01-01' GROUP BY o_custkey
+      |  UNION ALL BY NAME
+      |  SELECT o_custkey, count(*) AS n_late,
+      |    round(sum(o_totalprice), 2) AS late_price
+      |  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY o_custkey)
+      |SELECT o_custkey,
+      |  sum(coalesce(n_early, 0)) AS n_early,
+      |  sum(coalesce(n_late, 0)) AS n_late,
+      |  round(sum(coalesce(late_price, 0)), 2) AS late_price
+      |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Sessionization via Spark's NATIVE `session_window` aggregation (the
     * same operator Structured Streaming uses for session state), cross-
     * validated against an INDEPENDENT derivation: the DuckDB oracle
