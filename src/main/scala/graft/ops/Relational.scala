@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1022,6 +1022,121 @@ object Relational {
       |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
       |  es AS last_ts_sec, n_events
       |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** OHLC resample (time-series downsampling): per (event_type, day),
+    * the first value (open), max (high), min (low) and last value
+    * (close) of the day. Open/close are `min_by`/`max_by` argmin/argmax
+    * AGGREGATES over the unique (epoch-sec, event_id) ordering struct —
+    * one partial+final hash agg, no per-key sort, where the textbook
+    * first_value/last_value window would shuffle and sort every event
+    * just to keep two of them. Output is bounded by |types| × |days|
+    * regardless of event volume.
+    */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame =
+    ohlcResample(
+      Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("es"), col("event_id"), col("value")))
+
+  /** DataFrame-first form over any (event_type, day, es, event_id,
+    * value) frame; (es, event_id) must be unique for a deterministic
+    * open/close pick.
+    */
+  def ohlcResample(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        round(min_by(col("value"), struct(col("es"), col("event_id"))), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), struct(col("es"), col("event_id"))), 2).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+
+  val ohlcResampleSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, day,
+      |  round(min(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+      |  round(max(value), 2) AS high,
+      |  round(min(value), 2) AS low,
+      |  round(min(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+      |  count(*) AS n_events
+      |FROM e GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  /** MERGE INTO / snapshot-maintenance shape: a base snapshot (latest
+    * state per user before the split date) has a changelog (events on
+    * or after it) applied — the incremental-pipeline pattern where
+    * yesterday's compacted table absorbs today's delta. Both sides
+    * compact via the mergeable max(struct) argmax ([[latestByKey]]) so
+    * each shuffles at most one row per key; the merge itself is a
+    * single full-outer hash join: change-side `error` tombstones
+    * delete, other change rows update or insert, untouched base rows
+    * carry forward. No window, no sort, no driver round-trip — at
+    * 100 TB this is two keyed compactions and one keyed join.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    mergeUpsert(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_timestamp(col("ts")).as("es"), col("ts")),
+      lit("2024-01-16").cast("timestamp"))
+
+  /** DataFrame-first form over any (user_id, event_id, event_type,
+    * value, es, ts) changelog; rows with ts at or past `split` are the
+    * delta, `event_type = "error"` is the tombstone marker.
+    */
+  def mergeUpsert(e: DataFrame, split: Column): DataFrame = {
+    def latest(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+      .agg(max(struct(col("es"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+    val base = latest(e.filter(col("ts") < split))
+      .select(col("user_id"), col("m.value").as("base_value"),
+        col("m.es").as("base_es"))
+    val chg = latest(e.filter(col("ts") >= split))
+      .select(col("user_id"),
+        (col("m.event_type") === "error").as("is_delete"),
+        col("m.value").as("chg_value"), col("m.es").as("chg_es"))
+    base.join(chg, Seq("user_id"), "full_outer")
+      .filter(!coalesce(col("is_delete"), lit(false)))
+      .select(col("user_id"),
+        round(coalesce(col("chg_value"), col("base_value")), 2).as("value"),
+        coalesce(col("chg_es"), col("base_es")).as("last_ts_sec"),
+        when(col("chg_es").isNull, "kept")
+          .when(col("base_es").isNull, "inserted")
+          .otherwise("updated").as("action"))
+      .orderBy(col("user_id"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT user_id, value AS base_value,
+      |    epoch_us(ts) // 1000000 AS base_es,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      |chg AS (
+      |  SELECT user_id, event_type = 'error' AS is_delete,
+      |    value AS chg_value, epoch_us(ts) // 1000000 AS chg_es,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+      |SELECT user_id,
+      |  round(coalesce(c.chg_value, b.base_value), 2) AS value,
+      |  coalesce(c.chg_es, b.base_es) AS last_ts_sec,
+      |  CASE WHEN c.chg_es IS NULL THEN 'kept'
+      |       WHEN b.base_es IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS action
+      |FROM (SELECT * FROM base WHERE rn = 1) b
+      |FULL OUTER JOIN (SELECT * FROM chg WHERE rn = 1) c USING (user_id)
+      |WHERE NOT coalesce(c.is_delete, false)
       |ORDER BY user_id""".stripMargin
 
   /** Equi-width numeric histogram of order totals: the bucket id is a

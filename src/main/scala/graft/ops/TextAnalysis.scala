@@ -262,6 +262,64 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** Token-distribution entropy per document (a repetition/quality
+    * signal: boilerplate and spam sit at low entropy, natural prose
+    * high), aggregated per language. Per-doc Shannon entropy comes from
+    * the algebraic identity  −Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n,
+    * so after the (doc, token) count aggregation one more keyed hash
+    * agg per doc yields the entropy — no second pass over tokens, no
+    * window. Type-token ratio (distinct/total) rides the same agg. The
+    * token-level shuffle is the semantics' cost; partial aggregation
+    * collapses repeated tokens map-side first.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, dir), "doc_id", "lang", "text")
+
+  /** DataFrame-first form. */
+  def tokenEntropy(docs: DataFrame, idCol: String, langCol: String,
+                   textCol: String): DataFrame = {
+    val counts = canon(docs, idCol -> "doc_id", langCol -> "lang",
+        textCol -> "text")
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log(col("c"))).as("s"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("lang"),
+        (log(col("n")) - col("s") / col("n")).as("entropy"),
+        (col("n_distinct") / col("n")).as("ttr"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("entropy")), 4).as("avg_entropy"),
+        round(min(col("entropy")), 4).as("min_entropy"),
+        round(max(col("entropy")), 4).as("max_entropy"),
+        round(avg(col("ttr")), 4).as("avg_ttr"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, lang, tok, count(*) AS c
+      |  FROM tok WHERE tok <> '' GROUP BY doc_id, lang, tok),
+      |doc AS (
+      |  SELECT doc_id, lang,
+      |    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
+      |    count(*) * 1.0 / sum(c) AS ttr
+      |  FROM cnt GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |  round(avg(entropy), 4) AS avg_entropy,
+      |  round(min(entropy), 4) AS min_entropy,
+      |  round(max(entropy), 4) AS max_entropy,
+      |  round(avg(ttr), 4) AS avg_ttr
+      |FROM doc GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace runs, trim. Applied to a deliberately-messed-up copy
     * of each document (padding, uppercasing, punctuation injection) so

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all engine specs: local, UTC, AQE on, small
@@ -91,5 +92,49 @@ class RelationalSpec extends AnyFunSuite {
     val bad = ops.Relational.eventsSessionize(spark, sfDir)
       .filter("n_sessions < 1 OR n_sessions > n_events")
     assert(bad.count() == 0)
+  }
+
+  test("ohlc: min_by/max_by pick open/close deterministically under same-second ties") {
+    import spark.implicits._
+    val ev = Seq(
+      // same second, two events: open must take the lower event_id
+      ("a", 100L, 1L, 5.0), ("a", 100L, 2L, 7.0),
+      // same max second, two events: close must take the higher event_id
+      ("a", 200L, 3L, 6.0), ("a", 200L, 4L, 9.0))
+      .toDF("event_type", "es", "event_id", "value")
+      .withColumn("day", to_date(lit("2024-01-05")))
+    val r = ops.Relational.ohlcResample(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("open") == 5.0, "open must be the es-then-id argmin")
+    assert(row.getAs[Double]("close") == 9.0, "close must be the es-then-id argmax")
+    assert(row.getAs[Double]("high") == 9.0 && row.getAs[Double]("low") == 5.0)
+    assert(row.getAs[Long]("n_events") == 4L)
+  }
+
+  test("mergeUpsert: kept/updated/inserted/deleted all behave on planted changelog") {
+    import spark.implicits._
+    // (user, event_id, type, value, day) — split at 2024-01-10
+    val ev = Seq(
+      (1L, 1L, "click", 10.0, "2024-01-02"),                                  // kept
+      (2L, 2L, "click", 20.0, "2024-01-03"), (2L, 3L, "click", 21.0, "2024-01-12"), // updated
+      (3L, 4L, "click", 30.0, "2024-01-15"),                                  // inserted
+      (4L, 5L, "click", 40.0, "2024-01-04"), (4L, 6L, "error", 0.0, "2024-01-13"),  // deleted
+      (5L, 7L, "error", 0.0, "2024-01-14"),                                   // delete of absent key
+      // delete then a LATER upsert inside the delta: the upsert wins
+      (7L, 8L, "error", 0.0, "2024-01-11"), (7L, 9L, "click", 70.0, "2024-01-16"))
+      .toDF("user_id", "event_id", "event_type", "value", "d")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("es", unix_timestamp(col("ts")))
+      .drop("d")
+    val out = ops.Relational.mergeUpsert(ev, lit("2024-01-10").cast("timestamp"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("value"), r.getAs[String]("action")))).toMap
+    assert(out == Map(
+      1L -> ((10.0, "kept")),
+      2L -> ((21.0, "updated")),
+      3L -> ((30.0, "inserted")),
+      7L -> ((70.0, "inserted"))),
+      s"merge produced $out")
   }
 }

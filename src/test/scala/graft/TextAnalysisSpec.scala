@@ -61,4 +61,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps.filter(col("nfp") > 1).count() == 0,
       "identical texts produced different fingerprints")
   }
+
+  test("tokenEntropy: constant doc scores 0 / uniform doc scores ln(n); ttr bounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a a a a"),   // all same token: entropy 0, ttr 1/4
+      (2L, "y", "a b c d"))   // all distinct: entropy ln 4, ttr 1
+      .toDF("doc_id", "lang", "text")
+    val out = ops.TextAnalysis.tokenEntropy(docs, "doc_id", "lang", "text")
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("avg_entropy"), r.getAs[Double]("avg_ttr")))).toMap
+    assert(out("x") == ((0.0, 0.25)))
+    assert(out("y") == ((math.rint(math.log(4) * 1e4) / 1e4, 1.0)))
+    // corpus-wide: entropy is within [0, ln n_toks] for every language band
+    val corpus = ops.TextAnalysis.tokenEntropy(spark, sfDir)
+    assert(corpus.filter(col("min_entropy") < 0).count() == 0)
+    assert(corpus.filter(col("avg_ttr") <= 0 || col("avg_ttr") > 1).count() == 0)
+  }
 }
