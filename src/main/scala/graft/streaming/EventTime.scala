@@ -60,6 +60,26 @@ object EventTime {
         col("session_window.end").as("s_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: every micro-batch joins the stream
+    * against a STATIC dimension — the lookup-table shape (user →
+    * segment, id → tenant, …). Stream-static inner joins are
+    * STATELESS: no state store, no watermark interaction on the join
+    * itself (the watermark here only serves the downstream windowed
+    * aggregation), and the static side is broadcast so enrichment adds
+    * zero shuffles to the stream — exactly how a 1000-executor cluster
+    * wants a dimension lookup to run.
+    */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame, tsCol: String,
+                           keyCol: String, segCol: String, windowLen: String,
+                           watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .join(broadcast(dim), Seq(keyCol))
+      .groupBy(window(col(tsCol), windowLen), col(segCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col(segCol),
+        col("n_events"), col("sum_value"))
+
   /** Custom stateful sessionization via `flatMapGroupsWithState`: one
     * `SessionState` per user, extended on each event within `gapMs`,
     * emitted and reset when a gap (or event-time timeout) closes it.

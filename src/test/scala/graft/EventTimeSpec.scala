@@ -132,4 +132,36 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows.exists(s => s.n_events == 2 && s.sum_value == 3.0), s"got: ${rows.mkString(",")}")
     assert(rows.exists(s => s.n_events == 1 && s.sum_value == 7.0), s"got: ${rows.mkString(",")}")
   }
+
+  test("stream-static enrichment join matches the batch run on identical data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "gold"))
+      .toDF("user_id", "segment")
+    val data = Seq(
+      TimedEvent(1, ts(0), 1.0), TimedEvent(1, ts(2), 2.0),
+      TimedEvent(2, ts(1), 4.0), TimedEvent(3, ts(3), 8.0),
+      TimedEvent(9, ts(4), 99.0), // no dim row → inner join drops it
+      TimedEvent(2, ts(8), 16.0)) // next 5-minute window
+    val in = MemoryStream[TimedEvent]
+    val q = EventTime.enrichedWindowCounts(in.toDF(), dim, "ts", "user_id",
+        "segment", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("enriched").outputMode("complete").start()
+    in.addData(data.take(3): _*) // split across micro-batches: the static
+    q.processAllAvailable()      // side re-joins identically per batch
+    in.addData(data.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enriched")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    // batch equivalent over the same rows: same join, same window
+    val batch = EventTime.enrichedWindowCounts(data.toDF(), dim, "ts", "user_id",
+        "segment", "5 minutes", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed(("2026-01-01 10:00:00.0", "gold")) == ((3L, 11.0)))
+    assert(!streamed.keys.exists(_._2 == null), "unmatched key leaked through inner join")
+  }
 }
