@@ -1071,6 +1071,37 @@ object Relational {
       |FROM e GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Batch sliding-window aggregation via the SAME `window()` function
+    * the streaming paths use ([[graft.streaming.EventTime]]): each
+    * event lands in windowLen/slide = 2 epoch-aligned 2-hour windows,
+    * and Catalyst expands that membership row-locally (a generator,
+    * not a join against a window table), so the whole query is one
+    * explode-then-hash-agg with output bounded by |windows| × |types|.
+    * Batch/stream symmetry of the window assignment is what lets a
+    * backfill reuse the streaming query's semantics verbatim.
+    */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("w_start_sec"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("w_start_sec"), col("event_type"))
+
+  val slidingWindowAggSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    epoch_us(date_trunc('hour', ts)) // 1000000 AS h
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, value, h - 3600 AS w_start FROM e
+      |  UNION ALL
+      |  SELECT event_type, value, h AS w_start FROM e)
+      |SELECT w_start AS w_start_sec, event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
   /** MERGE INTO / snapshot-maintenance shape: a base snapshot (latest
     * state per user before the split date) has a changelog (events on
     * or after it) applied — the incremental-pipeline pattern where

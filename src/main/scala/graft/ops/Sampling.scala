@@ -117,6 +117,41 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** Leakage-SAFE split — the prevention counterpart to
+    * [[splitLeakage]]'s detection: the split key is the CONTENT digest,
+    * not the row id, so byte-identical documents co-assign by
+    * construction and an eval split can never share text with train.
+    * The first 15 hex chars of md5 (60 bits, the one hash both engines
+    * share) become the integer fed to the same overflow-safe
+    * multiplicative bucketing as [[trainSplit]]; the whole assignment
+    * stays a row-local projection — scan speed, reproducible across
+    * engines, runs and partitionings.
+    */
+  def contentSplit(spark: SparkSession, dir: String): DataFrame =
+    contentSplit(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, content) frame. */
+  def contentSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long").as("ckey"))
+      .select(col("doc_id"), splitBucket(col("ckey")).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
+      .orderBy(col("doc_id"))
+
+  val contentSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS ckey
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ((ckey % 1000000007) * 2654435761) % 1000 AS bucket,
+      |  CASE WHEN ((ckey % 1000000007) * 2654435761) % 1000 < 800 THEN 'train'
+      |       WHEN ((ckey % 1000000007) * 2654435761) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   val splitLeakageSql: String =
     """WITH d AS (
       |  SELECT doc_id, md5(text) AS tkey,

@@ -266,11 +266,14 @@ object TextAnalysis {
     * signal: boilerplate and spam sit at low entropy, natural prose
     * high), aggregated per language. Per-doc Shannon entropy comes from
     * the algebraic identity  −Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n,
-    * so after the (doc, token) count aggregation one more keyed hash
-    * agg per doc yields the entropy — no second pass over tokens, no
-    * window. Type-token ratio (distinct/total) rides the same agg. The
-    * token-level shuffle is the semantics' cost; partial aggregation
-    * collapses repeated tokens map-side first.
+    * and the Σ c·ln c term is computed ROW-LOCALLY: `aggregate()` folds
+    * over the doc's sorted token array counting runs, so a document
+    * never leaves its row — no token-level shuffle at all, and the only
+    * exchange in the whole query is the final |langs|-row aggregation.
+    * (The textbook explode → count shuffle is kept as
+    * [[tokenEntropyExploded]]; the spec pins that the two independent
+    * derivations agree.) Type-token ratio (distinct/total) rides the
+    * same fold.
     */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
     tokenEntropy(Tables.documents(spark, dir), "doc_id", "lang", "text")
@@ -278,6 +281,50 @@ object TextAnalysis {
   /** DataFrame-first form. */
   def tokenEntropy(docs: DataFrame, idCol: String, langCol: String,
                    textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", langCol -> "lang", textCol -> "text")
+    // fold state: (prev token, current run length, Σ closed-run c·ln c,
+    // total tokens, distinct tokens)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0.0).as("s"), lit(0L).as("n"), lit(0L).as("d"))
+    def runTerm(run: Column): Column =
+      when(run > 0L, run.cast("double") * log(run.cast("double")))
+        .otherwise(lit(0.0))
+    val folded = aggregate(
+      array_sort(filter(toks, t => t =!= lit(""))), zero,
+      (acc, t) => {
+        val same = t === acc.getField("prev")
+        struct(t.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("s"))
+            .otherwise(acc.getField("s") + runTerm(acc.getField("run"))).as("s"),
+          (acc.getField("n") + 1L).as("n"),
+          when(same, acc.getField("d")).otherwise(acc.getField("d") + 1L).as("d"))
+      },
+      acc => struct(
+        (log(acc.getField("n").cast("double")) -
+          (acc.getField("s") + runTerm(acc.getField("run"))) /
+            acc.getField("n")).as("entropy"),
+        (acc.getField("d").cast("double") / acc.getField("n")).as("ttr"),
+        acc.getField("n").as("n")))
+    d.select(col("lang"), folded.as("e"))
+      .filter(col("e.n") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("e.entropy")), 4).as("avg_entropy"),
+        round(min(col("e.entropy")), 4).as("min_entropy"),
+        round(max(col("e.entropy")), 4).as("max_entropy"),
+        round(avg(col("e.ttr")), 4).as("avg_ttr"))
+      .orderBy(col("lang"))
+  }
+
+  /** The shuffle-based derivation of [[tokenEntropy]] — explode to
+    * (doc, token) counts, then the identity over the count table. Kept
+    * as the independent cross-validation algorithm (TextAnalysisSpec
+    * pins row-local == exploded); it is also the shape to reach for
+    * when the per-doc token multiset ALREADY exists as a table.
+    */
+  def tokenEntropyExploded(docs: DataFrame, idCol: String, langCol: String,
+                           textCol: String): DataFrame = {
     val counts = canon(docs, idCol -> "doc_id", langCol -> "lang",
         textCol -> "text")
       .select(col("doc_id"), col("lang"), explode(toks).as("tok"))

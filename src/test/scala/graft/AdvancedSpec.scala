@@ -127,6 +127,27 @@ class AdvancedSpec extends AnyFunSuite {
     assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
   }
 
+  test("content split co-assigns byte-identical documents; corpus split is leak-free") {
+    import spark.implicits._
+    // planted: three ids share one text, two ids share another
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (200L, "alpha beta gamma"), (999999L, "alpha beta gamma"),
+      (2L, "delta epsilon"), (777L, "delta epsilon"),
+      (3L, "unique text here"))
+      .toDF("doc_id", "text")
+    val out = ops.Sampling.contentSplit(docs, "doc_id", "text")
+    val planted = out.join(docs, Seq("doc_id"))
+      .groupBy("text").agg(countDistinct("split").as("ns"))
+    assert(planted.filter(col("ns") > 1).count() == 0,
+      "identical texts landed in different splits")
+    // corpus-level: every md5(text) maps to exactly one split
+    val corpus = ops.Sampling.contentSplit(spark, sfDir)
+      .join(Tables.documents(spark, sfDir), Seq("doc_id"))
+      .groupBy(md5(col("text"))).agg(countDistinct("split").as("ns"))
+    assert(corpus.filter(col("ns") > 1).count() == 0,
+      "content-keyed split leaked a duplicated text across splits")
+  }
+
   test("stratified sample downsamples the majority language harder") {
     val doc = Tables.documents(spark, sfDir)
     val s = ops.Sampling.stratifiedSample(spark, sfDir).cache()

@@ -78,4 +78,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus.filter(col("min_entropy") < 0).count() == 0)
     assert(corpus.filter(col("avg_ttr") <= 0 || col("avg_ttr") > 1).count() == 0)
   }
+
+  test("tokenEntropy: row-local array fold agrees with the explode-shuffle derivation") {
+    val docs = Tables.documents(spark, sfDir)
+    val rowLocal = ops.TextAnalysis.tokenEntropy(docs, "doc_id", "lang", "text")
+    val exploded = ops.TextAnalysis.tokenEntropyExploded(docs, "doc_id", "lang", "text")
+    assert(rowLocal.exceptAll(exploded).count() == 0 &&
+      exploded.exceptAll(rowLocal).count() == 0,
+      "two independent entropy derivations disagree")
+  }
 }
