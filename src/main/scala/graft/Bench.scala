@@ -83,31 +83,39 @@ object Bench {
       s"\"$name\":{$body}"
     }.mkString("{", ",", "}")
     // Compact stdout line: per-query MEDIANS at reduced precision with
-    // trailing zeros trimmed ("1.2", not "1.200"). If the query set
-    // ever grows the line past the tail window, degrade precision
-    // (3→2→1→0 decimals) before dropping the per-query map entirely —
-    // partial precision beats an unparseable line, and an empty map is
-    // the very last resort.
+    // trailing zeros trimmed ("1.2", not "1.200"). The ~1650 chars of
+    // query NAMES dominate the line, so every byte of value formatting
+    // counts: "sf" is the directory BASENAME (the full path lives in
+    // BENCH_LAST.json), and precision is magnitude-aware — a 45-second
+    // query doesn't need centisecond digits. If the query set ever
+    // grows the line past the tail window, degrade (2→1→0 decimals)
+    // before dropping the per-query map entirely — partial precision
+    // beats an unparseable line, and an empty map is the very last
+    // resort.
     def trim(d: Double, dp: Int): String = {
       val s = s"%.${dp}f".format(d)
       if (!s.contains('.')) s
       else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
+    val sfBase = new java.io.File(sfDir).getName
     def compactLine(dp: Int, withQueries: Boolean): String = {
       val qs =
         if (!withQueries) "{}"
         else times.map { case (name, ts) =>
           val m = if (errs.contains(name) || ts.isEmpty) -1.0 else median(ts.toSeq)
-          s"\"$name\":${trim(m, dp)}"
+          // magnitude-aware: sub-10s values keep dp decimals, 10s+ one
+          // fewer — resolution stays ~1% of the value either way
+          val useDp = if (math.abs(m) >= 10) (dp - 1).max(0) else dp
+          s"\"$name\":${trim(m, useDp)}"
         }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""iters":$iters,"failed":$failed,"sf":"$sfDir"}"""
+        s""""iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
     }
-    // 1850, not ~2000: the tail window also has to hold whatever the
-    // build tool prints after the program exits (e.g. a "[success]"
-    // footer), so leave real headroom
-    val line = (Seq(3, 2, 1, 0).map(compactLine(_, true)) :+ compactLine(3, false))
-      .find(_.length <= 1850).get
+    // 1940, not 2000: the tail window also has to hold the build tool's
+    // "[success] Total time: …" footer (~80 chars), so leave headroom
+    // for exactly that and spend the rest on per-query precision.
+    val line = (Seq(2, 1, 0).map(compactLine(_, true)) :+ compactLine(2, false))
+      .find(_.length <= 1940).get
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""iters":$iters,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

@@ -139,6 +139,45 @@ class PlanSpec extends AnyFunSuite {
       s"no adaptive artifact (runtime join upgrade / shuffle read) in final plan:\n$plan")
   }
 
+  test("ohlc open/close are argmin/argmax aggregates — no window, no join") {
+    val plan = formatted(ops.Relational.ohlcResample(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"OHLC ranks first/last through a window sort:\n$plan")
+    assert(!plan.contains("Join"), s"OHLC planned a join:\n$plan")
+  }
+
+  test("merge upsert is argmax-compact-then-one-full-outer-join — no window") {
+    val plan = formatted(ops.Relational.mergeUpsert(spark, sfDir))
+    assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"merge compacts through a window instead of the mergeable argmax agg:\n$plan")
+  }
+
+  test("batch sliding window assigns windows row-locally — no join against a window table") {
+    val plan = formatted(ops.Relational.slidingWindowAgg(spark, sfDir))
+    assert(!plan.contains("Join"), s"sliding window planned a join:\n$plan")
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      s"expected a row-local window-assignment generator:\n$plan")
+  }
+
+  test("token entropy keeps tokens inside their rows: no explode, shuffles only after the fold") {
+    val plan = formatted(ops.TextAnalysis.tokenEntropy(spark, sfDir))
+    assert(!plan.contains("Generate"),
+      s"entropy explodes tokens into a shuffle:\n$plan")
+    // the per-language agg exchange and the output-order range exchange —
+    // nothing else may move data (count tree nodes "Exchange (n)")
+    val exchanges = "Exchange \\(\\d".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"entropy shuffles $exchanges times:\n$plan")
+  }
+
+  test("content split is a row-local projection — only the output-order exchange") {
+    val plan = formatted(ops.Sampling.contentSplit(spark, sfDir))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"content split is not row-local:\n$plan")
+    assert("Exchange \\(\\d".r.findAllIn(plan).size <= 1,
+      s"content split shuffles more than the output sort:\n$plan")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
