@@ -188,4 +188,81 @@ object Mixing {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** Duplicate-cluster-size histogram — "HOW duplicated is the
+    * corpus": for each cluster size k (documents sharing identical
+    * text), how many clusters and how many documents sit at that size.
+    * Two stacked hash aggs, both keyed on pre-hashed digests, output
+    * bounded by the largest cluster size; the digest keying means the
+    * first shuffle carries 32-char keys, never document bodies.
+    */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    dupSizeHistogram(Tables.documents(spark, dir), "text")
+
+  /** DataFrame-first form over any content column. */
+  def dupSizeHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("tkey"))
+      .groupBy(col("tkey")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"))
+      .orderBy(col("k"))
+
+  val dupSizeHistogramSql: String =
+    """WITH c AS (
+      |  SELECT md5(text) AS tkey, count(*) AS k
+      |  FROM documents GROUP BY md5(text))
+      |SELECT k, count(*) AS n_clusters, CAST(sum(k) AS BIGINT) AS n_docs
+      |FROM c GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  /** Cross-source overlap matrix — corpus provenance QA: for every
+    * ordered source pair, how many of the left source's distinct texts
+    * also appear in the right source (crawl snapshots re-scraping the
+    * same pages, datasets repackaging each other). The self-join is on
+    * the md5 digest of (distinct text, source) pairs — |unique texts|
+    * rows a side, never doc×doc. The report is the FULL |sources|²
+    * matrix with zero-filled cells (the |sources|-row dimension is
+    * metadata-sized, its cross join broadcastable by construction), so
+    * the artifact is stable — an overlap-free corpus still reports
+    * every pair — the same always-emit design as
+    * [[Sampling.splitLeakage]].
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir), "source", "text")
+
+  /** DataFrame-first form over any (group, content) frame. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val d = docs
+      .select(col(sourceCol).as("source"), md5(col(textCol)).as("tkey"))
+      .distinct()
+    val counts = d.select(col("source").as("src_a"), col("tkey"))
+      .join(d.select(col("source").as("src_b"), col("tkey")), Seq("tkey"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val srcs = d.select(col("source")).distinct()
+    srcs.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(counts, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT source, md5(text) AS tkey FROM documents),
+      |counts AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      |  FROM d a JOIN d b ON a.tkey = b.tkey AND a.source <> b.source
+      |  GROUP BY a.source, b.source),
+      |srcs AS (SELECT DISTINCT source FROM documents)
+      |SELECT x.source AS src_a, y.source AS src_b,
+      |  coalesce(shared, 0) AS n_shared
+      |FROM srcs x CROSS JOIN srcs y
+      |LEFT JOIN counts c ON c.src_a = x.source AND c.src_b = y.source
+      |WHERE x.source <> y.source
+      |ORDER BY src_a, src_b""".stripMargin
 }

@@ -86,4 +86,27 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("fewer than nCells"), s"wrong failure: ${ex.getMessage}")
     assert(few.count() == 0)
   }
+
+  test("empty and singleton corpora flow through the round-4 ops") {
+    import spark.implicits._
+    assert(ops.Sampling.contentSplit(empty, "doc_id", "text").count() == 0)
+    assert(ops.TextAnalysis.tokenEntropy(empty, "doc_id", "lang", "text").count() == 0)
+    assert(ops.Mixing.dupSizeHistogram(empty, "text").count() == 0)
+    assert(ops.Mixing.sourceOverlap(empty, "source", "text").count() == 0)
+    // a single doc: entropy row exists and is finite, histogram is one k=1 cluster,
+    // the one source yields an empty (no-pairs) but well-formed matrix
+    val ent = ops.TextAnalysis.tokenEntropy(single, "doc_id", "lang", "text").collect()
+    assert(ent.length == 1 && !ent.head.getAs[Double]("avg_entropy").isNaN)
+    val h = ops.Mixing.dupSizeHistogram(single, "text").collect()
+    assert(h.length == 1 && h.head.getAs[Long]("k") == 1L)
+    assert(ops.Mixing.sourceOverlap(single, "source", "text").count() == 0)
+    // an empty changelog side: every base row survives as 'kept'
+    val base = Seq((1L, 1L, "click", 5.0, "2024-01-02"))
+      .toDF("user_id", "event_id", "event_type", "value", "d")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("es", unix_timestamp(col("ts"))).drop("d")
+    val merged = ops.Relational.mergeUpsert(base, lit("2024-01-10").cast("timestamp"))
+      .collect()
+    assert(merged.length == 1 && merged.head.getAs[String]("action") == "kept")
+  }
 }

@@ -71,4 +71,35 @@ class MixingSpec extends AnyFunSuite {
     assert(out("dupsrc") == ((8L, 1L, 0.875)), s"dup rate wrong: $out")
     assert(out("clean") == ((2L, 2L, 0.0)), s"clean source must show zero dup: $out")
   }
+
+  test("dupSizeHistogram: planted cluster sizes land in the right buckets") {
+    import spark.implicits._
+    // one unique text, one pair, one triple → k = 1, 2, 3
+    val docs = (Seq("solo") ++ Seq.fill(2)("pair") ++ Seq.fill(3)("triple"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = ops.Mixing.dupSizeHistogram(docs, "text")
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))),
+      s"histogram wrong: $out")
+  }
+
+  test("sourceOverlap: full matrix with exact planted counts and zero-filled cells") {
+    import spark.implicits._
+    // t2 in all three sources, t1 in A and B, t3 only in A; C shares
+    // nothing with itself — and every ordered pair must still appear
+    val docs = Seq(
+      ("A", "t1"), ("A", "t2"), ("A", "t3"), ("A", "t1"), // within-source dup: counts once
+      ("B", "t1"), ("B", "t2"),
+      ("C", "t2"))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = ops.Mixing.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared")).toMap
+    assert(out == Map(
+      ("A", "B") -> 2L, ("B", "A") -> 2L,
+      ("A", "C") -> 1L, ("C", "A") -> 1L,
+      ("B", "C") -> 1L, ("C", "B") -> 1L),
+      s"overlap matrix wrong: $out")
+  }
 }
