@@ -1071,6 +1071,37 @@ object Relational {
       |FROM e GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Multiple DISTINCT aggregates over DIFFERENT columns in one query —
+    * the shape Spark plans through `Expand`: each input row is
+    * replicated once per distinct column (each replica keeping only its
+    * column), then a single two-level aggregation dedups and counts all
+    * three at once. One pass over the fact table and one shuffle,
+    * where the naive alternative is three self-joined single-distinct
+    * queries — at 100 TB, three scans versus one. The plain count and
+    * sum ride along unchanged.
+    */
+  def multiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_linestatus")).as("n_statuses"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val multiDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_linestatus) AS n_statuses,
+      |  count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Batch sliding-window aggregation via the SAME `window()` function
     * the streaming paths use ([[graft.streaming.EventTime]]): each
     * event lands in windowLen/slide = 2 epoch-aligned 2-hour windows,

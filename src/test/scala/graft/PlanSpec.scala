@@ -178,6 +178,17 @@ class PlanSpec extends AnyFunSuite {
       s"content split shuffles more than the output sort:\n$plan")
   }
 
+  test("multi-distinct aggregation expands once — one scan, not three self-joins") {
+    val plan = formatted(ops.Relational.multiDistinct(spark, sfDir))
+    assert(plan.contains("Expand"),
+      s"multi-distinct lost the Expand rewrite:\n$plan")
+    assert(!plan.contains("Join"), s"multi-distinct planned a join:\n$plan")
+    // exactly one scan of lineitem feeds all three distincts (count tree
+    // nodes "Scan parquet … (n)" — the detail section repeats the name)
+    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 1,
+      s"multi-distinct scans the fact table more than once:\n$plan")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
