@@ -98,6 +98,11 @@ object Bench {
       else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     }
     val sfBase = new java.io.File(sfDir).getName
+    // The uniform "q_" key prefix is stripped in the stdout map only —
+    // 2 chars × ~90 queries is the difference between centisecond and
+    // whole-second medians in the tail window. The line carries
+    // "prefix":"q_" so the renaming is self-describing; BENCH_LAST.json
+    // keeps full names.
     def compactLine(dp: Int, withQueries: Boolean): String = {
       val qs =
         if (!withQueries) "{}"
@@ -106,10 +111,10 @@ object Bench {
           // magnitude-aware: sub-10s values keep dp decimals, 10s+ one
           // fewer — resolution stays ~1% of the value either way
           val useDp = if (math.abs(m) >= 10) (dp - 1).max(0) else dp
-          s"\"$name\":${trim(m, useDp)}"
+          s"\"${name.stripPrefix("q_")}\":${trim(m, useDp)}"
         }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","prefix":"q_",""" +
+        s""""queries":$qs,"iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
     }
     // 1940, not 2000: the tail window also has to hold the build tool's
     // "[success] Total time: …" footer (~80 chars), so leave headroom

@@ -112,6 +112,54 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_events") == 4L)
   }
 
+  test("mergeUpsert agrees with an in-memory reference model on a randomized changelog") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 300).map { i =>
+      val user = rnd.nextInt(40).toLong
+      val day = f"2024-01-${1 + rnd.nextInt(28)}%02d"
+      val typ = if (rnd.nextInt(5) == 0) "error" else "click"
+      val value = math.rint(rnd.nextDouble() * 1000) / 10.0 // 1dp: round-exact
+      (user, i.toLong, typ, value, day)
+    }
+    val split = "2024-01-16"
+    // reference model: plain Scala over the same rows — last (day, id) wins
+    // per side, change-side error deletes, else update/insert/keep
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val (b, c) = evs.partition(_._5 < split)
+      def last(xs: Seq[(Long, Long, String, Double, String)]) =
+        xs.maxBy(e => (e._5, e._2))
+      (b.nonEmpty, c.nonEmpty) match {
+        case (_, true) if last(c)._3 == "error" => None
+        case (bb, true) => Some(u -> ((last(c)._4, if (bb) "updated" else "inserted")))
+        case (true, false) => Some(u -> ((last(b)._4, "kept")))
+        case _ => None
+      }
+    }
+    val ev = events.toDF("user_id", "event_id", "event_type", "value", "d")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("es", unix_timestamp(col("ts"))).drop("d")
+    val got = ops.Relational.mergeUpsert(ev, lit(split).cast("timestamp"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("value"), r.getAs[String]("action")))).toMap
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k)).take(5)
+      s"model mismatch on users $diff: got ${diff.map(got.get)}, expected ${diff.map(expected.get)}"
+    })
+  }
+
+  test("ohlc invariants on real events: low <= open/close <= high, counts cover") {
+    val df = ops.Relational.ohlcResample(spark, sfDir).cache()
+    val bad = df.filter(col("low") > col("high") ||
+      col("open") < col("low") || col("open") > col("high") ||
+      col("close") < col("low") || col("close") > col("high"))
+    assert(bad.count() == 0, "OHLC ordering invariant violated")
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count(),
+      "every event must land in exactly one (type, day) bucket")
+  }
+
   test("mergeUpsert: kept/updated/inserted/deleted all behave on planted changelog") {
     import spark.implicits._
     // (user, event_id, type, value, day) — split at 2024-01-10
