@@ -35,6 +35,12 @@ object MicroBatch {
     * @param processorTimeout per-batch deadline; non-positive → default
     * @param availableNow drain-the-source-then-stop mode (the
     *                     reference's "source exhausted" shutdown path)
+    * @param checkpoint  checkpoint directory for restartable pipelines:
+    *                    a restarted query resumes from the write-ahead
+    *                    log and never re-delivers a committed batch —
+    *                    the recovery semantics the reference's at-most-
+    *                    once loop cannot offer (it drops in-flight work
+    *                    on stop, `batch_processor.go:137-140`)
     */
   def start(
       stream: DataFrame,
@@ -42,7 +48,8 @@ object MicroBatch {
       finalizer: (Option[DataFrame], Option[Throwable]) => Unit = (_, _) => (),
       pollInterval: FiniteDuration = 1.second,
       processorTimeout: Duration = Pipeline.DefaultTimeout,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      checkpoint: Option[String] = None): StreamingQuery = {
     require(processor != null, "invalid processor")
     val timeout = processorTimeout match {
       case f: FiniteDuration if f > Duration.Zero => f
@@ -51,9 +58,11 @@ object MicroBatch {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(pollInterval.toMillis)
-    stream.writeStream
+    val base = stream.writeStream
       .queryName("graft-micro-batch")
       .trigger(trigger)
+    checkpoint.foreach(base.option("checkpointLocation", _))
+    base
       .foreachBatch { (df: DataFrame, _: Long) =>
         val deadline = System.nanoTime() + timeout.toNanos
         val ctx = new BatchContext {

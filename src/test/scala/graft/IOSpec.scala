@@ -54,10 +54,14 @@ class IOSpec extends AnyFunSuite {
     val back = IO.readParquet(spark, p)
     assert(back.count() == orders.count())
     val pruned = back.filter(col("o_year") === 1995)
-    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
     assert(pruned.count() == df.filter(col("o_year") === 1995).count())
-    assert(scanned.contains("o_year"), "partition column missing from scan metadata")
+    // the filter must become a PARTITION filter (directory-level pruning —
+    // at 100 TB the difference between listing one partition and reading
+    // the table), not a post-scan data filter
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*o_year[^\\]]*1995".r.findFirstIn(plan).isDefined,
+      s"o_year=1995 did not prune partitions:\n$plan")
   }
 
   test("streaming sink writes partitioned parquet a batch reader can consume") {

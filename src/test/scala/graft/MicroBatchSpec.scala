@@ -153,4 +153,32 @@ class MicroBatchSpec extends AnyFunSuite {
     assert(errs.get() >= 1, "processor failure never reached the finalizer")
     assert(oks.get() >= 1, "stream did not continue after a batch failure")
   }
+
+  test("restart from the same checkpoint delivers each file exactly once") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft-ckpt-src")
+    val ckpt = Files.createTempDirectory("graft-ckpt-wal").toString
+    val schema = Tables.table(spark, sfDir, "events").schema
+    val eventsFile = Paths.get(s"$sfDir/events.parquet")
+    val perFile = Tables.table(spark, sfDir, "events").count()
+    def run(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = MicroBatch.start(
+        spark.readStream.schema(schema).parquet(src.toString),
+        processor = (_, df) => Success(df),
+        finalizer = (p, _) => p.foreach(df => n.addAndGet(df.count())),
+        availableNow = true,
+        checkpoint = Some(ckpt))
+      q.awaitTermination(60000)
+      n.get()
+    }
+    Files.copy(eventsFile, src.resolve("a.parquet"))
+    assert(run() == perFile, "first run must deliver exactly the first file")
+    // restart over the SAME checkpoint with one more file present: the
+    // write-ahead log must skip the committed batch — only the new file
+    // arrives, nothing is re-delivered, nothing is lost
+    Files.copy(eventsFile, src.resolve("b.parquet"))
+    assert(run() == perFile,
+      "restart re-delivered committed data or missed the new file")
+  }
 }
