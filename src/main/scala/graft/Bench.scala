@@ -27,7 +27,12 @@ object Bench {
     // so the first timed query doesn't absorb one-time session costs.
     graft.ops.Relational.pricingSummary(spark, sfDir).count()
 
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — time a subset while iterating on
+    // an operator (the driver never sets it; default is every query)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val errs = scala.collection.mutable.Map.empty[String, String]

@@ -149,6 +149,22 @@ class RelationalSpec extends AnyFunSuite {
     })
   }
 
+  test("approx distinct stays within 15% of the exact count per group") {
+    // HLL++ is hash-based and RNG-free: the error on a fixed dataset is
+    // deterministic, so this bound cannot flake. 15% ≈ 3σ at rsd 0.05.
+    val approx = ops.Relational.approxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_cust_approx")).toMap
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.15,
+        s"group $k: approx $a vs exact $n drifts past 15%")
+    }
+  }
+
   test("ohlc invariants on real events: low <= open/close <= high, counts cover") {
     val df = ops.Relational.ohlcResample(spark, sfDir).cache()
     val bad = df.filter(col("low") > col("high") ||
