@@ -1079,6 +1079,42 @@ object Relational {
       |FROM e GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Higher-order-function battery over the embedding vectors:
+    * `transform` / `filter` / `exists` / `forall` / `zip_with` /
+    * `aggregate` — the lambda surface that keeps array computations
+    * ROW-LOCAL (scan speed at any scale) instead of exploding elements
+    * into a shuffle. Floats are cast to double first and every fold is
+    * a sequential left-to-right double sum, which is exactly DuckDB's
+    * list semantics — so the oracle matches bit-for-bit before the
+    * final rounding.
+    */
+  def hofBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .select(
+        col("vec_id"),
+        round(expr("aggregate(e, 0D, (a, x) -> a + abs(x))"), 4).as("l1"),
+        expr("size(filter(e, x -> x > 0))").as("n_pos"),
+        expr("exists(e, x -> abs(x) > 2)").cast("int").as("any_big"),
+        expr("forall(e, x -> abs(x) < 10)").cast("int").as("all_small"),
+        round(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x)"),
+          4).as("dot_self"))
+      .orderBy(col("vec_id"))
+
+  val hofBatterySql: String =
+    """WITH d AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  round(list_aggregate(list_transform(e, x -> abs(x)), 'sum'), 4) AS l1,
+      |  CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+      |  CAST(len(list_filter(e, x -> abs(x) > 2)) > 0 AS INT) AS any_big,
+      |  CAST(len(list_filter(e, x -> abs(x) >= 10)) = 0 AS INT) AS all_small,
+      |  round(list_dot_product(e, e), 4) AS dot_self
+      |FROM d
+      |ORDER BY vec_id""".stripMargin
+
   /** Multiple DISTINCT aggregates over DIFFERENT columns in one query —
     * the shape Spark plans through `Expand`: each input row is
     * replicated once per distinct column (each replica keeping only its
