@@ -154,6 +154,34 @@ class MicroBatchSpec extends AnyFunSuite {
     assert(oks.get() >= 1, "stream did not continue after a batch failure")
   }
 
+  test("maxFilesPerTrigger bounds each dispatch: one file per micro-batch") {
+    // the reference's bounded dispatch (batch_processor.go:115-145) in
+    // file-source form: ingestion throttles to a fixed amount of work
+    // per trigger instead of swallowing the whole backlog in one batch
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft-bounded-src")
+    val eventsFile = Paths.get(s"$sfDir/events.parquet")
+    (1 to 3).foreach(i => Files.copy(eventsFile, src.resolve(s"f$i.parquet")))
+    val perFile = Tables.table(spark, sfDir, "events").count()
+    val batches = new AtomicInteger(0)
+    val maxRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = MicroBatch.start(
+      spark.readStream
+        .schema(Tables.table(spark, sfDir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString),
+      processor = (_, df) => Success(df),
+      finalizer = (p, _) => p.foreach { df =>
+        batches.incrementAndGet()
+        maxRows.getAndUpdate(m => math.max(m, df.count()))
+      },
+      availableNow = true)
+    q.awaitTermination(60000)
+    assert(batches.get() == 3, s"expected 3 bounded batches, got ${batches.get()}")
+    assert(maxRows.get() == perFile,
+      s"a single dispatch exceeded one file: ${maxRows.get()} vs $perFile rows")
+  }
+
   test("restart from the same checkpoint delivers each file exactly once") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft-ckpt-src")
