@@ -1079,6 +1079,50 @@ object Relational {
       |FROM e GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** Percent-of-total report: each nation's share of global revenue,
+    * with rank. The share comes from an UNPARTITIONED window sum — the
+    * single-partition shape this engine otherwise avoids — applied
+    * only AFTER the keyed aggregation has reduced the input to the
+    * |nations|-row report frame, where one partition is the right
+    * call (same discipline as [[Mixing.temperatureMix]]'s n_min).
+    * The fact-table work stays a partial+final hash agg.
+    */
+  def pctOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val byNation = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      // round() BEFORE the long cast: Spark's cast truncates while
+      // DuckDB's rounds — rounding first makes both engines agree on
+      // every row's exact cents (the volumeShipping discipline)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(lit(1))
+    byNation
+      .select(col("n_name"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents") * 100.0 / sum(col("cents")).over(w), 4).as("pct"),
+        rank().over(Window.orderBy(col("cents").desc, col("n_name"))).as("rev_rank"))
+      .orderBy(col("n_name"))
+  }
+
+  val pctOfTotalSql: String =
+    """WITH by_nation AS (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name,
+      |  round(cents / 100.0, 2) AS revenue,
+      |  round(cents * 100.0 / sum(cents) OVER (), 4) AS pct,
+      |  CAST(rank() OVER (ORDER BY cents DESC, n_name) AS INT) AS rev_rank
+      |FROM by_nation
+      |ORDER BY n_name""".stripMargin
+
   /** Higher-order-function battery over the embedding vectors:
     * `transform` / `filter` / `exists` / `forall` / `zip_with` /
     * `aggregate` — the lambda surface that keeps array computations
