@@ -231,17 +231,30 @@ object Mixing {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(spark, dir), "source", "text")
 
-  /** DataFrame-first form over any (group, content) frame. */
+  /** DataFrame-first form over any (group, content) frame.
+    *
+    * Shape: ONE scan + one digest-keyed shuffle. `collect_set(source)`
+    * per digest subsumes the distinct (set semantics dedup within-
+    * source copies), each digest's ordered source pairs expand
+    * ROW-LOCALLY through array HOFs (bounded by |sources|² per row,
+    * and |sources| is metadata-sized), and a final tiny agg counts
+    * each pair. The naive digest self-join scans the corpus twice and
+    * shuffles it twice; this never rereads the corpus.
+    */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val d = docs
+    val counts = docs
       .select(col(sourceCol).as("source"), md5(col(textCol)).as("tkey"))
-      .distinct()
-    val counts = d.select(col("source").as("src_a"), col("tkey"))
-      .join(d.select(col("source").as("src_b"), col("tkey")), Seq("tkey"))
+      .groupBy(col("tkey"))
+      .agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ss, x -> transform(ss, y -> struct(x AS src_a, y AS src_b))))"))
+        .as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared"))
-    val srcs = d.select(col("source")).distinct()
+    val srcs = docs.select(col(sourceCol).as("source")).distinct()
     srcs.select(col("source").as("src_a"))
       .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
       .filter(col("src_a") =!= col("src_b"))
