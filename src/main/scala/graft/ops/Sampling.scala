@@ -103,17 +103,24 @@ object Sampling {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame =
     splitLeakage(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** DataFrame-first form over any (id, content) frame. */
+  /** DataFrame-first form over any (id, content) frame.
+    *
+    * Shape: ONE corpus scan and one digest-keyed shuffle. The
+    * (digest, split) aggregation collapses the corpus to at most
+    * 3 rows per distinct text; each digest's split-spread then comes
+    * from a keyed window over that already-aggregated frame — no
+    * second scan, no join back against the corpus.
+    */
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val d = docs.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("tkey"),
-      splitName(splitBucket(col(idCol))).as("split"))
-    val spread = d.groupBy(col("tkey"))
-      .agg(countDistinct(col("split")).as("n_splits"))
-    d.join(spread, Seq("tkey"))
+    val g = docs.select(md5(col(textCol)).as("tkey"),
+        splitName(splitBucket(col(idCol))).as("split"))
+      .groupBy(col("tkey"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    g.withColumn("n_splits",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tkey"))))
       .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        count_if(col("n_splits") > 1).as("n_leaked"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("n_splits") > 1, col("n")).otherwise(lit(0L))).as("n_leaked"))
       .orderBy(col("split"))
   }
 
