@@ -124,6 +124,47 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** Deterministic k-examples-per-group sample — the "show me three
+    * documents per language" inspection op. Selection is by smallest
+    * multiplicative hash of the id (reproducible across engines, runs
+    * and partitionings, like every sampler here), and the per-group
+    * pick runs through the bounded [[graft.functions.TopKAggregator]]
+    * PARTIAL aggregate: each map task reduces its slice to ≤ k rows
+    * per group before the shuffle, where a row_number window would
+    * shuffle the whole corpus and sort each group just to keep k.
+    * The (score desc, id asc) total order makes the result exact and
+    * deterministic — pinned value-by-value by the DuckDB window oracle.
+    */
+  def groupSample(spark: SparkSession, dir: String): DataFrame =
+    groupSample(Tables.documents(spark, dir), "doc_id", "lang", 3)
+
+  /** DataFrame-first form over any (id, group) frame. */
+  def groupSample(docs: DataFrame, idCol: String, groupCol: String,
+                  k: Int): DataFrame =
+    docs
+      .select(col(groupCol).as("lang"), col(idCol).as("doc_id"),
+        pmod(pmod(col(idCol), lit(1000000007L)) * lit(1103515245L),
+          lit(1000000007L)).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topK(k)(-col("h").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+
+  val groupSampleSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    ((doc_id % 1000000007) * 1103515245) % 1000000007 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+      |  FROM h)
+      |SELECT lang, CAST(rank AS INT) AS rank, doc_id
+      |FROM r WHERE rank <= 3
+      |ORDER BY lang, rank""".stripMargin
+
   /** Leakage-SAFE split — the prevention counterpart to
     * [[splitLeakage]]'s detection: the split key is the CONTENT digest,
     * not the row id, so byte-identical documents co-assign by
