@@ -1200,9 +1200,15 @@ object Relational {
     * backfill reuse the streaming query's semantics verbatim.
     */
   def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    slidingWindowAgg(Tables.events(spark, dir), "ts", "event_type", "value",
+      "2 hours", "1 hour")
+
+  /** DataFrame-first form over any (timestamp, key, value) frame. */
+  def slidingWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       valCol: String, windowLen: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol).as("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col(valCol)), 2).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("w_start_sec"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("w_start_sec"), col("event_type"))

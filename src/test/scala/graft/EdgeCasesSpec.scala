@@ -100,6 +100,10 @@ class EdgeCasesSpec extends AnyFunSuite {
     val h = ops.Mixing.dupSizeHistogram(single, "text").collect()
     assert(h.length == 1 && h.head.getAs[Long]("k") == 1L)
     assert(ops.Mixing.sourceOverlap(single, "source", "text").count() == 0)
+    // group sample: k larger than any group returns every row, ranked
+    assert(ops.Sampling.groupSample(empty, "doc_id", "lang", 3).count() == 0)
+    val gs = ops.Sampling.groupSample(single, "doc_id", "lang", 3).collect()
+    assert(gs.length == 1 && gs.head.getAs[Int]("rank") == 1)
     // an empty changelog side: every base row survives as 'kept'
     val base = Seq((1L, 1L, "click", 5.0, "2024-01-02"))
       .toDF("user_id", "event_id", "event_type", "value", "d")
