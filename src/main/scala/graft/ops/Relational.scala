@@ -792,11 +792,13 @@ object Relational {
     * computes sessions with the lag-gap algorithm instead — two
     * different session constructions must agree on every user's
     * session/event counts. Timestamps are second-truncated on both
-    * sides first; session_window's window is [start, last+gap), so a
-    * gap of exactly 1800 s starts a NEW session — the oracle's rule is
-    * `>= 1800`, where the lag-gap query [[eventsSessionize]] keeps the
-    * reference `> 1800` convention (both are valid session semantics;
-    * each query's oracle pins its own). One shuffle on user_id; the
+    * sides first. Boundary semantics, established EMPIRICALLY at sf0.1
+    * (a user with a gap of exactly 1800 s): Spark merges ADJACENT
+    * session intervals — an event at exactly last+gap continues the
+    * session — so the oracle's new-session rule is strictly `> 1800`,
+    * the same convention as [[eventsSessionize]]. (An earlier `>=`
+    * oracle passed at sf0.01 only because no exact-gap pair existed
+    * there; the sf0.1 gate caught it.) One shuffle on user_id; the
     * session assembly is Spark's specialized session-merge exec, not a
     * window sort.
     */
@@ -816,7 +818,7 @@ object Relational {
       |g AS (
       |  SELECT user_id,
       |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
-      |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800
+      |           OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM e)
       |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,

@@ -149,6 +149,21 @@ class RelationalSpec extends AnyFunSuite {
     })
   }
 
+  test("session_window merges an event at exactly last+gap (adjacent intervals)") {
+    import spark.implicits._
+    // 00:00 and 00:30 are exactly gap apart → Spark MERGES the adjacent
+    // intervals (one session); 01:00:01 is 1s past 00:30+gap → new.
+    // This is the boundary the sf0.1 oracle run established — the
+    // q_session_window oracle's new-session rule must stay `> gap`.
+    val ev = Seq("2024-01-01 00:00:00", "2024-01-01 00:30:00", "2024-01-01 01:00:01")
+      .toDF("s").select(lit(1L).as("user_id"), col("s").cast("timestamp").as("tss"))
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sessions.length == 2, s"expected adjacent-merge + one new session: ${sessions.mkString(",")}")
+    assert(sessions.map(_.getAs[Long]("n")).sorted.sameElements(Array(1L, 2L)))
+  }
+
   test("approx distinct stays within 15% of the exact count per group") {
     // HLL++ is hash-based and RNG-free: the error on a fixed dataset is
     // deterministic, so this bound cannot flake. 15% ≈ 3σ at rsd 0.05.
