@@ -218,6 +218,25 @@ object Curation {
     qualityFilter(Tables.documents(spark, dir), "doc_id", "text")
 
   /** DataFrame-first form over any (id, text) corpus. */
+  /** [[qualityFilter]] with PIGGYBACKED health metrics: an
+    * `Observation` collects corpus counters (docs seen, docs kept,
+    * per-reason drops) DURING the same pass that produces the output —
+    * zero extra scans, zero extra shuffles, metrics delivered to the
+    * driver by accumulator. This is how a 100 TB curation job reports
+    * its funnel without re-aggregating its own output: call the
+    * returned frame's action, then read `observation.get`.
+    */
+  def qualityFilterObserved(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = qualityFilter(docs, idCol, textCol).observe(obs,
+      count(lit(1)).as("n_docs"),
+      count_if(col("keep") === 1).as("n_kept"),
+      count_if(col("reason") === "too_short").as("n_too_short"),
+      count_if(col("reason") === "too_repetitive").as("n_too_repetitive"))
+    (out, obs)
+  }
+
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val stopArr = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -85,4 +85,16 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("pack_id") =!= floor(col("start") / 256))
     assert(recomputed.count() == 0, "pack assignment diverges from prefix sums")
   }
+
+  test("observed quality filter reports the funnel in the same pass, exactly") {
+    val (df, obs) = ops.Curation.qualityFilterObserved(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val rows = df.collect() // one action drives both output and metrics
+    val m = obs.get
+    assert(m("n_docs") == rows.length.toLong)
+    assert(m("n_kept") == rows.count(_.getAs[Int]("keep") == 1).toLong)
+    assert(m("n_too_short") == rows.count(_.getAs[String]("reason") == "too_short").toLong)
+    assert(m("n_too_repetitive") ==
+      rows.count(_.getAs[String]("reason") == "too_repetitive").toLong)
+  }
 }
