@@ -655,6 +655,37 @@ object Relational {
       |ORDER BY p_partkey, metric""".stripMargin
 
   /** JSON extraction from the events.props string column. */
+  /** The same semi-structured extraction through Spark 4's VARIANT
+    * type: `parse_json` once into the binary variant encoding, then
+    * typed `variant_get` path reads — the modern engine path that
+    * parses each JSON document ONCE and reads fields at near-columnar
+    * speed, where repeated `get_json_object` calls re-parse the string
+    * per path. `try_variant_get` on a missing path yields NULL (not an
+    * error), pinned by the null-count column. Values and nulls must
+    * match the string-path derivation exactly — and the DuckDB oracle.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')").as("m"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        count_if(col("m").isNull).as("n_missing"))
+      .orderBy(col("event_type"))
+
+  val variantExtractSql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  count(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL)
+      |    AS n_missing
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
