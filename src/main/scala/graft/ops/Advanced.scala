@@ -311,6 +311,26 @@ object Advanced {
   def subqueriesIn(spark: SparkSession, dir: String): DataFrame =
     runWithTables(spark, dir, subqueriesInSql, Seq("customer", "supplier", "orders"))
 
+  /** LATERAL correlated subquery in FROM — per nation, its top-2
+    * customers by account balance via `LATERAL (… ORDER BY … LIMIT 2)`.
+    * Catalyst DECORRELATES the per-row subquery into a keyed join plus
+    * ranking (never per-outer-row re-execution — the plan the same SQL
+    * would cost on a row-at-a-time engine), so the shape scales like
+    * any top-k-per-group. The identical ANSI string runs on DuckDB.
+    */
+  val lateralTopNSql: String =
+    """SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal,
+      |  CAST(row_number() OVER (PARTITION BY n_name
+      |    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+      |FROM nation,
+      |  LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |           WHERE c_nationkey = n_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top2
+      |ORDER BY n_name, rnk""".stripMargin
+
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame =
+    runWithTables(spark, dir, lateralTopNSql, Seq("nation", "customer"))
+
   /** Run `sql` with the named driver tables registered under
     * collision-free temp-view names. The ANSI string doubles as the
     * DuckDB oracle, so the canonical table names must survive in the
