@@ -56,6 +56,18 @@ class AdvancedSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("lateral top-n decorrelates to a keyed join + ranking, not per-row re-execution") {
+    val df = ops.Advanced.lateralTopN(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL degraded to a nested loop:\n$plan")
+    // 25 nations × top-2 (ties impossible on the unique custkey order)
+    assert(df.count() <= 50 && df.count() > 0)
+    assert(df.groupBy("n_name").count().filter(col("count") > 2).count() == 0,
+      "a nation returned more than its LIMIT 2 rows")
+  }
+
   test("correlated IN / NOT IN decorrelate, and NOT IN honors NULL semantics") {
     val df = ops.Advanced.subqueriesIn(spark, sfDir).cache()
     val plan = df.queryExecution.executedPlan.toString
