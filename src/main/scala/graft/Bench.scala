@@ -124,8 +124,11 @@ object Bench {
     // 1940, not 2000: the tail window also has to hold the build tool's
     // "[success] Total time: …" footer (~80 chars), so leave headroom
     // for exactly that and spend the rest on per-query precision.
+    // last-resort fallback can never be absent: even if the query-less
+    // line overflows (e.g. a huge failed-query list), emit it anyway —
+    // an over-long metric line beats no metric line at all
     val line = (Seq(2, 1, 0).map(compactLine(_, true)) :+ compactLine(2, false))
-      .find(_.length <= 1940).get
+      .find(_.length <= 1940).getOrElse(compactLine(2, false))
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""iters":$iters,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

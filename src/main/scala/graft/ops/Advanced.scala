@@ -86,7 +86,7 @@ object Advanced {
     """SELECT o_orderkey, o_custkey,
       |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
       |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
       |  round(cume_dist() OVER w, 6) AS cd,
       |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
       |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS mov_avg3

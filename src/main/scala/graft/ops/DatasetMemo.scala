@@ -17,6 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * defeats the ContextCleaner's GC-driven cleanup, which handles every
   * non-memoized checkpoint.
   */
+private[ops] object DatasetMemo {
+  /** ALL memo computations (across every [[DatasetMemo]] instance)
+    * serialize on this one lock: [[DatasetMemo.getOrCompute]] attributes
+    * every RDD persisted on the SparkContext during `compute` to the new
+    * entry via a keyset diff, so two interleaved computations — same key,
+    * or different memos — would capture each other's blocks, and a later
+    * `release` would unpersist a live entry's storage. Computations are
+    * rare and expensive (the serve path never takes the lock), so
+    * serializing them costs nothing in practice. Known residual: a
+    * concurrent NON-memo persist on another thread is still captured by
+    * the diff — callers running memoized ops concurrently with unrelated
+    * caching pipelines should expect release() to drop those blocks too
+    * (they recompute, never corrupt).
+    */
+  private val computeLock = new Object
+}
+
 private[ops] final class DatasetMemo(tableFile: String) {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame, Set[Int])]
@@ -38,13 +55,21 @@ private[ops] final class DatasetMemo(tableFile: String) {
     val ver = dataVersion(spark, dir)
     memo.get((spark, dir)) match {
       case Some((v, df, _)) if v == ver => df
-      case stale =>
-        if (stale.isDefined) release(spark, dir)
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val df = compute
-        val ids = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-        memo.put((spark, dir), (ver, df, ids.toSet))
-        df
+      case _ => DatasetMemo.computeLock.synchronized {
+        // double-check under the lock: a racing caller may have computed
+        // and memoized while this thread waited — serve its entry instead
+        // of computing twice and orphaning the loser's checkpoint blocks
+        memo.get((spark, dir)) match {
+          case Some((v, df, _)) if v == ver => df
+          case stale =>
+            if (stale.isDefined) release(spark, dir)
+            val before = spark.sparkContext.getPersistentRDDs.keySet
+            val df = compute
+            val ids = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+            memo.put((spark, dir), (ver, df, ids.toSet))
+            df
+        }
+      }
     }
   }
 

@@ -70,7 +70,7 @@ object Mixing {
       |        ((doc_id % 1000000007) * 2654435761) % 10000 AS bucket
       |      FROM documents)
       |SELECT r.lang, r.n_docs, r.rate_bp,
-      |  sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS n_kept
+      |  CAST(sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM d JOIN r ON d.lang = r.lang
       |GROUP BY r.lang, r.n_docs, r.rate_bp
       |ORDER BY r.lang""".stripMargin
@@ -114,8 +114,9 @@ object Mixing {
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, lang, n_tokens,
-       |    sum(n_tokens) OVER (PARTITION BY lang
-       |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_tokens
        |  FROM t)
        |SELECT lang, doc_id, n_tokens, cum_tokens
        |FROM c WHERE cum_tokens <= $TokenBudget
@@ -154,7 +155,8 @@ object Mixing {
       |    round(quantile_cont(n_chars, 0.95), 2) AS p95
       |  FROM documents GROUP BY lang)
       |SELECT d.lang, count(*) AS n_docs,
-      |  sum(CASE WHEN n_chars < p05 OR n_chars > p95 THEN 1 ELSE 0 END) AS n_outliers,
+      |  CAST(sum(CASE WHEN n_chars < p05 OR n_chars > p95 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
       |  p05, p95
       |FROM documents d JOIN b ON d.lang = b.lang
       |GROUP BY d.lang, p05, p95

@@ -172,7 +172,7 @@ object Relational {
   }
 
   val windowRankSql: String =
-    """SELECT o_custkey, rn, o_orderkey, price FROM (
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, price FROM (
       |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) t
@@ -296,7 +296,7 @@ object Relational {
   val scalarFuncsSql: String =
     """SELECT p_partkey,
       |  upper(substring(p_name, 1, 8)) AS name_prefix,
-      |  length(p_name) AS name_len,
+      |  CAST(length(p_name) AS INT) AS name_len,
       |  lower(p_brand) AS brand_lower,
       |  concat_ws('-', p_brand, p_type) AS brand_type,
       |  round(p_retailprice * 1.1, 2) AS price_up,
@@ -389,30 +389,36 @@ object Relational {
       |GROUP BY CUBE(n_name, o_orderstatus)
       |ORDER BY n_name, o_orderstatus""".stripMargin
 
-  /** Exact interpolated percentiles per group (sort-based). At 100 TB
-    * the same query swaps `percentile` for `approx_percentile`
-    * (t-digest sketch, fixed memory) — kept exact here so the DuckDB
-    * `quantile_cont` oracle applies.
+  /** Exact interpolated percentiles per group. Spark's exact
+    * `percentile` (TypedImperativeAggregate) buffers a value→count map
+    * per task, so it is safe at scale ONLY over a BOUNDED-CARDINALITY
+    * measure — here `l_quantity` (50 distinct values: the buffer is a
+    * ≤50-entry map regardless of corpus size, and the partial+final
+    * merge ships 50 counters, not rows). Exact percentiles of an
+    * unbounded measure (a near-unique price/embedding norm) buffer
+    * O(rows/partition) and are the first OOM at 100 TB — that case
+    * belongs to [[approxPercentiles]] (fixed-memory sketch). DuckDB
+    * `quantile_cont` matches the interpolation exactly.
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
-      .orderBy(col("o_orderpriority"))
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_quantity, 0.95)"), 2).as("p95"))
+      .orderBy(col("l_returnflag"))
 
   val percentilesSql: String =
-    """SELECT o_orderpriority,
-      |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
-      |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95
-      |FROM orders
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+      |  round(quantile_cont(l_quantity, 0.95), 2) AS p95
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Sketch percentiles: `approx_percentile` (KLL/quantile sketch) —
     * single pass, fixed memory per group, mergeable across partitions:
@@ -791,15 +797,18 @@ object Relational {
     // old-schema snapshot: count only; new-schema snapshot adds a sum
     val early = o.filter(col("o_orderdate") < "1996-01-01")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_early"))
+    // integer CENTS, not a rounded double: per-row round is deterministic
+    // on both engines and the BIGINT sum is order-independent (same
+    // discipline as [[volumeShipping]])
     val late = o.filter(col("o_orderdate") >= "1996-01-01")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_late"),
-        round(sum(col("o_totalprice")), 2).as("late_price"))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("late_cents"))
     early.unionByName(late, allowMissingColumns = true)
       .groupBy(col("o_custkey"))
       .agg(
         sum(coalesce(col("n_early"), lit(0L))).as("n_early"),
         sum(coalesce(col("n_late"), lit(0L))).as("n_late"),
-        round(sum(coalesce(col("late_price"), lit(0.0))), 2).as("late_price"))
+        sum(coalesce(col("late_cents"), lit(0L))).as("late_cents"))
       .orderBy(col("o_custkey"))
   }
 
@@ -809,12 +818,12 @@ object Relational {
       |  WHERE o_orderdate < DATE '1996-01-01' GROUP BY o_custkey
       |  UNION ALL BY NAME
       |  SELECT o_custkey, count(*) AS n_late,
-      |    round(sum(o_totalprice), 2) AS late_price
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS late_cents
       |  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY o_custkey)
       |SELECT o_custkey,
-      |  sum(coalesce(n_early, 0)) AS n_early,
-      |  sum(coalesce(n_late, 0)) AS n_late,
-      |  round(sum(coalesce(late_price, 0)), 2) AS late_price
+      |  CAST(sum(coalesce(n_early, 0)) AS BIGINT) AS n_early,
+      |  CAST(sum(coalesce(n_late, 0)) AS BIGINT) AS n_late,
+      |  CAST(sum(coalesce(late_cents, 0)) AS BIGINT) AS late_cents
       |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** Sessionization via Spark's NATIVE `session_window` aggregation (the
@@ -938,7 +947,7 @@ object Relational {
 
   val decimalAggSql: String =
     """SELECT o_orderstatus,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
       |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
       |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
       |  count(*) AS n_orders
@@ -981,7 +990,7 @@ object Relational {
       |SELECT n_name,
       |  string_agg(entry, ',' ORDER BY entry) AS segments,
       |  string_agg(entry, ',' ORDER BY entry) AS segments_composed,
-      |  sum(cnt) AS n_customers
+      |  CAST(sum(cnt) AS BIGINT) AS n_customers
       |FROM seg GROUP BY n_name ORDER BY n_name""".stripMargin
 
   /** Statistical-aggregate battery: correlation, covariance, standard
@@ -1382,7 +1391,7 @@ object Relational {
       |  SELECT n_name, c_mktsegment, cnt,
       |    row_number() OVER (PARTITION BY n_name
       |      ORDER BY cnt DESC, c_mktsegment DESC) AS rn,
-      |    sum(cnt) OVER (PARTITION BY n_name) AS n_customers
+      |    CAST(sum(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS n_customers
       |  FROM seg)
       |SELECT n_name, c_mktsegment AS top_segment, cnt AS top_count, n_customers
       |FROM r WHERE rn = 1
@@ -1421,10 +1430,10 @@ object Relational {
 
   val volumeShippingSql: String =
     """SELECT supp_region, cust_region, l_year,
-      |  sum(CAST(round(volume * 100) AS BIGINT)) AS revenue_cents
+      |  CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
       |FROM (
       |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
-      |    year(l_shipdate) AS l_year,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
       |    l_extendedprice * (1 - l_discount) AS volume
       |  FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey

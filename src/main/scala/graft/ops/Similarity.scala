@@ -111,7 +111,8 @@ object Similarity {
        |  SELECT qid, nid, sim6,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rank
        |  FROM s)
-       |SELECT qid AS query_id, rank, nid AS neighbor_id, round(sim6, 4) AS sim
+       |SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       |  round(sim6, 4) AS sim
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 

@@ -37,10 +37,16 @@ object MicroBatch {
     *                     reference's "source exhausted" shutdown path)
     * @param checkpoint  checkpoint directory for restartable pipelines:
     *                    a restarted query resumes from the write-ahead
-    *                    log and never re-delivers a committed batch —
-    *                    the recovery semantics the reference's at-most-
-    *                    once loop cannot offer (it drops in-flight work
-    *                    on stop, `batch_processor.go:137-140`)
+    *                    log and never re-delivers a COMMITTED batch —
+    *                    recovery the reference's at-most-once loop
+    *                    cannot offer (it drops in-flight work on stop,
+    *                    `batch_processor.go:137-140`). An UNCOMMITTED
+    *                    in-flight batch (failure after the finalizer's
+    *                    side effects, before the commit log write) IS
+    *                    re-executed on restart, so finalizer side
+    *                    effects are at-least-once and should be
+    *                    idempotent (keyed upsert / overwrite-by-batch),
+    *                    not blind appends
     */
   def start(
       stream: DataFrame,

@@ -135,6 +135,163 @@ class MicroBatchSpec extends AnyFunSuite {
       "re-aggregated per-batch argmax partials differ from the whole-batch result")
   }
 
+  test("digest-keyed exact dedup merges across micro-batches to the whole-batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // plant cross-batch duplicates: the whole corpus, then its first
+    // half again — every replayed text straddles a batch boundary
+    val data = docs ++ docs.take(docs.size / 2)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val partials =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    val seen = new AtomicInteger(0)
+    val q = MicroBatch.start(
+      in.toDF().toDF("doc_id", "text"),
+      // per-batch partial of the SAME digest-keyed aggregation
+      // dedupExact runs: (digest → min id, copy count) — mergeable
+      // because min and count are both associative
+      processor = (_, df) => Success(
+        df.groupBy(expr("md5(text)").as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
+      finalizer = (p, e) => {
+        assert(e.isEmpty, s"dedup partial failed in-stream: $e")
+        p.foreach { df =>
+          val rows = df.collect()
+          rows.foreach(r => partials.add((r.getString(0), r.getLong(1), r.getLong(2))))
+          seen.addAndGet(rows.map(_.getLong(2)).sum.toInt)
+        }
+      },
+      pollInterval = 100.millis)
+    in.addData(data.take(docs.size))
+    in.addData(data.drop(docs.size))
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.get() < data.size && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    MicroBatch.stopGracefully(q)
+    assert(seen.get() == data.size, s"streamed ${seen.get()} of ${data.size} docs")
+    // re-aggregate the per-batch partials with the same merge (min of
+    // mins, sum of counts) — must equal the single-pass batch op bit
+    // for bit
+    val merged = {
+      import scala.jdk.CollectionConverters._
+      partials.asScala.toSeq
+    }.toDF("digest", "doc_id", "n_copies")
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), sum(col("n_copies")).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    val whole = ops.Dedup.dedupExact(data.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(merged == whole,
+      "merged per-batch dedup partials differ from the whole-batch dedupExact")
+  }
+
+  test("dropDuplicatesWithinWatermark upstream of the bridge matches whole-batch distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, t, base) }
+    // chunk 1: the corpus; chunk 2: the corpus AGAIN (all duplicates,
+    // arriving in a later micro-batch) plus 3 fresh sentinel docs — the
+    // sentinels prove batch 2 was fully processed before the assert
+    val sentinels = (1 to 3).map(i => (1000000L + i, s"sentinel text $i unique", base))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    // the stream-level dedup operator composes UPSTREAM of the bridge:
+    // state lives in the streaming query, the processor sees only
+    // first-occurrence rows
+    val deduped = in.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("digest", expr("md5(text)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("digest")
+    val q = MicroBatch.start(
+      deduped,
+      processor = (_, df) => Success(df),
+      finalizer = (p, e) => {
+        assert(e.isEmpty, s"watermark dedup failed in-stream: $e")
+        p.foreach(_.select("digest").collect().foreach(r => emitted.add(r.getString(0))))
+      },
+      pollInterval = 100.millis)
+    in.addData(docs)
+    in.addData(docs ++ sentinels)
+    val expect = ops.Dedup
+      .dedupExact((docs ++ docs ++ sentinels).toDF("doc_id", "text", "ts"),
+        "doc_id", "text").count()
+    val deadline = System.currentTimeMillis() + 30000
+    while (emitted.size < expect && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    Thread.sleep(500) // grace: a leaked duplicate would emit late
+    MicroBatch.stopGracefully(q)
+    val digests = {
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSeq
+    }
+    assert(digests.size == expect,
+      s"streamed dedup emitted ${digests.size} rows, whole-batch distinct is $expect")
+    assert(digests.distinct.size == digests.size,
+      "a duplicate digest survived dropDuplicatesWithinWatermark")
+  }
+
+  test("decontamination composes into the bridge: per-batch vs static benchmark == whole-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val all = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // the benchmark set is STATIC (the eval suites): stream only the
+    // corpus under test, and let each micro-batch union the fixed
+    // benchmark rows back in so the batch op runs unchanged
+    val benchDf = all.filter(col("doc_id") % 97 === 0).cache()
+    benchDf.count()
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      .as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]
+    val seen = new AtomicInteger(0)
+    val q = MicroBatch.start(
+      in.toDF().toDF("doc_id", "text"),
+      processor = (_, df) => Success(
+        ops.Curation.contamination(df.unionByName(benchDf), "doc_id", "text",
+          col("doc_id") % 97 === 0)),
+      finalizer = (p, e) => {
+        assert(e.isEmpty, s"contamination failed in-stream: $e")
+        p.foreach { df =>
+          val got = df.collect()
+          got.foreach(r => rows.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+          seen.addAndGet(got.length)
+        }
+      },
+      pollInterval = 100.millis)
+    // three uneven chunks, so contaminated docs land in different batches
+    val (a, rest) = corpus.splitAt(corpus.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 3)
+    in.addData(a); in.addData(b); in.addData(c)
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.get() < corpus.size && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    MicroBatch.stopGracefully(q)
+    assert(seen.get() == corpus.size, s"streamed ${seen.get()} of ${corpus.size} docs")
+    // per-doc contamination depends only on the doc and the benchmark
+    // shingle set, so the union of disjoint per-batch outputs must
+    // equal the whole-batch run exactly
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq
+    }.sortBy(_._1)
+    val whole = ops.Curation.contamination(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(streamed == whole,
+      "per-batch decontamination against the static benchmark differs from whole-batch")
+    benchDf.unpersist()
+  }
+
   test("processor failure reaches the finalizer and the stream continues") {
     val errs = new AtomicInteger(0)
     val oks = new AtomicInteger(0)

@@ -110,6 +110,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("exact percentiles are one partial+final aggregate — no window, one shuffle") {
+    val plan = formatted(ops.Relational.percentiles(spark, sfDir))
+    assert(!plan.contains("Window"), s"percentiles rank through a window:\n$plan")
+    // one hash exchange (the groupBy); the trailing orderBy is a range exchange
+    val hashEx = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly the group-by shuffle, got $hashEx:\n$plan")
+    val exchanges = "Exchange \\(\\d".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected exchange count $exchanges:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the percentile partial+final aggregate:\n$plan")
+  }
+
   test("scalar/regex/array batteries stay inside whole-stage codegen") {
     Seq(
       ops.Relational.scalarFuncs(spark, sfDir),

@@ -46,8 +46,15 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("approx percentiles stay within 5% of the exact values") {
-    val exact = ops.Relational.percentiles(spark, sfDir)
-      .select("o_orderpriority", "p50", "p95")
+    // exact reference computed inline at TEST scale only: an exact
+    // percentile of near-unique o_totalprice buffers O(rows/partition)
+    // and is deliberately NOT a production query (q_percentiles uses
+    // the bounded-cardinality l_quantity instead)
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
     val approx = ops.Relational.approxPercentiles(spark, sfDir)
       .select("o_orderpriority", "p50_approx", "p95_approx")
     val joined = exact.join(approx, "o_orderpriority").collect()

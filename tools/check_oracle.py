@@ -20,7 +20,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -33,7 +33,8 @@ def canon(rows, cols):
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [c for _, c in sorted(zip(range(len(cols)), cols), key=lambda p: cols[p[0]])], out
+    return ([c for _, c in sorted(zip(range(len(cols)), cols), key=lambda p: cols[p[0]])],
+            [str(types[i]) for i in order], out)
 
 
 def eq(a, b):
@@ -54,15 +55,27 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+            got_cols, got_types, got = canon(got_rel.fetchall(), got_rel.columns,
+                                             got_rel.types)
             exp_rel = con.sql(sql)
-            exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            exp_cols, exp_types, exp = canon(exp_rel.fetchall(), exp_rel.columns,
+                                             exp_rel.types)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_bad += 1
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_bad += 1
+            continue
+        if got_types != exp_types:
+            # the driver's compare hashes TYPED values: an uncast DuckDB
+            # sum() widens to HUGEINT / DECIMAL(38,2) and hash-mismatches
+            # a value-identical Spark BIGINT / DECIMAL(28,2) column —
+            # catch that here, before the driver does (round-4 lesson)
+            diffs = [f"{c}: spark={g} oracle={e}"
+                     for c, g, e in zip(got_cols, got_types, exp_types) if g != e]
+            print(f"FAIL {name}: result types differ ({'; '.join(diffs)})")
             n_bad += 1
             continue
         if len(got) != len(exp):
