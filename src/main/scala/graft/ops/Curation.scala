@@ -398,4 +398,57 @@ object Curation {
        |  CAST(floor((run - n_toks) / $PackBudget) AS BIGINT) AS pack_id
        |FROM r
        |ORDER BY doc_id""".stripMargin
+
+  /** Curriculum ordering: assign every document a global training
+    * position that (a) feeds higher-quality documents first within each
+    * source and (b) round-robins across sources so no single source
+    * dominates any stretch of training. Position is the CLOSED FORM
+    * `(src_rank − 1) × n_sources + src_idx` — round-robin with gaps
+    * where a source is exhausted — NOT a global row_number: a global
+    * ordering window would funnel the whole corpus through one
+    * partition, while this shape needs only a per-source ranking window
+    * (keyed, scales) plus a broadcast of the |sources|-row index. The
+    * in-source quality key is `n_chars` (descending, doc_id tiebreak) —
+    * any per-doc score column slots in the same way.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculum(Tables.documents(spark, dir), "doc_id", "source", "n_chars")
+
+  /** DataFrame-first form over any (id, source, score) corpus. */
+  def curriculum(docs: DataFrame, idCol: String, srcCol: String,
+                 scoreCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(scoreCol).as("score"))
+    // |sources|-row dimension: index each source name and carry the
+    // total count; coalesce(1) so the tiny window never shuffles
+    val srcIdx = d.select(col("source")).distinct().coalesce(1)
+      .select(col("source"),
+        row_number().over(Window.orderBy(col("source"))).cast("long").as("src_idx"),
+        count(lit(1)).over(Window.partitionBy()).cast("long").as("n_sources"))
+    val ranked = d.withColumn("src_rank",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    ranked
+      .join(broadcast(srcIdx), Seq("source"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1) * col("n_sources") + col("src_idx"))
+          .as("curriculum_pos"))
+      .orderBy(col("curriculum_pos"))
+  }
+
+  val curriculumSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx,
+      |    CAST(count(*) OVER () AS BIGINT) AS n_sources
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank
+      |  FROM documents)
+      |SELECT doc_id, r.source, src_rank,
+      |  (src_rank - 1) * n_sources + src_idx AS curriculum_pos
+      |FROM r JOIN s ON r.source = s.source
+      |ORDER BY curriculum_pos""".stripMargin
 }

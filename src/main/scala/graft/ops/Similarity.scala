@@ -448,4 +448,60 @@ object Similarity {
         col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Embedding-centroid drift report: cosine of each label's centroid
+    * against the global corpus centroid — the standard embedding-space
+    * health check for a training corpus (a label/source whose centroid
+    * drifts from the corpus signals distribution shift or a bad batch).
+    *
+    * Shape: posexplode to (label, dim, value), ONE partial+final
+    * aggregate to per-(label, dim) sums — map-side combine collapses
+    * each task to ≤ |labels|×dim rows, so the shuffle is bounded by
+    * the label×dim grid no matter the corpus size — then the global
+    * centroid derives from the SAME sums (Σ over labels / Σ counts:
+    * exactly the corpus mean, no second corpus scan), and the cosine
+    * is a |labels|×dim-sized join + fold. No arrays cross a shuffle
+    * after the explode; no vector ever reaches the driver.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    centroidDrift(Tables.embeddings(spark, dir), "vec_id", "label", "embedding")
+
+  /** DataFrame-first form over any (id, group, vector) frame. */
+  def centroidDrift(embs: DataFrame, idCol: String, groupCol: String,
+                    vecCol: String): DataFrame = {
+    val x = embs.select(col(groupCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+    val perLabelDim = x.groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val globalDim = perLabelDim.groupBy(col("dim"))
+      .agg((sum(col("s")) / sum(col("c"))).as("gv"))
+    perLabelDim
+      .withColumn("lv", col("s") / col("c"))
+      .join(globalDim, Seq("dim"))
+      .groupBy(col("label"))
+      .agg(
+        min(col("c")).as("n_vecs"),
+        sum(col("lv") * col("gv")).as("dot"),
+        sum(col("lv") * col("lv")).as("nl"),
+        sum(col("gv") * col("gv")).as("ng"))
+      .select(col("label"), col("n_vecs"),
+        round(round(col("dot") / sqrt(col("nl") * col("ng")), 6), 4)
+          .as("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
+  val centroidDriftSql: String =
+    """WITH x AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings),
+      |l AS (
+      |  SELECT label, dim, sum(v) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM x GROUP BY label, dim),
+      |g AS (SELECT dim, sum(s) / sum(c) AS gv FROM l GROUP BY dim),
+      |j AS (SELECT label, c, s / c AS lv, gv FROM l JOIN g USING (dim))
+      |SELECT label, CAST(min(c) AS BIGINT) AS n_vecs,
+      |  round(round(sum(lv * gv) / sqrt(sum(lv * lv) * sum(gv * gv)), 6), 4)
+      |    AS cos_to_global
+      |FROM j GROUP BY label ORDER BY label""".stripMargin
 }

@@ -456,6 +456,60 @@ object TextAnalysis {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained unigram language-model scoring — the classic cheap
+    * perplexity proxy for quality filtering: train unigram frequencies
+    * on the corpus itself, then score each document by its mean token
+    * log-probability (boilerplate and keyboard-mash score low, typical
+    * prose high).
+    *
+    * Two passes by necessity (the model IS a corpus aggregate):
+    * (1) token → count, a vocabulary-sized aggregate; (2) tokens join
+    * the vocabulary on `term` — a shuffled equi-join exactly like
+    * [[tfidf]]'s (web-scale vocabularies are 1e8+ terms, never
+    * broadcast; only the 1-row total broadcasts). Determinism: each
+    * token's log-prob is quantized to integer MICRO-NATS before the
+    * per-doc sum, so the BIGINT sum is order-independent and the final
+    * mean divides two exact integers.
+    */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramLm(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def unigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val tok = d.select(col("doc_id"), explode(toks).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+    val total = vocab.agg(sum(col("tc")).as("n_total"))
+    tok
+      .join(vocab, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("tc").cast("double") / col("n_total")) * 1e6)
+          .cast("long").as("micro_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_lp")).as("sum_micro_lp"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_lp").cast("double") / col("n_tokens") / 1e6, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |vocab AS (SELECT term, count(*) AS tc FROM tok GROUP BY term),
+      |total AS (SELECT CAST(sum(tc) AS BIGINT) AS n_total FROM vocab),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(tc AS DOUBLE) / n_total) * 1e6) AS BIGINT) AS micro_lp
+      |  FROM tok JOIN vocab USING (term) CROSS JOIN total),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(micro_lp) AS BIGINT) AS sum_micro_lp
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, sum_micro_lp,
+      |  round(CAST(sum_micro_lp AS DOUBLE) / n_tokens / 1e6, 4) AS avg_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants + plan contracts for the decision-support analytics
+  * queries (value correctness is covered by the DuckDB oracle gate).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("market share: share = europe/total, bounded to [0,1], one row per year") {
+    val df = ops.Analytics.marketShare(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.select(countDistinct("o_year")).head().getLong(0) == df.count())
+    assert(df.filter(col("europe_cents") < 0 ||
+      col("europe_cents") > col("total_cents")).count() == 0)
+    val drift = df.filter(
+      abs(col("mkt_share") -
+        col("europe_cents").cast("double") / col("total_cents")) > 1e-6)
+    assert(drift.count() == 0)
+  }
+
+  test("product profit: only widget parts contribute; line counts recount") {
+    val df = ops.Analytics.productProfit(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // independent recount of the group sizes through a different join order
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_name").contains("widget"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .count()
+    val mismatch = df.join(expected, Seq("nation", "o_year"), "full_outer")
+      .filter(col("n_lines").isNull || col("count").isNull ||
+        col("n_lines") =!= col("count"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("returned items: top-20 cut is sorted, deterministic, and heap-shaped") {
+    val df = ops.Analytics.returnedItems(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val rev = rows.map(_.getAs[Long]("revenue_cents"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    val plan = formatted(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k shape lost:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)") || plan.contains("l_returnflag"),
+      s"returnflag filter not near the scan:\n$plan")
+  }
+
+  test("analytics joins broadcast dims and never plan a cartesian/NLJ") {
+    Seq(
+      ops.Analytics.marketShare(spark, sfDir),
+      ops.Analytics.productProfit(spark, sfDir),
+      ops.Analytics.returnedItems(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"no dim broadcast:\n$plan")
+    }
+  }
+}

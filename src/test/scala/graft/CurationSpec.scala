@@ -97,4 +97,26 @@ class CurationSpec extends AnyFunSuite {
     assert(m("n_too_repetitive") ==
       rows.count(_.getAs[String]("reason") == "too_repetitive").toLong)
   }
+
+  test("curriculum: positions unique, round-robin head, quality-descending within source") {
+    val df = ops.Curation.curriculum(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(df.count() == n)
+    assert(df.select(countDistinct("curriculum_pos")).head().getLong(0) == n,
+      "curriculum positions must be unique")
+    val nSources = df.select(countDistinct("source")).head().getLong(0)
+    // the first |sources| positions are exactly the rank-1 docs, one per source
+    val head = df.orderBy("curriculum_pos").limit(nSources.toInt).cache()
+    assert(head.select(countDistinct("source")).head().getLong(0) == nSources,
+      "round-robin head must cover every source once")
+    assert(head.filter(col("src_rank") =!= 1).count() == 0)
+    // within a source, position order == quality order (n_chars desc, doc_id)
+    val chars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("curriculum_pos")
+    val ooo = df.join(chars, Seq("doc_id"))
+      .withColumn("prev", lag("n_chars", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("n_chars"))
+    assert(ooo.count() == 0, "quality order violated within a source")
+  }
 }

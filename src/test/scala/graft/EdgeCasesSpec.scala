@@ -113,4 +113,37 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect()
     assert(merged.length == 1 && merged.head.getAs[String]("action") == "kept")
   }
+
+  test("empty and singleton corpora flow through the round-5 ops") {
+    assert(ops.TextAnalysis.unigramLm(empty, "doc_id", "text").count() == 0)
+    assert(ops.Curation.curriculum(empty, "doc_id", "source", "n_chars").count() == 0)
+    val lm = ops.TextAnalysis.unigramLm(single, "doc_id", "text").collect()
+    assert(lm.length == 1 && lm.head.getAs[Double]("avg_logprob") < 0)
+    val cur = ops.Curation.curriculum(single, "doc_id", "source", "n_chars").collect()
+    assert(cur.length == 1 && cur.head.getAs[Long]("curriculum_pos") == 1L)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1),
+      StructType(Seq(StructField("vec_id", LongType), StructField("label", IntegerType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(ops.Similarity.centroidDrift(emptyVecs, "vec_id", "label", "embedding")
+      .count() == 0)
+  }
+
+  test("schema-evolution union against an empty early snapshot still emits") {
+    // unionByName(allowMissingColumns) where the old-schema side matches
+    // zero rows: every customer must surface with n_early = 0 and the
+    // late-side aggregates intact
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ubn-").toString
+    try {
+      Tables.orders(spark, "/root/testdata/sf0.001")
+        .filter(col("o_orderdate") >= "1996-01-01")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val df = ops.Relational.unionByNameEvolved(spark, tmp).cache()
+      assert(df.count() > 0, "empty early side must not blank the union")
+      assert(df.filter(col("n_early") =!= 0).count() == 0)
+      assert(df.filter(col("n_late") <= 0 || col("late_cents") <= 0).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

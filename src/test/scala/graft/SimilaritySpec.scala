@@ -53,4 +53,20 @@ class SimilaritySpec extends AnyFunSuite {
     // ~0.78 to 1.00 at the test SF — pin well above the single-probe level
     assert(recall >= 0.6, f"LSH recall collapsed: $recall%.2f")
   }
+
+  test("centroidDrift: hand-computable planted geometry, bounded cosines at sfDir") {
+    import spark.implicits._
+    // label 0: two vectors on e1; label 1: one on e2. Global centroid
+    // (2/3, 1/3): cos(L0) = 2/sqrt(5), cos(L1) = 1/sqrt(5).
+    val planted = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)), (3L, 1, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = ops.Similarity.centroidDrift(planted, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((0, 2L, 0.8944), (1, 1L, 0.4472)), s"got $got")
+    val corpus = ops.Similarity.centroidDrift(spark, sfDir).cache()
+    assert(corpus.filter(col("cos_to_global") < -1 || col("cos_to_global") > 1).count() == 0)
+    assert(corpus.agg(sum("n_vecs")).head().getLong(0) ==
+      Tables.embeddings(spark, sfDir).count())
+  }
 }

@@ -87,4 +87,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       exploded.exceptAll(rowLocal).count() == 0,
       "two independent entropy derivations disagree")
   }
+
+  test("unigramLm: log-probs are negative, token counts recount, rare tokens score lower") {
+    val corpus = ops.TextAnalysis.unigramLm(spark, sfDir).cache()
+    assert(corpus.count() == nDocs)
+    assert(corpus.filter(col("avg_logprob") >= 0).count() == 0,
+      "a unigram mean log-prob can never be >= 0 on a multi-token corpus")
+    val recount = ops.TextAnalysis.tokenCount(spark, sfDir)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    assert(corpus.join(recount, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("n_ws_tokens")).count() == 0)
+    // planted corpus: identical docs except one swaps a common token for
+    // a hapax — the hapax doc must score strictly lower
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a a a a"), (2L, "a a a a"), (3L, "a a a zzz"))
+      .toDF("doc_id", "text")
+    val scored = ops.TextAnalysis.unigramLm(planted, "doc_id", "text")
+      .select("doc_id", "avg_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) == scored(2L))
+    assert(scored(3L) < scored(1L), "hapax-bearing doc must score lower")
+  }
 }
