@@ -399,6 +399,83 @@ object Curation {
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
+  private val SpanSize = 32
+
+  /** Span-level exact dedup report (the RefinedWeb/C4 pattern one level
+    * below document dedup): fixed `spanSize`-token windows are hashed
+    * corpus-wide, and every document reports how much of its content is
+    * duplicated SOMEWHERE in the corpus — `n_dup_spans` (spans whose
+    * hash occurs >1 times anywhere) and `n_removable_spans` (those that
+    * are not the corpus-wide canonical first occurrence, i.e. what a
+    * remove-duplicated-spans pass would cut).
+    *
+    * Shape: one projection explodes each doc into spans with an md5
+    * span hash (row-local, the one hash both engines compute
+    * identically), ONE digest-keyed census aggregate (partial+final;
+    * `min(struct(doc, chunk))` picks the canonical occurrence without
+    * any window), a shuffled equi-join of spans against the census on
+    * the hash (vocabulary-sized — never broadcast), and a doc-keyed
+    * rollup. No doc×doc comparison anywhere.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(spark, dir), "doc_id", "text", SpanSize)
+
+  /** DataFrame-first form with a configurable span size. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanSize: Int): DataFrame = {
+    require(spanSize >= 1, "spanSize must be positive")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) div $spanSize),
+           |  c -> struct(c AS chunk_id,
+           |    md5(array_join(slice(tk, c * $spanSize + 1, $spanSize), ' ')) AS h))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.chunk_id").as("chunk_id"), col("s.h").as("h"))
+    val census = spans.groupBy(col("h")).agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+    spans.join(census, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("n_occ") > 1 &&
+            !(col("first.doc_id") === col("doc_id") &&
+              col("first.chunk_id") === col("chunk_id")), 1L)
+          .otherwise(0L)).as("n_removable_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle uses per-hash windows where the engine uses a census
+    * aggregate + join — two independent derivations of the same report.
+    */
+  val spanDedupSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    [ {'chunk_id': i, 'h': md5(array_to_string(
+       |        string_split(text,' ')[i*$SpanSize+1 : i*$SpanSize+$SpanSize], ' '))}
+       |      FOR i IN generate_series(0, (len(string_split(text,' '))-1) // $SpanSize) ]
+       |      AS ss
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id, s.chunk_id AS chunk_id, s.h AS h
+       |  FROM (SELECT doc_id, unnest(ss) AS s FROM sp)),
+       |marked AS (
+       |  SELECT doc_id, chunk_id, h,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+       |  FROM spans)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removable_spans,
+       |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+       |    AS dup_frac
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Curriculum ordering: assign every document a global training
     * position that (a) feeds higher-quality documents first within each
     * source and (b) round-robins across sources so no single source

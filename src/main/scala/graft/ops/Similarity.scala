@@ -490,6 +490,65 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× compression step before shipping vectors to an ANN index:
+    * per-dimension [min, max] over the corpus maps each component to
+    * round((v−mn)/(mx−mn)·255) − 128 ∈ [−128, 127] (a constant-range
+    * dimension quantizes to 0).
+    *
+    * The per-dimension stats are a posexplode → dim-keyed partial
+    * aggregate whose result is DIM rows — a fixed-size,
+    * scale-independent frame, collected to the driver and re-shipped as
+    * codegen'd array literals exactly like [[annIvf]]'s centroid matrix
+    * (the documented, correct driver touch). The quantization itself is
+    * then a single row-local whole-stage-codegen projection — no join,
+    * no second shuffle, scan-speed at any corpus size. Output carries
+    * the full quantized vector as csv (the driver compare can't hash
+    * array cells) plus an integer checksum.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    embeddingQuantize(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  /** DataFrame-first form over any (id, vector) frame. */
+  def embeddingQuantize(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = embs.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val stats = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("dim")).collect() // dim rows — fixed-size, like IVF centroids
+    if (stats.isEmpty)
+      return e.select(col("vec_id"), lit("").as("q_csv"), lit(0L).as("checksum"))
+        .limit(0)
+    val mnLit = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxLit = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    e.withColumn("mn", mnLit).withColumn("mx", mxLit)
+      .withColumn("q", expr(
+        """transform(emb, (v, i) ->
+          |  CASE WHEN mx[i] = mn[i] THEN 0
+          |    ELSE CAST(round((v - mn[i]) / (mx[i] - mn[i]) * 255) AS INT) - 128
+          |  END)""".stripMargin))
+      .select(col("vec_id"),
+        array_join(expr("transform(q, x -> CAST(x AS STRING))"), ",").as("q_csv"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("checksum"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings),
+      |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+      |q AS (
+      |  SELECT vec_id, dim,
+      |    CASE WHEN mx = mn THEN 0
+      |      ELSE CAST(round((v - mn) / (mx - mn) * 255) AS INT) - 128 END AS qv
+      |  FROM x JOIN s USING (dim))
+      |SELECT vec_id,
+      |  string_agg(CAST(qv AS VARCHAR), ',' ORDER BY dim) AS q_csv,
+      |  CAST(sum(qv) AS BIGINT) AS checksum
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val centroidDriftSql: String =
     """WITH x AS (
       |  SELECT label, generate_subscripts(embedding, 1) AS dim,

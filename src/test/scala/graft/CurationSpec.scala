@@ -119,4 +119,24 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("prev") < col("n_chars"))
     assert(ooo.count() == 0, "quality order violated within a source")
   }
+
+  test("spanDedup: planted copies are fully flagged, one canonical copy survives") {
+    import spark.implicits._
+    // 3-token spans: doc 1 and doc 2 are byte-identical (2 spans each);
+    // doc 3 shares nothing. Every span of docs 1+2 is duplicated; the
+    // removable set is exactly doc 2's spans (doc 1 is canonical-first).
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z p q r"))
+      .toDF("doc_id", "text")
+    val got = ops.Curation.spanDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((1L, 2L, 2L, 0L), (2L, 2L, 2L, 2L), (3L, 2L, 0L, 0L)), s"got $got")
+    // corpus invariants: removable <= dup <= total; census is consistent
+    val corpus = ops.Curation.spanDedup(spark, sfDir).cache()
+    assert(corpus.count() == Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(col("n_removable_spans") > col("n_dup_spans") ||
+      col("n_dup_spans") > col("n_spans")).count() == 0)
+    assert(corpus.filter(col("n_dup_spans") > 0).count() > 0,
+      "test corpus is known to contain duplicated spans")
+  }
 }

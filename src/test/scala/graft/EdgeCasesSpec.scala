@@ -127,6 +127,12 @@ class EdgeCasesSpec extends AnyFunSuite {
         StructField("embedding", ArrayType(FloatType)))))
     assert(ops.Similarity.centroidDrift(emptyVecs, "vec_id", "label", "embedding")
       .count() == 0)
+    assert(ops.Similarity.embeddingQuantize(emptyVecs, "vec_id", "embedding")
+      .count() == 0)
+    assert(ops.Curation.spanDedup(empty, "doc_id", "text", 4).count() == 0)
+    // a single doc's spans are all unique-in-corpus: nothing dup, nothing removable
+    val sd = ops.Curation.spanDedup(single, "doc_id", "text", 4).collect()
+    assert(sd.length == 1 && sd.head.getAs[Long]("n_dup_spans") == 0L)
   }
 
   test("schema-evolution union against an empty early snapshot still emits") {

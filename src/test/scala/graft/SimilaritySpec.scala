@@ -69,4 +69,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(corpus.agg(sum("n_vecs")).head().getLong(0) ==
       Tables.embeddings(spark, sfDir).count())
   }
+
+  test("embeddingQuantize: endpoints hit the int8 rails, corpus vectors stay full-width") {
+    import spark.implicits._
+    // dim 0 range [0,2] with a midpoint, dim 1 constant -> qv 0
+    val planted = Seq(
+      (1L, Seq(0.0f, 5.0f)), (2L, Seq(1.0f, 5.0f)), (3L, Seq(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = ops.Similarity.embeddingQuantize(planted, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List((1L, "-128,0", -128L), (2L, "0,0", 0L), (3L, "127,0", 127L)),
+      s"got $got")
+    val corpus = ops.Similarity.embeddingQuantize(spark, sfDir).cache()
+    assert(corpus.count() == Tables.embeddings(spark, sfDir).count())
+    // every quantized vector keeps all 64 components, none escapes int8
+    assert(corpus.filter(size(split(col("q_csv"), ",")) =!= 64).count() == 0)
+    val comp = corpus.select(explode(split(col("q_csv"), ",")).as("c0"))
+      .select(col("c0").cast("int").as("c"))
+    assert(comp.filter(col("c") < -128 || col("c") > 127).count() == 0)
+  }
 }
