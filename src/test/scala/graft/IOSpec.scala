@@ -110,4 +110,26 @@ class IOSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
   }
+
+  test("z-ordered layout clusters 2-D range predicates into fewer files") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value")
+    val plain = tmp("zplain"); val zed = tmp("zorder")
+    events.repartition(8).write.parquet(plain) // hash-scattered control layout
+    IO.writeZOrdered(events, zed, Seq("user_id", "value"), 8)
+    assertSameRows(events, IO.readParquet(spark, zed)) // clustering loses nothing
+    // 2-D range selection: matching rows should live in few z-files but
+    // be scattered across (nearly) all control files
+    def touched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("user_id").between(2, 4) && col("value") < 40.0)
+        .select(input_file_name()).distinct().count()
+    val (tz, tp) = (touched(zed), touched(plain))
+    info(s"files touched: z-ordered $tz vs plain $tp")
+    assert(tz * 2 <= tp, s"z-order layout gave no file locality: $tz vs $tp")
+    // empty input degrades to a plain write, not a failure
+    val emptyPath = tmp("zempty")
+    IO.writeZOrdered(events.limit(0), emptyPath, Seq("user_id", "value"), 4)
+    assert(IO.readParquet(spark, emptyPath).count() == 0)
+  }
 }
