@@ -124,6 +124,84 @@ object Advanced {
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Time-series LINEAR INTERPOLATION — [[gapFill]]'s forward-fill
+    * sibling for measures where a gap means "the value moved smoothly",
+    * not "it held": interior missing days get
+    * `prev + (next − prev) · Δdays/Δspan` between the nearest observed
+    * values; leading/trailing edges degrade to back-/forward-fill. Two
+    * keyed windows per direction over the same metadata-sized grid as
+    * gapFill (last/first with ignoreNulls carrying value AND observed
+    * day) — no self-join, no per-gap scan, scales with |types|×|days|.
+    * The interpolation fraction divides two exact day integers, so the
+    * rounded result is reproducible cross-engine.
+    */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("v"))
+    val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .withColumn("v_interp",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))         // leading edge: backfill
+          .when(col("nv").isNull, col("pv"))         // trailing edge: forward-fill
+          .otherwise(round(col("pv") +
+            (col("nv") - col("pv")) *
+              datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")), 4)))
+      .withColumn("interpolated", (col("v").isNull && col("v_interp").isNotNull).cast("int"))
+      .select(col("event_type"), col("day"), col("n"), col("v_interp"), col("interpolated"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val interpolateSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+      |daily AS (
+      |  SELECT event_type, day, count(*) AS n, round(avg(value), 2) AS v
+      |  FROM e GROUP BY event_type, day),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT CAST(min(day) AS TIMESTAMP) AS d0, CAST(max(day) AS TIMESTAMP) AS d1 FROM e)),
+      |grid AS (
+      |  SELECT event_type, day
+      |  FROM (SELECT DISTINCT event_type FROM e) CROSS JOIN days),
+      |j AS (
+      |  SELECT g.event_type, g.day, coalesce(daily.n, 0) AS n, daily.v,
+      |    last_value(daily.v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN daily.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wb AS pd,
+      |    first_value(daily.v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN daily.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wf AS nd
+      |  FROM grid g LEFT JOIN daily ON g.event_type = daily.event_type AND g.day = daily.day
+      |  WINDOW
+      |    wb AS (PARTITION BY g.event_type ORDER BY g.day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY g.event_type ORDER BY g.day
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE round(pv + (nv - pv) *
+      |         CAST(date_diff('day', pd, day) AS DOUBLE) / date_diff('day', pd, nd), 4)
+      |  END AS v_interp,
+      |  CAST(v IS NULL AND (pv IS NOT NULL OR nv IS NOT NULL) AS INT) AS interpolated
+      |FROM j
+      |ORDER BY event_type, day""".stripMargin
+
   /** Time-series gap filling — the dense-calendar pattern every
     * metrics pipeline needs: build the full (event_type × day) grid
     * from the observed date bounds, left-join the daily aggregates,

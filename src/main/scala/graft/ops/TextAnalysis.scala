@@ -510,6 +510,58 @@ object TextAnalysis {
       |  round(CAST(sum_micro_lp AS DOUBLE) / n_tokens / 1e6, 4) AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Corpus top-5 bigrams per language — the n-gram frequency report
+    * behind phrase-level boilerplate detection (the doc-level
+    * repetition ops can't see a phrase repeated once per document
+    * across millions of documents; this table can). Bigram explosion
+    * is row-local (`transform` over the token array — no per-token
+    * shuffle until the (lang, bigram) aggregate), counts partial+final,
+    * and the per-language top-5 rides the bounded [[graft.functions.TopK]]
+    * term aggregate — ≤ 5 rows per language per map task cross the
+    * shuffle, never a global sort. Ties break lexicographically so the
+    * cut is deterministic.
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgrams(Tables.documents(spark, dir), "doc_id", "lang", "text")
+
+  /** DataFrame-first form. */
+  def topNgrams(docs: DataFrame, idCol: String, langCol: String,
+                textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", langCol -> "lang", textCol -> "text")
+    val grams = d.select(col("lang"), toks.as("tk"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(tk) >= 2
+          |  THEN transform(sequence(0, size(tk) - 2),
+          |         i -> concat_ws(' ', tk[i], tk[i + 1]))
+          |  ELSE array() END""".stripMargin)).as("bigram"))
+    grams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      // TopKTerm ranks (score desc, term asc) — same cut as the oracle's
+      // row_number ORDER BY cnt DESC, bigram; integer counts are exact
+      // as doubles
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topKTerms(5)(col("cnt").cast("double"), col("bigram")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("bigram"), col("col.score").cast("long").as("cnt"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val topNgramsSql: String =
+    """WITH g AS (
+      |  SELECT lang, unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+      |    THEN [array_to_string(string_split(text, ' ')[i + 1 : i + 2], ' ')
+      |          FOR i IN generate_series(0, len(string_split(text, ' ')) - 2)]
+      |    ELSE [] END) AS bigram
+      |  FROM documents),
+      |c AS (SELECT lang, bigram, count(*) AS cnt FROM g GROUP BY lang, bigram),
+      |r AS (
+      |  SELECT lang, bigram, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rank
+      |  FROM c)
+      |SELECT lang, CAST(rank AS INT) AS rank, bigram, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

@@ -190,4 +190,27 @@ class AdvancedSpec extends AnyFunSuite {
     val df = ops.TextAnalysis.piiRedact(spark, sfDir)
     assert(df.filter(col("clean") =!= 1).count() == 0)
   }
+
+  test("interpolate: full grid, observed days untouched, gaps bounded by their endpoints") {
+    val df = ops.Advanced.interpolate(spark, sfDir).cache()
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    val days = df.select("day").distinct().count()
+    assert(df.count() == types * days, "grid must be dense: |types| x |days|")
+    // observed days (n > 0) keep their exact daily average: never interpolated
+    assert(df.filter(col("n") > 0 && col("interpolated") =!= 0).count() == 0)
+    // every gap-filled value lies within [min(prev,next), max(prev,next)]:
+    // recompute the neighbor bounds independently with lag/lead over observed rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val withBounds = df
+      .withColumn("pv", last(when(col("n") > 0, col("v_interp")), ignoreNulls = true)
+        .over(w.rowsBetween(Long.MinValue, -1)))
+      .withColumn("nv", first(when(col("n") > 0, col("v_interp")), ignoreNulls = true)
+        .over(w.rowsBetween(1, Long.MaxValue)))
+      .filter(col("interpolated") === 1 && col("pv").isNotNull && col("nv").isNotNull)
+    val outside = withBounds.filter(
+      col("v_interp") < least(col("pv"), col("nv")) - 1e-9 ||
+        col("v_interp") > greatest(col("pv"), col("nv")) + 1e-9)
+    assert(outside.count() == 0, "interpolated value escaped its endpoint bounds")
+  }
 }

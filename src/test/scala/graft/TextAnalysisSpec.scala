@@ -109,4 +109,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored(1L) == scored(2L))
     assert(scored(3L) < scored(1L), "hapax-bearing doc must score lower")
   }
+
+  test("topNgrams: five ranked bigrams per language; planted phrase dominates") {
+    val df = ops.TextAnalysis.topNgrams(spark, sfDir).cache()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(df.count() == 5 * langs)
+    assert(df.groupBy("lang").agg(collect_set("rank").as("rs"))
+      .filter(size(col("rs")) =!= 5).count() == 0)
+    // planted: one phrase repeated across docs must rank #1; a doc with
+    // fewer than 2 tokens contributes nothing
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "en", "hot take hot take hot take"),
+      (2L, "en", "hot take again and again"),
+      (3L, "en", "solo")).toDF("doc_id", "lang", "text")
+    val top = ops.TextAnalysis.topNgrams(planted, "doc_id", "lang", "text")
+      .filter(col("rank") === 1).head()
+    assert(top.getAs[String]("bigram") == "hot take" && top.getAs[Long]("cnt") == 4L)
+  }
 }
