@@ -110,6 +110,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("unigram-LM and span-dedup join their vocabulary-sized sides by shuffle, never broadcast") {
+    // same contract as tfidf's: the token-count vocabulary and the span
+    // census are corpus-vocabulary-sized (1e8+ entries at web scale) —
+    // only the 1-row corpus total may broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lm = formatted(ops.TextAnalysis.unigramLm(spark, sfDir))
+      val lmBroadcasts = "BroadcastExchange \\(\\d".r.findAllIn(lm).size
+      assert(lmBroadcasts == 1,
+        s"unigram-LM: expected exactly the 1-row total broadcast, got $lmBroadcasts:\n$lm")
+      val sd = formatted(ops.Curation.spanDedup(spark, sfDir))
+      val sdBroadcasts = "BroadcastExchange \\(\\d".r.findAllIn(sd).size
+      assert(sdBroadcasts == 0,
+        s"span-dedup: census must shuffle-join, got $sdBroadcasts broadcasts:\n$sd")
+      assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact percentiles are one partial+final aggregate — no window, one shuffle") {
     val plan = formatted(ops.Relational.percentiles(spark, sfDir))
     assert(!plan.contains("Window"), s"percentiles rank through a window:\n$plan")
