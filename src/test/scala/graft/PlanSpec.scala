@@ -117,6 +117,10 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // another spec may have .cache()d an identical frame, which would
+      // substitute its already-finalized adaptive plan (with its
+      // size-estimate broadcasts) for the shape under test
+      spark.catalog.clearCache()
       val lm = formatted(ops.TextAnalysis.unigramLm(spark, sfDir))
       val lmBroadcasts = "BroadcastExchange \\(\\d".r.findAllIn(lm).size
       assert(lmBroadcasts == 1,

@@ -4,19 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session for all engine specs: local, UTC, AQE on, small
-  * shuffle partitioning to match the test scale.
+/** Shared session for all engine specs, built through the production
+  * factory so every spec exercises [[GraftSession]]'s posture (UTC,
+  * AQE + skew + coalesce, extensions, 4-way shuffle at test scale).
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = GraftSession.local(4, "graft-test").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
