@@ -139,6 +139,89 @@ object Analytics {
       .orderBy(col("revenue_cents").desc, col("c_custkey"))
       .limit(20)
 
+  /** Order-priority check (TPC-H Q4 shape): order counts per priority
+    * over a half-year window, restricted to orders with at least one
+    * returned line — the EXISTS is a LEFT-SEMI join (first match wins,
+    * no fan-out, no distinct needed), planned as a hash semi-join on
+    * the order key. (Q4's commit<receipt predicate needs columns the
+    * test tables don't carry; the returned-line EXISTS exercises the
+    * same shape.)
+    */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Forecast-revenue change (TPC-H Q6 shape): one table, three
+    * band predicates, one global sum — the pure pushdown showcase.
+    * Every filter must reach the parquet scan (`PushedFilters`) so row
+    * groups outside the bands never decompress; at 100 TB this query
+    * is I/O-bound on exactly the rows it keeps. The one output row
+    * sums exact integer cents.
+    */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  val revenueForecastSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING k = 0 — the LEFT
+    * join keeps order-less customers, the first aggregate counts
+    * orders per customer (counting order keys, not rows, so the
+    * no-order row counts 0), the second histograms the counts. Both
+    * aggregates are partial+final; output is bounded by the maximum
+    * order count per customer.
+    */
+  def custDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val custDistributionSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val returnedItemsSql: String =
     """SELECT c_custkey, c_name, n_name, c_acctbal,
       |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))

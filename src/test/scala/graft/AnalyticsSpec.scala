@@ -55,6 +55,47 @@ class AnalyticsSpec extends AnyFunSuite {
       s"returnflag filter not near the scan:\n$plan")
   }
 
+  test("order priority: semi-join never fans out; counts recount via distinct-join") {
+    val df = ops.Analytics.orderPriority(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // independent derivation: inner join + distinct order keys
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+    val bad = df.join(expected, Seq("o_orderpriority"), "full_outer")
+      .filter(col("order_count").isNull || col("count").isNull ||
+        col("order_count") =!= col("count"))
+    assert(bad.count() == 0, "semi-join fanned out or dropped orders")
+  }
+
+  test("revenue forecast: every band predicate reaches the parquet scan") {
+    val df = ops.Analytics.revenueForecast(spark, sfDir)
+    val plan = formatted(df)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(plan.contains(s"IsNotNull($c)") || plan.contains(s"($c"),
+        s"$c filter not pushed:\n$plan")
+    }
+    assert(plan.contains("PushedFilters: ["), s"no pushdown at all:\n$plan")
+    assert(!plan.contains("PushedFilters: []"), s"empty pushdown:\n$plan")
+    assert(df.count() == 1)
+  }
+
+  test("customer distribution: masses conserve — customers and orders both add up") {
+    val df = ops.Analytics.custDistribution(spark, sfDir).cache()
+    val customers = Tables.customer(spark, sfDir).count()
+    val orders = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"),
+        "left_semi").count()
+    assert(df.agg(sum("custdist")).head().getLong(0) == customers,
+      "every customer must land in exactly one bucket")
+    assert(df.agg(sum(col("c_count") * col("custdist"))).head().getLong(0) == orders,
+      "bucket-weighted counts must equal the total joined-order count")
+  }
+
   test("analytics joins broadcast dims and never plan a cartesian/NLJ") {
     Seq(
       ops.Analytics.marketShare(spark, sfDir),
