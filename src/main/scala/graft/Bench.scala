@@ -116,13 +116,37 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","prefix":"q_",""" +
         s""""queries":$qs,"iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
     }
+    // Past ~110 queries even the 0-decimal full map overflows the tail
+    // window (the ~1500 bytes of names are irreducible), so the next
+    // rung keeps the MOST EXPENSIVE queries — the ones a plan audit
+    // needs — and says how many cheap ones were cut ("omitted":k).
+    // BENCH_LAST.json always has the full set.
+    def topLine(dp: Int): String = {
+      val medians = times.map { case (name, ts) =>
+        name -> (if (errs.contains(name) || ts.isEmpty) -1.0 else median(ts.toSeq))
+      }.toSeq.sortBy { case (_, m) => -m }
+      val budget = 1940 -
+        compactLine(dp, false).length - ""","omitted":000""".length
+      val (entries, _) = medians.foldLeft((List.empty[String], 0)) {
+        case ((acc, used), (name, m)) =>
+          val useDp = if (math.abs(m) >= 10) (dp - 1).max(0) else dp
+          val e = s"\"${name.stripPrefix("q_")}\":${trim(m, useDp)}"
+          if (used + e.length + 1 <= budget) (e :: acc, used + e.length + 1)
+          else (acc, used)
+      }
+      val omitted = medians.length - entries.length
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","prefix":"q_",""" +
+        s""""queries":${entries.reverse.mkString("{", ",", "}")},""" +
+        s""""omitted":$omitted,"iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
+    }
     // 1940, not 2000: the tail window also has to hold the build tool's
     // "[success] Total time: …" footer (~80 chars), so leave headroom
     // for exactly that and spend the rest on per-query precision.
     // last-resort fallback can never be absent: even if the query-less
     // line overflows (e.g. a huge failed-query list), emit it anyway —
     // an over-long metric line beats no metric line at all
-    val line = (Seq(2, 1, 0).map(compactLine(_, true)) :+ compactLine(2, false))
+    val line = (Seq(2, 1, 0).map(compactLine(_, true)) ++ Seq(topLine(2), topLine(1)) :+
+      compactLine(2, false))
       .find(_.length <= 1940).getOrElse(compactLine(2, false))
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""iters":$iters,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""

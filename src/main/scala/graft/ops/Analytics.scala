@@ -236,4 +236,323 @@ object Analytics {
       |GROUP BY c_custkey, c_name, n_name, c_acctbal
       |ORDER BY revenue_cents DESC, c_custkey
       |LIMIT 20""".stripMargin
+
+  /** Ship-lag priority counts (TPC-H Q12 shape): for lines that shipped
+    * more than 60 days after their order date, count high- vs
+    * low-priority orders per line status. (The tables carry no
+    * `l_shipmode`/commit/receipt dates; `l_linestatus` stands in for
+    * the mode and the ship lag for the late-commit predicate — the
+    * shape is the same: fact⋈fact equi-join, a cross-table row-local
+    * predicate that can NOT push below the join, a scan-pushable date
+    * band that can, and a two-way conditional aggregate.)
+    */
+  def shipLag(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy(col("l_linestatus").as("ship_class"))
+      .agg(
+        sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(!high, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  val shipLagSql: String =
+    """SELECT l_linestatus AS ship_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+      |GROUP BY l_linestatus
+      |ORDER BY ship_class""".stripMargin
+
+  /** Promotion revenue share (TPC-H Q14 shape): for one ship month, the
+    * percentage of revenue from PROMO-type parts. lineitem⋈part is a
+    * shuffled equi-join (part is fact-scale at TPC-H SFs, never
+    * broadcast by design — AQE may still downgrade at toy scale); the
+    * month band pushes to the lineitem scan so the join only sees the
+    * month; the share divides two exact BIGINT cent-sums at the end.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0L))).as("promo_cents"),
+        sum(vol).as("total_cents"))
+      .withColumn("promo_share_pct",
+        round(lit(100.0) * col("promo_cents").cast("double") / col("total_cents"), 6))
+  }
+
+  val promoShareSql: String =
+    """WITH t AS (
+      |  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol,
+      |    p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+      |a AS (
+      |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS BIGINT)
+      |      AS promo_cents,
+      |    CAST(sum(vol) AS BIGINT) AS total_cents
+      |  FROM t)
+      |SELECT promo_cents, total_cents,
+      |  round(100.0 * CAST(promo_cents AS DOUBLE) / total_cents, 6) AS promo_share_pct
+      |FROM a""".stripMargin
+
+  /** Top supplier (TPC-H Q15 shape): the supplier(s) with the maximum
+    * revenue over one quarter — a scalar-max subquery over an
+    * aggregated view, joined back to keep ALL ties. The per-supplier
+    * revenue frame (dimension-sized, one shuffle off the fact) is
+    * localCheckpoint'd so the fact is scanned ONCE and both the max
+    * and the final filter read the materialized frame; the 1-row max
+    * then broadcasts back. Never a global window over the corpus.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_cents"))
+      .localCheckpoint(true)
+    val mx = rev.agg(max(col("total_cents")).as("mx"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_cents") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |      AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three
+    * brand×size×quantity conjunct bands across the lineitem⋈part join.
+    * The disjunction straddles both tables, so it cannot push below
+    * the join as-is; the implementation adds the per-side ENVELOPE
+    * filters it implies (brand ∈ the three brands, quantity/size in
+    * the union band) so each scan prunes before shuffling — the
+    * row-local OR then decides exactly. Oracle states the plain OR.
+    */
+  def disjunctivePred(spark: SparkSession, dir: String): DataFrame = {
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 35))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(1, 35))
+      .join(Tables.part(spark, dir)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size").between(1, 35)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val disjunctivePredSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  /** Small-quantity revenue (TPC-H Q17 shape): average yearly revenue
+    * lost if small-quantity orders — lines below 20% of their part's
+    * average quantity — were not taken. The correlated scalar subquery
+    * (per-part avg over lineitem) is stated as ANSI SQL and Catalyst
+    * DECORRELATES it into a per-part aggregate joined back on the part
+    * key (pinned in AnalyticsSpec) — never a per-row re-execution.
+    * Quantities are integer-valued doubles, so avg = exact-sum/count is
+    * bit-identical cross-engine and the 0.2·avg threshold compare
+    * cannot flip. Same ANSI string is the DuckDB oracle.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame =
+    runWithTables(spark, dir, smallQtyRevenueSql, Seq("lineitem", "part"))
+
+  val smallQtyRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0)
+      |    AS BIGINT) AS avg_yearly_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l_quantity) FROM lineitem
+      |    WHERE l_partkey = p_partkey)""".stripMargin
+
+  private val LargeOrderQty = 300.0
+
+  /** Large-volume customers (TPC-H Q18 shape): customers whose orders
+    * exceed 300 total quantity. The HAVING-IN subquery is a grouped
+    * aggregate over the fact, filtered, then LEFT-SEMI joined back to
+    * the order key — the hot-order set is tiny, the semi join never
+    * fans out, and the outer 3-way join only sees qualifying orders.
+    * Quantity sums are exact (integer-valued doubles → BIGINT).
+    */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > LargeOrderQty)
+      .select(col("l_orderkey").as("hot_okey"))
+    Tables.orders(spark, dir)
+      .join(hot, col("o_orderkey") === col("hot_okey"), "left_semi")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+  }
+
+  val largeOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY total_cents DESC, o_orderkey""".stripMargin
+
+  /** Waiting suppliers (TPC-H Q21 shape): for finalized multi-supplier
+    * orders, the supplier whose line shipped LAST — it held the order
+    * up. One correlated EXISTS (another supplier participated: planned
+    * as a LEFT-SEMI self-join on the order key) and one correlated
+    * NOT EXISTS (nobody else shipped later: a LEFT-ANTI self-join with
+    * the extra non-equi shipdate predicate riding the equi-join key).
+    * The late-line band (ship lag > 365 days) prunes the probe side
+    * before either self-join. Top-20 by wait count, deterministically
+    * tie-broken. Same ANSI string is the DuckDB oracle; AnalyticsSpec
+    * pins the semi+anti plan and recounts via an independent
+    * window-max derivation.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame =
+    runWithTables(spark, dir, waitingSuppliersSql,
+      Seq("supplier", "lineitem", "orders", "nation"))
+
+  val waitingSuppliersSql: String =
+    """SELECT s_name, n_name,
+      |  CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 365 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** Idle high-balance customers (TPC-H Q22 shape): per market segment,
+    * customers whose balance exceeds the global positive-balance
+    * average and who placed no order in the trailing window. The global
+    * scalar is a 1-row (sum_cents, n) aggregate broadcast back, and the
+    * above-average test multiplies through — cents·n > sum — so it is
+    * INTEGER-exact (an avg-of-doubles threshold could flip a borderline
+    * customer cross-engine). The no-recent-orders test is a LEFT-ANTI
+    * join against the date-pruned orders scan.
+    */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("totacctbal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val idleCustomersSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_acctbal
+      |  FROM customer),
+      |s AS (
+      |  SELECT CAST(sum(bal_cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM c WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+      |FROM c, s
+      |WHERE bal_cents * n > s
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-07-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Run `sql` with the named driver tables registered under
+    * collision-free temp-view names (same contract as
+    * `Advanced.runWithTables`: the published ANSI string keeps the
+    * canonical table names for the DuckDB oracle; Spark-side they are
+    * rewritten per-call so concurrent queries cannot race on
+    * `createOrReplaceTempView`).
+    */
+  private def runWithTables(spark: SparkSession, dir: String, sql: String,
+                            names: Seq[String]): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rewritten = names.foldLeft(sql)((s, n) => s.replaceAll(s"\\b$n\\b", s"${n}_$tag"))
+    names.foreach(n =>
+      Tables.table(spark, dir, n).createOrReplaceTempView(s"${n}_$tag"))
+    try spark.sql(rewritten)
+    finally names.foreach(n => spark.catalog.dropTempView(s"${n}_$tag"))
+  }
 }

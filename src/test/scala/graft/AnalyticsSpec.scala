@@ -107,4 +107,153 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(plan.contains("BroadcastHashJoin"), s"no dim broadcast:\n$plan")
     }
   }
+
+  test("ship lag: high+low = all qualifying lines; date band reaches the scan") {
+    val df = ops.Analytics.shipLag(spark, sfDir).cache()
+    val total = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .count()
+    assert(df.agg(sum(col("high_line_count") + col("low_line_count")))
+      .head().getLong(0) == total, "conditional counts must partition the lines")
+    val plan = formatted(ops.Analytics.shipLag(spark, sfDir))
+    assert(plan.contains("l_shipdate") && plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []"), s"ship-date band not pushed:\n$plan")
+  }
+
+  test("promo share: one row, promo within total, share recomputes") {
+    val row = ops.Analytics.promoShare(spark, sfDir).collect() match {
+      case Array(r) => r
+      case rs       => fail(s"expected 1 row, got ${rs.length}")
+    }
+    val promo = row.getAs[Long]("promo_cents")
+    val total = row.getAs[Long]("total_cents")
+    assert(promo >= 0 && promo <= total)
+    assert(math.abs(row.getAs[Double]("promo_share_pct") -
+      100.0 * promo / total) < 1e-6)
+  }
+
+  test("top supplier: keeps every tied max; equals an independent groupBy-max") {
+    val df = ops.Analytics.topSupplier(spark, sfDir).cache()
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("tc")).cache()
+    val mx = rev.agg(max("tc")).head().getLong(0)
+    val winners = rev.filter(col("tc") === mx).count()
+    assert(df.count() == winners, "must keep ALL tied maxima")
+    assert(df.filter(col("total_cents") =!= mx).count() == 0)
+    rev.unpersist()
+  }
+
+  test("disjunctive predicate: envelope prefilters don't change the answer") {
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 35))
+    // the plain OR with NO per-side envelope filters — same answer required
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+      .head()
+    val got = ops.Analytics.disjunctivePred(spark, sfDir).head()
+    assert(got.getAs[Long]("revenue_cents") == plain.getAs[Long]("revenue_cents"))
+    assert(got.getAs[Long]("n_lines") == plain.getAs[Long]("n_lines"))
+    val plan = formatted(ops.Analytics.disjunctivePred(spark, sfDir))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"envelope filters must reach the scans:\n$plan")
+  }
+
+  test("small-qty revenue: correlated avg decorrelates; equals explicit join form") {
+    val df = ops.Analytics.smallQtyRevenue(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery did not decorrelate to a keyed join:\n$plan")
+    // independent derivation: explicit per-part avg joined back
+    val brandLines = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+    val th = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("tk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    val expected = brandLines.join(th, col("l_partkey") === col("tk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rc"),
+        count(lit(1)).as("nl")).head()
+    val got = df.head()
+    assert(got.getAs[Long]("revenue_cents") == expected.getAs[Long]("rc"))
+    assert(got.getAs[Long]("n_lines") == expected.getAs[Long]("nl"))
+  }
+
+  test("large orders: every kept order really exceeds the quantity threshold") {
+    val df = ops.Analytics.largeOrders(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("total_qty") <= 300).count() == 0)
+    // recount the hot-order set independently and require exact agreement
+    val hot = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      .filter(col("q") > 300).count()
+    assert(df.select("o_orderkey").distinct().count() == hot,
+      "semi-join must keep exactly the hot orders")
+  }
+
+  test("waiting suppliers: semi+anti self-joins match a HOF re-derivation") {
+    val df = ops.Analytics.waitingSuppliers(spark, sfDir).cache()
+    val plan = formatted(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as left-semi:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as left-anti:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // independent algorithm: collect each order's (supplier, shipdate) pairs
+    // once, then decide per late line with array HOFs — no subqueries.
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("pk"))
+      .agg(collect_list(struct(col("l_suppkey").as("sk"),
+        col("l_shipdate").as("sd"))).as("ps"))
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 365)
+      .join(pairs, col("l_orderkey") === col("pk"))
+      .filter(exists(col("ps"), p => p("sk") =!= col("l_suppkey")) &&
+        !exists(col("ps"), p =>
+          p("sk") =!= col("l_suppkey") && p("sd") > col("l_shipdate")))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name").agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("s_name")).limit(20)
+    val bad = df.join(expected, Seq("s_name", "n_name"), "full_outer")
+      .filter(col("numwait").isNull || col("w").isNull ||
+        col("numwait") =!= col("w"))
+    assert(bad.count() == 0, "self-join derivation disagrees with HOF derivation")
+  }
+
+  test("idle customers: threshold is integer-exact and anti-join holds") {
+    val df = ops.Analytics.idleCustomers(spark, sfDir).cache()
+    assert(df.count() > 0)
+    val cust = Tables.customer(spark, sfDir)
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+    val st = cust.filter(col("c_acctbal") > 0)
+      .agg(sum("bal_cents"), count(lit(1))).head()
+    val (s, n) = (st.getLong(0), st.getLong(1))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val expected = cust.filter(col("bal_cents") * n > s)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("nc"))
+    val bad = df.join(expected, Seq("c_mktsegment"), "full_outer")
+      .filter(col("numcust").isNull || col("nc").isNull ||
+        col("numcust") =!= col("nc"))
+    assert(bad.count() == 0)
+  }
 }
