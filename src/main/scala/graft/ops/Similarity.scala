@@ -206,18 +206,35 @@ object Similarity {
   private def trainCentroids(sample: DataFrame, nCells: Int, iters: Int): IndexedSeq[Seq[Double]] = {
     val s = sample.persist()
     try {
-      // init: first nCells sample vectors in hash order — works on any
-      // id space (dense, sparse, offset); fail loudly if the corpus is
-      // smaller than the cell count instead of training a broken index
-      var cents: IndexedSeq[Seq[Double]] = s
-        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+      // init: greedy farthest-point seeding over a SMALL candidate pool
+      // (8 candidates per cell, by id-hash order — bounded and
+      // scale-independent like the centroid matrix itself). Start from
+      // the first pool vector, then repeatedly add the candidate whose
+      // max cosine to the already-chosen seeds is smallest — seeds
+      // spread across the sphere instead of risking two inside one
+      // natural cluster, which starves a cell (first-k-by-hash init
+      // merged two planted clusters in SimilaritySpec). Deterministic:
+      // hash order fixes the pool and the scan order breaks ties.
+      // Works on any id space; fail loudly if the corpus is smaller
+      // than the cell count instead of training a broken index.
+      val pool: IndexedSeq[Seq[Double]] = s
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells * 8)
         .select(col("emb"), col("nrm")).collect()
         .toIndexedSeq.map { row =>
           val v = row.getSeq[Double](0); val n = row.getDouble(1)
           v.map(_ / n)
         }
-      require(cents.length == nCells,
-        s"annIvf: corpus has ${cents.length} vectors, fewer than nCells=$nCells")
+      require(pool.length >= nCells,
+        s"annIvf: corpus has ${pool.length} vectors, fewer than nCells=$nCells")
+      def cos(a: Seq[Double], b: Seq[Double]): Double =
+        a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val seeds = scala.collection.mutable.ArrayBuffer(pool.head)
+      while (seeds.length < nCells) {
+        val next = pool.iterator.filterNot(seeds.contains)
+          .minBy(c => seeds.map(cos(c, _)).max)
+        seeds += next
+      }
+      var cents: IndexedSeq[Seq[Double]] = seeds.toIndexedSeq
       for (_ <- 1 to iters) {
         val assigned = s.withColumn("cell", nearestCell(cents))
         // spherical k-means: centroid = normalized mean of UNIT members —
@@ -488,6 +505,57 @@ object Similarity {
         round(round(col("dot") / sqrt(col("nl") * col("ng")), 6), 4)
           .as("cos_to_global"))
       .orderBy(col("label"))
+  }
+
+  private val KmeansK = 8
+
+  /** Full-corpus k-means clustering report — topic bucketing for
+    * corpus curation: train spherical-k-means centroids on a BOUNDED
+    * id-hash sample (the [[annIvf]] trainer — training cost is
+    * independent of corpus size and only the k×dim centroid matrix
+    * ever reaches the driver), then assign EVERY vector to its
+    * max-cosine centroid in one scan-speed codegen projection and
+    * report per cluster: member count, mean cosine to the centroid
+    * (cohesion), and the dominant label with its share (purity — how
+    * well unsupervised buckets recover the labeled structure).
+    *
+    * The report aggregates ONCE to the (cluster, label) grid with
+    * count + sim-sum partials (map-side combine bounds the shuffle by
+    * k×|labels| whatever the corpus size), then folds that tiny frame
+    * to per-cluster rows: n = Σ counts, cohesion = Σ sims / n,
+    * dominant label via the deterministic max(struct(cnt, label))
+    * argmax. Centroid init and sampling ride Spark's xxhash64, so the
+    * driver check is rows-only; planted-cluster recovery is pinned in
+    * SimilaritySpec.
+    */
+  def kmeansReport(spark: SparkSession, dir: String): DataFrame =
+    kmeansReport(Tables.embeddings(spark, dir), "vec_id", "label", "embedding",
+      KmeansK, TrainIters)
+
+  /** DataFrame-first form over any (id, label, vector) frame. */
+  def kmeansReport(embs: DataFrame, idCol: String, labelCol: String,
+                   vecCol: String, k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && iters >= 0, s"kmeansReport: bad params k=$k iters=$iters")
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val e = embs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k * 200)
+    val cents = trainCentroids(sample, k, iters)
+    val grid = e
+      .withColumn("best", greatest(centroidSims(cents): _*))
+      .select(col("best.cid").as("cluster"), col("label"),
+        (col("best.sim") / col("nrm")).as("sim"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sim")).as("sim_sum"))
+    grid.groupBy(col("cluster"))
+      .agg(
+        sum(col("cnt")).as("n_members"),
+        round(sum(col("sim_sum")) / sum(col("cnt")), 4).as("cohesion"),
+        max(struct(col("cnt"), col("label"))).getField("label").as("top_label"),
+        round(max(struct(col("cnt"), col("label"))).getField("cnt")
+          .cast("double") / sum(col("cnt")), 4).as("top_label_share"))
+      .orderBy(col("cluster"))
   }
 
   /** Int8 scalar quantization of the embedding column — the standard

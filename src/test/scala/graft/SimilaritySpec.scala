@@ -88,4 +88,35 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("c0").cast("int").as("c"))
     assert(comp.filter(col("c") < -128 || col("c") > 127).count() == 0)
   }
+
+  test("kmeansReport: planted orthogonal clusters recover perfectly; corpus report sane") {
+    import spark.implicits._
+    // three orthogonal directions, 20 near-identical members each —
+    // k-means with k=3 must recover them with perfect purity
+    val planted = (0 until 60).map { i =>
+      val grp = i % 3
+      val base = Array.fill(3)(0.01f)
+      base(grp) = 1.0f + 0.001f * (i / 3) // tiny within-cluster spread
+      (i.toLong, grp, base.toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val got = ops.Similarity.kmeansReport(planted, "vec_id", "label", "embedding",
+      k = 3, iters = 4).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 20L, s"uneven cluster: $r")
+      assert(r.getAs[Double]("top_label_share") == 1.0, s"impure cluster: $r")
+      assert(r.getAs[Double]("cohesion") > 0.999, s"loose cluster: $r")
+    }
+    assert(got.map(_.getAs[Int]("top_label")).toSet == Set(0, 1, 2))
+    // corpus report: every vector lands in exactly one of k clusters
+    val corpus = ops.Similarity.kmeansReport(spark, sfDir).cache()
+    assert(corpus.count() <= 8 && corpus.count() >= 1)
+    assert(corpus.agg(sum("n_members")).head().getLong(0) ==
+      Tables.embeddings(spark, sfDir).count(),
+      "every corpus vector must be assigned to exactly one cluster")
+    assert(corpus.filter(col("cohesion") < -1.0001 || col("cohesion") > 1.0001)
+      .count() == 0)
+    assert(corpus.filter(col("top_label_share") <= 0.0 ||
+      col("top_label_share") > 1.0).count() == 0)
+  }
 }
