@@ -510,6 +510,100 @@ object TextAnalysis {
       |  round(CAST(sum_micro_lp AS DOUBLE) / n_tokens / 1e6, 4) AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  private val Bm25Terms = Seq("spark", "join", "window", "hash")
+  private val Bm25TopN = 20
+
+  /** BM25 relevance scoring of the corpus against a fixed query-term
+    * set — the retrieval primitive behind "find the training docs most
+    * relevant to X" curation passes (Okapi BM25, k1 = 1.2, b = 0.75).
+    *
+    * Two passes, both scan-speed: (1) ONE aggregate computes every
+    * corpus statistic BM25 needs — total/doc counts for avgdl plus one
+    * per-term document frequency via conditional sums — collapsing to
+    * a single row that broadcasts back (never a vocabulary join: the
+    * query set is tiny and fixed, so df lives in |terms| columns of
+    * one row); (2) per-term tf is a row-local array filter, the score
+    * a row-local expression, and the top-N cut a TakeOrdered heap —
+    * nothing corpus-sized shuffles at any scale.
+    *
+    * Determinism: tf/df/dl/N are exact integers; avgdl divides two
+    * exact integers; each term's contribution is quantized to integer
+    * MICRO-units before the per-doc sum (the [[unigramLm]] discipline)
+    * so the BIGINT total is association-free and the DuckDB oracle
+    * matches hash-exact. Zero-score docs (no query term) are excluded.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), "doc_id", "text", Bm25Terms, Bm25TopN)
+
+  /** DataFrame-first form over any (id, text) frame. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], topN: Int): DataFrame = {
+    require(terms.nonEmpty && topN >= 1, s"bm25: bad params $terms topN=$topN")
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("dl", size(col("t")))
+    val withTf = terms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i", size(filter(col("t"), x => x === lit(t))))
+    }
+    val aggs = Seq(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs")) ++
+      terms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val contrib = terms.indices.map { i =>
+      val df = col(s"df_$i")
+      val idf = log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      val tf = col(s"tf_$i")
+      val norm = tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      round(idf * norm * lit(1e6)).cast("long")
+    }.reduce(_ + _)
+    withTf
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("score_micro", contrib)
+      .filter(col("score_micro") > 0)
+      .select(col("doc_id"), col("dl").cast("long").as("dl"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6, 4).as("bm25"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  val bm25Sql: String = {
+    val tfCols = Bm25Terms.indices.map(i =>
+      s"len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS tf_$i").mkString(",\n      |    ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n      |    ")
+    val contribs = Bm25Terms.indices.map(i =>
+      s"""CAST(round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+      |      * (tf_$i * 2.2 / (tf_$i + 1.2 * (0.25 + 0.75 * dl
+      |        / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1e6) AS BIGINT)""")
+      .mkString("\n      |    + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl,
+      |    $tfCols
+      |  FROM d),
+      |s AS (
+      |  SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    $dfCols
+      |  FROM tf),
+      |sc AS (
+      |  SELECT doc_id, dl,
+      |    $contribs
+      |    AS score_micro
+      |  FROM tf CROSS JOIN s)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl, score_micro,
+      |  round(CAST(score_micro AS DOUBLE) / 1e6, 4) AS bm25
+      |FROM sc WHERE score_micro > 0
+      |ORDER BY score_micro DESC, doc_id
+      |LIMIT $Bm25TopN""".stripMargin
+  }
+
   /** Corpus top-5 bigrams per language — the n-gram frequency report
     * behind phrase-level boilerplate detection (the doc-level
     * repetition ops can't see a phrase repeated once per document

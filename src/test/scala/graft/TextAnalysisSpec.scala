@@ -127,4 +127,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(col("rank") === 1).head()
     assert(top.getAs[String]("bigram") == "hot take" && top.getAs[Long]("cnt") == 4L)
   }
+
+  test("bm25: planted relevance order holds; zero-match docs are excluded") {
+    import spark.implicits._
+    // same length docs: more query-term hits => strictly higher score;
+    // a doc with no query term must not appear at all
+    val planted = Seq(
+      (1L, "spark spark spark pad pad pad"),
+      (2L, "spark spark pad pad pad pad"),
+      (3L, "spark pad pad pad pad pad"),
+      (4L, "pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.bm25(planted, "doc_id", "text",
+      Seq("spark"), topN = 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      s"relevance order broken: ${got.mkString(",")}")
+    val s = got.map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L), "tf monotonicity broken")
+    // longer doc with the same tf scores lower (length normalization)
+    val lenNorm = Seq(
+      (1L, "spark pad"),
+      (2L, "spark pad pad pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val ln = ops.TextAnalysis.bm25(lenNorm, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
+    assert(ln(1L) > ln(2L), "length normalization broken")
+    // corpus run: bounded output, sorted desc, deterministic tiebreak
+    val corpus = ops.TextAnalysis.bm25(spark, sfDir).collect()
+    assert(corpus.length <= 20 && corpus.nonEmpty)
+    val scores = corpus.map(_.getAs[Long]("score_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }
