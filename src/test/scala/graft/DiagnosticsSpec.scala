@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DiagnosticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("skewProfile: planted counts exact; ranking never plans a window") {
+    import spark.implicits._
+    // key 7 x5, key 3 x3, key 9 x1 — n_rows 9, n_keys 3, uniform mean 3
+    val planted = (Seq.fill(5)(7L) ++ Seq.fill(3)(3L) ++ Seq(9L))
+      .toDF("k")
+    val got = ops.Diagnostics.skewProfile(planted, "k", topN = 2).collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getAs[Int]("rank") == 1 && r1.getAs[Long]("key") == 7L &&
+      r1.getAs[Long]("cnt") == 5L && r1.getAs[Long]("n_rows") == 9L &&
+      r1.getAs[Long]("n_keys") == 3L && r1.getAs[Long]("max_cnt") == 5L)
+    assert(r1.getAs[Double]("skew") == math.rint(5.0 * 3 / 9 * 1e4) / 1e4)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("key") == 3L && r2.getAs[Long]("cnt") == 3L)
+    // tie-break: equal counts rank by ascending key
+    val ties = Seq(5L, 5L, 2L, 2L, 8L, 8L).toDF("k")
+    val t = ops.Diagnostics.skewProfile(ties, "k", topN = 3).collect()
+    assert(t.map(_.getAs[Long]("key")).toSeq == Seq(2L, 5L, 8L))
+    // plan contract: the top-k must ride the bounded partial aggregate,
+    // not a window (a window funnels all distinct keys to one task)
+    val plan = ops.Diagnostics.skewProfile(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), s"window crept into the profile:\n$plan")
+    // corpus run: ranks contiguous, counts non-increasing
+    val corpus = ops.Diagnostics.skewProfile(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.length <= 10)
+    assert(corpus.map(_.getAs[Int]("rank")).toSeq == (1 to corpus.length))
+    val cnts = corpus.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(corpus.forall(_.getAs[Long]("max_cnt") == cnts.head))
+  }
+
+  test("skewProfile: empty input yields an empty profile, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("k")
+    assert(ops.Diagnostics.skewProfile(empty, "k", topN = 5).count() == 0)
+  }
+}

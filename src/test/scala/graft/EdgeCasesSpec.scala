@@ -133,6 +133,20 @@ class EdgeCasesSpec extends AnyFunSuite {
     // a single doc's spans are all unique-in-corpus: nothing dup, nothing removable
     val sd = ops.Curation.spanDedup(single, "doc_id", "text", 4).collect()
     assert(sd.length == 1 && sd.head.getAs[Long]("n_dup_spans") == 0L)
+    // bm25: empty corpus scores nothing; a single matching doc surfaces
+    assert(ops.TextAnalysis.bm25(empty, "doc_id", "text", Seq("words"), 5)
+      .count() == 0)
+    val b = ops.TextAnalysis.bm25(single, "doc_id", "text", Seq("words"), 5).collect()
+    assert(b.length == 1 && b.head.getAs[Long]("doc_id") == 7L &&
+      b.head.getAs[Long]("score_micro") > 0)
+    // kmeans: a corpus smaller than k must fail loudly, not train a
+    // degenerate clustering (the annIvf contract) — emptyVecs is the
+    // shared empty embeddings frame defined earlier in this test
+    val ex = intercept[Exception] {
+      ops.Similarity.kmeansReport(emptyVecs, "vec_id", "label", "embedding", 2, 1)
+        .count()
+    }
+    assert(ex.getMessage.contains("fewer than"), s"wrong failure: $ex")
   }
 
   test("schema-evolution union against an empty early snapshot still emits") {
