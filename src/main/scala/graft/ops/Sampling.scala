@@ -165,6 +165,55 @@ object Sampling {
       |FROM r WHERE rank <= 3
       |ORDER BY lang, rank""".stripMargin
 
+  private val WeightedK = 100
+
+  /** Weighted reservoir sample (Efraimidis–Spirakis A-Res): keep the K
+    * rows with the largest u^(1/w) — equivalently the largest
+    * ln(u)/w — where u is a deterministic hash-uniform in (0,1) and w
+    * the row's weight (here `n_chars`: a doc is kept with probability
+    * proportional to its weight, the "sample by quality score"
+    * curation primitive). No RNG: u derives from the overflow-safe
+    * multiplicative id hash, so the sample is reproducible across
+    * engines, runs and partitionings, and the key is quantized to
+    * integer NANO-units before ranking (doc_id tie-break) so the cut
+    * is cross-engine exact — the [[graft.ops.TextAnalysis.unigramLm]]
+    * discipline. The top-K is a `TakeOrderedAndProject` heap: ≤ K rows
+    * per partition cross the wire, never a global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), "doc_id", "n_chars", WeightedK)
+
+  /** DataFrame-first form over any (id, weight) frame; rows with
+    * non-positive weight are excluded (they can never be sampled).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: bad k=$k")
+    docs
+      .select(col(idCol).as("doc_id"), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+          lit(1000000007L)))
+      .withColumn("key_nano",
+        round(log((col("h") + lit(0.5)) / lit(1000000007.0)) / col("w") * lit(1e9))
+          .cast("long"))
+      .select(col("doc_id"), col("w"), col("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val weightedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, w,
+      |  CAST(round(ln((h + 0.5) / 1000000007.0) / w * 1e9) AS BIGINT) AS key_nano
+      |FROM d
+      |ORDER BY key_nano DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   /** Leakage-SAFE split — the prevention counterpart to
     * [[splitLeakage]]'s detection: the split key is the CONTENT digest,
     * not the row id, so byte-identical documents co-assign by

@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A keyed, timestamped event — the typed row for stateful operators. */
 case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+/** A timestamped document — the typed row for streaming text ops. */
+case class TimedText(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** An emitted session from the custom stateful sessionizer. */
 case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
                       start_ms: Long, end_ms: Long)
@@ -46,6 +49,44 @@ object EventTime {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col(keyCol), col("n_events"))
+
+  /** Trending terms over a timestamped text stream: watermarked
+    * tumbling-window (window, term) counts — the streaming half of the
+    * corpus n-gram monitor ([[graft.ops.TextAnalysis.topNgrams]] is the
+    * batch half). The token explosion is row-local; the ONLY stateful
+    * operator is the windowed count, whose state the watermark evicts
+    * as windows close. The per-window top-k CUT deliberately lives
+    * downstream in [[topTermsPerWindow]] — a fold over the emitted
+    * final rows — because ranking inside the stream would stack a
+    * second stateful aggregate on the first, while the emitted
+    * (window, term) frame is already final and vocabulary-bounded.
+    * The same call works in batch (watermark is a no-op there), which
+    * is what the parity spec pins.
+    */
+  def trendingTermCounts(docs: DataFrame, tsCol: String, textCol: String,
+                         windowLen: String, watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("win"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("win"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("w_start"), col("term"), col("cnt"))
+
+  /** Batch-side top-k cut over emitted (w_start, term, cnt) rows,
+    * through the bounded [[graft.functions.TopK]] term aggregate —
+    * ≤ k rows per window per map task cross the shuffle; ties rank
+    * lexicographically so the cut is deterministic.
+    */
+  def topTermsPerWindow(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .groupBy(col("w_start"))
+      .agg(graft.functions.TopK.topKTerms(k)(col("cnt").cast("double"),
+        col("term")).as("top"))
+      .select(col("w_start"), posexplode(col("top")))
+      .select(col("w_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"), col("col.score").cast("long").as("cnt"))
+      .orderBy(col("w_start"), col("rank"))
 
   /** Gap-based session windows via the built-in `session_window` —
     * Spark merges overlapping per-key sessions in the state store.

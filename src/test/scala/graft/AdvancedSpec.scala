@@ -160,6 +160,27 @@ class AdvancedSpec extends AnyFunSuite {
       "content-keyed split leaked a duplicated text across splits")
   }
 
+  test("weighted sample favors heavy rows and stays deterministic") {
+    import spark.implicits._
+    // 400 light rows (w=1) vs 100 heavy rows (w=10000): A-Res must pick
+    // overwhelmingly heavy despite lights outnumbering heavies 4:1
+    val planted = ((0L until 400L).map(i => (i, 1L)) ++
+      (1000L until 1100L).map(i => (i, 10000L))).toDF("doc_id", "n_chars")
+    val got = ops.Sampling.weightedSample(planted, "doc_id", "n_chars", 50).cache()
+    assert(got.count() == 50)
+    val heavy = got.filter(col("doc_id") >= 1000L).count()
+    assert(heavy >= 45, s"weighting too weak: only $heavy/50 heavy rows")
+    // zero/negative weights can never be sampled
+    val withZero = planted.withColumn("n_chars",
+      when(col("doc_id") < 200, lit(0L)).otherwise(col("n_chars")))
+    assert(ops.Sampling.weightedSample(withZero, "doc_id", "n_chars", 600)
+      .filter(col("w") <= 0).count() == 0)
+    // determinism: the corpus sample equals itself run-to-run
+    val a = ops.Sampling.weightedSample(spark, sfDir).collect().map(_.getLong(0))
+    val b = ops.Sampling.weightedSample(spark, sfDir).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("stratified sample downsamples the majority language harder") {
     val doc = Tables.documents(spark, sfDir)
     val s = ops.Sampling.stratifiedSample(spark, sfDir).cache()

@@ -36,6 +36,45 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows("2026-01-01 10:05:00.0") == ((1L, 4.0)))
   }
 
+  test("trending terms: late rows drop, batch parity holds, top-k cut ranks per window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[graft.streaming.TimedText]
+    val q = EventTime.trendingTermCounts(in.toDF(), "ts", "text", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("trending").outputMode("update").start()
+    val onTime = Seq(
+      graft.streaming.TimedText(1, ts(0), "spark spark join"),
+      graft.streaming.TimedText(2, ts(1), "join window"),
+      graft.streaming.TimedText(3, ts(7), "hash hash hash spark"))
+    in.addData(onTime: _*)
+    q.processAllAvailable()
+    val flush = graft.streaming.TimedText(9, ts(30), "flush")
+    in.addData(flush)
+    q.processAllAvailable()
+    in.addData(graft.streaming.TimedText(4, ts(2), "spark spark spark spark")) // late
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trending")
+      .groupBy("w_start", "term").agg(max("cnt").as("cnt")).cache()
+    val m = got.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("2026-01-01 10:00:00.0", "spark")) == 2L, "late doc must never apply")
+    assert(m(("2026-01-01 10:00:00.0", "join")) == 2L)
+    assert(m(("2026-01-01 10:05:00.0", "hash")) == 3L)
+    // batch parity: the SAME operator over the on-time rows as a batch
+    // frame (watermark no-ops) must produce the identical count set
+    val batch = EventTime.trendingTermCounts((onTime :+ flush).toDF(),
+      "ts", "text", "5 minutes", "5 minutes")
+    val diff = got.join(batch, Seq("w_start", "term"), "full_outer")
+      .filter(got("cnt").isNull || batch("cnt").isNull || got("cnt") =!= batch("cnt"))
+    assert(diff.count() == 0, "stream final counts must equal the batch run")
+    // top-k cut: window 10:00 has spark=2, join=2, window=1 — ties rank
+    // lexicographically, so k=2 keeps join then spark
+    val top = EventTime.topTermsPerWindow(got.filter(col("w_start") === lit(ts(0))), 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("term")))
+    assert(top.toSeq == Seq((1, "join"), (2, "spark")), s"got ${top.toSeq}")
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
