@@ -311,11 +311,14 @@ object Analytics {
 
   /** Top supplier (TPC-H Q15 shape): the supplier(s) with the maximum
     * revenue over one quarter — a scalar-max subquery over an
-    * aggregated view, joined back to keep ALL ties. The per-supplier
-    * revenue frame (dimension-sized, one shuffle off the fact) is
-    * localCheckpoint'd so the fact is scanned ONCE and both the max
-    * and the final filter read the materialized frame; the 1-row max
-    * then broadcasts back. Never a global window over the corpus.
+    * aggregated view, joined back to keep ALL ties. The 1-row max is
+    * derived from the same aggregate and broadcast back (the
+    * [[Mixing.outlierBands]] aggregate-broadcast-back shape): the
+    * quarter-banded fact scans twice, both scans pruned by the pushed
+    * date band, and the query leaves NO cache residue — a
+    * localCheckpoint would save the second scan but its blocks can
+    * never be released while the result is live. Never a global
+    * window over the corpus.
     */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
@@ -324,7 +327,6 @@ object Analytics {
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("total_cents"))
-      .localCheckpoint(true)
     val mx = rev.agg(max(col("total_cents")).as("mx"))
     Tables.supplier(spark, dir)
       .join(rev, col("s_suppkey") === col("l_suppkey"))
