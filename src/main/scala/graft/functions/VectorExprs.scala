@@ -320,6 +320,39 @@ case class NgramDistinctCount(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `deflate_len(s)`: byte length of the DEFLATE-compressed UTF-8 text.
+  * `deflate_len(text) / octet_length(text)` is the classic redundancy
+  * quality signal (CCNet/Gopher-family filters): highly repetitive
+  * text compresses far better than diverse prose, and the signal sees
+  * repetition that token-level ratios miss (sub-token and phrase
+  * structure). Fixed compression level 6; one native call per row
+  * (codegen fallback, like the other per-row text kernels). Not
+  * SQL-expressible in the oracle engine → rows-only driver check;
+  * planted orderings pinned in ExpressionsSpec.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
 /** Registration for the native expressions.
   *
   * Two paths:
@@ -348,6 +381,7 @@ object GraftFunctions {
       })
     }),
     "top_token_count" -> (es => TopTokenCount(es(0))),
+    "deflate_len" -> (es => DeflateLen(es(0))),
     "ngram_distinct_count" -> (es => {
       if (es.length != 2 || !es(1).foldable)
         throw new IllegalArgumentException(

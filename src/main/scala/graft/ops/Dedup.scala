@@ -50,6 +50,60 @@ object Dedup {
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
+  /** Incremental exact dedup — the daily-ingest production shape:
+    * dedup a NEW increment against the digest INDEX of the
+    * already-ingested corpus, without ever re-reading the old corpus
+    * text (at 100 TB the index is a persisted digest table; here it is
+    * derived on the fly). Every increment row is classified:
+    * `dup_of_index` (already ingested), `dup_in_increment` (another
+    * increment row with the same digest has the smaller id — the
+    * canonical one survives), or `new`.
+    *
+    * Shape: the index side is one digest-distinct aggregate; the
+    * increment census is one digest-keyed `min` aggregate (the
+    * [[graft.ops.Curation.spanDedup]] canonical-pick — partial-agg,
+    * never a window); classification is a digest equi-join against
+    * both — all shuffles are digest-keyed, nothing quadratic, and md5
+    * keeps the oracle exact cross-engine.
+    */
+  def dedupIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val oldD = oldDocs.select(md5(col(textCol)).as("digest")).distinct()
+      .withColumn("in_index", lit(1))
+    val newD = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"))
+    val census = newD.groupBy(col("digest")).agg(min(col("doc_id")).as("canon"))
+    newD
+      .join(census, Seq("digest"))
+      .join(oldD, Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        when(col("in_index").isNotNull, "dup_of_index")
+          .when(col("doc_id") =!= col("canon"), "dup_in_increment")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver form: even doc_ids play the ingested corpus, odd ones the
+    * arriving increment.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupIncremental(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH oldd AS (
+      |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0),
+      |newd AS (
+      |  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1),
+      |c AS (SELECT digest, min(doc_id) AS canon FROM newd GROUP BY digest)
+      |SELECT doc_id, n.digest,
+      |  CASE WHEN o.digest IS NOT NULL THEN 'dup_of_index'
+      |       WHEN doc_id <> canon THEN 'dup_in_increment'
+      |       ELSE 'new' END AS status
+      |FROM newd n JOIN c USING (digest) LEFT JOIN oldd o ON n.digest = o.digest
+      |ORDER BY doc_id""".stripMargin
+
   /** doc_id + distinct hashed word-3-gram shingles (array<long>).
     * Hashing shingles to longs up front keeps every downstream join and
     * set operation on fixed-width values instead of strings.

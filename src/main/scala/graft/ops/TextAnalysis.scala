@@ -510,6 +510,32 @@ object TextAnalysis {
       |  round(CAST(sum_micro_lp AS DOUBLE) / n_tokens / 1e6, 4) AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Compression-ratio quality signal: DEFLATE-compressed size over
+    * raw byte size, per document — the redundancy detector the
+    * CCNet/Gopher filter families run alongside token-level ratios
+    * (it catches sub-token and phrase-level repetition that
+    * distinct-word counts can't see; boilerplate and keyboard-mash
+    * land far below prose). One row-local projection at scan speed
+    * through the native [[graft.functions.DeflateLen]] kernel. The
+    * oracle engine has no DEFLATE → rows-only driver check; planted
+    * orderings pinned in ExpressionsSpec.
+    */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressRatio(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) frame. */
+  def compressRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    canon(docs, idCol -> "doc_id", textCol -> "text")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        expr("deflate_len(text)").as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 4)))
+      .orderBy(col("doc_id"))
+  }
+
   private val Bm25Terms = Seq("spark", "join", "window", "hash")
   private val Bm25TopN = 20
 

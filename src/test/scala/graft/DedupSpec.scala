@@ -148,4 +148,23 @@ class DedupSpec extends AnyFunSuite {
         .count() == 0, "unique docs wrongly marked as dropped-bucket members")
     } finally out.unpersist()
   }
+
+  test("incremental dedup: index dups, increment dups and new docs classify exactly") {
+    import spark.implicits._
+    val old = Seq((0L, "alpha")).toDF("doc_id", "text")
+    val inc = Seq((1L, "alpha"), (3L, "beta"), (5L, "beta"), (7L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = ops.Dedup.dedupIncremental(old, inc, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "dup_of_index", 3L -> "new",
+      5L -> "dup_in_increment", 7L -> "new"), s"got $got")
+    // re-ingesting the same increment against old ∪ increment must
+    // classify EVERY row dup_of_index — the incremental fixed point
+    val again = ops.Dedup.dedupIncremental(old.union(inc), inc, "doc_id", "text")
+    assert(again.filter(col("status") =!= "dup_of_index").count() == 0)
+    // corpus run: every odd doc classified exactly once
+    val corpus = ops.Dedup.dedupIncremental(spark, sfDir)
+    val odd = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1).count()
+    assert(corpus.count() == odd)
+  }
 }

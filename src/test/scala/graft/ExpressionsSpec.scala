@@ -89,6 +89,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("deflate_len orders redundancy correctly and is deterministic") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rep = ("spam " * 200).trim            // maximally repetitive
+    val div = (0 until 200).map(i => s"w${i * 7919}").mkString(" ") // diverse
+    val df = Seq((1L, rep), (2L, div), (3L, "")).toDF("doc_id", "text")
+      .withColumn("dl", expr("deflate_len(text)"))
+      .withColumn("nb", octet_length(col("text")).cast("long"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getAs[Long]("dl"),
+      r.getAs[Long]("nb"))).toMap
+    // repetitive text compresses far harder than diverse text of
+    // similar raw size; both compress below raw; empty stays tiny
+    assert(m(1L)._1 * 10 < m(1L)._2, s"repetitive barely compressed: $m")
+    assert(m(2L)._1 > m(1L)._1, "diverse text must compress worse")
+    assert(m(3L)._1 > 0 && m(3L)._1 < 16)
+    // determinism row-to-row and run-to-run
+    val twice = Seq((1L, rep)).toDF("doc_id", "text")
+      .withColumn("dl", expr("deflate_len(text)")).head().getAs[Long]("dl")
+    assert(twice == m(1L)._1)
+    // the corpus query: ratio in (0, ~1.5], null only for empty docs
+    val corpus = ops.TextAnalysis.compressRatio(spark, sfDir).cache()
+    assert(corpus.count() == Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(col("n_bytes") > 0 &&
+      (col("compress_ratio") <= 0 || col("compress_ratio") > 1.5)).count() == 0)
+  }
+
   test("GraftExtensions injects all function specs") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
