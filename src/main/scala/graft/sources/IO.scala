@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Source/sink surface of the engine.
   *
@@ -50,6 +50,36 @@ object IO {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .option("mode", "FAILFAST")
       .json(path)
+
+  /** JSON-lines with a QUARANTINE channel. A 100 TB crawl ingest can
+    * neither FAILFAST on one bad shard nor silently null-fill corrupt
+    * lines; this reader returns (good, quarantined): every line parses
+    * through `from_json` with an appended `_corrupt_record` column
+    * (corrupt lines carry their raw text there, valid lines leave it
+    * NULL), the good frame drops the marker, the quarantine frame
+    * keeps the raw line for forensics, and its count is the ingest
+    * alert metric. Built on `text` + `from_json` rather than the json
+    * reader's PERMISSIVE mode because a frame selecting ONLY the
+    * corrupt column is disallowed on raw json scans (the documented
+    * restriction) — the text-source formulation has no such limit and
+    * both branches stay scan-speed projections.
+    */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val parsed = spark.read.text(path)
+      .withColumn("parsed", from_json(col("value"), withCorrupt,
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val good = parsed
+      .filter(col("parsed._corrupt_record").isNull)
+      .select(col("parsed.*")).drop("_corrupt_record")
+    val quarantined = parsed
+      .filter(col("parsed._corrupt_record").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, quarantined)
+  }
 
   // ---- writers ---------------------------------------------------------
 

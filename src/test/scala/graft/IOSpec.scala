@@ -44,6 +44,29 @@ class IOSpec extends AnyFunSuite {
     assertSameRows(orders, IO.readJsonl(spark, p, orders.schema))
   }
 
+  test("jsonl quarantine splits corrupt lines without dropping or nulling") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-io-quarantine")
+    val f = dir.resolve("in.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "name": "ok-one"}""",
+      """{"id": 2 "name": "missing-comma"}""",
+      """{"id": 3, "name": "ok-two"}""",
+      """not json at all""",
+      """{"id": 5, "name": null}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = IO.readJsonlQuarantine(spark, f.toString, schema)
+    val g = good.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(g == Map(1L -> "ok-one", 3L -> "ok-two", 5L -> null),
+      s"good side wrong: $g — a legit null field must NOT quarantine")
+    assert(good.columns.toSeq == Seq("id", "name"), "marker column must not leak")
+    val q = bad.collect().map(_.getString(0)).toSet
+    assert(q == Set("""{"id": 2 "name": "missing-comma"}""", "not json at all"),
+      s"quarantine wrong: $q")
+  }
+
   test("partitioned write lays out hive-style dirs and reads back whole") {
     val p = tmp("part")
     val df = orders.withColumn("o_year", year(col("o_orderdate")))
