@@ -133,6 +133,47 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bm25's only join is the 1-row stats broadcast — never a vocabulary join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.catalog.clearCache()
+      val plan = formatted(ops.TextAnalysis.bm25(spark, sfDir))
+      val broadcasts = "BroadcastExchange \\(\\d".r.findAllIn(plan).size
+      assert(broadcasts == 1,
+        s"expected exactly the 1-row corpus-stats broadcast, got $broadcasts:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"bm25 must not shuffle-join anything:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-20 must be a bounded heap, not a global sort:\n$plan")
+      assert(!plan.contains("Window"), s"no window belongs in bm25:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("weighted sample is a row-local projection + TakeOrdered heap") {
+    val plan = formatted(ops.Sampling.weightedSample(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-cut must be a bounded heap:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"nothing may shuffle before the cut:\n$plan")
+  }
+
+  test("incremental dedup joins digest-keyed — no cartesian, no window") {
+    val plan = formatted(ops.Dedup.dedupIncremental(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"canonical pick must be the min-aggregate, not a window:\n$plan")
+  }
+
+  test("kmeans report never plans a window or cartesian; one corpus aggregation") {
+    val plan = formatted(ops.Similarity.kmeansReport(spark, sfDir))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"kmeans report must stay aggregate-shaped:\n$plan")
+  }
+
   test("exact percentiles are one partial+final aggregate — no window, one shuffle") {
     val plan = formatted(ops.Relational.percentiles(spark, sfDir))
     assert(!plan.contains("Window"), s"percentiles rank through a window:\n$plan")
