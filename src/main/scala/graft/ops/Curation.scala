@@ -291,6 +291,67 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val SweepThresholds = (1 to 9).map(_ / 10.0)
+
+  /** Threshold-calibration sweep for the repetition filter — the
+    * question a pipeline owner actually asks before flipping a
+    * threshold: "at cutoff t, how much of the corpus survives?". For a
+    * fixed threshold grid, reports docs kept (duplicate-word ratio ≤ t)
+    * and the survival percentage, in ONE corpus scan: the ratio is a
+    * row-local projection, the whole grid is |thresholds| conditional
+    * sums inside a single aggregate collapsing to one row, and the
+    * per-threshold rows are exploded from that row — never one scan
+    * per threshold. Percentages divide two exact BIGINTs.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweep(Tables.documents(spark, dir), "doc_id", "text", SweepThresholds)
+
+  /** DataFrame-first form over any (id, text) frame. */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: empty threshold grid")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = docs
+      .select(split(col(textCol), " ").as("tk"))
+      .select(round(lit(1.0) - expr("ngram_distinct_count(tk, 1)") / size(col("tk")), 4)
+        .as("ratio"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      thresholds.zipWithIndex.map { case (t, i) =>
+        sum(when(col("ratio") <= t, 1L).otherwise(0L)).as(s"k_$i")
+      }
+    val grid = array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"k_$i").as("n_kept"))
+    }: _*)
+    scored
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), explode(grid).as("g"))
+      .select(col("g.threshold").as("threshold"), col("g.n_kept").as("n_kept"),
+        col("n_docs"),
+        round(lit(100.0) * col("g.n_kept") / col("n_docs"), 4).as("pct_kept"))
+      .orderBy(col("threshold"))
+  }
+
+  val thresholdSweepSql: String = {
+    val ths = SweepThresholds
+    val ks = ths.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN ratio <= $t THEN 1 ELSE 0 END) AS BIGINT) AS k_$i"
+    }.mkString(",\n      |    ")
+    val rows = ths.zipWithIndex.map { case (t, i) =>
+      s"SELECT CAST($t AS DOUBLE) AS threshold, k_$i AS n_kept, n_docs, " +
+        s"round(100.0 * k_$i / n_docs, 4) AS pct_kept FROM a"
+    }.mkString("\n      |UNION ALL ")
+    s"""WITH m AS (
+      |  SELECT round(1.0 - len(list_distinct(string_split(text, ' ')))
+      |    / len(string_split(text, ' ')), 4) AS ratio
+      |  FROM documents),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    $ks
+      |  FROM m)
+      |$rows
+      |ORDER BY threshold""".stripMargin
+  }
+
   /** End-to-end corpus pipeline — the "user switches their pipeline to
     * this library" capstone, composed entirely from the library's own
     * operators: quality-filter the corpus ([[qualityFilter]]), keep

@@ -139,4 +139,26 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.filter(col("n_dup_spans") > 0).count() > 0,
       "test corpus is known to contain duplicated spans")
   }
+
+  test("threshold sweep: planted survival exact, monotone, one corpus scan's worth") {
+    import spark.implicits._
+    // ratios: "a a a a" -> 0.75, "a b c d" -> 0.0, "a a b b" -> 0.5
+    val planted = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = ops.Curation.thresholdSweep(planted, "doc_id", "text",
+      Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.25 -> 1L, 0.5 -> 2L, 0.75 -> 3L), s"got $got")
+    // corpus: survival is monotone in the threshold, and the 0.8 point
+    // agrees with the quality filter's repetition rule
+    val sweep = ops.Curation.thresholdSweep(spark, sfDir).cache()
+    val kept = sweep.orderBy("threshold").collect().map(_.getLong(1))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b }, "not monotone")
+    val at08 = ops.Curation.thresholdSweep(Tables.documents(spark, sfDir),
+      "doc_id", "text", Seq(0.8)).head().getLong(1)
+    val filterAgrees = ops.Curation.qualityFilter(spark, sfDir)
+      .filter(col("dup_word_ratio") <= 0.8).count()
+    assert(at08 == filterAgrees,
+      "sweep and quality filter disagree on the same signal at the same cutoff")
+  }
 }
