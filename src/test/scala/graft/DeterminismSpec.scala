@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library's determinism claim, tested head-on: operators whose
+  * docs promise "reproducible across runs and partitionings" must
+  * return IDENTICAL rows when the same input arrives in a different
+  * physical layout. A partitioning-sensitive sampler or ranking
+  * silently breaks train/eval reproducibility at scale, where input
+  * layout is never under the caller's control.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq
+
+  private def assertLayoutInvariant(f: DataFrame => DataFrame): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val a = rowsOf(f(docs.repartition(3)))
+    val b = rowsOf(f(docs.repartition(17)))
+    val c = rowsOf(f(docs.coalesce(1)))
+    assert(a == b && b == c, "result depends on the input partitioning")
+  }
+
+  test("weighted sample is invariant to input layout") {
+    assertLayoutInvariant(d =>
+      ops.Sampling.weightedSample(d, "doc_id", "n_chars", 50))
+  }
+
+  test("group sample is invariant to input layout") {
+    assertLayoutInvariant(d => ops.Sampling.groupSample(d, "doc_id", "lang", 3))
+  }
+
+  test("exact dedup + canonical pick are invariant to input layout") {
+    assertLayoutInvariant(d => ops.Dedup.dedupExact(d, "doc_id", "text"))
+  }
+
+  test("bm25 ranking is invariant to input layout") {
+    assertLayoutInvariant(d =>
+      ops.TextAnalysis.bm25(d, "doc_id", "text", Seq("spark", "join"), 20))
+  }
+
+  test("threshold sweep is invariant to input layout") {
+    assertLayoutInvariant(d =>
+      ops.Curation.thresholdSweep(d, "doc_id", "text", Seq(0.3, 0.6, 0.9)))
+  }
+
+  test("incremental dedup classification is invariant to input layout") {
+    val docs = Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    def run(parts: Int): Seq[String] = rowsOf(ops.Dedup.dedupIncremental(
+      docs.filter(col("doc_id") % 2 === 0).repartition(parts),
+      docs.filter(col("doc_id") % 2 === 1).repartition(parts),
+      "doc_id", "text"))
+    assert(run(2) == run(13), "classification depends on the input partitioning")
+  }
+}
