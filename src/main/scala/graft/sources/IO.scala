@@ -190,6 +190,39 @@ object IO {
     write(clustered, path, cfg)
   }
 
+  /** Small-file compaction — the operational fix for THE classic
+    * degradation of long-lived table roots: thousands of tiny files
+    * from incremental appends/streaming sinks turn every scan into a
+    * task-scheduling storm and kill parquet footer caching. Rewrites
+    * the layout into `ceil(bytes / targetFileBytes)` files via one
+    * round-robin repartition (no key assumed, no skew possible) and
+    * reports (files_before, files_after, bytes) so the caller can
+    * alert on fragmentation. The rewrite lands in `outPath` — never
+    * in place, so a failed compaction can't destroy the source.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20,
+              cfg: WriteConfig = WriteConfig()): (Long, Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(new java.net.URI(outPath).getPath != new java.net.URI(inPath).getPath,
+      "compact: outPath must differ from inPath (never compact in place)")
+    def dataFiles(p: String): Seq[java.io.File] = {
+      val d = new java.io.File(new java.net.URI(p).getPath match {
+        case "" => p
+        case q  => q
+      })
+      Option(d.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }
+    val before = dataFiles(inPath)
+    val bytes = before.map(_.length()).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.format(cfg.format).load(inPath)
+    write(df.repartition(nOut), outPath, cfg)
+    (before.length.toLong, dataFiles(outPath).length.toLong, bytes)
+  }
+
   /** Bucketed + sorted managed table: rows co-located by key so
     * subsequent equi-joins and aggregations on the bucket key read
     * shuffle-free (`SortMergeJoin` with no `Exchange`). This is the

@@ -109,6 +109,22 @@ class IOSpec extends AnyFunSuite {
     assert(back.select("_batch_id").distinct().count() == 2)
   }
 
+  test("compaction collapses a fragmented layout without changing the data") {
+    val in = tmp("compact-in"); val out = tmp("compact-out")
+    val df = Tables.lineitem(spark, sfDir)
+    df.repartition(40).write.parquet(in) // fragmented: 40 tiny files
+    val (before, after, bytes) = IO.compact(spark, in, out,
+      targetFileBytes = 512L << 20)
+    assert(before >= 40 && after == 1 && bytes > 0,
+      s"expected 40+ -> 1 files, got $before -> $after")
+    assert(spark.read.parquet(out).count() == df.count())
+    // identical content, not just identical counts
+    assert(spark.read.parquet(out).exceptAll(df).isEmpty &&
+      df.exceptAll(spark.read.parquet(out)).isEmpty)
+    // in-place compaction is refused
+    intercept[IllegalArgumentException] { IO.compact(spark, in, in) }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     Seq("orders_b", "customer_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
