@@ -276,6 +276,47 @@ object Relational {
       |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
       |ORDER BY op""".stripMargin
 
+  /** ANSI-safety battery: the engine runs Spark 4's ANSI mode (a
+    * divide-by-zero, bad cast, or invalid array index THROWS instead
+    * of silently corrupting), and `try_*` is the per-expression escape
+    * hatch a production pipeline uses where NULL is the correct
+    * answer for malformed input. Each probe mixes valid and invalid
+    * rows off the customer table and the battery counts survivors —
+    * proving NULL-not-throw semantics on the invalid rows and
+    * value-preservation on the valid ones. One scan, one row out.
+    */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(expr("try_divide(c_acctbal, CAST(c_custkey % 3 AS DOUBLE))"))
+          .as("n_div_ok"),
+        count(expr("try_cast(CASE WHEN c_custkey % 2 = 0 " +
+          "THEN CAST(c_custkey AS STRING) ELSE c_name END AS BIGINT)"))
+          .as("n_cast_ok"),
+        // index 1..4 over a 1-element array: 1 hits, 2..4 are OOB →
+        // NULL (index 0 is an invalid ARGUMENT, which try_element_at
+        // deliberately still throws on — only DATA errors are soft)
+        count(expr("try_element_at(array(c_custkey), CAST(c_custkey % 4 + 1 AS INT))"))
+          .as("n_elem_ok"),
+        count(expr("try_cast(CASE WHEN c_custkey % 5 = 0 " +
+          "THEN '2024-01-01 00:00:00' ELSE c_mktsegment END AS TIMESTAMP)"))
+          .as("n_ts_ok"))
+
+  val tryFuncsSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(c_acctbal / NULLIF(CAST(c_custkey % 3 AS DOUBLE), 0.0))
+      |    AS BIGINT) AS n_div_ok,
+      |  CAST(count(TRY_CAST(CASE WHEN c_custkey % 2 = 0
+      |    THEN CAST(c_custkey AS VARCHAR) ELSE c_name END AS BIGINT))
+      |    AS BIGINT) AS n_cast_ok,
+      |  CAST(count(([c_custkey])[CAST(c_custkey % 4 + 1 AS INT)]) AS BIGINT)
+      |    AS n_elem_ok,
+      |  CAST(count(TRY_CAST(CASE WHEN c_custkey % 5 = 0
+      |    THEN '2024-01-01 00:00:00' ELSE c_mktsegment END AS TIMESTAMP))
+      |    AS BIGINT) AS n_ts_ok
+      |FROM customer""".stripMargin
+
   /** String/math scalar-function battery — all codegen'd built-ins, so
     * the whole projection stays inside one WholeStageCodegen span.
     */

@@ -37,4 +37,15 @@ class GraftSessionSpec extends AnyFunSuite {
       GraftSession.builder("bad", shufflePartitions = 0)
     }
   }
+
+  test("ANSI mode is on: bad arithmetic throws, try_* is the soft path") {
+    import SparkTestSession.spark
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "the q_try_funcs battery is meaningless without ANSI strictness")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT 1 / 0").collect()
+    }
+    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"), s"wrong failure: $ex")
+    assert(spark.sql("SELECT try_divide(1, 0) AS v").head().isNullAt(0))
+  }
 }
