@@ -319,15 +319,20 @@ object Curation {
       thresholds.zipWithIndex.map { case (t, i) =>
         sum(when(col("ratio") <= t, 1L).otherwise(0L)).as(s"k_$i")
       }
+    // empty corpus: sums aggregate to NULL and 0/0 is NaN — coalesce
+    // the grid to zero kept and null out the percentage so the report
+    // still emits one clean row per threshold
     val grid = array(thresholds.zipWithIndex.map { case (t, i) =>
-      struct(lit(t).as("threshold"), col(s"k_$i").as("n_kept"))
+      struct(lit(t).as("threshold"),
+        coalesce(col(s"k_$i"), lit(0L)).as("n_kept"))
     }: _*)
     scored
       .agg(aggs.head, aggs.tail: _*)
       .select(col("n_docs"), explode(grid).as("g"))
       .select(col("g.threshold").as("threshold"), col("g.n_kept").as("n_kept"),
         col("n_docs"),
-        round(lit(100.0) * col("g.n_kept") / col("n_docs"), 4).as("pct_kept"))
+        when(col("n_docs") > 0,
+          round(lit(100.0) * col("g.n_kept") / col("n_docs"), 4)).as("pct_kept"))
       .orderBy(col("threshold"))
   }
 
@@ -337,8 +342,10 @@ object Curation {
       s"CAST(sum(CASE WHEN ratio <= $t THEN 1 ELSE 0 END) AS BIGINT) AS k_$i"
     }.mkString(",\n      |    ")
     val rows = ths.zipWithIndex.map { case (t, i) =>
-      s"SELECT CAST($t AS DOUBLE) AS threshold, k_$i AS n_kept, n_docs, " +
-        s"round(100.0 * k_$i / n_docs, 4) AS pct_kept FROM a"
+      s"SELECT CAST($t AS DOUBLE) AS threshold, " +
+        s"COALESCE(k_$i, 0) AS n_kept, n_docs, " +
+        s"CASE WHEN n_docs > 0 THEN round(100.0 * COALESCE(k_$i, 0) / n_docs, 4) " +
+        s"END AS pct_kept FROM a"
     }.mkString("\n      |UNION ALL ")
     s"""WITH m AS (
       |  SELECT round(1.0 - len(list_distinct(string_split(text, ' ')))

@@ -216,6 +216,7 @@ object IO {
           !f.getName.startsWith("."))
     }
     val before = dataFiles(inPath)
+    if (before.isEmpty) return (0L, 0L, 0L) // nothing to compact; no write
     val bytes = before.map(_.length()).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.format(cfg.format).load(inPath)

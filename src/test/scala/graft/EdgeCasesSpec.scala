@@ -147,6 +147,15 @@ class EdgeCasesSpec extends AnyFunSuite {
         .count()
     }
     assert(ex.getMessage.contains("fewer than"), s"wrong failure: $ex")
+    // threshold sweep: empty corpus still emits the full grid (zero
+    // kept, NULL percentage) — a calibration report must not vanish
+    val sweep = ops.Curation.thresholdSweep(empty, "doc_id", "text", Seq(0.5, 0.9))
+      .collect()
+    assert(sweep.length == 2 &&
+      sweep.forall(r => r.getAs[Long]("n_kept") == 0L && r.isNullAt(3)))
+    // weighted sample / compress ratio on empty corpora: empty, no throw
+    assert(ops.Sampling.weightedSample(empty, "doc_id", "n_chars", 5).count() == 0)
+    assert(ops.TextAnalysis.compressRatio(empty, "doc_id", "text").count() == 0)
   }
 
   test("schema-evolution union against an empty early snapshot still emits") {
