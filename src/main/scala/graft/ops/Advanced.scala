@@ -330,6 +330,47 @@ object Advanced {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) materialization — the
+    * history-tracking member of the CDC family next to
+    * [[Relational.latestByKey]] (SCD1 compaction) and
+    * [[Relational.mergeUpsert]] (MERGE): every change event becomes a
+    * versioned validity interval [valid_from, valid_to) with the open
+    * current row marked. One keyed window (partitioned by the business
+    * key — never global), ordered on (epoch-millis, seq) so timestamp
+    * ties cannot flip versions cross-engine; epoch millis keep the
+    * oracle exact under the ns→µs→ms truncation chain.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir), "user_id", "event_id", "ts", "event_type")
+
+  /** DataFrame-first form over any (key, seq, ts, value) change feed. */
+  def scd2(changes: DataFrame, keyCol: String, seqCol: String,
+           tsCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("valid_from_ms"), col("seq"))
+    changes
+      .select(col(keyCol).as("key"), col(seqCol).as("seq"),
+        unix_millis(col(tsCol)).as("valid_from_ms"), col(valCol).as("value"))
+      .select(col("key"),
+        row_number().over(w).cast("int").as("version"),
+        col("value"), col("valid_from_ms"),
+        lead(col("valid_from_ms"), 1).over(w).as("valid_to_ms"))
+      .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
+      .orderBy(col("key"), col("version"))
+  }
+
+  val scd2Sql: String =
+    """WITH c AS (
+      |  SELECT user_id AS key, event_id AS seq, epoch_ms(ts) AS valid_from_ms,
+      |    event_type AS value
+      |  FROM events)
+      |SELECT key, CAST(row_number() OVER w AS INT) AS version, value,
+      |  valid_from_ms,
+      |  lead(valid_from_ms) OVER w AS valid_to_ms,
+      |  CAST(lead(valid_from_ms) OVER w IS NULL AS INT) AS is_current
+      |FROM c WINDOW w AS (PARTITION BY key ORDER BY valid_from_ms, seq)
+      |ORDER BY key, version""".stripMargin
+
   val retentionSql: String =
     """WITH activity AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -160,6 +160,33 @@ class AdvancedSpec extends AnyFunSuite {
       "content-keyed split leaked a duplicated text across splits")
   }
 
+  test("scd2: versions chain without gaps, exactly one current row per key") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val feed = Seq(
+      (1L, 10L, ts(0), "A"), (1L, 11L, ts(5), "B"), (1L, 12L, ts(9), "C"),
+      (2L, 20L, ts(2), "X"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = ops.Advanced.scd2(feed, "user_id", "event_id", "ts", "event_type")
+      .collect()
+    val k1 = got.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, "A"), (2, "B"), (3, "C")))
+    // intervals chain: each version's valid_to is the next valid_from
+    k1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(3), "validity gap or overlap")
+    }
+    assert(k1.count(_.getInt(5) == 1) == 1 && k1.last.getInt(5) == 1)
+    assert(got.filter(_.getLong(0) == 2L).map(r =>
+      (r.getInt(1), r.getInt(5))).toSeq == Seq((1, 1)))
+    // corpus run: one open row per key, versions dense from 1
+    val corpus = ops.Advanced.scd2(spark, sfDir).cache()
+    val keys = corpus.select("key").distinct().count()
+    assert(corpus.filter(col("is_current") === 1).count() == keys)
+    assert(corpus.filter(col("version") === 1).count() == keys)
+    assert(corpus.count() == Tables.events(spark, sfDir).count())
+  }
+
   test("weighted sample favors heavy rows and stays deterministic") {
     import spark.implicits._
     // 400 light rows (w=1) vs 100 heavy rows (w=10000): A-Res must pick
