@@ -240,6 +240,20 @@ object Dedup {
                                           materialize: Boolean): DataFrame =
     minhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text", materialize)
 
+  /** 16-band × 4-row LSH buckets from the 64-minhash signature of each
+    * doc's shingle set — the shared candidate generator for
+    * [[minhashVerifiedPairs]] and [[containmentPairs]]. Native
+    * codegen'd MinHash (one fused shingles×64 loop) vs the
+    * transform/array_min built-in composition's interpreted lambdas.
+    */
+  private def minhashBandBuckets(sets: DataFrame): DataFrame =
+    sets.withColumn("sig", expr("minhash_sig(shset, 64)"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+      .withColumnRenamed("pos", "bucket_id")
+      .withColumnRenamed("col", "bucket_hash")
+
   /** MinHash + LSH near-dup pair generation: 64 minhashes from the
     * seeded xxhash64 family → 16 bands × 4 rows → band-bucket join →
     * exact Jaccard verification. Only candidate pairs (≪ n²) ever touch
@@ -252,15 +266,7 @@ object Dedup {
     val sets0 = shingleSets(docs, idCol, textCol)
     val sets = if (materialize) sets0.persist() else sets0
     try {
-      // native codegen'd MinHash (one fused shingles×64 loop) vs the
-      // transform/array_min built-in composition's interpreted lambdas
-      val sig = sets.withColumn("sig", expr("minhash_sig(shset, 64)"))
-      val buckets = sig.select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
-        .withColumnRenamed("pos", "bucket_id")
-        .withColumnRenamed("col", "bucket_hash")
-      val cand = lshCandidates(buckets, maxBucket = 100, materialize)
+      val cand = lshCandidates(minhashBandBuckets(sets), maxBucket = 100, materialize)
       val verified = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
@@ -284,6 +290,57 @@ object Dedup {
   private[graft] def dedupMinhashPlan(spark: SparkSession, dir: String): DataFrame =
     perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
       minhashVerifiedPairs(spark, dir, materialize = false), "jacc", 0.7)
+
+  private val ContainTau = 0.8
+
+  /** Asymmetric containment detection: pairs where the SMALLER shingle
+    * set is mostly inside the larger — C = |A∩B| / min(|A|,|B|) — the
+    * quote/excerpt/boilerplate-wrapper case symmetric Jaccard dedup
+    * structurally misses (a doc embedded verbatim in one 3× its length
+    * has J ≈ 0.33, far under any dedup threshold, but C = 1.0).
+    *
+    * Candidates come from the same MinHash band buckets as
+    * [[minhashVerifiedPairs]] (one shared sketch pipeline shape);
+    * containment is then verified EXACTLY on each candidate's hashed
+    * shingle sets — `array_intersect` over fixed-width longs, row-local.
+    * Honest recall caveat, stated because it matters at scale:
+    * Jaccard-tuned banding (16×4) catches J ≳ 0.5 reliably, so extreme
+    * size ratios (a tweet inside a book, J → 0) need a
+    * containment-oriented candidate scheme (e.g. bucketing the small
+    * doc's bottom-k sketch only) — the moderate-ratio regime this
+    * targets (excerpts, template wrappers, 2–3× expansions) is where
+    * training corpora actually bleed. Output: verified pairs at
+    * C ≥ `tau`, one row per (smaller, larger) pair. xxhash64 sketch →
+    * rows-only driver check; planted subset recovery pinned in
+    * DedupSpec.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), "doc_id", "text", ContainTau)
+
+  /** DataFrame-first form over any (id, text) frame. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"containmentPairs: bad tau=$tau")
+    val sets = shingleSets(docs, idCol, textCol).persist()
+    try {
+      val cand = lshCandidates(minhashBandBuckets(sets), maxBucket = 100,
+        materialize = true)
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+          size(col("sa")).cast("long").as("n_a"),
+          size(col("sb")).cast("long").as("n_b"))
+        .withColumn("containment",
+          round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
+        .withColumn("jacc", round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+        .filter(col("containment") >= tau)
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true) // small: flagged pairs only — frees the sets cache
+    } finally sets.unpersist()
+  }
 
   /** Canonical-document selection for exact duplicates: keep the
     * lowest doc_id of every identical-text group. One window pass —

@@ -558,6 +558,76 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  private val SemDedupTau = 0.97
+  private val SemDedupMaxCell = 5000
+
+  /** Semantic deduplication (the SemDeDup recipe): cluster the
+    * embedding space with spherical k-means, then compare vectors ONLY
+    * within their cluster — near-identical meaning lands in the same
+    * cell, so the quadratic pair search shrinks from corpus² to
+    * Σ cell². A vector is dropped when a SMALLER-ID cluster-mate sits
+    * above cosine `tau` (greedy keep-first — deterministic, one
+    * representative per near-dup group survives without computing the
+    * transitive closure).
+    *
+    * Scale shape: centroids train on a bounded sample ([[annIvf]]'s
+    * trainer — driver holds only the k×dim matrix); assignment is one
+    * scan-speed codegen projection; the within-cell self-join is an
+    * equi-join on the cell id. Cells beyond `maxCell` members are the
+    * quadratic hazard — their members skip pairing and surface as
+    * `in_oversized_cell = true` (the n-gram-Jaccard drop-visibility
+    * discipline: at 100 TB you raise k so cells stay bounded, and the
+    * flag tells you when you haven't). Output: one row per vector.
+    * Hash-seeded sampling/init → rows-only driver check; planted
+    * duplicate recovery pinned in SimilaritySpec.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      NCells, TrainIters, SemDedupTau, SemDedupMaxCell)
+
+  /** DataFrame-first form over any (id, vector) frame. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, iters: Int, tau: Double,
+                    maxCell: Int): DataFrame = {
+    require(nCells >= 2 && iters >= 0 && tau >= -1 && tau <= 1 && maxCell >= 1,
+      s"semanticDedup: bad params nCells=$nCells iters=$iters tau=$tau maxCell=$maxCell")
+    val e = withNorm(corpus, idCol, vecCol)
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells * 200)
+    val cents = trainCentroids(sample, nCells, iters)
+    // one scan-speed pass assigns cells; persisted because the pair
+    // join reads it twice and the sizes once
+    val assigned = e.withColumn("cell", nearestCell(cents))
+      .select(col("vec_id"), col("cell"), col("emb"), col("nrm")).persist()
+    try {
+      val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      // ≤ nCells rows — always broadcastable
+      val okCells = broadcast(sizes.filter(col("csz") <= maxCell).select("cell"))
+      val m = assigned.join(okCells, Seq("cell"))
+      val dropped = m.as("a")
+        .join(m.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+        .filter(expr("vec_dot(a.emb, b.emb)") / (col("a.nrm") * col("b.nrm")) >= tau)
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_closer_dups"))
+      val over = broadcast(sizes.filter(col("csz") > maxCell).select("cell")
+        .withColumn("oversized", lit(true)))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .join(over, Seq("cell"), "left")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          coalesce(col("oversized"), lit(false)).as("in_oversized_cell"),
+          coalesce(col("n_closer_dups"), lit(0L)).as("n_closer_dups"),
+          // oversized-cell members never reach the pair join, so they
+          // are kept-by-default with the flag raised
+          col("n_closer_dups").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+        // small output (one row per vector, no payload) — checkpoint so
+        // the persisted assignment cache can be dropped before returning
+        .localCheckpoint(true)
+    } finally assigned.unpersist()
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * 4× compression step before shipping vectors to an ANN index:
     * per-dimension [min, max] over the corpus maps each component to

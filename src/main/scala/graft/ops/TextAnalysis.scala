@@ -682,6 +682,140 @@ object TextAnalysis {
       |FROM r WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  private val BoilerSegTokens = 8
+  private val BoilerMinDf = 3
+
+  /** Corpus-frequency boilerplate detection (CCNet-style): split every
+    * document into non-overlapping [[BoilerSegTokens]]-token segments,
+    * count how many DISTINCT documents each segment text appears in,
+    * and flag segments whose document frequency reaches [[BoilerMinDf]]
+    * as boilerplate (navigation chrome, license headers, templated
+    * spans — content that repeats across documents rather than inside
+    * one). Per-document report: segment count, boilerplate-segment
+    * count, boilerplate share.
+    *
+    * Scale shape — the same two-pass discipline as [[unigramLm]] /
+    * [[tfidf]]: segment derivation is ROW-LOCAL (`transform` + `slice`
+    * over the token array, no per-token shuffle); the document
+    * frequency is a segment-vocabulary-keyed partial+final aggregate;
+    * the df lookup joins back on the segment hash — a shuffled
+    * equi-join on fixed-width values (a web-scale segment vocabulary is
+    * never broadcast). Joining on the xxhash64 of the segment instead
+    * of the string moves ~60-char keys through the shuffle as 8 bytes;
+    * within one corpus pass a hash collision is the standard accepted
+    * MinHash/shingle approximation (and the DuckDB oracle disagrees
+    * only if one occurs — it hasn't at any test SF). Documents shorter
+    * than one segment emit zero segments and survive via the left
+    * join.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) frame. */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val segs = d.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= $BoilerSegTokens
+           |  THEN transform(sequence(0, (size(tk) div $BoilerSegTokens) - 1),
+           |         i -> xxhash64(concat_ws(' ',
+           |                slice(tk, i * $BoilerSegTokens + 1, $BoilerSegTokens))))
+           |  ELSE array() END""".stripMargin)).as("seg"))
+    val df = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val per = segs.join(df, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum((col("df") >= BoilerMinDf).cast("long")).as("n_boiler"))
+    d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_segs", "n_boiler"))
+      .withColumn("boiler_share",
+        when(col("n_segs") > 0,
+          round(col("n_boiler").cast("double") / col("n_segs"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |segs AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= $BoilerSegTokens
+      |    THEN [array_to_string(tk[i * $BoilerSegTokens + 1 : (i + 1) * $BoilerSegTokens], ' ')
+      |          FOR i IN generate_series(0, len(tk) // $BoilerSegTokens - 1)]
+      |    ELSE [] END) AS seg
+      |  FROM d),
+      |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+      |per AS (
+      |  SELECT s.doc_id, count(*) AS n_segs,
+      |    sum(CASE WHEN f.df >= $BoilerMinDf THEN 1 ELSE 0 END) AS n_boiler
+      |  FROM segs s JOIN f USING (seg) GROUP BY s.doc_id)
+      |SELECT doc_id,
+      |  CAST(coalesce(n_segs, 0) AS BIGINT) AS n_segs,
+      |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+      |  CASE WHEN coalesce(n_segs, 0) > 0
+      |       THEN round(CAST(n_boiler AS DOUBLE) / n_segs, 4) ELSE 0.0 END
+      |    AS boiler_share
+      |FROM documents LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  private val VocabTopK = 20
+
+  /** Per-language vocabulary-coverage report: vocabulary size, hapax
+    * (frequency-1) count, total token occurrences, and the share of
+    * all occurrences covered by the top-[[VocabTopK]] tokens — the
+    * Zipf-head diagnostic a corpus builder reads before sizing a
+    * tokenizer vocabulary or spotting a degenerate source (a
+    * template-heavy source shows an abnormally fat head; OCR noise an
+    * abnormal hapax rate).
+    *
+    * ONE pass per level: tokens aggregate to (lang, term, count) with
+    * map-side combine — the only corpus-sized shuffle — then a single
+    * per-language aggregate computes vocab/hapax/total AND the top-k
+    * head via the bounded [[graft.functions.TopK]] term aggregator in
+    * the same partial+final pass (≤ k rows per language per map task;
+    * no window, no global sort, no second read of the term counts).
+    * The head share is tie-break-invariant: equal-count tokens at the
+    * k boundary contribute the same sum whichever wins the tie.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "lang", "text")
+
+  /** DataFrame-first form over any (group, text) frame. */
+  def vocabCoverage(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, langCol -> "lang", textCol -> "text")
+    d.select(col("lang"), explode(toks).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum((col("c") === 1).cast("long")).as("hapax"),
+        sum(col("c")).as("total_toks"),
+        graft.functions.TopK.topKTerms(VocabTopK)(
+          col("c").cast("double"), col("term")).as("top"))
+      .select(col("lang"), col("vocab"), col("hapax"), col("total_toks"),
+        expr("CAST(aggregate(top, 0D, (acc, x) -> acc + x.score) AS BIGINT)")
+          .as("topk_occ"))
+      .withColumn("topk_share",
+        round(col("topk_occ").cast("double") / col("total_toks"), 4))
+      .orderBy(col("lang"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term),
+      |r AS (
+      |  SELECT lang, c,
+      |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rk
+      |  FROM c)
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(sum(c) AS BIGINT) AS total_toks,
+      |  CAST(sum(CASE WHEN rk <= $VocabTopK THEN c ELSE 0 END) AS BIGINT) AS topk_occ,
+      |  round(CAST(sum(CASE WHEN rk <= $VocabTopK THEN c ELSE 0 END) AS DOUBLE)
+      |        / sum(c), 4) AS topk_share
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

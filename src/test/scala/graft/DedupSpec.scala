@@ -167,4 +167,40 @@ class DedupSpec extends AnyFunSuite {
     val odd = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1).count()
     assert(corpus.count() == odd)
   }
+
+  test("containmentPairs: planted excerpt found at C=1.0 where Jaccard dedup misses it") {
+    import spark.implicits._
+    // doc 2 = the first 70% of doc 1: every shingle of 2 is in 1 →
+    // containment 1.0, while Jaccard ≈ 0.68 sits UNDER the 0.7 minhash
+    // dedup threshold. Unique-token filler keeps doc 3 unrelated.
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 21).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val planted = Seq((1L, big), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val got = ops.Dedup.containmentPairs(planted, "doc_id", "text", tau = 0.8)
+      .collect()
+    assert(got.length == 1, s"expected exactly the planted pair: ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("containment") == 1.0, s"containment wrong: $r")
+    assert(r.getAs[Double]("jacc") < 0.7,
+      s"planted pair should sit under the symmetric dedup threshold: $r")
+    // the symmetric minhash path indeed does NOT flag it as a dup at 0.7
+    val sym = ops.Dedup.dedupMinhash(planted, "doc_id", "text", threshold = 0.7)
+    assert(sym.filter(col("n_dups") > 0).count() == 0,
+      "planted excerpt unexpectedly caught by symmetric Jaccard dedup")
+    // corpus run: well-formed directed pairs, C ≥ jaccard always
+    val corpus = ops.Dedup.containmentPairs(spark, sfDir).cache()
+    assert(corpus.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(corpus.filter(col("containment") < col("jacc") - 1e-9).count() == 0)
+    assert(corpus.filter(col("containment") < 0.8 || col("containment") > 1).count() == 0)
+    // exact duplicate pairs (same text) must appear with C = 1
+    val texts = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val exactPairs = texts.as("a").join(texts.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val missedExact = exactPairs.join(corpus, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missedExact == 0, s"$missedExact exact-dup pairs missing from containment output")
+  }
 }

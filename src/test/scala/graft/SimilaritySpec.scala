@@ -119,4 +119,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(corpus.filter(col("top_label_share") <= 0.0 ||
       col("top_label_share") > 1.0).count() == 0)
   }
+
+  test("semanticDedup: planted duplicate groups keep only their min id; distinct vectors survive") {
+    import spark.implicits._
+    // two orthogonal clusters of 20; ids 0/4/8 share an IDENTICAL
+    // vector (cos = 1 ≥ tau) — greedy keep-first must keep 0 and drop
+    // 4 and 8. Every other vector carries a unique private dimension,
+    // so any distinct pair's cosine is ≤ 1/√2 < tau wherever k-means
+    // puts it.
+    val planted = (0 until 40).map { i =>
+      val grp = i % 2
+      val base = Array.fill(42)(0.0f)
+      base(grp) = 1.0f
+      if (!(i == 0 || i == 4 || i == 8)) base(2 + i) = 1.0f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = ops.Similarity.semanticDedup(planted, "vec_id", "embedding",
+      nCells = 2, iters = 3, tau = 0.97, maxCell = 100).cache()
+    assert(got.count() == 40, "one row per vector")
+    val dropped = got.filter(!col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(4L, 8L), s"wrong drop set: $dropped")
+    assert(got.filter(col("in_oversized_cell")).count() == 0)
+    // the duplicate group's survivors: id 0 kept with no closer dup
+    val r0 = got.filter(col("vec_id") === 0L).head()
+    assert(r0.getAs[Boolean]("kept") && r0.getAs[Long]("n_closer_dups") == 0L)
+    // idempotence on the kept set: rerunning on survivors drops nothing
+    val kept = planted.join(got.filter(col("kept")).select("vec_id"), Seq("vec_id"))
+    val again = ops.Similarity.semanticDedup(kept, "vec_id", "embedding",
+      nCells = 2, iters = 3, tau = 0.97, maxCell = 100)
+    assert(again.filter(!col("kept")).count() == 0, "semanticDedup not idempotent")
+    // oversized-cell visibility: cap of 1 forces every cell over, all
+    // rows flagged and kept-by-default
+    val capped = ops.Similarity.semanticDedup(planted, "vec_id", "embedding",
+      nCells = 2, iters = 3, tau = 0.97, maxCell = 1)
+    assert(capped.filter(!col("in_oversized_cell") || !col("kept")).count() == 0)
+    // corpus run: one row per vector, flags well-formed
+    val corpus = ops.Similarity.semanticDedup(spark, sfDir).cache()
+    assert(corpus.count() == Tables.embeddings(spark, sfDir).count())
+    assert(corpus.filter(!col("kept") && col("n_closer_dups") === 0).count() == 0)
+  }
 }

@@ -156,4 +156,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     val scores = corpus.map(_.getAs[Long]("score_micro"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("boilerplate: cross-doc repeated segment flagged; unique and short docs clean") {
+    import spark.implicits._
+    val chrome = (1 to 8).map(i => s"nav$i").mkString(" ") // one full segment
+    val planted = Seq(
+      // three docs open with the same 8-token chrome (df=3 >= MinDf)
+      (1L, chrome + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      (2L, chrome + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      (3L, chrome + " " + (1 to 8).map(i => s"c$i").mkString(" ")),
+      // unique-content doc: 2 segments, none boilerplate
+      (4L, (1 to 16).map(i => s"d$i").mkString(" ")),
+      // short doc: under one segment → zero segments, share 0
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.boilerplate(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_share")))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)) && got(2L) == ((2L, 1L, 0.5)) &&
+      got(3L) == ((2L, 1L, 0.5)), s"chrome docs wrong: $got")
+    assert(got(4L) == ((2L, 0L, 0.0)), s"unique doc wrong: $got")
+    assert(got(5L) == ((0L, 0L, 0.0)), s"short doc wrong: $got")
+    // corpus run: one row per doc, shares in [0,1]
+    val df = ops.TextAnalysis.boilerplate(spark, sfDir).cache()
+    assert(df.count() == nDocs)
+    assert(df.filter(col("boiler_share") < 0 || col("boiler_share") > 1).count() == 0)
+    assert(df.filter(col("n_boiler") > col("n_segs")).count() == 0)
+  }
+
+  test("vocabCoverage: planted counts exact; head share tie-invariant at the k cut") {
+    import spark.implicits._
+    // lang bb: t0 ×5 plus 21 hapax terms → vocab 22, hapax 21, total 26;
+    // top-20 = t0 + 19 hapax = 24 occurrences (whichever hapax win the
+    // tie, the sum is the same) → share 24/26
+    val bbText = ("t0 " * 5).trim + " " + (1 to 21).map(i => s"u$i").mkString(" ")
+    val planted = Seq(
+      (1L, "aa", "x x y"), // vocab 2, hapax 1, total 3, head = all
+      (2L, "bb", bbText)).toDF("doc_id", "lang", "text")
+    val got = ops.TextAnalysis.vocabCoverage(planted, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("vocab"), r.getAs[Long]("hapax"),
+          r.getAs[Long]("total_toks"), r.getAs[Long]("topk_occ"),
+          r.getAs[Double]("topk_share")))).toMap
+    assert(got("aa") == ((2L, 1L, 3L, 3L, 1.0)), s"aa wrong: $got")
+    assert(got("bb") == ((22L, 21L, 26L, 24L, math.rint(24.0 / 26 * 1e4) / 1e4)),
+      s"bb wrong: $got")
+    // corpus run: one row per language; shares and bounds sane
+    val df = ops.TextAnalysis.vocabCoverage(spark, sfDir).cache()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(df.count() == langs)
+    assert(df.filter(col("hapax") > col("vocab")).count() == 0)
+    assert(df.filter(col("topk_occ") > col("total_toks")).count() == 0)
+    assert(df.filter(col("topk_share") <= 0 || col("topk_share") > 1).count() == 0)
+  }
 }
