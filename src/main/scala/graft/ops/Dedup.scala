@@ -319,13 +319,23 @@ object Dedup {
 
   /** DataFrame-first form over any (id, text) frame. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       tau: Double): DataFrame = {
+                       tau: Double): DataFrame =
+    containmentPairsImpl(docs, idCol, textCol, tau, materialize = true)
+
+  /** Full lazy plan (no persist, no checkpoint) for plan contracts. */
+  private[graft] def containmentPairsPlan(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsImpl(Tables.documents(spark, dir), "doc_id", "text",
+      ContainTau, materialize = false)
+
+  private def containmentPairsImpl(docs: DataFrame, idCol: String, textCol: String,
+                                   tau: Double, materialize: Boolean): DataFrame = {
     require(tau > 0 && tau <= 1, s"containmentPairs: bad tau=$tau")
-    val sets = shingleSets(docs, idCol, textCol).persist()
+    val sets0 = shingleSets(docs, idCol, textCol)
+    val sets = if (materialize) sets0.persist() else sets0
     try {
       val cand = lshCandidates(minhashBandBuckets(sets), maxBucket = 100,
-        materialize = true)
-      cand
+        materialize)
+      val out = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -338,8 +348,9 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 4))
         .filter(col("containment") >= tau)
         .orderBy(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true) // small: flagged pairs only — frees the sets cache
-    } finally sets.unpersist()
+      // small: flagged pairs only — frees the sets cache
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) sets.unpersist()
   }
 
   /** Canonical-document selection for exact duplicates: keep the

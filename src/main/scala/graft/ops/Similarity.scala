@@ -588,7 +588,18 @@ object Similarity {
   /** DataFrame-first form over any (id, vector) frame. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, iters: Int, tau: Double,
-                    maxCell: Int): DataFrame = {
+                    maxCell: Int): DataFrame =
+    semanticDedupImpl(corpus, idCol, vecCol, nCells, iters, tau, maxCell,
+      materialize = true)
+
+  /** Full lazy plan (no persist, no checkpoint) for plan contracts. */
+  private[graft] def semanticDedupPlan(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupImpl(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      NCells, TrainIters, SemDedupTau, SemDedupMaxCell, materialize = false)
+
+  private def semanticDedupImpl(corpus: DataFrame, idCol: String, vecCol: String,
+                                nCells: Int, iters: Int, tau: Double,
+                                maxCell: Int, materialize: Boolean): DataFrame = {
     require(nCells >= 2 && iters >= 0 && tau >= -1 && tau <= 1 && maxCell >= 1,
       s"semanticDedup: bad params nCells=$nCells iters=$iters tau=$tau maxCell=$maxCell")
     val e = withNorm(corpus, idCol, vecCol)
@@ -597,8 +608,9 @@ object Similarity {
     val cents = trainCentroids(sample, nCells, iters)
     // one scan-speed pass assigns cells; persisted because the pair
     // join reads it twice and the sizes once
-    val assigned = e.withColumn("cell", nearestCell(cents))
-      .select(col("vec_id"), col("cell"), col("emb"), col("nrm")).persist()
+    val assigned0 = e.withColumn("cell", nearestCell(cents))
+      .select(col("vec_id"), col("cell"), col("emb"), col("nrm"))
+    val assigned = if (materialize) assigned0.persist() else assigned0
     try {
       val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
       // ≤ nCells rows — always broadcastable
@@ -612,7 +624,7 @@ object Similarity {
         .agg(count(lit(1)).as("n_closer_dups"))
       val over = broadcast(sizes.filter(col("csz") > maxCell).select("cell")
         .withColumn("oversized", lit(true)))
-      assigned.select(col("vec_id"), col("cell"))
+      val out = assigned.select(col("vec_id"), col("cell"))
         .join(dropped, Seq("vec_id"), "left")
         .join(over, Seq("cell"), "left")
         .select(col("vec_id"), col("cell").cast("int").as("cell"),
@@ -622,10 +634,10 @@ object Similarity {
           // are kept-by-default with the flag raised
           col("n_closer_dups").isNull.as("kept"))
         .orderBy(col("vec_id"))
-        // small output (one row per vector, no payload) — checkpoint so
-        // the persisted assignment cache can be dropped before returning
-        .localCheckpoint(true)
-    } finally assigned.unpersist()
+      // small output (one row per vector, no payload) — checkpoint so
+      // the persisted assignment cache can be dropped before returning
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) assigned.unpersist()
   }
 
   /** Int8 scalar quantization of the embedding column — the standard

@@ -265,6 +265,40 @@ class PlanSpec extends AnyFunSuite {
       s"multi-distinct scans the fact table more than once:\n$plan")
   }
 
+  test("boilerplate joins the segment-vocabulary df table by shuffle, never broadcast; no window") {
+    // the segment vocabulary is corpus-sized at web scale (like tfidf's
+    // term df) — it must reach the per-segment lookup via shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.catalog.clearCache()
+      val plan = formatted(ops.TextAnalysis.boilerplate(spark, sfDir))
+      assert("BroadcastExchange \\(\\d".r.findAllIn(plan).size == 0,
+        s"boilerplate broadcasts a corpus-sized side:\n$plan")
+      assert(!plan.contains("Window"), s"boilerplate plans a window:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vocab coverage is two aggregate levels — no window, no join, one corpus scan") {
+    val plan = formatted(ops.TextAnalysis.vocabCoverage(spark, sfDir))
+    assert(!plan.contains("Window"), s"vocab coverage ranks via a window:\n$plan")
+    assert(!plan.contains("Join"), s"vocab coverage plans a join:\n$plan")
+    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 1,
+      s"vocab coverage scans the corpus more than once:\n$plan")
+  }
+
+  test("semantic dedup and containment stay on equi-joins — no cartesian, no nested loop") {
+    Seq(
+      ops.Similarity.semanticDedupPlan(spark, sfDir),
+      ops.Dedup.containmentPairsPlan(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join:\n$plan")
+    }
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
