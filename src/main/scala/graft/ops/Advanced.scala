@@ -254,6 +254,83 @@ object Advanced {
       |FROM filled
       |ORDER BY event_type, day""".stripMargin
 
+  private val AnomalyWin = 20
+  private val AnomalyMinN = 10
+  private val AnomalyZ = 3.0
+
+  /** Trailing-window anomaly detection on the event stream: per user,
+    * each value is scored against the mean/stddev of its previous
+    * [[AnomalyWin]] events, and rows beyond [[AnomalyZ]] sample
+    * standard deviations are flagged — the standard metric-monitoring
+    * primitive (fraud spikes, sensor glitches, broken emitters).
+    *
+    * Cross-engine determinism is the interesting part: a double
+    * mean/stddev differs between engines in the last bits (summation
+    * order), which can flip a boundary row. So values quantize to
+    * integer MILLI-units and the window computes EXACT integer moments
+    * (n, Σv, Σv²) — the z-score then derives from those integers with
+    * the same IEEE operations on both sides: z = (n·v − S) /
+    * sqrt((n·SS − S²)·n / (n−1)). Every engine sees identical BIGINTs,
+    * identical doubles, identical flags (the [[graft.ops.TextAnalysis]]
+    * micro-unit discipline applied to second moments). Magnitudes are
+    * bounded: |v| ≤ 6e5 milli-units, so n·SS ≤ 1.3e14 — far inside
+    * BIGINT for any window this size.
+    *
+    * Scale shape: ONE keyed window (partition by user, order by
+    * (ts, event_id) — the id tiebreak makes the frame deterministic
+    * under timestamp collisions); per-user state is the 20-row frame;
+    * no self-join, no global sort before the output ordering.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomaly(Tables.events(spark, dir), "event_id", "user_id", "ts", "value")
+
+  /** DataFrame-first form over any (id, key, time, value) frame. */
+  def anomaly(events: DataFrame, idCol: String, keyCol: String,
+              tsCol: String, valCol: String): DataFrame = {
+    val e = events.select(col(idCol).as("event_id"), col(keyCol).as("user_id"),
+      col(tsCol).as("ts"),
+      round(col(valCol) * 1000).cast("long").as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-AnomalyWin, -1)
+    e.withColumn("n", count(col("v")).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("ss", sum(col("v") * col("v")).over(w))
+      .filter(col("n") >= AnomalyMinN)
+      .withColumn("q", col("n") * col("ss") - col("s") * col("s"))
+      .filter(col("q") > 0)
+      .withColumn("z", (col("n") * col("v") - col("s")).cast("double") /
+        sqrt((col("q") * col("n")).cast("double") / (col("n") - 1)))
+      .filter(abs(col("z")) > AnomalyZ)
+      .select(col("event_id"), col("user_id"),
+        col("v").as("value_milli"), col("n").as("win_n"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val anomalySql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, user_id, v,
+      |    CAST(count(v) OVER w AS BIGINT) AS n,
+      |    CAST(sum(v) OVER w AS BIGINT) AS s,
+      |    CAST(sum(v * v) OVER w AS BIGINT) AS ss
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING)),
+      |qd AS (
+      |  SELECT event_id, user_id, v, n, n * ss - s * s AS q,
+      |    CAST(n * v - s AS DOUBLE) /
+      |      sqrt(CAST((n * ss - s * s) * n AS DOUBLE) / (n - 1)) AS z
+      |  FROM m WHERE n >= $AnomalyMinN AND n * ss - s * s > 0)
+      |SELECT event_id, user_id, v AS value_milli, n AS win_n,
+      |  round(z, 4) AS z
+      |FROM qd WHERE abs(z) > $AnomalyZ
+      |ORDER BY event_id""".stripMargin
+
   /** Event-sequence funnel: per user, the first `view`, the first
     * `click` strictly after that view, and the first `purchase`
     * strictly after that click — then the per-stage user counts with

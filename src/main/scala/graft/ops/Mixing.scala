@@ -280,4 +280,91 @@ object Mixing {
       |LEFT JOIN counts c ON c.src_a = x.source AND c.src_b = y.source
       |WHERE x.source <> y.source
       |ORDER BY src_a, src_b""".stripMargin
+
+  private val DriftBins = 20
+
+  /** Per-source length-distribution drift: a Kolmogorov–Smirnov-style
+    * statistic comparing each source's doc-length ECDF against the
+    * whole corpus at a fixed [[DriftBins]]+1-point threshold grid —
+    * the monitoring table that catches a source whose crawler broke
+    * (suddenly all short snippets) or started ingesting a new document
+    * genre, before it skews the mix.
+    *
+    * Scale shape: the grid endpoints are the global min/max — ONE
+    * 2-scalar aggregate touches the driver (scale-independent, like
+    * IVF's centroid matrix); then the main job computes every source's
+    * |grid| conditional sums in one corpus pass with map-side combine
+    * (the shuffle carries |sources| rows × |grid| columns). The global
+    * ECDF derives from the per-source sums through AQE's exchange
+    * reuse — the runtime plan reads the per-source shuffle twice
+    * rather than rescanning the corpus (ReusedExchange pinned in
+    * PlanSpec).
+    * Every ECDF value is a ratio of exact integers and the grid points
+    * are identical IEEE doubles in both engines, so the max-|diff|
+    * statistic and its argmax bin are oracle-exact (ties break toward
+    * the HIGHER bin on both sides).
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(spark, dir), "source", "n_chars")
+
+  /** DataFrame-first form over any (group, measure) frame. */
+  def sourceDrift(docs: DataFrame, sourceCol: String, lenCol: String): DataFrame = {
+    val d = docs.select(col(sourceCol).as("source"),
+      col(lenCol).cast("long").as("len"))
+    val mm = d.agg(min(col("len")), max(col("len"))).head()
+    if (mm.isNullAt(0))
+      return d.sparkSession.emptyDataFrame
+        .select(lit("").as("source"), lit(0L).as("n_docs"),
+          lit(0.0).as("ks_stat"), lit(0).as("ks_bin")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // grid point i: identical double arithmetic in the SQL oracle
+    def t(i: Int) = lit(lo) + (lit(hi) - lit(lo)) * lit(i) / lit(DriftBins.toDouble)
+    val condSums = count(lit(1)).as("n_docs") +: (0 to DriftBins).map(i =>
+      sum((col("len").cast("double") <= t(i)).cast("long")).as(s"c_$i"))
+    val perSource = d.groupBy(col("source"))
+      .agg(condSums.head, condSums.tail: _*)
+    // global ECDF from the per-source sums — |sources|-row frame, one
+    // 1-row broadcast back; the corpus is not rescanned
+    val globalAggs = sum(col("n_docs")).as("n_all") +:
+      (0 to DriftBins).map(i => sum(col(s"c_$i")).as(s"g_$i"))
+    val global = perSource.agg(globalAggs.head, globalAggs.tail: _*)
+    val diffStructs = (0 to DriftBins).map(i => struct(
+      abs(col(s"c_$i").cast("double") / col("n_docs")
+        - col(s"g_$i").cast("double") / col("n_all")).as("diff"),
+      lit(i).as("bin")))
+    perSource.crossJoin(broadcast(global))
+      .withColumn("best", greatest(diffStructs: _*))
+      .select(col("source"), col("n_docs"),
+        round(col("best.diff"), 4).as("ks_stat"),
+        col("best.bin").as("ks_bin"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDriftSql: String =
+    s"""WITH mm AS (
+      |  SELECT CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
+      |  FROM documents),
+      |grid AS (
+      |  SELECT i, lo + (hi - lo) * i / ${DriftBins.toDouble} AS t
+      |  FROM mm CROSS JOIN generate_series(0, $DriftBins) AS g(i)),
+      |per AS (
+      |  SELECT source, i,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) <= t THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM documents CROSS JOIN grid GROUP BY source, i),
+      |tot AS (
+      |  SELECT i, CAST(sum(n_docs) AS BIGINT) AS n_all, CAST(sum(c) AS BIGINT) AS g
+      |  FROM per GROUP BY i),
+      |diffs AS (
+      |  SELECT source, n_docs,
+      |    abs(CAST(c AS DOUBLE) / n_docs - CAST(g AS DOUBLE) / n_all) AS diff,
+      |    CAST(i AS INT) AS bin
+      |  FROM per JOIN tot USING (i)),
+      |ranked AS (
+      |  SELECT source, n_docs, diff, bin,
+      |    row_number() OVER (PARTITION BY source ORDER BY diff DESC, bin DESC) AS rk
+      |  FROM diffs)
+      |SELECT source, n_docs, round(diff, 4) AS ks_stat, bin AS ks_bin
+      |FROM ranked WHERE rk = 1
+      |ORDER BY source""".stripMargin
 }

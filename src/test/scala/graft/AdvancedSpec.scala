@@ -261,4 +261,32 @@ class AdvancedSpec extends AnyFunSuite {
         col("v_interp") > greatest(col("pv"), col("nv")) + 1e-9)
     assert(outside.count() == 0, "interpolated value escaped its endpoint bounds")
   }
+
+  test("anomaly: planted spike flagged, stable stream and constant stream silent") {
+    import spark.implicits._
+    // user 1: 30 alternating 10.0/10.2 readings (z ≈ ±1), then a 50.0
+    // spike — only the spike may flag. user 2: constant values → zero
+    // sample variance → excluded entirely, never divided by zero.
+    val rows =
+      (1 to 30).map(i => (i.toLong, 1L,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        if (i % 2 == 0) 10.2 else 10.0)) ++
+      Seq((31L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 50.0)) ++
+      (1 to 25).map(i => (100L + i, 2L,
+        java.sql.Timestamp.valueOf(f"2024-01-01 01:00:${i - 1}%02d"), 7.0))
+    val planted = rows.toDF("event_id", "user_id", "ts", "value")
+    val got = ops.Advanced.anomaly(planted, "event_id", "user_id", "ts", "value")
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(31L),
+      s"expected exactly the planted spike: ${got.mkString(",")}")
+    val spike = got.head
+    assert(spike.getAs[Long]("value_milli") == 50000L)
+    assert(spike.getAs[Long]("win_n") == 20L)
+    assert(spike.getAs[Double]("z") > 100, s"spike z too small: $spike")
+    // corpus run: flags are a strict subset of scored rows; z beyond the
+    // threshold on every output row
+    val corpus = ops.Advanced.anomaly(spark, sfDir).cache()
+    assert(corpus.filter(abs(col("z")) <= 3.0).count() == 0)
+    assert(corpus.filter(col("win_n") < 10 || col("win_n") > 20).count() == 0)
+  }
 }

@@ -84,6 +84,29 @@ class MixingSpec extends AnyFunSuite {
       s"histogram wrong: $out")
   }
 
+  test("sourceDrift: hand-computed KS on a planted two-source split; corpus bounds hold") {
+    import spark.implicits._
+    // source A: all docs at the global minimum length; source B spread
+    // across [100, 400]. Global ECDF below 200 chars = 5/8, A's = 1,
+    // B's = 1/4 → both drift |3/8| = 0.375, argmax tie breaks to the
+    // HIGHEST bin below 200: grid t_i = 100 + 300·i/20 < 200 ⇔ i ≤ 6
+    val planted = Seq(
+      ("A", 100L), ("A", 100L), ("A", 100L), ("A", 100L),
+      ("B", 100L), ("B", 200L), ("B", 300L), ("B", 400L))
+      .toDF("source", "n_chars")
+    val got = ops.Mixing.sourceDrift(planted, "source", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(got("A") == ((4L, 0.375, 6)), s"A wrong: $got")
+    assert(got("B") == ((4L, 0.375, 6)), s"B wrong: $got")
+    // corpus run: one row per source, ks within [0,1], bins in range
+    val corpus = ops.Mixing.sourceDrift(spark, sfDir).cache()
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(corpus.count() == nSources)
+    assert(corpus.filter(col("ks_stat") < 0 || col("ks_stat") > 1).count() == 0)
+    assert(corpus.filter(col("ks_bin") < 0 || col("ks_bin") > 20).count() == 0)
+  }
+
   test("sourceOverlap: full matrix with exact planted counts and zero-filled cells") {
     import spark.implicits._
     // t2 in all three sources, t1 in A and B, t3 only in A; C shares

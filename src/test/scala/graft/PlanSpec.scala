@@ -299,6 +299,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("source drift derives the global ECDF by reusing the per-source exchange, not a rescan") {
+    val df = ops.Mixing.sourceDrift(spark, sfDir)
+    df.collect() // AQE exchange reuse finalizes at runtime
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("ReusedExchange"),
+      s"global ECDF rescans instead of reusing the per-source exchange:\n$ex")
+  }
+
+  test("anomaly is one keyed window pass — no join, no extra shuffle") {
+    val plan = formatted(ops.Advanced.anomaly(spark, sfDir))
+    assert(!plan.contains("Join"), s"anomaly plans a join:\n$plan")
+    // the keyed-window exchange and the output-order range exchange
+    assert("Exchange \\(\\d".r.findAllIn(plan).size <= 2,
+      s"anomaly shuffles more than window + output sort:\n$plan")
+    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 1,
+      s"anomaly scans events more than once:\n$plan")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
