@@ -14,6 +14,19 @@ case class TimedText(doc_id: Long, ts: java.sql.Timestamp, text: String)
 case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
                       start_ms: Long, end_ms: Long)
 
+/** A keyed, identified, timestamped event for [[EventTime.anomalyWithState]]. */
+case class IdEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                   value: Double)
+
+/** An anomaly flagged by the streaming detector — same fields as the
+  * batch [[graft.ops.Advanced.anomaly]] output row.
+  */
+case class AnomalyOut(event_id: Long, user_id: Long, value_milli: Long,
+                      win_n: Long, z: Double)
+
+/** Per-user ring of the last ≤ window milli-quantized values. */
+case class AnomalyState(ring: Seq[Long])
+
 /** Mutable-per-key state for [[EventTime.sessionizeWithState]]. */
 case class SessionState(n: Long, sum: Double, startMs: Long, lastMs: Long)
 
@@ -120,6 +133,59 @@ object EventTime {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col(segCol),
         col("n_events"), col("sum_value"))
+
+  /** Streaming twin of the batch anomaly detector
+    * ([[graft.ops.Advanced.anomaly]]): one bounded ring of the last
+    * `window` milli-quantized values per user, each arriving event
+    * scored against the ring's EXACT integer moments (n, Σv, Σv² —
+    * the batch op's cross-engine determinism discipline, reused here
+    * so stream and batch flag IDENTICAL rows on identical in-order
+    * data, which the parity spec pins). State is O(window) longs per
+    * user — the watermark-less analogue of a 20-row frame, evicted
+    * per-key by the state store at scale.
+    *
+    * Ordering contract, stated honestly: events are scored in
+    * (ts, event_id) order WITHIN each micro-batch, and batches are
+    * assumed in order across triggers (the batch window sorts
+    * globally; a production stream with real out-of-orderness puts a
+    * watermark-delay sorter upstream — re-sorting inside unbounded
+    * state is not this operator's job).
+    */
+  def anomalyWithState(events: Dataset[IdEvent], window: Int, minN: Int,
+                       zThresh: Double): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[IdEvent], state: GroupState[AnomalyState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[AnomalyOut]
+          // HALF_UP both places — the exact rule Spark's `round` applies
+          // in the batch op, so stream and batch agree on boundaries
+          def halfUp(x: Double, scale: Int): BigDecimal =
+            BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+          sorted.foreach { e =>
+            val v = halfUp(e.value * 1000, 0).toLong
+            val n = ring.length.toLong
+            if (n >= minN) {
+              val s = ring.sum
+              val ss = ring.iterator.map(x => x * x).sum
+              val q = n * ss - s * s
+              if (q > 0) {
+                val z = (n * v - s).toDouble / math.sqrt(q.toDouble * n / (n - 1))
+                if (math.abs(z) > zThresh)
+                  out += AnomalyOut(e.event_id, userId, v, n,
+                    halfUp(z, 4).toDouble)
+              }
+            }
+            ring = (ring :+ v).takeRight(window)
+          }
+          state.update(AnomalyState(ring))
+          out.result().iterator
+      }
+  }
 
   /** Custom stateful sessionization via `flatMapGroupsWithState`: one
     * `SessionState` per user, extended on each event within `gapMs`,

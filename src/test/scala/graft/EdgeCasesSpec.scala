@@ -158,6 +158,44 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ops.TextAnalysis.compressRatio(empty, "doc_id", "text").count() == 0)
   }
 
+  test("empty and singleton corpora flow through the round-5 second-leg ops") {
+    // boilerplate: empty → empty; a single doc's segments can never
+    // reach the cross-doc frequency floor; a short doc scores 0 segs
+    assert(ops.TextAnalysis.boilerplate(empty, "doc_id", "text").count() == 0)
+    val bp = ops.TextAnalysis.boilerplate(single, "doc_id", "text").collect()
+    assert(bp.length == 1 && bp.head.getAs[Long]("n_boiler") == 0L)
+    // vocab coverage: empty → no language rows; single doc covers itself
+    assert(ops.TextAnalysis.vocabCoverage(empty, "lang", "text").count() == 0)
+    val vc = ops.TextAnalysis.vocabCoverage(single, "lang", "text").collect()
+    assert(vc.length == 1 && vc.head.getAs[Double]("topk_share") == 1.0)
+    // containment: empty and singleton corpora have no pairs
+    assert(ops.Dedup.containmentPairs(empty, "doc_id", "text", 0.8).count() == 0)
+    assert(ops.Dedup.containmentPairs(single, "doc_id", "text", 0.8).count() == 0)
+    // source drift: empty → empty (guard path); a lone source matches
+    // the global ECDF exactly → ks 0
+    assert(ops.Mixing.sourceDrift(empty, "source", "n_chars").count() == 0)
+    val dr = ops.Mixing.sourceDrift(single, "source", "n_chars").collect()
+    assert(dr.length == 1 && dr.head.getAs[Double]("ks_stat") == 0.0)
+    // anomaly: empty stream and too-short histories flag nothing
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1),
+      StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType))))
+    assert(ops.Advanced.anomaly(emptyEvents, "event_id", "user_id", "ts", "value")
+      .count() == 0)
+    // semantic dedup: corpus smaller than the cell count fails loudly
+    // (the shared-trainer contract), like annIvf/kmeans
+    val fewVecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Seq(1.0f, 0.0f))), 1),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val ex = intercept[Exception] {
+      ops.Similarity.semanticDedup(fewVecs, "vec_id", "embedding",
+        nCells = 4, iters = 1, tau = 0.97, maxCell = 10).count()
+    }
+    assert(ex.getMessage.contains("fewer than"), s"wrong failure: $ex")
+  }
+
   test("schema-evolution union against an empty early snapshot still emits") {
     // unionByName(allowMissingColumns) where the old-schema side matches
     // zero rows: every customer must surface with n_early = 0 and the

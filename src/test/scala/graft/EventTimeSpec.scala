@@ -203,4 +203,39 @@ class EventTimeSpec extends AnyFunSuite {
     assert(streamed(("2026-01-01 10:00:00.0", "gold")) == ((3L, 11.0)))
     assert(!streamed.keys.exists(_._2 == null), "unmatched key leaked through inner join")
   }
+
+  test("streaming anomaly detector flags the same rows as the batch operator, across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the batch spec's planted shape: 30 stable alternating readings,
+    // then a spike; plus a constant-value user that must stay silent
+    val data =
+      (1 to 30).map(i => graft.streaming.IdEvent(i.toLong, 1L, ts(0, i),
+        if (i % 2 == 0) 10.2 else 10.0)) ++
+      Seq(graft.streaming.IdEvent(31L, 1L, ts(1, 0), 50.0)) ++
+      (1 to 25).map(i => graft.streaming.IdEvent(100L + i, 2L, ts(10, i - 1), 7.0))
+    val in = MemoryStream[graft.streaming.IdEvent]
+    val q = EventTime.anomalyWithState(in.toDS(), window = 20, minN = 10,
+        zThresh = 3.0)
+      .writeStream.format("memory").queryName("anomstream").outputMode("append").start()
+    // split mid-ring: rows 1-15 arrive in batch 1, the rest (including
+    // the spike) in batch 2 — the ring must carry across the trigger
+    in.addData(data.take(15): _*)
+    q.processAllAvailable()
+    in.addData(data.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anomstream").as[graft.streaming.AnomalyOut]
+      .collect().map(a => (a.event_id, a.user_id, a.value_milli, a.win_n, a.z)).toSet
+    // batch run over the identical rows
+    val batch = ops.Advanced.anomaly(
+        data.map(e => (e.event_id, e.user_id, e.ts, e.value))
+          .toDF("event_id", "user_id", "ts", "value"),
+        "event_id", "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("value_milli"), r.getAs[Long]("win_n"),
+        r.getAs[Double]("z"))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(_._1) == Set(31L), s"expected exactly the spike: $streamed")
+  }
 }
