@@ -56,4 +56,26 @@ class DeterminismSpec extends AnyFunSuite {
       "doc_id", "text"))
     assert(run(2) == run(13), "classification depends on the input partitioning")
   }
+
+  test("boilerplate report is invariant to input layout") {
+    assertLayoutInvariant(d => ops.TextAnalysis.boilerplate(d, "doc_id", "text"))
+  }
+
+  test("vocab coverage is invariant to input layout") {
+    assertLayoutInvariant(d => ops.TextAnalysis.vocabCoverage(d, "lang", "text"))
+  }
+
+  test("source drift is invariant to input layout") {
+    assertLayoutInvariant(d => ops.Mixing.sourceDrift(d, "source", "n_chars"))
+  }
+
+  test("anomaly flags are invariant to input layout") {
+    val events = Tables.events(spark, sfDir)
+    def run(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Advanced.anomaly(f(events), "event_id", "user_id", "ts", "value"))
+    val a = run(_.repartition(3))
+    val b = run(_.repartition(17))
+    val c = run(_.coalesce(1))
+    assert(a == b && b == c, "flags depend on the input partitioning")
+  }
 }
