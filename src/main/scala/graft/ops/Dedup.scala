@@ -291,6 +291,81 @@ object Dedup {
     perDocSummary(Tables.documents(spark, dir).select(col("doc_id")),
       minhashVerifiedPairs(spark, dir, materialize = false), "jacc", 0.7)
 
+  private val IncNearTau = 0.7
+
+  /** Incremental NEAR-duplicate classification — [[dedupIncremental]]'s
+    * daily-ingest flow upgraded from exact digests to MinHash near-dups:
+    * each arriving document is classified `near_dup_of_index` (a
+    * verified Jaccard ≥ `tau` match in the already-ingested corpus),
+    * `near_dup_in_increment` (greedy keep-first within the increment —
+    * a SMALLER-id near-dup arrived in the same batch), or `new`. This
+    * is the production shape for crawl ingestion: the index side is
+    * sketched once (band buckets are exactly what a persisted LSH index
+    * table stores), and the increment probes it with equi-joins — the
+    * old corpus text is never re-shingled per ingest in a real
+    * deployment (here both sides sketch from text for self-containment;
+    * the join topology is the deployment's).
+    *
+    * Scale shape: index bucket sizes cap degenerate buckets (the
+    * boilerplate-bucket hazard) exactly like [[lshCandidates]];
+    * new-vs-index and new-vs-new candidates both flow through
+    * (bucket, hash) equi-joins; verification is exact Jaccard on the
+    * candidates only. xxhash64 sketch → rows-only driver check;
+    * planted cross-batch near-dups pinned in DedupSpec.
+    */
+  def dedupIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupIncrementalNear(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", IncNearTau)
+  }
+
+  /** DataFrame-first form over any (id, text) index/increment frames. */
+  def dedupIncrementalNear(oldDocs: DataFrame, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"dedupIncrementalNear: bad tau=$tau")
+    val oldSets = shingleSets(oldDocs, idCol, textCol).persist()
+    val newSets = shingleSets(newDocs, idCol, textCol).persist()
+    try {
+      val oldB = minhashBandBuckets(oldSets)
+      val newB = minhashBandBuckets(newSets)
+      // index-side bucket cap, computed like lshCandidates': agg + keyed
+      // join, never a window over the bucket key
+      val keep = oldB.groupBy(col("bucket_id"), col("bucket_hash"))
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
+        .select(col("bucket_id"), col("bucket_hash"))
+      val candOld = newB
+        .join(keep, Seq("bucket_id", "bucket_hash"))
+        .join(oldB.select(col("bucket_id"), col("bucket_hash"),
+          col("doc_id").as("old_id")), Seq("bucket_id", "bucket_hash"))
+        .select(col("doc_id"), col("old_id")).distinct()
+      val vsIndex = candOld
+        .join(newSets.select(col("doc_id"), col("shset").as("sn")), Seq("doc_id"))
+        .join(oldSets.select(col("doc_id").as("old_id"), col("shset").as("so")), Seq("old_id"))
+        .filter(jaccard(col("sn"), col("so")) >= tau)
+        .select(col("doc_id")).distinct()
+        .withColumn("of_index", lit(true))
+      // within-increment: standard capped self-join candidates, greedy
+      // keep-first (a smaller-id near-dup marks the larger id)
+      val candNew = lshCandidates(newB, maxBucket = 100, materialize = true)
+      val vsIncrement = candNew
+        .join(newSets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(newSets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .filter(jaccard(col("sa"), col("sb")) >= tau)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("in_increment", lit(true))
+      newSets.select(col("doc_id"))
+        .join(vsIndex, Seq("doc_id"), "left")
+        .join(vsIncrement, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("of_index"), "near_dup_of_index")
+            .when(col("in_increment"), "near_dup_in_increment")
+            .otherwise("new").as("status"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // small: one (id, status) row per new doc
+    } finally { oldSets.unpersist(); newSets.unpersist() }
+  }
+
   private val ContainTau = 0.8
 
   /** Asymmetric containment detection: pairs where the SMALLER shingle

@@ -281,6 +281,55 @@ object Mixing {
       |WHERE x.source <> y.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  private val NearOverlapTau = 0.7
+
+  /** Cross-source NEAR-duplicate overlap matrix — [[sourceOverlap]]'s
+    * exact-copy census extended to near-dups: the MinHash-LSH verified
+    * pairs at Jaccard ≥ [[NearOverlapTau]] (the near-dup threshold the
+    * dedup family uses) are attributed to their source pair, counted
+    * in both directions, and zero-filled to the full off-diagonal
+    * matrix. Exact copies have J = 1 and are included, so this strictly
+    * dominates the exact census — a source pair whose near-dup count
+    * far exceeds its exact count is bleeding lightly-edited copies
+    * (mirrors with boilerplate swapped, timestamp-patched rehosts)
+    * that the md5 census can't see.
+    *
+    * Scale shape: the pair set is the memoized LSH sketch pipeline's
+    * output (≪ corpus²); the source attribution is two doc-id-keyed
+    * equi-joins; the matrix agg is |sources|²-bounded. xxhash64
+    * sketch → rows-only driver check; planted cross-source near-dups
+    * pinned in MixingSpec.
+    */
+  def sourceOverlapNear(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapNear(Tables.documents(spark, dir),
+      graft.ops.Dedup.minhashVerifiedPairs(spark, dir), "doc_id", "source",
+      NearOverlapTau)
+
+  /** DataFrame-first form: any docs frame with an (id → group) mapping
+    * plus a verified-pair frame (doc_a, doc_b, jacc).
+    */
+  def sourceOverlapNear(docs: DataFrame, pairs: DataFrame, idCol: String,
+                        sourceCol: String, tau: Double): DataFrame = {
+    val src = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+    val near = pairs.filter(col("jacc") >= tau)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .filter(col("src_a") =!= col("src_b"))
+    // count both directions so the matrix is symmetric like sourceOverlap
+    val directed = near.select(col("src_a"), col("src_b"))
+      .unionByName(near.select(col("src_b").as("src_a"), col("src_a").as("src_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val srcs = docs.select(col(sourceCol).as("source")).distinct()
+    srcs.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(directed, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared"), lit(0L)).as("n_near_dups"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   private val DriftBins = 20
 
   /** Per-source length-distribution drift: a Kolmogorov–Smirnov-style

@@ -168,6 +168,39 @@ class DedupSpec extends AnyFunSuite {
     assert(corpus.count() == odd)
   }
 
+  test("incremental near-dup: index matches, within-increment keep-first, fixed point") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val baseTweaked = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val fresh = (100 to 130).map(i => s"y$i").mkString(" ")
+    val freshTweaked = (100 to 129).map(i => s"y$i").mkString(" ") + " qq"
+    val unrelated = (200 to 230).map(i => s"z$i").mkString(" ")
+    val old = Seq((10L, base)).toDF("doc_id", "text")
+    val inc = Seq((11L, baseTweaked), (13L, fresh), (15L, freshTweaked),
+      (17L, unrelated)).toDF("doc_id", "text")
+    val got = ops.Dedup.dedupIncrementalNear(old, inc, "doc_id", "text", 0.7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(11L -> "near_dup_of_index", 13L -> "new",
+      15L -> "near_dup_in_increment", 17L -> "new"), s"got $got")
+    // fixed point: re-ingesting the increment against old ∪ increment
+    // classifies every row near_dup_of_index (each matches itself, J=1)
+    val again = ops.Dedup.dedupIncrementalNear(old.union(inc), inc,
+      "doc_id", "text", 0.7)
+    assert(again.filter(col("status") =!= "near_dup_of_index").count() == 0)
+    // corpus run: every odd doc classified exactly once; exact copies of
+    // even docs must classify near_dup_of_index (J = 1 ≥ tau)
+    val corpus = ops.Dedup.dedupIncrementalNear(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(corpus.count() == docs.filter(col("doc_id") % 2 === 1).count())
+    val crossParity = docs.filter(col("doc_id") % 2 === 1).as("n")
+      .join(docs.filter(col("doc_id") % 2 === 0).as("o"),
+        col("n.text") === col("o.text"))
+      .select(col("n.doc_id").as("doc_id")).distinct()
+    val missed = crossParity.join(corpus, Seq("doc_id"))
+      .filter(col("status") =!= "near_dup_of_index").count()
+    assert(missed == 0, s"$missed exact cross-batch copies not classified near_dup_of_index")
+  }
+
   test("containmentPairs: planted excerpt found at C=1.0 where Jaccard dedup misses it") {
     import spark.implicits._
     // doc 2 = the first 70% of doc 1: every shingle of 2 is in 1 →

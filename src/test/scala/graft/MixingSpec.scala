@@ -107,6 +107,42 @@ class MixingSpec extends AnyFunSuite {
     assert(corpus.filter(col("ks_bin") < 0 || col("ks_bin") > 20).count() == 0)
   }
 
+  test("sourceOverlapNear: planted cross-source near-dup counted symmetrically; exact dups included") {
+    import spark.implicits._
+    // docs 1 (src A) and 2 (src B) share 21 of 30 leading tokens →
+    // J ≈ 0.68... make them near-identical instead: doc 2 = doc 1 with
+    // the last token changed → J well above 0.7. doc 3 (src C) unrelated.
+    // Same-source near-dups (docs 1,4 in A) must NOT appear (off-diagonal).
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val tweaked = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", base), (2L, "B", tweaked), (3L, "C", other), (4L, "A", base))
+      .toDF("doc_id", "source", "text")
+    val pairs = ops.Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+      materialize = true)
+    val got = ops.Mixing.sourceOverlapNear(docs, pairs, "doc_id", "source", 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // full off-diagonal matrix over {A,B,C}: 6 cells
+    assert(got.size == 6, s"matrix wrong: $got")
+    // pairs (1,2) and (4,2) cross A-B → 2 each direction
+    assert(got(("A", "B")) == 2L && got(("B", "A")) == 2L, s"got $got")
+    assert(got(("A", "C")) == 0L && got(("C", "B")) == 0L)
+    // corpus run: symmetric, non-negative, full matrix
+    val corpus = ops.Mixing.sourceOverlapNear(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(corpus.count() == n * (n - 1))
+    val asMap = corpus.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(asMap.forall { case ((a, b), v) => asMap((b, a)) == v },
+      "near-dup matrix not symmetric")
+    // near-dups dominate the exact census cell-by-cell (J=1 ⊆ J≥0.7)
+    val exact = ops.Mixing.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.forall { case (k, v) => asMap(k) >= v },
+      "exact overlap exceeded near-dup overlap somewhere")
+  }
+
   test("sourceOverlap: full matrix with exact planted counts and zero-filled cells") {
     import spark.implicits._
     // t2 in all three sources, t1 in A and B, t3 only in A; C shares
