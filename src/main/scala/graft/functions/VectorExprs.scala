@@ -353,6 +353,49 @@ case class DeflateLen(child: Expression)
     copy(child = newChild)
 }
 
+/** `set_intersect_count(a, b)`: |A ∩ B| over two array<long> columns
+  * treated as sets (the hashed-shingle representation — elements
+  * already distinct). The `size(array_intersect(a, b))` built-in
+  * materializes the intersection ARRAY (hash structure + output buffer
+  * per row) only to take its length, and the Jaccard formulation pays
+  * that twice (`array_union` too). This native kernel hash-sets the
+  * SMALLER side once and probes with the larger — one pass, one
+  * allocation, no output array — and every downstream similarity
+  * derives from the one count: jacc = c/(|A|+|B|−c),
+  * containment = c/min(|A|,|B|). Codegen fallback (single native call
+  * per row, like the other set kernels). Set semantics on distinct
+  * inputs match the built-ins bit-for-bit (ExpressionsSpec pins the
+  * equivalence on corpus pairs).
+  */
+case class SetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[ArrayData]
+    var y = b.asInstanceOf[ArrayData]
+    if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0) 0L
+    else {
+      val set = new java.util.HashSet[java.lang.Long](nx * 2)
+      var i = 0
+      while (i < nx) { set.add(x.getLong(i)); i += 1 }
+      var c = 0L
+      var j = 0
+      while (j < ny) { if (set.contains(y.getLong(j))) c += 1L; j += 1 }
+      c
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the native expressions.
   *
   * Two paths:
@@ -381,6 +424,7 @@ object GraftFunctions {
       })
     }),
     "top_token_count" -> (es => TopTokenCount(es(0))),
+    "set_intersect_count" -> (es => SetIntersectCount(es(0), es(1))),
     "deflate_len" -> (es => DeflateLen(es(0))),
     "ngram_distinct_count" -> (es => {
       if (es.length != 2 || !es(1).foldable)

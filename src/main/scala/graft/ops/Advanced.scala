@@ -254,6 +254,55 @@ object Advanced {
       |FROM filled
       |ORDER BY event_type, day""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov report): for
+    * every consecutive event pair within a user's timeline, count
+    * (prev_type → type) and its share of all transitions leaving
+    * prev_type — the navigation/path analysis behind funnel design
+    * ("what actually follows a view?"). One keyed window pass computes
+    * lag(type) per user (the same partitioning discipline as
+    * [[funnel]]), then a |types|²-bounded aggregate; the per-row share
+    * is a ratio of exact counts via a second tiny aggregate joined
+    * back — deterministic, oracle-exact.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables.events(spark, dir), "event_id", "user_id", "ts",
+      "event_type")
+
+  /** DataFrame-first form over any (id, key, time, type) frame. */
+  def transitions(events: DataFrame, idCol: String, keyCol: String,
+                  tsCol: String, typeCol: String): DataFrame = {
+    val e = events.select(col(idCol).as("event_id"), col(keyCol).as("user_id"),
+      col(tsCol).as("ts"), col(typeCol).as("etype"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = e.withColumn("prev_type", lag(col("etype"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("etype").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outgoing = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_out"))
+    pairs.join(outgoing, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_out"), 4).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM l WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type),
+      |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out
+      |      FROM pairs GROUP BY prev_type)
+      |SELECT prev_type, next_type, n,
+      |  round(CAST(n AS DOUBLE) / n_out, 4) AS p
+      |FROM pairs JOIN o USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   private val AnomalyWin = 20
   private val AnomalyMinN = 10
   private val AnomalyZ = 3.0

@@ -118,9 +118,15 @@ object Dedup {
         expr(s"shingle_hash(split($textCol, ' '), 3)").as("shset"))
   }
 
-  /** Exact Jaccard on hashed shingle sets for a candidate pair. */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard on hashed shingle sets for a candidate pair, from
+    * the single fused intersection count (elements are distinct, so
+    * |A∪B| = |A|+|B|−|A∩B|) — no intersection/union arrays are ever
+    * materialized ([[graft.functions.SetIntersectCount]]).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val c = call_function("set_intersect_count", a, b)
+    c.cast("double") / (size(a) + size(b) - c)
+  }
 
   /** Candidate pairs from equality self-join on (bucketCol id, hash),
     * with a bucket-size cap dropping degenerate buckets (boilerplate
@@ -414,7 +420,7 @@ object Dedup {
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+          call_function("set_intersect_count", col("sa"), col("sb")).as("n_common"),
           size(col("sa")).cast("long").as("n_a"),
           size(col("sb")).cast("long").as("n_b"))
         .withColumn("containment",

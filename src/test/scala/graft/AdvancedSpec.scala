@@ -262,6 +262,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(outside.count() == 0, "interpolated value escaped its endpoint bounds")
   }
 
+  test("transitions: planted path counts exact; outgoing probabilities sum to one") {
+    import spark.implicits._
+    // user 1: v→c→v→c→p ; user 2: v→v→p. Transitions:
+    // v→c ×2, c→v ×1, c→p ×1, v→v ×1, v→p ×1
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", "v"), (2L, 1L, "2024-01-01 00:00:02", "c"),
+      (3L, 1L, "2024-01-01 00:00:03", "v"), (4L, 1L, "2024-01-01 00:00:04", "c"),
+      (5L, 1L, "2024-01-01 00:00:05", "p"),
+      (6L, 2L, "2024-01-01 00:00:01", "v"), (7L, 2L, "2024-01-01 00:00:02", "v"),
+      (8L, 2L, "2024-01-01 00:00:03", "p"))
+      .map { case (id, u, t, ty) => (id, u, java.sql.Timestamp.valueOf(t), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = ops.Advanced.transitions(rows, "event_id", "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("v", "c")) == ((2L, 0.5)) && got(("v", "v")) == ((1L, 0.25)) &&
+      got(("v", "p")) == ((1L, 0.25)), s"v-row wrong: $got")
+    assert(got(("c", "v")) == ((1L, 0.5)) && got(("c", "p")) == ((1L, 0.5)),
+      s"c-row wrong: $got")
+    assert(!got.keys.exists(_._1 == "p"), "terminal type must have no outgoing row")
+    // corpus run: each prev_type's probabilities sum to ~1
+    val corpus = ops.Advanced.transitions(spark, sfDir)
+    val sums = corpus.groupBy("prev_type").agg(sum("p").as("sp"))
+      .filter(abs(col("sp") - 1.0) > 0.01).count()
+    assert(sums == 0, "outgoing probabilities do not sum to one")
+  }
+
   test("anomaly: planted spike flagged, stable stream and constant stream silent") {
     import spark.implicits._
     // user 1: 30 alternating 10.0/10.2 readings (z ≈ ±1), then a 50.0

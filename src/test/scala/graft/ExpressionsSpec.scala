@@ -89,6 +89,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("set_intersect_count matches size(array_intersect) on corpus shingle pairs") {
+    GraftFunctions.register(spark)
+    // adjacent-doc shingle-set pairs: includes identical sets (planted
+    // duplicates), disjoint sets, and partial overlaps
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("shingle_hash(split(text, ' '), 3)").as("sh"))
+    val pairs = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.sh").as("x"), col("b.sh").as("y"))
+    val diff = pairs.select(
+        expr("set_intersect_count(x, y)").as("native"),
+        expr("CAST(size(array_intersect(x, y)) AS BIGINT)").as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0)
+    // degenerate shapes: empty vs non-empty, both empty, self
+    val edge = spark.sql(
+      """SELECT set_intersect_count(array(1L, 2L), array(3L)) AS disjoint,
+        |       set_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS emptyLeft,
+        |       set_intersect_count(array(1L, 2L, 3L), array(1L, 2L, 3L)) AS self""".stripMargin)
+      .head()
+    assert(edge.getLong(0) == 0L && edge.getLong(1) == 0L && edge.getLong(2) == 3L)
+  }
+
   test("deflate_len orders redundancy correctly and is deterministic") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -366,4 +366,5 @@ class MicroBatchSpec extends AnyFunSuite {
     assert(run() == perFile,
       "restart re-delivered committed data or missed the new file")
   }
+
 }
