@@ -541,6 +541,77 @@ object Analytics {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  private val LorenzBins = 10
+
+  /** Revenue-concentration (Lorenz/Pareto) report: at a fixed
+    * [[LorenzBins]]+1-point grid of per-customer revenue thresholds,
+    * the share of customers at-or-above each threshold and the share
+    * of total revenue they hold — the "do 20% of customers carry 80%
+    * of revenue" table, computed WITHOUT the global ntile sort the
+    * textbook decile formulation needs (a windowless shape matters: an
+    * unpartitioned ntile funnels every customer through one task,
+    * PlanSpec's cardinal sin, while this is two aggregates and a
+    * 1-row broadcast at any scale — the [[graft.ops.Mixing.sourceDrift]]
+    * grid discipline applied to concentration).
+    *
+    * Exactness: revenue sums integer cents; the grid points are
+    * identical IEEE doubles in both engines; shares divide exact
+    * BIGINTs and round once.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame =
+    revenueConcentration(Tables.orders(spark, dir), "o_custkey", "o_totalprice")
+
+  /** DataFrame-first form over any (key, amount) frame. */
+  def revenueConcentration(orders: DataFrame, keyCol: String,
+                           amountCol: String): DataFrame = {
+    val perCust = orders
+      .select(col(keyCol).as("k"), cents(col(amountCol)).as("rc"))
+      .groupBy(col("k")).agg(sum(col("rc")).as("rev"))
+    val mm = perCust.agg(min(col("rev")), max(col("rev"))).head()
+    if (mm.isNullAt(0))
+      return orders.sparkSession.emptyDataFrame
+        .select(lit(0).as("bin"), lit(0.0).as("threshold_cents"),
+          lit(0L).as("n_above"), lit(0.0).as("cust_share"),
+          lit(0.0).as("rev_share")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def t(i: Int) = lit(lo) + (lit(hi) - lit(lo)) * lit(i) / lit(LorenzBins.toDouble)
+    val aggs = Seq(count(lit(1)).as("n_cust"), sum(col("rev")).as("total")) ++
+      (0 to LorenzBins).flatMap(i => Seq(
+        sum((col("rev").cast("double") >= t(i)).cast("long")).as(s"n_$i"),
+        sum(when(col("rev").cast("double") >= t(i), col("rev"))
+          .otherwise(lit(0L))).as(s"r_$i")))
+    val one = perCust.agg(aggs.head, aggs.tail: _*)
+    val bins = (0 to LorenzBins).map(i => struct(
+      lit(i).as("bin"), t(i).as("threshold_cents"),
+      col(s"n_$i").as("n_above"),
+      round(col(s"n_$i").cast("double") / col("n_cust"), 4).as("cust_share"),
+      round(col(s"r_$i").cast("double") / col("total"), 4).as("rev_share")))
+    one.select(explode(array(bins: _*)).as("b"))
+      .select(col("b.bin"), col("b.threshold_cents"), col("b.n_above"),
+        col("b.cust_share"), col("b.rev_share"))
+      .orderBy(col("bin"))
+  }
+
+  val revenueConcentrationSql: String =
+    s"""WITH pc AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |mm AS (SELECT CAST(min(rev) AS BIGINT) AS lo, CAST(max(rev) AS BIGINT) AS hi,
+      |              CAST(count(*) AS BIGINT) AS n_cust,
+      |              CAST(sum(rev) AS BIGINT) AS total FROM pc),
+      |grid AS (
+      |  SELECT i, lo + (hi - lo) * i / ${LorenzBins.toDouble} AS t, n_cust, total
+      |  FROM mm CROSS JOIN generate_series(0, $LorenzBins) AS g(i))
+      |SELECT CAST(i AS INT) AS bin, t AS threshold_cents,
+      |  CAST(sum(CASE WHEN CAST(rev AS DOUBLE) >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  round(CAST(sum(CASE WHEN CAST(rev AS DOUBLE) >= t THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / any_value(n_cust), 4) AS cust_share,
+      |  round(CAST(sum(CASE WHEN CAST(rev AS DOUBLE) >= t THEN rev ELSE 0 END) AS DOUBLE)
+      |        / any_value(total), 4) AS rev_share
+      |FROM pc CROSS JOIN grid
+      |GROUP BY i, t
+      |ORDER BY bin""".stripMargin
+
   /** Run `sql` with the named driver tables registered under
     * collision-free temp-view names (same contract as
     * `Advanced.runWithTables`: the published ANSI string keeps the

@@ -256,4 +256,28 @@ class AnalyticsSpec extends AnyFunSuite {
         col("numcust") =!= col("nc"))
     assert(bad.count() == 0)
   }
+
+  test("revenue concentration: hand-computed grid on planted revenues; monotone tails") {
+    import spark.implicits._
+    // four customers, one order each: 1.00 / 2.00 / 3.00 / 4.00 dollars
+    // → revenue cents 100..400, grid t_i = 100 + 30i
+    val planted = Seq((1L, 1.00), (2L, 2.00), (3L, 3.00), (4L, 4.00))
+      .toDF("o_custkey", "o_totalprice")
+    val got = ops.Analytics.revenueConcentration(planted, "o_custkey", "o_totalprice")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0) == ((4L, 1.0, 1.0)), s"bin 0 wrong: $got")
+    assert(got(5) == ((2L, 0.5, 0.7)), s"bin 5 wrong: $got") // t=250 → {300,400}
+    assert(got(10) == ((1L, 0.25, 0.4)), s"bin 10 wrong: $got")
+    // corpus run: 11 bins, both shares monotone non-increasing in bin
+    val corpus = ops.Analytics.revenueConcentration(spark, sfDir)
+      .collect()
+    assert(corpus.length == 11)
+    val byBin = corpus.sortBy(_.getInt(0))
+    assert(byBin.sliding(2).forall(p =>
+      p(0).getLong(2) >= p(1).getLong(2) &&
+      p(0).getDouble(4) >= p(1).getDouble(4) - 1e-9),
+      "concentration tails must be monotone")
+    assert(byBin.head.getDouble(3) == 1.0 && byBin.head.getDouble(4) == 1.0)
+  }
 }

@@ -131,4 +131,33 @@ object GraftLaws extends Properties("graft") {
       distinctN(tk, n) == expect &&
         distinctN(tk, 1) == tk.map(_.toString).distinct.length.toLong
     }
+
+  private def interCount(a: Array[Long], b: Array[Long]): Long =
+    graft.functions.SetIntersectCount(Literal(1L), Literal(1L))
+      .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+      .asInstanceOf[Long]
+
+  // distinct-element arrays — the hashed-shingle representation the
+  // kernel is specified over
+  private val longSet: Gen[Array[Long]] =
+    Gen.chooseNum(0, 100).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)).map(_.distinct.toArray))
+
+  property("set_intersect_count is symmetric and matches the Set model") =
+    forAll(longSet, longSet) { (a, b) =>
+      val model = (a.toSet intersect b.toSet).size.toLong
+      interCount(a, b) == model && interCount(b, a) == model
+    }
+
+  property("set_intersect_count: self is size; bounded by min; derived Jaccard in [0,1]") =
+    forAll(longSet, longSet) { (a, b) =>
+      val c = interCount(a, b)
+      val selfOk = interCount(a, a) == a.length.toLong
+      val boundOk = c <= math.min(a.length, b.length)
+      val jaccOk = a.isEmpty && b.isEmpty || {
+        val j = c.toDouble / (a.length + b.length - c)
+        j >= 0.0 && j <= 1.0
+      }
+      selfOk && boundOk && jaccOk
+    }
 }

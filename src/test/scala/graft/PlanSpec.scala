@@ -317,6 +317,16 @@ class PlanSpec extends AnyFunSuite {
       s"anomaly scans events more than once:\n$plan")
   }
 
+  test("revenue concentration is windowless — two aggregate levels, one orders scan") {
+    // the textbook decile formulation needs an unpartitioned ntile —
+    // every customer through one task; this shape must never regress to it
+    val plan = formatted(ops.Analytics.revenueConcentration(spark, sfDir))
+    assert(!plan.contains("Window"), s"concentration ranks via a window:\n$plan")
+    assert(!plan.contains("Join"), s"concentration plans a join:\n$plan")
+    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 1,
+      s"concentration scans orders more than once:\n$plan")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
