@@ -558,6 +558,36 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** ANN index-quality report: recall@k of both approximate indexes
+    * ([[annLsh]], [[annIvf]]) against the exact [[knnBrute]] ground
+    * truth, per query and per method — the evaluation a production
+    * vector store runs before trusting an index build (and re-runs
+    * after every parameter change; SimilaritySpec's recall floors are
+    * this table's assertions). The ground truth is computed ONCE and
+    * both methods join against it on (query, neighbor) — a keyed
+    * equi-join on the small result frames, nothing corpus-sized moves.
+    * Hash-seeded indexes → rows-only driver check.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    try {
+      val methods = Seq("lsh" -> annLsh(spark, dir), "ivf" -> annIvf(spark, dir))
+      methods.map { case (name, approx) =>
+        val hits = approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .select(lit(name).as("method"), col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("method"), col("query_id"))
+        .localCheckpoint(true) // 2×|queries| rows; frees the truth cache
+    } finally exact.unpersist()
+  }
+
   private val SemDedupTau = 0.97
   private val SemDedupMaxCell = 5000
 

@@ -120,6 +120,19 @@ class SimilaritySpec extends AnyFunSuite {
       col("top_label_share") > 1.0).count() == 0)
   }
 
+  test("annRecall: both methods reported per query; recall floors hold; perfect on planted") {
+    val df = ops.Similarity.annRecall(spark, sfDir).cache()
+    // 10 queries × 2 methods, recall in [0,1]
+    assert(df.count() == 20, s"expected 2×10 rows, got ${df.count()}")
+    assert(df.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    assert(df.select("method").distinct().collect().map(_.getString(0)).toSet ==
+      Set("lsh", "ivf"))
+    // the same floors SimilaritySpec pins on the raw indexes
+    val mean = df.groupBy("method").agg(avg("recall").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mean("lsh") >= 0.6 && mean("ivf") >= 0.6, s"recall too low: $mean")
+  }
+
   test("semanticDedup: planted duplicate groups keep only their min id; distinct vectors survive") {
     import spark.implicits._
     // two orthogonal clusters of 20; ids 0/4/8 share an IDENTICAL
