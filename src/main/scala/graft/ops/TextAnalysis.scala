@@ -838,4 +838,222 @@ object TextAnalysis {
         array_join(col("bottomk"), ",").as("bottomk_csv"))
       .orderBy(col("doc_id"))
   }
+
+  private val PmiMinSupport = 5
+  private val PmiTopK = 10
+
+  /** PMI collocation mining: the top strongly-associated adjacent word
+    * pairs per language, scored by pointwise mutual information
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) — the classic statistical
+    * collocation detector (fixed phrases, templated spans, named
+    * entities score high; chance co-occurrences score ~0). Pairs with
+    * support below [[PmiMinSupport]] are dropped (PMI of rare pairs is
+    * noise), and the top [[PmiTopK]] per language are kept.
+    *
+    * Scale shape: bigram and unigram derivation are ROW-LOCAL; the
+    * counts are vocabulary-keyed partial+final aggregates; the bigram
+    * table joins the unigram vocabulary TWICE on (lang, word) — both
+    * shuffled equi-joins on vocabulary-sized sides (never broadcast —
+    * the [[tfidf]]/[[unigramLm]] rule); only the |langs|-row totals
+    * broadcast. The top-k cut is the bounded TopKTerm partial
+    * aggregate, so at most k rows per map task cross the final
+    * shuffle. Determinism: PMI is quantized to integer micro-nats
+    * from an identical IEEE expression on both engines, ties break on
+    * the bigram text.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.documents(spark, dir), "lang", "text")
+
+  /** DataFrame-first form. */
+  def pmiCollocations(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, langCol -> "lang", textCol -> "text")
+    val tk = d.select(col("lang"), toks.as("tk"))
+    val uni = tk.select(col("lang"), explode(col("tk")).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c_w"))
+    val nTok = uni.groupBy(col("lang")).agg(sum(col("c_w")).as("n_tok"))
+    val big = tk.select(col("lang"), explode(expr(
+      """CASE WHEN size(tk) >= 2
+        |  THEN transform(sequence(0, size(tk) - 2),
+        |         i -> concat_ws(' ', tk[i], tk[i + 1]))
+        |  ELSE array() END""".stripMargin)).as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nBig = big.groupBy(col("lang")).agg(sum(col("c_ab")).as("n_big"))
+    val scored = big.filter(col("c_ab") >= PmiMinSupport)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("lang"), col("term").as("w1"), col("c_w").as("c_1")),
+        Seq("lang", "w1"))
+      .join(uni.select(col("lang"), col("term").as("w2"), col("c_w").as("c_2")),
+        Seq("lang", "w2"))
+      .join(broadcast(nTok), Seq("lang"))
+      .join(broadcast(nBig), Seq("lang"))
+      .select(col("lang"), col("bigram"), col("c_ab"),
+        // identical IEEE shape to the oracle: ((c_ab·N)·N) / ((B·c1)·c2)
+        round(log((col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_big").cast("double") * col("c_1") * col("c_2"))) * 1e6)
+          .cast("long").as("micro_pmi"))
+    // TopKTerm ranks (score desc, term asc) — micro-nat integers are
+    // exact as doubles, so the cut matches the oracle's row_number
+    val top = scored.groupBy(col("lang"))
+      .agg(graft.functions.TopK.topKTerms(PmiTopK)(
+        col("micro_pmi").cast("double"), col("bigram")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("bigram"),
+        round(col("col.score") / 1e6, 4).as("pmi"))
+    // recover the support count: k×|langs| rows broadcast back against
+    // the bigram aggregate (whose exchange AQE reuses)
+    broadcast(top).join(big, Seq("lang", "bigram"))
+      .select(col("lang"), col("rank"), col("bigram"),
+        col("c_ab").as("cnt"), col("pmi"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH tk AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+      |uni AS (SELECT lang, unnest(tk) AS term FROM tk),
+      |uc AS (SELECT lang, term, count(*) AS c_w FROM uni GROUP BY lang, term),
+      |nt AS (SELECT lang, CAST(sum(c_w) AS BIGINT) AS n_tok FROM uc GROUP BY lang),
+      |bg AS (SELECT lang, unnest(CASE WHEN len(tk) >= 2
+      |         THEN [array_to_string(tk[i + 1 : i + 2], ' ')
+      |               FOR i IN generate_series(0, len(tk) - 2)]
+      |         ELSE [] END) AS bigram FROM tk),
+      |bc AS (SELECT lang, bigram, count(*) AS c_ab FROM bg GROUP BY lang, bigram),
+      |nb AS (SELECT lang, CAST(sum(c_ab) AS BIGINT) AS n_big FROM bc GROUP BY lang),
+      |scored AS (
+      |  SELECT bc.lang, bigram, c_ab,
+      |    CAST(round(ln((CAST(c_ab AS DOUBLE) * n_tok * n_tok) /
+      |      (CAST(n_big AS DOUBLE) * u1.c_w * u2.c_w)) * 1e6) AS BIGINT) AS micro_pmi
+      |  FROM bc
+      |  JOIN uc u1 ON u1.lang = bc.lang AND u1.term = string_split(bigram, ' ')[1]
+      |  JOIN uc u2 ON u2.lang = bc.lang AND u2.term = string_split(bigram, ' ')[2]
+      |  JOIN nt ON nt.lang = bc.lang
+      |  JOIN nb ON nb.lang = bc.lang
+      |  WHERE c_ab >= 5),
+      |r AS (SELECT lang, bigram, c_ab, micro_pmi,
+      |  row_number() OVER (PARTITION BY lang ORDER BY micro_pmi DESC, bigram) AS rank
+      |  FROM scored)
+      |SELECT lang, CAST(rank AS INT) AS rank, bigram, CAST(c_ab AS BIGINT) AS cnt,
+      |  round(CAST(micro_pmi AS DOUBLE) / 1e6, 4) AS pmi
+      |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
+  private val BpeTopK = 20
+
+  /** BPE merge-candidate counting — the first step of byte-pair-encoding
+    * tokenizer training: count adjacent character-pair frequencies
+    * WITHIN tokens (weighted by token occurrences) and report the top
+    * [[BpeTopK]] merge candidates per language. Exactly the statistic a
+    * distributed BPE trainer computes each merge round; here over the
+    * initial character alphabet.
+    *
+    * Scale shape: pair derivation is ROW-LOCAL (nested `transform` over
+    * the token array — no token ever shuffles); the count is a
+    * pair-vocabulary-keyed partial+final aggregate (pair vocabulary is
+    * bounded by |alphabet|², tiny); the top-k cut is the bounded
+    * TopKTerm partial aggregate. Ties break on the pair text, matching
+    * the oracle's row_number.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairs(Tables.documents(spark, dir), "lang", "text")
+
+  /** DataFrame-first form. */
+  def bpePairs(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, langCol -> "lang", textCol -> "text")
+    d.select(col("lang"), explode(expr(
+      """flatten(transform(split(text, ' '), t ->
+        |  CASE WHEN length(t) >= 2
+        |    THEN transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))
+        |    ELSE array() END))""".stripMargin)).as("pair"))
+      .groupBy(col("lang"), col("pair")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topKTerms(BpeTopK)(
+        col("cnt").cast("double"), col("pair")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("pair"), col("col.score").cast("long").as("cnt"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val bpePairsSql: String =
+    """WITH p AS (
+      |  SELECT lang, unnest(flatten([
+      |    CASE WHEN length(t) >= 2
+      |      THEN [substring(t, i, 2) FOR i IN generate_series(1, length(t) - 1)]
+      |      ELSE [] END
+      |    FOR t IN string_split(text, ' ')])) AS pair
+      |  FROM documents),
+      |c AS (SELECT lang, pair, count(*) AS cnt FROM p GROUP BY lang, pair),
+      |r AS (SELECT lang, pair, cnt,
+      |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rank FROM c)
+      |SELECT lang, CAST(rank AS INT) AS rank, pair, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
+  /** Zipf rank-frequency fit per language: least-squares slope and
+    * intercept of ln(frequency) against ln(rank) over the term
+    * vocabulary — the standard corpus-health diagnostic (natural
+    * language tracks slope ≈ −1; templated or synthetic text departs
+    * sharply; complements [[vocabCoverage]]'s head-share with a
+    * whole-distribution statistic).
+    *
+    * Determinism is the [[graft.ops.Diagnostics]] integer-moment
+    * discipline applied to regression: ln(rank) and ln(cnt) are
+    * quantized to integer MICRO-units, the five regression moments
+    * (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums, and slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − Σx²) divides two exactly-computed
+    * BIGINTs cast once to double. The intercept's cross-products can
+    * exceed 2⁶³ so they are computed in double — from an IEEE
+    * expression shape identical on both engines. The ranking window
+    * runs over the VOCABULARY aggregate (|langs| partitions of vocab
+    * size), never over the corpus; under ANSI mode a vocabulary large
+    * enough to overflow the moment sums fails loudly rather than
+    * silently (drop the quantization unit if that day comes).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(spark, dir), "lang", "text")
+
+  /** DataFrame-first form. */
+  def zipfFit(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, langCol -> "lang", textCol -> "text")
+    val tc = d.select(col("lang"), explode(toks).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+    val q = tc.withColumn("rank", row_number().over(w))
+      .select(col("lang"),
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+    q.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+          .as("zipf_slope"),
+        round((col("sy").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sxy").cast("double")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e6, 4)
+          .as("zipf_intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val zipfFitSql: String =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term),
+      |rk AS (SELECT lang, term, cnt,
+      |       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank FROM tc),
+      |q AS (SELECT lang,
+      |       CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |       CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |      FROM rk),
+      |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |       CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM q GROUP BY lang)
+      |SELECT lang, n AS n_terms,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+      |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 4) AS zipf_intercept
+      |FROM m ORDER BY lang""".stripMargin
 }

@@ -69,6 +69,18 @@ class DeterminismSpec extends AnyFunSuite {
     assertLayoutInvariant(d => ops.Mixing.sourceDrift(d, "source", "n_chars"))
   }
 
+  test("pmi collocations are invariant to input layout") {
+    assertLayoutInvariant(d => ops.TextAnalysis.pmiCollocations(d, "lang", "text"))
+  }
+
+  test("bpe pair counts are invariant to input layout") {
+    assertLayoutInvariant(d => ops.TextAnalysis.bpePairs(d, "lang", "text"))
+  }
+
+  test("zipf fit is invariant to input layout") {
+    assertLayoutInvariant(d => ops.TextAnalysis.zipfFit(d, "lang", "text"))
+  }
+
   test("anomaly flags are invariant to input layout") {
     val events = Tables.events(spark, sfDir)
     def run(f: DataFrame => DataFrame): Seq[String] =

@@ -213,4 +213,19 @@ class EdgeCasesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("empty and singleton corpora flow through pmi / bpe pairs / zipf fit") {
+    // pmi: empty → empty; a lone doc's pairs stay below support
+    assert(ops.TextAnalysis.pmiCollocations(empty, "lang", "text").count() == 0)
+    assert(ops.TextAnalysis.pmiCollocations(single, "lang", "text").count() == 0)
+    // bpe: empty → empty; a lone doc still yields ranked pairs
+    assert(ops.TextAnalysis.bpePairs(empty, "lang", "text").count() == 0)
+    val bp = ops.TextAnalysis.bpePairs(single, "lang", "text").collect()
+    assert(bp.nonEmpty && bp.head.getAs[Int]("rank") == 1 && bp.length <= 20)
+    // zipf: empty → no rows; an all-distinct-token doc fits slope 0
+    assert(ops.TextAnalysis.zipfFit(empty, "lang", "text").count() == 0)
+    val zf = ops.TextAnalysis.zipfFit(single, "lang", "text").head()
+    assert(zf.getAs[Double]("zipf_slope") == 0.0 &&
+      zf.getAs[Double]("zipf_intercept") == 0.0)
+  }
 }

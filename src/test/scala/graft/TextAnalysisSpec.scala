@@ -209,4 +209,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.filter(col("topk_occ") > col("total_toks")).count() == 0)
     assert(df.filter(col("topk_share") <= 0 || col("topk_share") > 1).count() == 0)
   }
+
+  test("pmiCollocations: exclusive pair scores exactly; sub-support pair absent") {
+    import spark.implicits._
+    // Corpus: "p q" ×5 (p, q appear ONLY together — maximal association);
+    // "a a a a" ×10 (high-count pair of a high-count word — weak PMI).
+    // T = 50 tokens, B = 35 bigrams:
+    //   PMI(p q) = ln(5·50·50 / (35·5·5))   = ln(100/7)
+    //   PMI(a a) = ln(30·50·50 / (35·40·40)) = ln(75/56)
+    val docs = ((1 to 5).map(i => (i.toLong, "xx", "p q")) ++
+      (6 to 15).map(i => (i.toLong, "xx", "a a a a")))
+      .toDF("doc_id", "lang", "text")
+    val rows = ops.TextAnalysis.pmiCollocations(docs, "lang", "text").collect()
+    // only two pairs reach support 5: "p q" (5) and "a a" (30)
+    assert(rows.length == 2, s"expected 2 ranked pairs, got ${rows.toSeq}")
+    val first = rows.head
+    assert(first.getAs[String]("bigram") == "p q" && first.getAs[Int]("rank") == 1 &&
+      first.getAs[Long]("cnt") == 5L)
+    val expPq = math.rint(math.rint(math.log(100.0 / 7) * 1e6) / 1e6 * 1e4) / 1e4
+    assert(math.abs(first.getAs[Double]("pmi") - expPq) < 1e-9,
+      s"pmi ${first.getAs[Double]("pmi")} != $expPq")
+    val second = rows(1)
+    assert(second.getAs[String]("bigram") == "a a" &&
+      second.getAs[Double]("pmi") < first.getAs[Double]("pmi"))
+    // a pair occurring 4 times stays below support and must not appear
+    val below = ((1 to 4).map(i => (i.toLong, "yy", "r s")) ++
+      (5 to 14).map(i => (i.toLong, "yy", "f f f f f f")))
+      .toDF("doc_id", "lang", "text")
+    val pairs = ops.TextAnalysis.pmiCollocations(below, "lang", "text")
+      .select("bigram").as[String].collect().toSet
+    assert(!pairs.contains("r s"), s"sub-support pair leaked: $pairs")
+  }
+
+  test("bpePairs: within-token pairs counted exactly; 1-char tokens contribute none") {
+    import spark.implicits._
+    // "abc" → pairs ab, bc; "x" → nothing; two docs double the counts
+    val docs = Seq((1L, "en", "abc abc x"), (2L, "en", "abc x"))
+      .toDF("doc_id", "lang", "text")
+    val rows = ops.TextAnalysis.bpePairs(docs, "lang", "text").collect()
+    assert(rows.length == 2, s"expected 2 pairs, got ${rows.toSeq}")
+    assert(rows(0).getAs[String]("pair") == "ab" && rows(0).getAs[Long]("cnt") == 3L &&
+      rows(0).getAs[Int]("rank") == 1) // tie on cnt → pair text breaks it
+    assert(rows(1).getAs[String]("pair") == "bc" && rows(1).getAs[Long]("cnt") == 3L)
+    // corpus run: ≤ 20 ranks per language, counts non-increasing in rank
+    val df = ops.TextAnalysis.bpePairs(spark, sfDir).cache()
+    assert(df.groupBy("lang").count().filter(col("count") > 20).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("rank")
+    assert(df.withColumn("prev", lag("cnt", 1).over(w))
+      .filter(col("prev") < col("cnt")).count() == 0)
+  }
+
+  test("zipfFit: an exact power law recovers slope -1 and intercept ln(C)") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 at ranks 1..4 = 12/r exactly → ln-ln slope -1
+    val text = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val docs = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+    val r = ops.TextAnalysis.zipfFit(docs, "lang", "text").head()
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(math.abs(r.getAs[Double]("zipf_slope") + 1.0) < 5e-4,
+      s"slope ${r.getAs[Double]("zipf_slope")}")
+    assert(math.abs(r.getAs[Double]("zipf_intercept") - math.log(12.0)) < 5e-4,
+      s"intercept ${r.getAs[Double]("zipf_intercept")}")
+    // corpus run: one row per language, slopes negative
+    val df = ops.TextAnalysis.zipfFit(spark, sfDir).cache()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(df.count() == langs)
+    assert(df.filter(col("zipf_slope") >= 0).count() == 0)
+  }
 }
