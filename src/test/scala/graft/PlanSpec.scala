@@ -327,6 +327,53 @@ class PlanSpec extends AnyFunSuite {
       s"concentration scans orders more than once:\n$plan")
   }
 
+  test("pmi joins the unigram vocabulary by shuffle — only metadata and the top-k broadcast") {
+    // the two unigram joins carry vocabulary-sized sides (1e8+ terms at
+    // web scale) and must shuffle; the ONLY legitimate broadcasts are
+    // hint-driven metadata: |langs|-row token/bigram totals and the
+    // k×|langs|-row top-k probe joined back for its support count
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.catalog.clearCache()
+      val plan = formatted(ops.TextAnalysis.pmiCollocations(spark, sfDir))
+      val broadcasts = "BroadcastExchange \\(\\d".r.findAllIn(plan).size
+      assert(broadcasts == 3,
+        s"expected exactly the 2 totals + top-k probe broadcasts, got $broadcasts:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("Window"), s"pmi ranks through a window exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bpe pair counts are joinless and windowless — pair derivation never shuffles a token") {
+    val plan = formatted(ops.TextAnalysis.bpePairs(spark, sfDir))
+    assert(!plan.contains("Join"), s"bpe pairs plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"bpe pairs ranks through a window:\n$plan")
+    // (lang,pair) count + the bounded TopKTerm per-language cut — at most
+    // two keyed exchanges before the output-order range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"bpe pairs shuffles more than its two aggregate levels:\n$plan")
+  }
+
+  test("zipf fit windows over the vocabulary aggregate, never the corpus") {
+    // the ranking window must consume the (lang,term) aggregate: a plan
+    // that windows the exploded token stream would sort the whole corpus
+    // per language; above the aggregate it sorts vocab-sized input. Walk
+    // down from the window's child — an aggregate must appear before any
+    // Generate (the token explode).
+    val sp = ops.TextAnalysis.zipfFit(spark, sfDir).queryExecution.sparkPlan
+    val wins = sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 1, s"expected exactly one ranking window:\n$sp")
+    def aggBeforeGenerate(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GenerateExec => false
+      case other => other.children.nonEmpty && other.children.forall(aggBeforeGenerate)
+    }
+    assert(aggBeforeGenerate(wins.head.child),
+      s"ranking window consumes the raw token stream, not the vocabulary aggregate:\n$sp")
+    assert(!sp.toString.contains("Join"), s"zipf fit plans a join:\n$sp")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
