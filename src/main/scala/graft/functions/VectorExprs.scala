@@ -365,11 +365,30 @@ case class DeflateLen(child: Expression)
   * containment = c/min(|A|,|B|). Codegen fallback (single native call
   * per row, like the other set kernels). Set semantics on distinct
   * inputs match the built-ins bit-for-bit (ExpressionsSpec pins the
-  * equivalence on corpus pairs).
+  * equivalence on corpus pairs). Input typing is enforced at ANALYSIS
+  * time (`checkInputDataTypes` requires array<bigint> on both sides;
+  * `ExpectsInputTypes` would be the idiomatic spelling but its
+  * `AbstractDataType` vocabulary is `private[sql]`): a generally-
+  * registered SQL function must reject a wrongly-typed call with an
+  * AnalysisException, not a runtime ClassCastException deep in an
+  * executor. Null ELEMENTS are skipped on both sides (a null hash is
+  * no shingle), so they can never be silently counted as value 0.
   */
 case class SetIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"set_intersect_count requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def dataType: DataType = LongType
 
@@ -383,10 +402,13 @@ case class SetIntersectCount(left: Expression, right: Expression)
     else {
       val set = new java.util.HashSet[java.lang.Long](nx * 2)
       var i = 0
-      while (i < nx) { set.add(x.getLong(i)); i += 1 }
+      while (i < nx) { if (!x.isNullAt(i)) set.add(x.getLong(i)); i += 1 }
       var c = 0L
       var j = 0
-      while (j < ny) { if (set.contains(y.getLong(j))) c += 1L; j += 1 }
+      while (j < ny) {
+        if (!y.isNullAt(j) && set.contains(y.getLong(j))) c += 1L
+        j += 1
+      }
       c
     }
   }

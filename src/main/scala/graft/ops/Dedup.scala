@@ -32,13 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: hash-aggregate on the full text. One shuffle on the
-    * text hash; at 100 TB you'd pre-hash to a 128-bit key — semantics
-    * identical, so the oracle stays exact.
+  /** Exact dedup: hash-aggregate on a 128-bit digest of the text, NOT
+    * the text itself — the shuffle key weighs 16 bytes per row instead
+    * of the whole document, so at 100 TB the exchange moves ~the id
+    * column, not the corpus. (Partial aggregation also collapses
+    * within-partition duplicates before the exchange either way; the
+    * digest key is what fixes the worst case where duplicates are
+    * spread across partitions.) The DuckDB oracle groups by the RAW
+    * text, so the green row is also a cross-engine proof that
+    * digest-keying preserves the exact grouping.
     */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .groupBy(col(textCol))
+      .groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
@@ -312,12 +318,18 @@ object Dedup {
     * deployment (here both sides sketch from text for self-containment;
     * the join topology is the deployment's).
     *
-    * Scale shape: index bucket sizes cap degenerate buckets (the
-    * boilerplate-bucket hazard) exactly like [[lshCandidates]];
-    * new-vs-index and new-vs-new candidates both flow through
-    * (bucket, hash) equi-joins; verification is exact Jaccard on the
-    * candidates only. xxhash64 sketch → rows-only driver check;
-    * planted cross-batch near-dups pinned in DedupSpec.
+    * Scale shape: BOTH sides of the vs-index probe join are
+    * bucket-capped exactly like [[lshCandidates]] — a degenerate
+    * boilerplate bucket on EITHER side would otherwise fan the join
+    * out |new-in-bucket| × |old-in-bucket| (the same quadratic hazard
+    * the self-join path caps); new-vs-index and new-vs-new candidates
+    * both flow through (bucket, hash) equi-joins; verification is
+    * exact Jaccard on the candidates only. The shingle sets AND the
+    * band-bucket frames are persisted — each is read by 2+ downstream
+    * joins, and without the memo every read would re-run the minhash
+    * signature pass (the expensive part of the sketch). xxhash64
+    * sketch → rows-only driver check; planted cross-batch near-dups
+    * pinned in DedupSpec.
     */
   def dedupIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -332,16 +344,18 @@ object Dedup {
     require(tau > 0 && tau <= 1, s"dedupIncrementalNear: bad tau=$tau")
     val oldSets = shingleSets(oldDocs, idCol, textCol).persist()
     val newSets = shingleSets(newDocs, idCol, textCol).persist()
+    val oldB = minhashBandBuckets(oldSets).persist()
+    val newB = minhashBandBuckets(newSets).persist()
     try {
-      val oldB = minhashBandBuckets(oldSets)
-      val newB = minhashBandBuckets(newSets)
-      // index-side bucket cap, computed like lshCandidates': agg + keyed
-      // join, never a window over the bucket key
-      val keep = oldB.groupBy(col("bucket_id"), col("bucket_hash"))
-        .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
-        .select(col("bucket_id"), col("bucket_hash"))
+      // bucket caps on BOTH probe sides, computed like lshCandidates':
+      // agg + keyed join, never a window over the bucket key
+      def keepSmall(b: DataFrame): DataFrame =
+        b.groupBy(col("bucket_id"), col("bucket_hash"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
+          .select(col("bucket_id"), col("bucket_hash"))
       val candOld = newB
-        .join(keep, Seq("bucket_id", "bucket_hash"))
+        .join(keepSmall(newB), Seq("bucket_id", "bucket_hash"))
+        .join(keepSmall(oldB), Seq("bucket_id", "bucket_hash"))
         .join(oldB.select(col("bucket_id"), col("bucket_hash"),
           col("doc_id").as("old_id")), Seq("bucket_id", "bucket_hash"))
         .select(col("doc_id"), col("old_id")).distinct()
@@ -369,7 +383,10 @@ object Dedup {
             .otherwise("new").as("status"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true) // small: one (id, status) row per new doc
-    } finally { oldSets.unpersist(); newSets.unpersist() }
+    } finally {
+      oldB.unpersist(); newB.unpersist()
+      oldSets.unpersist(); newSets.unpersist()
+    }
   }
 
   private val ContainTau = 0.8
@@ -435,21 +452,26 @@ object Dedup {
   }
 
   /** Canonical-document selection for exact duplicates: keep the
-    * lowest doc_id of every identical-text group. One window pass —
-    * this is the "filter the corpus" half of dedup (the summaries
-    * above are the "report" half).
-    */
-  /** DataFrame-level canonicalization: keep the min-id row per
-    * duplicate group. Idempotent by construction (DedupSpec pins it):
-    * once each text appears once, every row is its own group minimum.
+    * lowest doc_id of every identical-text group — the "filter the
+    * corpus" half of dedup (the summaries above are the "report"
+    * half). Shape: a digest-keyed `groupBy(md5(text)).agg(min(id))`
+    * census plus a LEFT SEMI join back on the id. Deliberately NOT a
+    * window over the text column: a window shuffles the full document
+    * text as the partition key AND sorts within groups; the census is
+    * partial-aggregable (map-side combine collapses duplicates before
+    * the exchange) and its shuffle key is a 16-byte digest. The
+    * semi-join shuffles on the narrow id column only. PlanSpec pins
+    * the no-window contract. Idempotent by construction (DedupSpec
+    * pins it): once each text appears once, every row is its own
+    * group minimum.
     */
   def canonicalize(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
-    docs
-      .withColumn("__keep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame =

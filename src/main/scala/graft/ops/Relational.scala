@@ -972,25 +972,29 @@ object Relational {
     * to cross-engine double-sum drift (see [[volumeShipping]]'s
     * integer-cent workaround): financial rollups at 100 TB should
     * aggregate decimals, where any summation order gives the same
-    * digits. Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2) — same
-    * scale, so the oracle compares value-exact with no rounding.
+    * digits. The AGGREGATION runs in decimal (Spark widens
+    * sum(DECIMAL(18,2)) to DECIMAL(28,2)); the OUTPUT is scaled to
+    * BIGINT cents because engines canonicalize the widened decimal
+    * type differently (DuckDB widens to DECIMAL(38,2)), and integer
+    * cents carry the identical exact value in a representation every
+    * engine hashes the same way.
     */
   def decimalAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .groupBy(col("o_orderstatus"))
-      .agg(sum(col("price")).as("sum_price"),
-        min(col("price")).as("min_price"),
-        max(col("price")).as("max_price"),
+      .agg((sum(col("price")) * 100).cast("long").as("sum_cents"),
+        (min(col("price")) * 100).cast("long").as("min_cents"),
+        (max(col("price")) * 100).cast("long").as("max_cents"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
   val decimalAggSql: String =
     """SELECT o_orderstatus,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
-      |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-      |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_cents,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY o_orderstatus

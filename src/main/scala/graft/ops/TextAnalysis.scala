@@ -997,16 +997,18 @@ object TextAnalysis {
     *
     * Determinism is the [[graft.ops.Diagnostics]] integer-moment
     * discipline applied to regression: ln(rank) and ln(cnt) are
-    * quantized to integer MICRO-units, the five regression moments
-    * (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums, and slope =
-    * (n·Σxy − Σx·Σy) / (n·Σx² − Σx²) divides two exactly-computed
-    * BIGINTs cast once to double. The intercept's cross-products can
-    * exceed 2⁶³ so they are computed in double — from an IEEE
-    * expression shape identical on both engines. The ranking window
-    * runs over the VOCABULARY aggregate (|langs| partitions of vocab
-    * size), never over the corpus; under ANSI mode a vocabulary large
-    * enough to overflow the moment sums fails loudly rather than
-    * silently (drop the quantization unit if that day comes).
+    * quantized to integer MICRO-units and the five regression moments
+    * (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums. The CROSS-PRODUCTS
+    * of those moments (n·Σxy − Σx·Σy etc.) are computed in double for
+    * both slope and intercept: Σx ≈ 1e6·ln(vocab!) passes 3e9 at only
+    * ~600 terms per language, so Σx·Σx would overflow 2⁶³ on any
+    * realistic vocabulary — the doubles come from an IEEE expression
+    * shape identical on both engines, so the oracle stays exact. The
+    * ranking window runs over the VOCABULARY aggregate (|langs|
+    * partitions of vocab size), never over the corpus; under ANSI
+    * mode a vocabulary large enough to overflow the BIGINT moment
+    * sums themselves (~2⁶³/ (ln(V)·1e6)² ≈ 10¹² terms) fails loudly
+    * rather than silently.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame =
     zipfFit(Tables.documents(spark, dir), "lang", "text")
@@ -1026,12 +1028,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("lang"), col("n").as("n_terms"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 4)
           .as("zipf_slope"),
         round((col("sy").cast("double") * col("sxx").cast("double") -
           col("sx").cast("double") * col("sxy").cast("double")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e6, 4)
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) / 1e6, 4)
           .as("zipf_intercept"))
       .orderBy(col("lang"))
   }
@@ -1050,10 +1055,13 @@ object TextAnalysis {
       |       CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
       |      FROM q GROUP BY lang)
       |SELECT lang, n AS n_terms,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope,
       |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) -
       |         CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 4) AS zipf_intercept
+      |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e6, 4) AS zipf_intercept
       |FROM m ORDER BY lang""".stripMargin
 }

@@ -159,6 +159,25 @@ class PlanSpec extends AnyFunSuite {
       s"nothing may shuffle before the cut:\n$plan")
   }
 
+  test("exact dedup groups by the md5 digest, never the raw text") {
+    val plan = formatted(ops.Dedup.dedupExact(spark, sfDir))
+    assert(!plan.contains("Window"), s"exact dedup must be an aggregate:\n$plan")
+    assert(plan.contains("md5"),
+      s"exchange must be digest-keyed, not text-keyed:\n$plan")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(plan).isDefined,
+      s"shuffle keyed on full document text:\n$plan")
+  }
+
+  test("canonicalize is a digest census + semi-join — no window, no text-keyed shuffle") {
+    val plan = formatted(ops.Dedup.dedupCanonical(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"canonical pick must be the min-aggregate + semi-join, not a window:\n$plan")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(plan).isDefined,
+      s"shuffle keyed on full document text:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic plan:\n$plan")
+  }
+
   test("incremental dedup joins digest-keyed — no cartesian, no window") {
     val plan = formatted(ops.Dedup.dedupIncremental(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
