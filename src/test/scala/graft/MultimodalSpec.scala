@@ -31,6 +31,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("sniffFormat + headerDims: planted real headers decode to their true formats and dims") {
+    import ops.Multimodal.{sniffFormat, headerDims}
+    // PNG: signature + IHDR chunk carrying 640×480 big-endian
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, // width 640
+      0, 0, 0x01, 0xe0, // height 480
+      8, 6, 0, 0, 0).map(_.toByte)
+    assert(sniffFormat(png) == "png")
+    assert(headerDims(png, "png") == ((640, 480)))
+    // JPEG: SOI, APP0 (JFIF, 16 bytes), then SOF0 with 320×200
+    val jpeg = (Array[Int](0xff, 0xd8) ++
+      Array[Int](0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0x4a) ++
+      Array[Int](0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0xc8, 0x01, 0x40, 0x03) ++
+      Array.fill(10)(0)).map(_.toByte)
+    assert(sniffFormat(jpeg) == "jpeg")
+    assert(headerDims(jpeg, "jpeg") == ((320, 200)))
+    // progressive JPEG (SOF2) behind fill bytes
+    val jpeg2 = (Array[Int](0xff, 0xd8, 0xff, 0xff) ++
+      Array[Int](0xff, 0xc2, 0x00, 0x11, 0x08, 0x00, 0x64, 0x00, 0x32) ++
+      Array.fill(12)(0)).map(_.toByte)
+    assert(headerDims(jpeg2, "jpeg") == ((50, 100)))
+    // GIF89a 12×34 little-endian
+    val gif = (Array[Int]('G', 'I', 'F', '8', '9', 'a', 12, 0, 34, 0) ++
+      Array.fill(4)(0)).map(_.toByte)
+    assert(sniffFormat(gif) == "gif")
+    assert(headerDims(gif, "gif") == ((12, 34)))
+    // BMP with a top-down (negative height) DIB: 77×-55
+    val bmp = (Array[Int]('B', 'M') ++ Array.fill(16)(0) ++
+      Array[Int](77, 0, 0, 0) ++ Array[Int](0xc9, 0xff, 0xff, 0xff) ++
+      Array.fill(4)(0)).map(_.toByte)
+    assert(sniffFormat(bmp) == "bmp")
+    assert(headerDims(bmp, "bmp") == ((77, 55)))
+    // RIFF/WAVE vs RIFF/AVI discrimination
+    val wav = (Array[Int]('R', 'I', 'F', 'F', 0, 0, 0, 0) ++
+      "WAVE".map(_.toInt) ++ Array.fill(4)(0)).map(_.toByte)
+    assert(sniffFormat(wav) == "wav")
+    val avi = (Array[Int]('R', 'I', 'F', 'F', 0, 0, 0, 0) ++
+      "AVI ".map(_.toInt) ++ Array.fill(4)(0)).map(_.toByte)
+    assert(sniffFormat(avi) == "avi")
+    // truncated/garbage payloads answer honestly, never throw
+    assert(sniffFormat(Array[Byte]()) == "unknown")
+    assert(sniffFormat("just some text".getBytes) == "unknown")
+    assert(headerDims(Array[Byte](0xff.toByte, 0xd8.toByte), "jpeg") == ((0, 0)))
+    assert(headerDims(png.take(20), "png") == ((0, 0)))
+  }
+
+  test("mediaFeatures surfaces planted real headers through the full pipeline") {
+    import spark.implicits._
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    val cat = Seq(
+      ops.MediaRecord(1L, "image", png, 640, 480, 1),
+      ops.MediaRecord(2L, "image", "plain text bytes".getBytes, 64, 64, 1))
+      .toDF()
+    val got = ops.Multimodal.mediaFeatures(cat).collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("detected_format") == "png")
+    assert(byId(1L).getAs[Int]("decoded_w") == 640)
+    assert(byId(1L).getAs[Int]("decoded_h") == 480)
+    assert(byId(2L).getAs[String]("detected_format") == "unknown")
+    assert(byId(2L).getAs[Int]("decoded_w") == 0)
+  }
+
   test("frameSample: only videos; <=4 frames each; offsets inside the payload") {
     val df = ops.Multimodal.frameSample(spark, sfDir).cache()
     val videos = ops.Multimodal.mediaCatalog(spark, sfDir)

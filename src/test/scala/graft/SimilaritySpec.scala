@@ -32,7 +32,9 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     val recall = hit.toDouble / 50
     info(f"IVF recall@5 = $recall%.2f")
-    assert(recall >= 0.6, f"IVF recall collapsed: $recall%.2f")
+    // 8 cells × 4 probes × 2-cell multiple assignment holds 0.92 at
+    // sf0.001 and 0.94 at sf0.01 — the floor leaves noise margin only
+    assert(recall >= 0.85, f"IVF recall collapsed: $recall%.2f")
   }
 
   test("annLsh: valid shape; no sim above the exact best; usable recall") {
@@ -130,7 +132,7 @@ class SimilaritySpec extends AnyFunSuite {
     // the same floors SimilaritySpec pins on the raw indexes
     val mean = df.groupBy("method").agg(avg("recall").as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(mean("lsh") >= 0.6 && mean("ivf") >= 0.6, s"recall too low: $mean")
+    assert(mean("lsh") >= 0.8 && mean("ivf") >= 0.85, s"recall too low: $mean")
   }
 
   test("semanticDedup: planted duplicate groups keep only their min id; distinct vectors survive") {
