@@ -1,7 +1,7 @@
 package graft
 
 /** Benchmark main: times every `SparkEntry.queries` entry on
-  * SPARK_GRAFT_SF_DIR over ITERS full rounds (default 3) and prints
+  * SPARK_GRAFT_SF_DIR over ITERS full rounds (default 5) and prints
   * ONE JSON line. Per-query value is the MEDIAN across rounds
   * (min/max recorded alongside) — single-shot numbers on a shared box
   * cannot support per-query regression calls. Queries run round-robin
@@ -15,7 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // 5 rounds (was 3): a box-load spike during one round now leaves the
+    // median supported by 4 clean samples instead of 2 — r5's driver run
+    // had per-query max/min spreads up to 72× purely from contention
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = GraftSession.local(cpus.toInt, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footer caches ON THE BENCHMARKED DATASET
