@@ -576,6 +576,55 @@ object Advanced {
   def lateralTopN(spark: SparkSession, dir: String): DataFrame =
     runWithTables(spark, dir, lateralTopNSql, Seq("nation", "customer"))
 
+  /** Gaps-and-islands activity streaks: per user, the longest run of
+    * CONSECUTIVE active days plus streak/active-day counts — the
+    * classic sessionization-by-identity pattern (day − dense row
+    * number is constant within a consecutive run, so the difference
+    * IS the island key).
+    *
+    * Scale shape: the corpus-sized input collapses to DISTINCT
+    * (user, day) first — a partial+final aggregate, ≤ 365·|users|
+    * rows — and the ranking window runs over THAT bounded frame,
+    * never the raw events (the [[graft.ops.TextAnalysis.zipfFit]]
+    * window-above-aggregate discipline). Epoch-day integers keep the
+    * island arithmetic and the oracle exact.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame =
+    streaks(Tables.events(spark, dir), "user_id", "ts")
+
+  /** DataFrame-first form over any (key, timestamp) frame. */
+  def streaks(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(keyCol).as("user_id"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
+  val streaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM d),
+      |s AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Run `sql` with the named driver tables registered under
     * collision-free temp-view names. The ANSI string doubles as the
     * DuckDB oracle, so the canonical table names must survive in the

@@ -766,6 +766,123 @@ object Similarity {
       |  CAST(sum(qv) AS BIGINT) AS checksum
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** PCA spectrum report over the embedding corpus: eigenvalues and
+    * explained-variance ratios of the covariance matrix — the standard
+    * embedding-space health diagnostic (effective dimensionality,
+    * anisotropy/collapse detection: a corpus whose variance
+    * concentrates in a handful of directions retrieves poorly and
+    * deduplicates aggressively, and this report is how you see it
+    * before shipping the index).
+    *
+    * Scale shape: the covariance moments (n, Σv, upper-triangle
+    * Σ v_i·v_j) come from ONE typed partial aggregate
+    * ([[graft.functions.CovMomentsAggregator]]) whose buffer is
+    * O(dim²) and corpus-size-independent — each map task reduces its
+    * whole slice to a single ~2k-double buffer before the shuffle, so
+    * the exchange carries |partitions| buffers, not corpus rows (the
+    * explode-(i,j)-and-groupBy alternative multiplies the corpus by
+    * dim² in the exchange). The only driver-side data is the merged
+    * moment buffer and the dim×dim matrix itself — the IVF-centroid
+    * bounded-collect pattern — and the eigensolve is the classical
+    * cyclic Jacobi iteration ([[graft.functions.Jacobi]]) on that
+    * bounded matrix. Eigensolve determinism is library-local (no SQL
+    * analogue) → rows-only driver check; planted-spectrum recovery
+    * (including under rotation), trace = Σλ, and descending-order
+    * invariants pinned in SimilaritySpec.
+    */
+  def pcaReport(spark: SparkSession, dir: String): DataFrame =
+    pcaReport(Tables.embeddings(spark, dir), "embedding", topP = 10)
+
+  /** Shared covariance derivation: ONE bounded typed aggregate →
+    * (n, mean, sample covariance matrix). Driver data is O(dim²).
+    */
+  private def covMatrix(embs: DataFrame, vecCol: String): (Double, Array[Double], Array[Array[Double]]) = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val ds = embs.select(col(vecCol).cast("array<double>").as("v"))
+      .as[Seq[Double]]
+    // dim probe: one row off the scan (array length is data, not schema)
+    val dim = ds.take(1) match {
+      case Array(v) => v.length
+      case _ => throw new IllegalArgumentException("pca: empty corpus")
+    }
+    val m = ds.select(new graft.functions.CovMomentsAggregator(dim).toColumn).head()
+    val n = m(0)
+    require(n >= 2, s"pca: need >= 2 vectors, got ${n.toLong}")
+    val mean = Array.tabulate(dim)(i => m(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var k = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        // sample covariance: (Σxy − n·μx·μy) / (n − 1)
+        val c = (m(k) - n * mean(i) * mean(j)) / (n - 1)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** DataFrame-first form over any frame with an array-vector column. */
+  def pcaReport(embs: DataFrame, vecCol: String, topP: Int): DataFrame = {
+    require(topP >= 1, s"pcaReport: bad topP=$topP")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (_, _, cov) = covMatrix(embs, vecCol)
+    val eig = graft.functions.Jacobi.eigenvaluesDesc(cov)
+      .map(v => math.max(v, 0.0)) // clamp fp-noise negatives on rank-deficient spectra
+    val total = eig.sum
+    val rows = eig.take(topP).zipWithIndex.scanLeft((0, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cum), (ev, idx)) =>
+        val ratio = if (total > 0) ev / total else 0.0
+        (idx + 1, ev, ratio, cum + ratio)
+    }.drop(1).map { case (c, ev, r, cum) =>
+      (c, math.rint(ev * 1e6) / 1e6, math.rint(r * 1e4) / 1e4, math.rint(cum * 1e4) / 1e4)
+    }
+    rows.toSeq.toDF("component", "eigenvalue", "var_ratio", "cum_ratio")
+  }
+
+  /** PCA projection — dimensionality reduction to the top-`p`
+    * principal components: every vector is mapped to its centered
+    * coordinates in the eigenbasis, `pc_k = (v − μ)·e_k`. This is the
+    * USABLE half of [[pcaReport]] (reduce before brute-force k-NN,
+    * decorrelate before quantization, 2–3-D corpus maps): the
+    * covariance/eigensolve is the same bounded driver-side work, and
+    * the projection itself is ONE row-local codegen pass — mean and
+    * eigenvectors ride along as literal arrays into `vec_dot` exactly
+    * like the IVF centroid matrix, so nothing shuffles and nothing
+    * corpus-sized leaves the executors. Eigenvector sign is pinned
+    * deterministically (largest-|component| entry positive) so output
+    * is reproducible run-to-run. Rows-only driver check; planted
+    * coordinate recovery pinned in SimilaritySpec.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame =
+    pcaProject(Tables.embeddings(spark, dir), "vec_id", "embedding", p = 3)
+
+  /** DataFrame-first form over any (id, vector) frame. */
+  def pcaProject(embs: DataFrame, idCol: String, vecCol: String, p: Int): DataFrame = {
+    require(p >= 1, s"pcaProject: bad p=$p")
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val (_, mean, cov) = covMatrix(embs, vecCol)
+    val (_, vecs) = graft.functions.Jacobi.eigenDesc(cov)
+    require(p <= vecs.length, s"pcaProject: p=$p exceeds dim=${vecs.length}")
+    val meanLit = typedlit(mean.toSeq)
+    val centered = embs
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("mu", meanLit)
+      .withColumn("c", expr("zip_with(emb, mu, (x, m) -> x - m)"))
+    val projCols = (0 until p).map { k =>
+      round(call_function("vec_dot", col("c"), typedlit(vecs(k).toSeq)), 4)
+        .as(s"pc${k + 1}")
+    }
+    centered.select(col("vec_id") +: projCols: _*).orderBy(col("vec_id"))
+  }
+
   val centroidDriftSql: String =
     """WITH x AS (
       |  SELECT label, generate_subscripts(embedding, 1) AS dim,

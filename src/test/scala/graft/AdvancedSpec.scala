@@ -316,4 +316,25 @@ class AdvancedSpec extends AnyFunSuite {
     assert(corpus.filter(abs(col("z")) <= 3.0).count() == 0)
     assert(corpus.filter(col("win_n") < 10 || col("win_n") > 20).count() == 0)
   }
+
+  test("streaks: planted islands counted exactly; duplicate same-day events collapse") {
+    import spark.implicits._
+    def t(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // user 1: days 1,2,3 then 5,6 → streaks 3 and 2 (two events on day 2
+    // must not double-count); user 2: isolated days 1, 3, 5 → three 1-streaks
+    val events = Seq(
+      (1L, t(1, 9)), (1L, t(2, 9)), (1L, t(2, 18)), (1L, t(3, 9)),
+      (1L, t(5, 9)), (1L, t(6, 9)),
+      (2L, t(1, 9)), (2L, t(3, 9)), (2L, t(5, 9))
+    ).toDF("user_id", "ts")
+    val got = ops.Advanced.streaks(events, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 3L, 2L)), s"user 1 wrong: ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 3L)), s"user 2 wrong: ${got(2L)}")
+    // corpus run: longest_streak <= n_active_days, n_streaks >= 1
+    val corpus = ops.Advanced.streaks(spark, sfDir).cache()
+    assert(corpus.filter(col("longest_streak") > col("n_active_days")).count() == 0)
+    assert(corpus.filter(col("n_streaks") < 1).count() == 0)
+  }
 }

@@ -135,6 +135,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean("lsh") >= 0.8 && mean("ivf") >= 0.85, s"recall too low: $mean")
   }
 
+  test("pcaReport: planted spectrum recovered exactly, invariant under rotation; corpus run sane") {
+    import spark.implicits._
+    // Rademacher patterns on bits of k are orthogonal and mean-zero
+    // over a full cycle of 8 → population covariance diag(9, 4, 1, 0, 0, 0);
+    // sample covariance scales by n/(n-1) = 8/7
+    def s(k: Int, bit: Int): Double = if (((k >> bit) & 1) == 1) 1.0 else -1.0
+    val planted = (0 until 8).map { k =>
+      Seq(3.0 * s(k, 0), 2.0 * s(k, 1), 1.0 * s(k, 2), 0.0, 0.0, 0.0).map(_.toFloat)
+    }
+    val scale = 8.0 / 7.0
+    val df = planted.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = ops.Similarity.pcaReport(df, "embedding", topP = 6).collect()
+    assert(got.length == 6)
+    val eig = got.map(_.getAs[Double]("eigenvalue"))
+    assert(math.abs(eig(0) - 9 * scale) < 1e-4 && math.abs(eig(1) - 4 * scale) < 1e-4 &&
+      math.abs(eig(2) - 1 * scale) < 1e-4 && eig.drop(3).forall(_ < 1e-6),
+      s"planted spectrum wrong: ${eig.toSeq}")
+    assert(math.abs(got.map(_.getAs[Double]("var_ratio")).sum - 1.0) < 1e-3)
+    assert(math.abs(got.last.getAs[Double]("cum_ratio") - 1.0) < 1e-3)
+    // rotate axes 0/1 by 45° — eigenvalues must not move (it's a real
+    // eigensolve, not a diagonal read-off)
+    val r = math.sqrt(2.0) / 2.0
+    val rotated = planted.map { v =>
+      Seq(r * v(0) - r * v(1), r * v(0) + r * v(1), v(2).toDouble, 0.0, 0.0, 0.0)
+        .map(_.toFloat)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val eigR = ops.Similarity.pcaReport(rotated, "embedding", topP = 3)
+      .collect().map(_.getAs[Double]("eigenvalue"))
+    assert(math.abs(eigR(0) - 9 * scale) < 1e-4 && math.abs(eigR(1) - 4 * scale) < 1e-4 &&
+      math.abs(eigR(2) - 1 * scale) < 1e-4, s"rotation moved the spectrum: ${eigR.toSeq}")
+    // corpus run: descending non-negative spectrum, ratios in [0, 1]
+    val corpus = ops.Similarity.pcaReport(spark, sfDir).collect()
+    assert(corpus.length == 10)
+    val ce = corpus.map(_.getAs[Double]("eigenvalue"))
+    assert(ce.zip(ce.tail).forall { case (a, b) => a >= b - 1e-9 }, s"not descending: ${ce.toSeq}")
+    assert(ce.forall(_ >= 0))
+    val cum = corpus.map(_.getAs[Double]("cum_ratio"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(cum.last <= 1.0 + 1e-6)
+  }
+
+  test("pcaProject: planted coordinates recovered up to pinned sign; projection is variance-sorted") {
+    import spark.implicits._
+    // same Rademacher construction as the report test: axis variances
+    // 9 > 4 > 1, mean zero → pc1 = ±3, pc2 = ±2, pc3 = ±1 exactly
+    def s(k: Int, bit: Int): Double = if (((k >> bit) & 1) == 1) 1.0 else -1.0
+    val df = (0 until 8).map { k =>
+      (k.toLong,
+        Seq(3.0 * s(k, 0), 2.0 * s(k, 1), 1.0 * s(k, 2), 0.0, 0.0, 0.0).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = ops.Similarity.pcaProject(df, "vec_id", "embedding", p = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    (0 until 8).foreach { k =>
+      val (p1, p2, p3) = got(k.toLong)
+      // eigenvector sign is pinned (largest-|component| positive), and the
+      // planted axes ARE the eigenvectors, so coordinates match exactly
+      assert(math.abs(p1 - 3.0 * s(k, 0)) < 1e-6, s"k=$k pc1=$p1")
+      assert(math.abs(p2 - 2.0 * s(k, 1)) < 1e-6, s"k=$k pc2=$p2")
+      assert(math.abs(p3 - 1.0 * s(k, 2)) < 1e-6, s"k=$k pc3=$p3")
+    }
+    // corpus run: one row per vector, per-component variance descending
+    val corpus = ops.Similarity.pcaProject(spark, sfDir).cache()
+    assert(corpus.count() == Tables.embeddings(spark, sfDir).count())
+    val vars = corpus.agg(
+      variance(col("pc1")), variance(col("pc2")), variance(col("pc3")))
+      .head()
+    assert(vars.getDouble(0) >= vars.getDouble(1) - 1e-6 &&
+      vars.getDouble(1) >= vars.getDouble(2) - 1e-6,
+      s"projected variances not descending: $vars")
+  }
+
   test("semanticDedup: planted duplicate groups keep only their min id; distinct vectors survive") {
     import spark.implicits._
     // two orthogonal clusters of 20; ids 0/4/8 share an IDENTICAL
