@@ -1041,6 +1041,111 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  private val SparseKnnQueries = 10
+  private val SparseKnnK = 5
+
+  /** Sparse tf·idf k-NN document search — the INVERTED-INDEX
+    * similarity path, complementing the dense-embedding ANN family
+    * ([[graft.ops.Similarity]]): each query document's weighted terms
+    * probe the corpus posting lists by term equi-join, partial dot
+    * products aggregate per (query, doc), and cosine divides by the
+    * precomputed norms. At 100 TB this is exactly the sparse retrieval
+    * topology (posting-list join + keyed aggregation — no pairwise
+    * doc×doc anything); the weighted-term frame is built ONCE and
+    * persisted for its three readers (norms, query side, corpus side).
+    *
+    * Cross-engine determinism: idf is quantized to integer MILLI-units
+    * (w = tf · round(ln(N/df)·1000) — milli not micro keeps Σw² well
+    * inside BIGINT at any document length), so dot products are EXACT
+    * BIGINTs and cosine divides identical doubles on both engines; the
+    * per-query top-k is the bounded [[graft.functions.TopK]] partial
+    * aggregate (score desc, id asc — the oracle's row_number order).
+    */
+  def sparseKnn(spark: SparkSession, dir: String): DataFrame =
+    sparseKnn(Tables.documents(spark, dir), "doc_id", "text", SparseKnnQueries, SparseKnnK)
+
+  /** DataFrame-first form over any (id, text) frame; queries are the
+    * ids below `nQueries`.
+    */
+  def sparseKnn(docs: DataFrame, idCol: String, textCol: String,
+                nQueries: Int, k: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1, s"sparseKnn: bad params n=$nQueries k=$k")
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val tok = d.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val dft = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tok.join(dft, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") *
+          round(log(col("n_docs").cast("double") / col("df")) * 1000).cast("long"))
+          .as("w"))
+      .filter(col("w") > 0) // corpus-ubiquitous terms carry no signal
+      .persist()
+    try {
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+      val qw = w.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("term"), col("w").as("wq"))
+      val dots = qw
+        .join(w.select(col("doc_id"), col("term"), col("w").as("wd")), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("wq") * col("wd")).as("dot"))
+      val cos = dots
+        .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("qn")),
+          Seq("query_id"))
+        .join(norms, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          (col("dot").cast("double") / (col("qn") * col("nrm"))).as("cos"))
+      cos.groupBy(col("query_id"))
+        .agg(graft.functions.TopK.topK(k)(col("cos"), col("doc_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"), round(col("col.score"), 4).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true) // small: nQueries × k rows — frees the w cache
+    } finally w.unpersist()
+  }
+
+  val sparseKnnSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |w AS (
+      |  SELECT doc_id, term,
+      |    CAST(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT)
+      |      AS BIGINT) AS w
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n
+      |  WHERE tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) > 0),
+      |nrm AS (
+      |  SELECT doc_id, sqrt(CAST(CAST(sum(w * w) AS BIGINT) AS DOUBLE)) AS nrm
+      |  FROM w GROUP BY doc_id),
+      |dots AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+      |    CAST(sum(q.w * c.w) AS BIGINT) AS dot
+      |  FROM w q JOIN w c USING (term)
+      |  WHERE q.doc_id < $SparseKnnQueries AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT query_id, d.doc_id,
+      |    CAST(dot AS DOUBLE) / (qn.nrm * dn.nrm) AS cos
+      |  FROM dots d
+      |  JOIN nrm qn ON qn.doc_id = d.query_id
+      |  JOIN nrm dn ON dn.doc_id = d.doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id) AS rank
+      |  FROM cos)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      |  round(cos, 4) AS cos_sim
+      |FROM rk WHERE rank <= $SparseKnnK
+      |ORDER BY query_id, rank""".stripMargin
+
   val zipfFitSql: String =
     """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
       |tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term),

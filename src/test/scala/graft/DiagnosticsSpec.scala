@@ -44,4 +44,28 @@ class DiagnosticsSpec extends AnyFunSuite {
     val empty = Seq.empty[Long].toDF("k")
     assert(ops.Diagnostics.skewProfile(empty, "k", topN = 5).count() == 0)
   }
+
+  test("tableProfile: planted nulls/dupes/bounds exact; one scan, no join, no window") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2.5), "a"),
+      (Some(1L), None, "b"),
+      (Some(3L), Some(7.25), "a"),
+      (None, Some(2.5), "c")
+    ).toDF("id", "v", "tag")
+    val got = ops.Diagnostics.tableProfile(df, Seq("id", "v", "tag"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((1L, 2L, "1", "3")), s"id profile: ${got("id")}")
+    assert(got("v") == ((1L, 2L, "2.50", "7.25")), s"v profile: ${got("v")}")
+    assert(got("tag") == ((0L, 3L, "a", "c")), s"tag profile: ${got("tag")}")
+    // plan: single scan, no join, no window — the Expand does the fan-out
+    val plan = ops.Diagnostics.tableProfile(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"profile must be one aggregate pass:\n$plan")
+    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 1,
+      s"profile scans more than once:\n$plan")
+    assert(plan.contains("Expand"), s"multi-distinct lost its Expand shape:\n$plan")
+  }
 }

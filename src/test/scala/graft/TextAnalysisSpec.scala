@@ -278,4 +278,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.count() == langs)
     assert(df.filter(col("zipf_slope") >= 0).count() == 0)
   }
+
+  test("sparseKnn: planted near-copy ranks first; disjoint docs never pair") {
+    import spark.implicits._
+    // doc 0 (query) shares most terms with doc 10, fewer with doc 11;
+    // docs 12/13 share nothing with it
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "alpha beta gamma delta epsilon eta"),
+      (11L, "alpha beta theta iota kappa lambda"),
+      (12L, "mu nu xi omicron pi rho"),
+      (13L, "sigma tau upsilon phi chi psi")
+    ).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.sparseKnn(docs, "doc_id", "text", nQueries = 1, k = 3)
+      .collect()
+    assert(got.forall(_.getLong(0) == 0L))
+    val ranked = got.sortBy(_.getLong(1)).map(r => r.getLong(2) -> r.getDouble(3))
+    assert(ranked.head._1 == 10L, s"near-copy not ranked first: ${ranked.toSeq}")
+    assert(ranked(1)._1 == 11L, s"partial match not second: ${ranked.toSeq}")
+    assert(ranked.length == 2, s"disjoint docs paired: ${ranked.toSeq}")
+    assert(ranked.head._2 > ranked(1)._2)
+    // corpus run: k results max per query, cosine within [0, 1], ranks contiguous
+    val corpus = ops.TextAnalysis.sparseKnn(spark, sfDir).cache()
+    assert(corpus.filter(col("cos_sim") < -1e-9 || col("cos_sim") > 1 + 1e-9).count() == 0)
+    val perQ = corpus.groupBy("query_id").count()
+    assert(perQ.filter(col("count") > 5).count() == 0)
+  }
 }
