@@ -90,4 +90,28 @@ class DeterminismSpec extends AnyFunSuite {
     val c = run(_.coalesce(1))
     assert(a == b && b == c, "flags depend on the input partitioning")
   }
+
+  test("sparse knn ranking is invariant to input layout") {
+    assertLayoutInvariant(d => ops.TextAnalysis.sparseKnn(d, "doc_id", "text", 10, 5))
+  }
+
+  test("streaks are invariant to input layout") {
+    val events = Tables.events(spark, sfDir)
+    def run(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Advanced.streaks(f(events), "user_id", "ts"))
+    val a = run(_.repartition(3))
+    val b = run(_.repartition(17))
+    val c = run(_.coalesce(1))
+    assert(a == b && b == c, "streaks depend on the input partitioning")
+  }
+
+  test("pca projection is invariant to input layout") {
+    val embs = Tables.embeddings(spark, sfDir)
+    def run(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Similarity.pcaProject(f(embs), "vec_id", "embedding", 3))
+    val a = run(_.repartition(3))
+    val b = run(_.repartition(17))
+    val c = run(_.coalesce(1))
+    assert(a == b && b == c, "pca projection depends on the input partitioning")
+  }
 }

@@ -228,4 +228,37 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(zf.getAs[Double]("zipf_slope") == 0.0 &&
       zf.getAs[Double]("zipf_intercept") == 0.0)
   }
+
+  test("empty and singleton corpora flow through the round-6 ops") {
+    import spark.implicits._
+    // containment (bottom-k probe scheme): empty → empty; singleton has
+    // no partner to contain
+    assert(ops.Dedup.containmentPairs(empty, "doc_id", "text", 0.8).count() == 0)
+    assert(ops.Dedup.containmentPairs(single, "doc_id", "text", 0.8).count() == 0)
+    // sparse knn: empty → empty; singleton query has no other doc to rank
+    assert(ops.TextAnalysis.sparseKnn(empty, "doc_id", "text", 10, 5).count() == 0)
+    assert(ops.TextAnalysis.sparseKnn(single, "doc_id", "text", 10, 5).count() == 0)
+    // streaks: empty → empty; one event is a 1-day streak
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(ops.Advanced.streaks(noEvents, "user_id", "ts").count() == 0)
+    val one = Seq((5L, java.sql.Timestamp.valueOf("2024-03-03 12:00:00")))
+      .toDF("user_id", "ts")
+    val st = ops.Advanced.streaks(one, "user_id", "ts").head()
+    assert(st.getLong(1) == 1L && st.getLong(2) == 1L && st.getLong(3) == 1L)
+    // table profile: empty frame still emits one row per column with
+    // zero counts and null bounds
+    val prof = ops.Diagnostics.tableProfile(empty, Seq("doc_id", "text")).collect()
+    assert(prof.length == 2 &&
+      prof.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // pca: empty and sub-2-row corpora fail LOUDLY (a silent identity
+    // spectrum would be corrupt analytics)
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    intercept[Exception](ops.Similarity.pcaReport(emptyVecs, "embedding", 3))
+    val oneVec = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[Exception](ops.Similarity.pcaReport(oneVec, "embedding", 2))
+    // streaming near-dup: an empty micro-batch frame produces no hits
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.streaming.StreamingDedup.nearDupIngest(noDocs, "doc_id", "text", 0.7)
+      .count() == 0)
+  }
 }

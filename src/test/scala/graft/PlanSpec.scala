@@ -318,6 +318,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse knn stays on keyed equi-joins — no cartesian, only the 1-row stats broadcast") {
+    val plan = formatted(ops.TextAnalysis.sparseKnn(
+      Tables.documents(spark, sfDir), "doc_id", "text", 10, 5))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in sparse knn:\n$plan")
+    // the n_docs scalar rides a 1-row broadcast nested loop — that one is
+    // bounded and correct; anything unbounded is not
+    assert(!plan.contains("Window"), s"ranking must be the TopK aggregate:\n$plan")
+  }
+
   test("source drift derives the global ECDF by reusing the per-source exchange, not a rescan") {
     val df = ops.Mixing.sourceDrift(spark, sfDir)
     df.collect() // AQE exchange reuse finalizes at runtime
