@@ -596,4 +596,96 @@ object Curation {
       |  (src_rank - 1) * n_sources + src_idx AS curriculum_pos
       |FROM r JOIN s ON r.source = s.source
       |ORDER BY curriculum_pos""".stripMargin
+
+  private val QnormBins = 100
+
+  /** Cross-source quantile normalization of a per-document score —
+    * heterogeneous sources score on incompatible scales (one crawl's
+    * "long document" is another's median), so a single global
+    * threshold over-prunes some sources and under-prunes others; the
+    * fix is to calibrate each document to its quantile WITHIN its
+    * source before any global decision. Output per doc: the raw
+    * score, its within-source quantile and its global quantile (the
+    * midpoint convention `(below + hit/2) / n` — so the comparison of
+    * the two columns is exactly the over/under-pruning diagnostic).
+    *
+    * Scale shape — deliberately NOT `percent_rank() OVER (PARTITION BY
+    * source)`: that window funnels each source's entire corpus slice
+    * through one task, the exact pattern [[curriculum]] documents as
+    * the anti-shape. Instead: one 2-scalar min/max probe, one
+    * |sources|×bins histogram aggregate (the whole corpus collapses to
+    * a bounded frame), cumulative counts via a window over THAT tiny
+    * frame, and a broadcast join back onto the corpus by (source,
+    * bin). Global quantiles derive from the SAME histogram summed
+    * over sources — no second corpus pass. Integer bin arithmetic on
+    * the integral score keeps every count exact cross-engine; the
+    * bin-granular quantile (all docs in a bin share a value) is the
+    * honest price of boundedness, stated in the column names.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(Tables.documents(spark, dir), "doc_id", "source", "n_chars")
+
+  /** DataFrame-first form over any (id, source, integral score) frame. */
+  def quantileNormalize(docs: DataFrame, idCol: String, srcCol: String,
+                        scoreCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(scoreCol).cast("long").as("score"))
+    val bounds = d.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    val binned = d.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        ((col("score") - col("mn")) * QnormBins / (col("mx") - col("mn") + 1))
+          .cast("long"))
+    val hist = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // cumulative below-counts over the BOUNDED histogram frame only
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nSrc = Window.partitionBy(col("source"))
+    val srcQ = hist
+      .withColumn("below", coalesce(sum(col("cnt")).over(wSrc), lit(0L)))
+      .withColumn("n_src", sum(col("cnt")).over(nSrc))
+    val gHist = hist.groupBy(col("bin")).agg(sum(col("cnt")).as("gcnt"))
+    val wG = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val gQ = gHist
+      .withColumn("gbelow", coalesce(sum(col("gcnt")).over(wG), lit(0L)))
+      .withColumn("n_all", sum(col("gcnt")).over(Window.partitionBy()))
+    binned
+      .join(broadcast(srcQ.select(col("source"), col("bin"), col("below"),
+        col("cnt"), col("n_src"))), Seq("source", "bin"))
+      .join(broadcast(gQ.select(col("bin"), col("gbelow"), col("gcnt"), col("n_all"))),
+        Seq("bin"))
+      .select(col("doc_id"), col("source"), col("score"),
+        round((col("below") + col("cnt") / 2.0) / col("n_src"), 4).as("q_source_bin"),
+        round((col("gbelow") + col("gcnt") / 2.0) / col("n_all"), 4).as("q_global_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val quantileNormalizeSql: String =
+    s"""WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score,
+      |    CAST((n_chars - mn) * $QnormBins // (mx - mn + 1) AS BIGINT) AS bin
+      |  FROM documents CROSS JOIN b),
+      |h AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM d GROUP BY 1, 2),
+      |sq AS (
+      |  SELECT source, bin, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM h),
+      |g AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS gcnt FROM h GROUP BY bin),
+      |gq AS (
+      |  SELECT bin, gcnt,
+      |    CAST(coalesce(sum(gcnt) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gbelow,
+      |    CAST(sum(gcnt) OVER () AS BIGINT) AS n_all
+      |  FROM g)
+      |SELECT doc_id, d.source, score,
+      |  round((below + cnt / 2.0) / n_src, 4) AS q_source_bin,
+      |  round((gbelow + gcnt / 2.0) / n_all, 4) AS q_global_bin
+      |FROM d
+      |JOIN sq ON d.source = sq.source AND d.bin = sq.bin
+      |JOIN gq ON d.bin = gq.bin
+      |ORDER BY doc_id""".stripMargin
 }

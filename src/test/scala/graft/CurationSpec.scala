@@ -161,4 +161,31 @@ class CurationSpec extends AnyFunSuite {
     assert(at08 == filterAgrees,
       "sweep and quality filter disagree on the same signal at the same cutoff")
   }
+
+  test("quantileNormalize: same raw score calibrates differently per source; quantiles sane") {
+    import spark.implicits._
+    // source A scores 10..40, source B 30..60 — a doc scoring 40 is A's
+    // best but only B's second; its GLOBAL quantile is shared
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "A", 40L),
+      (5L, "B", 30L), (6L, "B", 40L), (7L, "B", 50L), (8L, "B", 60L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = ops.Curation.quantileNormalize(docs, "doc_id", "source", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(4L)._1 == 0.875, s"A's best doc: ${got(4L)}")
+    assert(got(6L)._1 == 0.375, s"B's second doc: ${got(6L)}")
+    assert(got(4L)._2 == 0.625 && got(6L)._2 == 0.625,
+      s"same raw score, same global quantile: ${got(4L)} vs ${got(6L)}")
+    // corpus run: quantiles in (0, 1), within-source monotone in score
+    val corpus = ops.Curation.quantileNormalize(spark, sfDir).cache()
+    assert(corpus.filter(col("q_source_bin") <= 0 || col("q_source_bin") >= 1).count() == 0)
+    assert(corpus.filter(col("q_global_bin") <= 0 || col("q_global_bin") >= 1).count() == 0)
+    val inversions = corpus.as("x").join(corpus.as("y"),
+        col("x.source") === col("y.source") &&
+        col("x.score") < col("y.score") &&
+        col("x.q_source_bin") > col("y.q_source_bin"))
+      .count()
+    assert(inversions == 0, s"$inversions within-source quantile inversions")
+  }
 }

@@ -160,4 +160,44 @@ object GraftLaws extends Properties("graft") {
       }
       selfOk && boundOk && jaccOk
     }
+
+  // random symmetric matrices for the Jacobi eigensolver laws
+  private val symMat: Gen[Array[Array[Double]]] =
+    Gen.chooseNum(2, 8).flatMap { n =>
+      Gen.listOfN(n * n, Gen.choose(-10.0, 10.0)).map { xs =>
+        val m = Array.ofDim[Double](n, n)
+        var k = 0
+        for (i <- 0 until n; j <- 0 until n) { m(i)(j) = xs(k); k += 1 }
+        // symmetrize: (M + Mᵀ) / 2
+        Array.tabulate(n, n)((i, j) => (m(i)(j) + m(j)(i)) / 2.0)
+      }
+    }
+
+  property("jacobi: eigenvalue sum equals the trace; values descend") =
+    forAll(symMat) { a =>
+      val vals = graft.functions.Jacobi.eigenvaluesDesc(a)
+      val trace = a.indices.map(i => a(i)(i)).sum
+      val scaleTol = 1e-9 * math.max(1.0, a.flatten.map(math.abs).max) * a.length
+      math.abs(vals.sum - trace) < scaleTol &&
+        vals.zip(vals.tail).forall { case (x, y) => x >= y - 1e-12 }
+    }
+
+  property("jacobi: A·v = λ·v for every returned pair; eigenvectors orthonormal") =
+    forAll(symMat) { a =>
+      val n = a.length
+      val (vals, vecs) = graft.functions.Jacobi.eigenDesc(a)
+      val scale = math.max(1.0, a.flatten.map(math.abs).max)
+      val residOk = (0 until n).forall { k =>
+        val v = vecs(k)
+        val av = Array.tabulate(n)(i => (0 until n).map(j => a(i)(j) * v(j)).sum)
+        (0 until n).forall(i => math.abs(av(i) - vals(k) * v(i)) < 1e-7 * scale)
+      }
+      val orthoOk = (0 until n).forall { k =>
+        (k until n).forall { l =>
+          val d = vecs(k).zip(vecs(l)).map { case (x, y) => x * y }.sum
+          math.abs(d - (if (k == l) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      residOk && orthoOk
+    }
 }
