@@ -380,6 +380,81 @@ object Advanced {
       |FROM qd WHERE abs(z) > $AnomalyZ
       |ORDER BY event_id""".stripMargin
 
+  private val EwmaDepth = 16
+
+  /** Trailing EWMA smoothing on the event stream: per user, each
+    * value's exponentially-weighted average over its last
+    * [[EwmaDepth]] events with decay ½ — the online smoothing
+    * primitive behind rate/load/latency monitors (recent events
+    * dominate, history fades geometrically).
+    *
+    * Cross-engine exactness via DYADIC weights: with decay ½ and
+    * milli-unit integer values, weight 2^(depth−1−k) for lag k makes
+    * numerator and denominator EXACT BIGINTs (a float `pow(alpha,k)`
+    * chain accumulates engine-specific rounding; powers of two do
+    * not). Magnitudes bound: |v| ≤ 1e6 milli × 2¹⁵ × 16 terms ≈ 5e11,
+    * far inside BIGINT. The single final division and round are the
+    * same IEEE ops on both engines. Short histories keep real
+    * semantics: the denominator only accrues weights for lags that
+    * exist, so row 1's EWMA is its own value, not a zero-padded decay.
+    *
+    * Scale shape: ONE keyed window (partition by user, order by
+    * (ts, id) — deterministic under timestamp collisions); the
+    * [[EwmaDepth]] `lag` expressions all ride that one Window
+    * operator (same spec → one exchange, one sort); no self-join,
+    * no global window.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewma(Tables.events(spark, dir), "event_id", "user_id", "ts", "value")
+
+  /** DataFrame-first form over any (id, key, time, value) frame. */
+  def ewma(events: DataFrame, idCol: String, keyCol: String,
+           tsCol: String, valCol: String): DataFrame = {
+    val e = events.select(col(idCol).as("event_id"), col(keyCol).as("user_id"),
+      col(tsCol).as("ts"),
+      round(col(valCol) * 1000).cast("long").as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 until EwmaDepth).map { k =>
+      val wt = 1L << (EwmaDepth - 1 - k)
+      val lv = if (k == 0) col("v") else lag(col("v"), k).over(w)
+      (coalesce(lv, lit(0L)) * wt,
+        when(lv.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    e.withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("w_den", terms.map(_._2).reduce(_ + _))
+      .select(col("event_id"), col("user_id"), col("v").as("value_milli"),
+        col("w_den"),
+        round(col("num").cast("double") / col("w_den"), 4).as("ewma_milli"))
+      .orderBy(col("event_id"))
+  }
+
+  val ewmaSql: String = {
+    val numTerms = (0 until EwmaDepth).map { k =>
+      val wt = 1L << (EwmaDepth - 1 - k)
+      if (k == 0) s"v * $wt"
+      else s"COALESCE(lag(v, $k) OVER w, 0) * $wt"
+    }.mkString(" + ")
+    val denTerms = (0 until EwmaDepth).map { k =>
+      val wt = 1L << (EwmaDepth - 1 - k)
+      if (k == 0) s"$wt"
+      else s"CASE WHEN lag(v, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, user_id, v,
+      |    CAST($numTerms AS BIGINT) AS num,
+      |    CAST($denTerms AS BIGINT) AS w_den
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id, v AS value_milli, w_den,
+      |  round(CAST(num AS DOUBLE) / w_den, 4) AS ewma_milli
+      |FROM m ORDER BY event_id""".stripMargin
+  }
+
   /** Event-sequence funnel: per user, the first `view`, the first
     * `click` strictly after that view, and the first `purchase`
     * strictly after that click — then the per-stage user counts with

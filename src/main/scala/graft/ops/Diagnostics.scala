@@ -140,4 +140,130 @@ object Diagnostics {
     selects.mkString("", "\n      |UNION ALL\n      |", "\n      |ORDER BY col_name")
       .stripMargin
   }
+
+  /** Data-contract validation — the gate a 100 TB ingestion runs
+    * BEFORE a table is promoted: key uniqueness, referential
+    * integrity, range/enum/null invariants, each reported as
+    * (constraint, rows checked, rows violating, pass). The profiler
+    * above describes a table; this one judges it against a contract.
+    *
+    * Shape: all row-local predicates on one table fuse into a SINGLE
+    * aggregate over a SINGLE scan (conditional `count(when(...))`
+    * measures — partial-aggregable, map-side combined), then `stack`
+    * unpivots the 1-row battery into one row per constraint.
+    * Uniqueness is `count - count(distinct key)` inside the same
+    * battery. Referential integrity is the one contract a scan
+    * cannot decide row-locally: each FK is a LEFT ANTI equi-join
+    * (Catalyst broadcasts the parent side when it fits — at 100 TB
+    * the orders→customer probe is exactly the dim-broadcast pattern)
+    * counted to a 1-row frame. Never a window anywhere; the report
+    * is a union of 1-row/|constraints|-row frames.
+    */
+  def constraintCheck(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val report = rowLocalChecks(orders, "orders", Seq(
+        "o_totalprice positive" -> (col("o_totalprice") <= 0),
+        "o_orderstatus in {O,F,P}" -> !col("o_orderstatus").isin("O", "F", "P"),
+        "o_custkey not null" -> col("o_custkey").isNull),
+        uniqueKey = Some("o_orderkey"))
+      .unionAll(rowLocalChecks(lineitem, "lineitem", Seq(
+        "l_quantity in [1,50]" -> !col("l_quantity").between(1, 50),
+        "l_discount in [0,0.1]" -> !col("l_discount").between(0, 0.1),
+        "l_orderkey not null" -> col("l_orderkey").isNull)))
+      .unionAll(rowLocalChecks(customer, "customer", Seq(
+        "c_acctbal not null" -> col("c_acctbal").isNull),
+        uniqueKey = Some("c_custkey")))
+      .unionAll(fkCheck(orders, "o_custkey", customer, "c_custkey",
+        "orders.o_custkey -> customer.c_custkey"))
+      .unionAll(fkCheck(lineitem, "l_orderkey", orders, "o_orderkey",
+        "lineitem.l_orderkey -> orders.o_orderkey"))
+    report
+      .withColumn("ok", col("n_violations") === 0L)
+      .orderBy(col("constraint_name"))
+  }
+
+  /** Row-local contract battery: every (label, violation-predicate)
+    * pair plus an optional unique-key check evaluate in ONE aggregate
+    * over ONE scan of `df`. A NULL predicate result (SQL three-valued
+    * logic, e.g. `NOT x IN (...)` on NULL x) counts as non-violating —
+    * express nullability contracts as explicit `isNull` checks.
+    */
+  def rowLocalChecks(df: DataFrame, table: String,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty, "rowLocalChecks: no checks")
+    val aggs = count(lit(1)).as("n") +:
+      (checks.zipWithIndex.map { case ((_, bad), i) =>
+        count(when(bad, 1)).as(s"v_$i")
+      } ++ uniqueKey.map(k => countDistinct(col(k)).as("d")).toSeq)
+    val stacked = checks.zipWithIndex.map { case ((label, _), i) =>
+      s"'$table.$label', n, v_$i"
+    } ++ uniqueKey.map(k => s"'$table.$k unique', n, n - d").toSeq
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${stacked.length}, ${stacked.mkString(", ")}) " +
+        "AS (constraint_name, n_checked, n_violations)"))
+  }
+
+  /** Referential integrity: child rows whose `childKey` has no match
+    * in `parent.parentKey`. NULL child keys are not orphans (pair
+    * with an explicit not-null check when the contract demands one) —
+    * the anti-join's null-rejecting equi-condition gives exactly that.
+    */
+  def fkCheck(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, label: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .where(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    child.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans)
+      .select(lit(label).as("constraint_name"), col("n_checked"),
+        col("n_violations"))
+  }
+
+  val constraintCheckSql: String =
+    """WITH o AS (
+      |  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS d,
+      |    count(*) FILTER (WHERE o_totalprice <= 0) AS bad_price,
+      |    count(*) FILTER (WHERE NOT o_orderstatus IN ('O','F','P')) AS bad_status,
+      |    count(*) FILTER (WHERE o_custkey IS NULL) AS null_cust
+      |  FROM orders),
+      |l AS (
+      |  SELECT count(*) AS n,
+      |    count(*) FILTER (WHERE NOT l_quantity BETWEEN 1 AND 50) AS bad_qty,
+      |    count(*) FILTER (WHERE NOT l_discount BETWEEN 0 AND 0.1) AS bad_disc,
+      |    count(*) FILTER (WHERE l_orderkey IS NULL) AS null_ok
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT count(*) AS n, count(DISTINCT c_custkey) AS d,
+      |    count(*) FILTER (WHERE c_acctbal IS NULL) AS null_bal
+      |  FROM customer),
+      |u AS (
+      |  SELECT 'orders.o_totalprice positive' AS constraint_name,
+      |    n AS n_checked, bad_price AS n_violations FROM o
+      |  UNION ALL SELECT 'orders.o_orderstatus in {O,F,P}', n, bad_status FROM o
+      |  UNION ALL SELECT 'orders.o_custkey not null', n, null_cust FROM o
+      |  UNION ALL SELECT 'orders.o_orderkey unique', n, n - d FROM o
+      |  UNION ALL SELECT 'lineitem.l_quantity in [1,50]', n, bad_qty FROM l
+      |  UNION ALL SELECT 'lineitem.l_discount in [0,0.1]', n, bad_disc FROM l
+      |  UNION ALL SELECT 'lineitem.l_orderkey not null', n, null_ok FROM l
+      |  UNION ALL SELECT 'customer.c_acctbal not null', n, null_bal FROM c
+      |  UNION ALL SELECT 'customer.c_custkey unique', n, n - d FROM c
+      |  UNION ALL SELECT 'orders.o_custkey -> customer.c_custkey',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders od WHERE od.o_custkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM customer cu
+      |                       WHERE cu.c_custkey = od.o_custkey))
+      |  UNION ALL SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem li WHERE li.l_orderkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM orders od
+      |                       WHERE od.o_orderkey = li.l_orderkey)))
+      |SELECT constraint_name, CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS ok
+      |FROM u ORDER BY constraint_name""".stripMargin
 }

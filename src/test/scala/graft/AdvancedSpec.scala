@@ -317,6 +317,37 @@ class AdvancedSpec extends AnyFunSuite {
     assert(corpus.filter(col("win_n") < 10 || col("win_n") > 20).count() == 0)
   }
 
+  test("ewma: planted decay exact in dyadic arithmetic; constant stream is a fixed point") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    // user 1: 1.0, 2.0, 3.0 — hand-computed dyadic EWMA at each row.
+    // user 2: 20 constant 5.0 readings — EWMA must sit exactly on 5000
+    // milli at every row (convex weights), and the denominator saturates
+    // at 2^16 − 1 once 16 lags exist.
+    val rows = Seq((1L, 1L, t(1), 1.0), (2L, 1L, t(2), 2.0), (3L, 1L, t(3), 3.0)) ++
+      (1 to 20).map(i => (100L + i, 2L, t(i), 5.0))
+    val got = ops.Advanced.ewma(rows.toDF("event_id", "user_id", "ts", "value"),
+      "event_id", "user_id", "ts", "value").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Double]("ewma_milli") == 1000.0)
+    assert(byId(2L).getAs[Double]("ewma_milli") == 1666.6667) // 81920000/49152
+    assert(byId(3L).getAs[Double]("ewma_milli") == 2428.5714) // 139264000/57344
+    assert(byId(2L).getAs[Long]("w_den") == 49152L)
+    val u2 = got.filter(_.getLong(1) == 2L)
+    assert(u2.forall(_.getAs[Double]("ewma_milli") == 5000.0),
+      "constant stream must be an EWMA fixed point")
+    assert(u2.filter(_.getLong(0) >= 116L).forall(_.getAs[Long]("w_den") == 65535L),
+      "denominator must saturate at 2^16 - 1 once 16 lags exist")
+    // corpus: EWMA is a convex combination of the user's values — it can
+    // never leave the user's [min, max] envelope
+    val corpus = ops.Advanced.ewma(spark, sfDir)
+    val breached = corpus.groupBy("user_id")
+      .agg(min("value_milli").as("lo"), max("value_milli").as("hi"),
+        min("ewma_milli").as("elo"), max("ewma_milli").as("ehi"))
+      .filter(col("elo") < col("lo") - 0.0001 || col("ehi") > col("hi") + 0.0001)
+    assert(breached.count() == 0, "EWMA left the convex envelope")
+  }
+
   test("streaks: planted islands counted exactly; duplicate same-day events collapse") {
     import spark.implicits._
     def t(day: Int, hour: Int) =

@@ -68,4 +68,32 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"profile scans more than once:\n$plan")
     assert(plan.contains("Expand"), s"multi-distinct lost its Expand shape:\n$plan")
   }
+
+  test("constraintCheck: planted violations exact; NULL keys are not FK orphans") {
+    import spark.implicits._
+    // row-local battery: 2 range violations + 1 duplicate key in one pass
+    val t = Seq((1L, 10.0), (1L, -5.0), (2L, 0.0)).toDF("k", "v")
+    val local = ops.Diagnostics.rowLocalChecks(t, "t",
+        Seq("v positive" -> (col("v") <= 0)), uniqueKey = Some("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(local("t.v positive") == ((3L, 2L)), s"range: $local")
+    assert(local("t.k unique") == ((3L, 1L)), s"unique: $local")
+    // FK: 5 is an orphan; the NULL child key is NOT (explicit not-null
+    // checks own nullability) — mirrors the oracle's IS NOT NULL guard
+    val child = Seq(Some(1L), Some(5L), None).toDF("ck")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val fk = ops.Diagnostics.fkCheck(child, "ck", parent, "pk", "fk").collect()
+    assert(fk.length == 1 && fk(0).getLong(1) == 3L && fk(0).getLong(2) == 1L,
+      s"fk: ${fk.toSeq}")
+    // corpus contract: the synthetic tables are clean — every check ok
+    val rep = ops.Diagnostics.constraintCheck(spark, sfDir).collect()
+    assert(rep.length == 11, s"expected 11 constraints, got ${rep.length}")
+    assert(rep.forall(_.getAs[Boolean]("ok")),
+      s"clean corpus failed: ${rep.filterNot(_.getAs[Boolean]("ok")).toSeq}")
+    // plan: never a window; referential integrity plans as anti joins
+    val plan = ops.Diagnostics.constraintCheck(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), s"window crept into the report:\n$plan")
+    assert(plan.contains("LeftAnti"), s"FK lost its anti-join shape:\n$plan")
+  }
 }
