@@ -129,6 +129,63 @@ object TextAnalysis {
        |FROM q ORDER BY doc_id""".stripMargin
   }
 
+  /** Readability scoring — the Flesch reading-ease family computed
+    * from the three classic cheap counts: whitespace words, sentence
+    * boundaries (`[.!?]+` runs, floored at 1 so fragments don't
+    * divide by zero), and vowel-group syllables (`[aeiouy]+` runs in
+    * the lowercased text — the standard O(n) syllable approximation).
+    * Cross-engine exactness: the counts are BIGINTs from the same
+    * RE2-compatible patterns both engines run, and the score is one
+    * fixed sequence of IEEE double ops over those integers, rounded
+    * once at the end. A reading band (easy / standard / difficult)
+    * cuts on the ROUNDED score so the bucket edge is reproducible.
+    * Pure row-local projection — scan speed at any corpus size.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    canon(docs, idCol -> "doc_id", textCol -> "text")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * col("n_words") / col("n_sentences")
+          - lit(84.6) * col("n_syllables") / greatest(col("n_words"), lit(1L)),
+          4))
+      .withColumn("band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("difficult"))
+      .orderBy(col("doc_id"))
+
+  val readabilitySql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      |      AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    round(CAST(206.835 AS DOUBLE)
+      |      - CAST(1.015 AS DOUBLE) * n_words / n_sentences
+      |      - CAST(84.6 AS DOUBLE) * n_syllables / greatest(n_words, 1), 4)
+      |      AS flesch
+      |  FROM r)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+      |  CASE WHEN flesch >= 60.0 THEN 'easy'
+      |       WHEN flesch >= 30.0 THEN 'standard'
+      |       ELSE 'difficult' END AS band
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Language identification via stopword-profile scoring plus a CJK
     * codepoint check — the classic cheap n-gram/wordlist heuristic.
     * Emits a (labelled lang × predicted lang) confusion table. The

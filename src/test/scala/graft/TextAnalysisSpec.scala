@@ -38,6 +38,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
   }
 
+  test("readability: planted counts exact; fragments floor at one sentence") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentence runs, 6 vowel groups:
+      // flesch = 206.835 - 1.015*6/2 - 84.6*6/6 = 119.19 → easy
+      (1L, "The cat sat. It ran fast!"),
+      // no terminator: sentence count must floor at 1, syllables 0
+      (2L, "mmm hmm grr"),
+      // 3 words, 1 sentence, ~19 syllables → deeply negative → difficult
+      (3L, "incomprehensibility extraordinarily unbelievable")
+    ).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_words") == 6L)
+    assert(got(1L).getAs[Long]("n_sentences") == 2L)
+    assert(got(1L).getAs[Long]("n_syllables") == 6L)
+    assert(got(1L).getAs[Double]("flesch") == 119.19)
+    assert(got(1L).getAs[String]("band") == "easy")
+    assert(got(2L).getAs[Long]("n_sentences") == 1L)
+    assert(got(2L).getAs[Long]("n_syllables") == 0L)
+    assert(got(3L).getAs[String]("band") == "difficult")
+    // corpus: one row per doc, bands from the closed set, score bounded
+    val corpus = ops.TextAnalysis.readability(spark, sfDir).cache()
+    assert(corpus.count() == Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(!col("band").isin("easy", "standard", "difficult"))
+      .count() == 0)
+    assert(corpus.filter(col("flesch") > 206.835).count() == 0)
+  }
+
   test("qualityScore: one row per doc; ratios in [0,1]; quality in {low,medium,high}") {
     val df = ops.TextAnalysis.qualityScore(spark, sfDir).cache()
     assert(df.count() == nDocs)
