@@ -455,6 +455,105 @@ object Advanced {
       |FROM m ORDER BY event_id""".stripMargin
   }
 
+  private val AcfLags = Seq(1, 2, 3)
+  private val AcfMinPairs = 10
+
+  /** Per-user autocorrelation of event values at lags 1–3 — the
+    * time-series diagnostic that separates trending/periodic behavior
+    * from noise (does a user's next value echo the last one? the one
+    * before?). Pearson r over the (vₜ, vₜ₋ₖ) pairs of each user's
+    * time-ordered stream, one row per (user, lag) with ≥
+    * [[AcfMinPairs]] pairs and non-degenerate variance on both sides.
+    *
+    * Determinism discipline: values quantize to integer MILLI-units;
+    * the six regression moments (n, Σx, Σy, Σxy, Σxx, Σyy) accumulate
+    * EXACTLY in BIGINT; the final Pearson combination runs in double —
+    * the cross-products would overflow 2⁶³ on long streams (the
+    * zipf-fit lesson), while the same IEEE multiply/divide/sqrt
+    * sequence over identical BIGINTs is bit-identical cross-engine.
+    *
+    * Scale shape: the three lagged copies all ride ONE keyed Window
+    * operator (same (user, ts, id) spec — one exchange, one sort),
+    * `stack` fans each row into its (lag, pair) form row-locally, and
+    * ONE partial+final aggregation reduces to the |users|×|lags|
+    * frame. No self-join (the textbook ACF join re-shuffles the
+    * corpus per lag), no global window.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorr(Tables.events(spark, dir), "event_id", "user_id", "ts", "value")
+
+  /** DataFrame-first form over any (id, key, time, value) frame. */
+  def autocorr(events: DataFrame, idCol: String, keyCol: String,
+               tsCol: String, valCol: String): DataFrame = {
+    val e = events.select(col(idCol).as("event_id"), col(keyCol).as("user_id"),
+      col(tsCol).as("ts"),
+      round(col(valCol) * 1000).cast("long").as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lagged = AcfLags.foldLeft(e) { (df, k) =>
+      df.withColumn(s"y_$k", lag(col("v"), k).over(w))
+    }
+    val stackArgs = AcfLags.map(k => s"$k, y_$k").mkString(", ")
+    lagged
+      .select(col("user_id"), col("v").as("x"),
+        expr(s"stack(${AcfLags.length}, $stackArgs) AS (lag_k, y)"))
+      .where(col("y").isNotNull)
+      .groupBy(col("user_id"), col("lag_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= AcfMinPairs)
+      .withColumn("vx", col("n").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+      .withColumn("vy", col("n").cast("double") * col("syy")
+        - col("sy").cast("double") * col("sy"))
+      .where(col("vx") > 0 && col("vy") > 0)
+      .withColumn("r", round(
+        (col("n").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy"))
+          / sqrt(col("vx") * col("vy")), 4))
+      .select(col("user_id"), col("lag_k"), col("n"), col("r"))
+      .orderBy(col("user_id"), col("lag_k"))
+  }
+
+  val autocorrSql: String = {
+    val lagCols = AcfLags.map(k => s"lag(v, $k) OVER w AS y_$k").mkString(",\n      |    ")
+    val unions = AcfLags.map(k =>
+      s"SELECT user_id, $k AS lag_k, v AS x, y_$k AS y FROM lagged WHERE y_$k IS NOT NULL")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |lagged AS (
+      |  SELECT user_id, v,
+      |    $lagCols
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |pairs AS (
+      |  $unions),
+      |m AS (
+      |  SELECT user_id, lag_k, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1, 2
+      |  HAVING count(*) >= $AcfMinPairs),
+      |v AS (
+      |  SELECT user_id, lag_k, n,
+      |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+      |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+      |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy
+      |  FROM m)
+      |SELECT user_id, CAST(lag_k AS INT) AS lag_k, n,
+      |  round(cxy / sqrt(vx * vy), 4) AS r
+      |FROM v WHERE vx > 0 AND vy > 0
+      |ORDER BY user_id, lag_k""".stripMargin
+  }
+
   /** Event-sequence funnel: per user, the first `view`, the first
     * `click` strictly after that view, and the first `purchase`
     * strictly after that click — then the per-stage user counts with

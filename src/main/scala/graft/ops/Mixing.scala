@@ -416,4 +416,90 @@ object Mixing {
       |SELECT source, n_docs, round(diff, 4) AS ks_stat, bin AS ks_bin
       |FROM ranked WHERE rk = 1
       |ORDER BY source""".stripMargin
+
+  /** Chi-square independence test on the lang × source contingency
+    * table — "is language composition independent of source?", the
+    * statistical alarm for a corpus whose sources drifted apart in
+    * language mix (a crawl that went monolingual, a source that
+    * swallowed another's traffic). Emits one row per cell: observed,
+    * expected under independence, the cell's chi-square contribution,
+    * and the repeated global statistic.
+    *
+    * Cross-engine determinism: a global `sum` of double contributions
+    * is summation-order-dependent, so each cell's contribution is
+    * quantized to integer MICRO-units first and the global statistic
+    * is an exact BIGINT sum of those (the micro-unit discipline
+    * applied to a test statistic). Expected counts are
+    * `(row_total · col_total) / N` computed in double (a BIGINT
+    * product overflows past ~3e9 rows; one double multiply and one
+    * double divide are the same IEEE ops on both engines).
+    *
+    * Scale shape: ONE corpus-sized aggregation (the |lang|×|source|
+    * cell counts — partial+final, map-side combined); everything
+    * downstream (marginals, full grid, N, global sum) operates on
+    * that BOUNDED frame — re-aggregations reuse the cell exchange,
+    * and the unpartitioned windows follow the pct_of_total
+    * discipline (fine on a dozens-of-rows frame, never on the
+    * corpus). One scan, one corpus shuffle, no corpus self-join.
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquare(Tables.documents(spark, dir), "lang", "source")
+
+  /** DataFrame-first form: independence of any two label columns.
+    * Emits the FULL |a|×|b| grid — a cell observed zero times still
+    * contributes its expected count to the statistic (dropping zero
+    * cells understates dependence exactly where it's strongest). Row
+    * totals, column totals, and the grid all derive from the one
+    * cell-count aggregate, so its exchange is planned once and
+    * reused ([[sourceDrift]]'s ReusedExchange discipline) — the
+    * corpus is still scanned exactly once.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val aTot = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val bTot = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val wAll = Window.partitionBy()
+    aTot.crossJoin(bTot)
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("expected", col("ra").cast("double") * col("cb") / col("n"))
+      .withColumn("contrib_micro",
+        round((col("o") - col("expected")) * (col("o") - col("expected"))
+          / col("expected") * 1e6).cast("long"))
+      .withColumn("chi2_micro", sum(col("contrib_micro")).over(wAll))
+      .select(col("a").as("lang"), col("b").as("source"),
+        col("o").as("observed"), round(col("expected"), 4).as("expected"),
+        col("contrib_micro"), col("chi2_micro"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |at AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+      |bt AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+      |grid AS (
+      |  SELECT at.a, bt.b, at.ra, bt.cb, COALESCE(cells.o, 0) AS o
+      |  FROM at CROSS JOIN bt
+      |  LEFT JOIN cells ON cells.a = at.a AND cells.b = bt.b),
+      |e AS (
+      |  SELECT a, b, o, ra, cb,
+      |    CAST(sum(o) OVER () AS BIGINT) AS n
+      |  FROM grid),
+      |c AS (
+      |  SELECT a, b, o, CAST(ra AS DOUBLE) * cb / n AS expected
+      |  FROM e),
+      |q AS (
+      |  SELECT a, b, o, expected,
+      |    CAST(round((o - expected) * (o - expected) / expected * 1e6)
+      |         AS BIGINT) AS contrib_micro
+      |  FROM c)
+      |SELECT a AS lang, b AS source, o AS observed,
+      |  round(expected, 4) AS expected, contrib_micro,
+      |  CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+      |FROM q ORDER BY lang, source""".stripMargin
 }

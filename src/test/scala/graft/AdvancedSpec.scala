@@ -348,6 +348,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(breached.count() == 0, "EWMA left the convex envelope")
   }
 
+  test("autocorr: alternating series hits r = ±1 exactly; constant series is excluded") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0${sec / 60}:${sec % 60}%02d")
+    // user 1: 14 events alternating 1.0 / 3.0 — lag-1 pairs satisfy
+    // y = 4 − x exactly (r = −1), lag-2 pairs y = x (r = +1), lag-3
+    // y = 4 − x (r = −1). user 2: constant → zero variance → no rows.
+    val rows = (1 to 14).map(i =>
+        (i.toLong, 1L, t(i), if (i % 2 == 0) 3.0 else 1.0)) ++
+      (1 to 14).map(i => (100L + i, 2L, t(i), 7.0))
+    val got = ops.Advanced.autocorr(rows.toDF("event_id", "user_id", "ts", "value"),
+      "event_id", "user_id", "ts", "value").collect()
+    val byLag = got.filter(_.getLong(0) == 1L)
+      .map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("r")).toMap
+    assert(byLag == Map(1 -> -1.0, 2 -> 1.0, 3 -> -1.0), s"got $byLag")
+    assert(got.count(_.getLong(0) == 2L) == 0,
+      "constant series must be excluded, not NaN")
+    // pair counts: lag k over 14 events → 14 − k pairs
+    val ns = got.filter(_.getLong(0) == 1L)
+      .map(r => r.getAs[Int]("lag_k") -> r.getAs[Long]("n")).toMap
+    assert(ns == Map(1 -> 13L, 2 -> 12L, 3 -> 11L), s"got $ns")
+    // corpus: r bounded, lags from the configured set, n floors hold
+    val corpus = ops.Advanced.autocorr(spark, sfDir).cache()
+    assert(corpus.filter(abs(col("r")) > 1.0001).count() == 0)
+    assert(corpus.filter(!col("lag_k").isin(1, 2, 3)).count() == 0)
+    assert(corpus.filter(col("n") < 10).count() == 0)
+  }
+
   test("streaks: planted islands counted exactly; duplicate same-day events collapse") {
     import spark.implicits._
     def t(day: Int, hour: Int) =

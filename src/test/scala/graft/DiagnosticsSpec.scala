@@ -59,14 +59,17 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(got("id") == ((1L, 2L, "1", "3")), s"id profile: ${got("id")}")
     assert(got("v") == ((1L, 2L, "2.50", "7.25")), s"v profile: ${got("v")}")
     assert(got("tag") == ((0L, 3L, "a", "c")), s"tag profile: ${got("tag")}")
-    // plan: single scan, no join, no window — the Expand does the fan-out
+    // plan: one column-pruned scan per profiled column, no join, no
+    // window, and NO Expand — the fused multi-distinct's Expand
+    // multiplies every row by k+1 and is 6.6× slower at sf0.1
     val plan = ops.Diagnostics.tableProfile(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!plan.contains("Window") && !plan.contains("Join"),
-      s"profile must be one aggregate pass:\n$plan")
-    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 1,
-      s"profile scans more than once:\n$plan")
-    assert(plan.contains("Expand"), s"multi-distinct lost its Expand shape:\n$plan")
+      s"profile must stay aggregate-only:\n$plan")
+    assert("Scan parquet [^\n]*\\(\\d".r.findAllIn(plan).size == 5,
+      s"profile must scan once per column (pruned):\n$plan")
+    assert(!plan.contains("Expand"),
+      s"profile regressed to the row-multiplying Expand shape:\n$plan")
   }
 
   test("constraintCheck: planted violations exact; NULL keys are not FK orphans") {
@@ -95,5 +98,36 @@ class DiagnosticsSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!plan.contains("Window"), s"window crept into the report:\n$plan")
     assert(plan.contains("LeftAnti"), s"FK lost its anti-join shape:\n$plan")
+  }
+
+  test("benford: planted uniform digits deviate by the known amounts; sub-1 amounts drop") {
+    import spark.implicits._
+    // digits 1..9 once each (+ one 0.5 that must be excluded): observed
+    // frequency 1/9 → obs_micro 111111 for every digit
+    val amounts = (1 to 9).map(d => d + 0.25) :+ 0.5
+    val got = ops.Diagnostics.benford(amounts.toDF("amt"), "amt").collect()
+    assert(got.length == 9)
+    assert(got.forall(_.getAs[Long]("total") == 9L))
+    assert(got.forall(_.getAs[Long]("obs_micro") == 111111L))
+    // a digit that never occurs still appears, with the full expected
+    // shortfall — an absent digit is the loudest Benford violation
+    val sparse = ops.Diagnostics.benford(Seq(1.5, 2.5).toDF("amt"), "amt")
+      .collect()
+    assert(sparse.length == 9)
+    val s9 = sparse.find(_.getAs[Int]("digit") == 9).get
+    assert(s9.getAs[Long]("observed") == 0L)
+    assert(s9.getAs[Long]("dev_micro") ==
+      -ops.Diagnostics.BenfordMicro.toMap.apply(9))
+    val d1 = got.find(_.getAs[Int]("digit") == 1).get
+    assert(d1.getAs[Long]("exp_micro") == 301030L)
+    assert(d1.getAs[Long]("dev_micro") == 111111L - 301030L)
+    // max |dev| is digit 1's shortfall (Benford is most top-heavy at 1)
+    assert(got.forall(_.getAs[Long]("max_abs_dev_micro") == 301030L - 111111L))
+    // expected frequencies are a fixed partition of one (±rounding)
+    assert(math.abs(ops.Diagnostics.BenfordMicro.map(_._2).sum - 1000000L) <= 2L)
+    // corpus: all nine digits present, one shared audit number
+    val corpus = ops.Diagnostics.benford(spark, sfDir).cache()
+    assert(corpus.count() == 9)
+    assert(corpus.select("max_abs_dev_micro").distinct.count() == 1)
   }
 }

@@ -161,4 +161,36 @@ class MixingSpec extends AnyFunSuite {
       ("B", "C") -> 1L, ("C", "B") -> 1L),
       s"overlap matrix wrong: $out")
   }
+
+  test("chiSquare: independent table scores zero; diagonal dependence hits the closed form") {
+    import spark.implicits._
+    // perfectly independent 2×2: every cell 5 → expected 5, chi2 = 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("lang", "source")
+    val gotI = ops.Mixing.chiSquare(indep, "lang", "source").collect()
+    assert(gotI.length == 4)
+    assert(gotI.forall(_.getAs[Long]("chi2_micro") == 0L),
+      s"independent table must score zero: ${gotI.toSeq}")
+    assert(gotI.forall(_.getAs[Double]("expected") == 5.0))
+    // diagonal-only 2×2 (5 on each diagonal cell): chi2 = N = 10, and the
+    // zero cells MUST appear with their expected-count contribution (2.5e6
+    // micro each) — dropping them would halve the statistic
+    val dep = (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("y", "v")))
+      .toDF("lang", "source")
+    val gotD = ops.Mixing.chiSquare(dep, "lang", "source").collect()
+    assert(gotD.length == 4, s"zero cells missing from the grid: ${gotD.toSeq}")
+    assert(gotD.forall(_.getAs[Long]("chi2_micro") == 10000000L),
+      s"diagonal chi2 must equal N: ${gotD.toSeq}")
+    val zeroCells = gotD.filter(_.getAs[Long]("observed") == 0L)
+    assert(zeroCells.length == 2 &&
+      zeroCells.forall(_.getAs[Long]("contrib_micro") == 2500000L),
+      s"zero-cell contributions wrong: ${zeroCells.toSeq}")
+    // corpus run: full grid, non-negative contributions, one shared stat
+    val corpus = ops.Mixing.chiSquare(spark, sfDir).cache()
+    val nLang = corpus.select("lang").distinct.count()
+    val nSrc = corpus.select("source").distinct.count()
+    assert(corpus.count() == nLang * nSrc, "grid incomplete")
+    assert(corpus.filter(col("contrib_micro") < 0).count() == 0)
+    assert(corpus.select("chi2_micro").distinct.count() == 1)
+  }
 }
