@@ -784,6 +784,65 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing 7-day distinct active users per day — the sliding
+    * COUNT(DISTINCT) every engagement dashboard needs and naive SQL
+    * gets quadratically wrong (a RANGE window cannot deduplicate, a
+    * per-day self-join rescans the corpus |days| times). Exact, with
+    * NO distinct aggregation at all: dedupe to (user, day) pairs
+    * (partial+final agg), ONE keyed window finds each pair's next
+    * active day, then each pair fans out ONLY to the window-ends
+    * where it is that user's latest activity — every (user, end) is
+    * emitted exactly once by construction, so a plain count finishes
+    * the job. Fan-out is bounded by the window length (≤7 rows per
+    * pair); the 1-row max-day frame is a broadcast. At 100 TB the
+    * heavy shuffle is the (user, day) dedup — keys are two longs, and
+    * everything downstream is proportional to active-pairs × 7, not
+    * to raw events.
+    */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame =
+    rollingDistinct(Tables.events(spark, dir), "user_id", "ts", 7)
+
+  /** DataFrame-first form over any (key, timestamp) frame. */
+  def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      windowDays: Int): DataFrame = {
+    val days = events
+      .select(col(keyCol).as("user_id"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val spans = days.withColumn("nd", lead(col("day"), 1).over(w))
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    spans.crossJoin(broadcast(maxDay))
+      .withColumn("w_end", explode(sequence(col("day"),
+        least(col("day") + lit(windowDays - 1),
+          coalesce(col("nd") - 1, col("day") + lit(windowDays - 1)),
+          col("max_day")))))
+      .groupBy(col("w_end"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("w_end")).as("day"),
+        col("active_users"))
+      .orderBy(col("day"))
+  }
+
+  val rollingDistinctSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, day,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd,
+      |    (SELECT max(day) FROM d) AS max_day
+      |  FROM d),
+      |e AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(day,
+      |      least(day + 6, coalesce(nd - 1, day + 6), max_day))) AS w_end
+      |  FROM n)
+      |SELECT DATE '1970-01-01' + CAST(w_end AS INTEGER) AS day,
+      |  CAST(count(*) AS BIGINT) AS active_users
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val streaksSql: String =
     """WITH d AS (
       |  SELECT DISTINCT user_id,

@@ -162,6 +162,67 @@ object Mixing {
       |GROUP BY d.lang, p05, p95
       |ORDER BY d.lang""".stripMargin
 
+  /** Robust outlier detection per event type: median / MAD (median
+    * absolute deviation) replace mean / stddev, so a few extreme
+    * values cannot inflate the very band that is supposed to catch
+    * them — the failure mode of [[outlierBands]]-style z-scores on
+    * heavy-tailed data. Flag: |v − median| > 3·MAD. All arithmetic is
+    * EXACT cross-engine: values quantize to milli-unit BIGINTs doubled
+    * twice (half-milli for the median, quarter-milli for the MAD) so
+    * both interpolated medians land on integers and the 3·MAD
+    * comparison is pure integer — no float threshold can flip between
+    * engines. When MAD = 0 (over half the group identical) any
+    * deviation flags, the standard modified-z degenerate case. Two
+    * keyed partial+final aggregations over the same scan; the
+    * |types|-row stat frames broadcast back; flagging is row-local.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(spark, dir), "event_type", "value")
+
+  /** DataFrame-first form over any (group, measure) frame. */
+  def madOutliers(events: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val d = events.select(col(groupCol).as("event_type"),
+      (round(col(valCol) * 1000).cast("long") * 2L).as("v2"))
+    val med = d.groupBy(col("event_type"))
+      .agg(percentile(col("v2"), lit(0.5)).cast("long").as("med2"))
+    val dev = d.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("v2") - col("med2")) * 2L)
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev2"), lit(0.5)).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med2"), col("mad4"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("dev2") > lit(3L) * col("mad4"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"),
+        round(col("med2").cast("double") / 2000.0, 4).as("median_value"),
+        round(col("mad4").cast("double") / 4000.0, 4).as("mad_value"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    """WITH q AS (
+      |  SELECT event_type, 2 * CAST(round(value * 1000) AS BIGINT) AS v2
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med2
+      |  FROM q GROUP BY event_type),
+      |d AS (
+      |  SELECT q.event_type, v2, med2, 2 * abs(v2 - med2) AS dev2
+      |  FROM q JOIN m USING (event_type)),
+      |a AS (
+      |  SELECT event_type, CAST(quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(CAST(med2 AS DOUBLE) / 2000.0, 4) AS median_value,
+      |  round(CAST(mad4 AS DOUBLE) / 4000.0, 4) AS mad_value,
+      |  CAST(sum(CASE WHEN dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN a USING (event_type)
+      |GROUP BY d.event_type, med2, mad4
+      |ORDER BY d.event_type""".stripMargin
+
   /** Per-source duplication-rate report: how much of each source's
     * volume is redundant (1 − distinct texts / docs) — the monitoring
     * artifact a pipeline owner watches to decide which crawl sources

@@ -395,4 +395,31 @@ class AdvancedSpec extends AnyFunSuite {
     assert(corpus.filter(col("longest_streak") > col("n_active_days")).count() == 0)
     assert(corpus.filter(col("n_streaks") < 1).count() == 0)
   }
+
+  test("rollingDistinct: planted trailing-7 counts; agrees with brute force") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // u1 active days 0,1,8 (two events day 1 must not double-count);
+    // u2 active day 1 only. Trailing-7 window ending each day:
+    // day 0 → {u1}; days 1..7 → {u1,u2}; day 8 → {u1}
+    val events = Seq(
+      (1L, t(0)), (1L, t(1)), (1L, t(1)), (1L, t(8)), (2L, t(1))
+    ).toDF("user_id", "ts")
+    val got = ops.Advanced.rollingDistinct(events, "user_id", "ts", 7)
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    val want = (Map(0L -> 1L, 8L -> 1L) ++ (1L to 7L).map(_ -> 2L)).toMap
+    assert(got == want, s"planted counts wrong: $got")
+    // law: equals brute-force distinct-count-per-window on an irregular set
+    val pairs = for (u <- 0L until 10L; k <- 0 until 6)
+      yield (u, ((u * 7 + k * 3) % 20).toInt)
+    val ev2 = pairs.map { case (u, d) => (u, t(d)) }.toDF("user_id", "ts")
+    val got2 = ops.Advanced.rollingDistinct(ev2, "user_id", "ts", 7)
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    val maxD = pairs.map(_._2).max
+    val brute = (0 to maxD).map { e =>
+      e.toLong -> pairs.filter { case (_, d) => d <= e && d > e - 7 }
+        .map(_._1).distinct.size.toLong
+    }.filter(_._2 > 0L).toMap
+    assert(got2 == brute, s"brute-force mismatch: got $got2 want $brute")
+  }
 }

@@ -193,4 +193,29 @@ class MixingSpec extends AnyFunSuite {
     assert(corpus.filter(col("contrib_micro") < 0).count() == 0)
     assert(corpus.select("chi2_micro").distinct.count() == 1)
   }
+
+  test("madOutliers: planted medians/MADs exact; MAD=0 degenerate case flags any deviation") {
+    import spark.implicits._
+    // "a": {1,2,3,4,100} → median 3, MAD 1, the 100 is the only |v−med|>3·MAD
+    // "b": {1,2} → interpolated median 1.5, MAD 0.5, no outliers
+    // "c": {5,5,5,9} → MAD 0 (majority identical): any deviation must flag
+    val events = (Seq(1, 2, 3, 4, 100).map(v => ("a", v.toDouble)) ++
+      Seq(1, 2).map(v => ("b", v.toDouble)) ++
+      Seq(5, 5, 5, 9).map(v => ("c", v.toDouble)))
+      .toDF("event_type", "value")
+    val got = ops.Mixing.madOutliers(events, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("median_value"),
+          r.getAs[Double]("mad_value"), r.getAs[Long]("n_outliers")))).toMap
+    assert(got("a") == ((5L, 3.0, 1.0, 1L)), s"a wrong: ${got("a")}")
+    assert(got("b") == ((2L, 1.5, 0.5, 0L)), s"b wrong: ${got("b")}")
+    assert(got("c") == ((4L, 5.0, 0.0, 1L)), s"c wrong: ${got("c")}")
+    // corpus run: outliers are a minority everywhere (robustness law —
+    // by construction at most half the group can sit beyond 3·MAD when
+    // MAD > 0), and MAD ≥ 0
+    val corpus = ops.Mixing.madOutliers(spark, sfDir).cache()
+    assert(corpus.filter(col("mad_value") < 0).count() == 0)
+    assert(corpus.filter(col("mad_value") > 0 &&
+      col("n_outliers") * 2 > col("n_events")).count() == 0)
+  }
 }
