@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -783,6 +783,169 @@ object Advanced {
         count(lit(1)).as("n_streaks"))
       .orderBy(col("user_id"))
   }
+
+  /** RFM segmentation: every user scored 1–5 on Recency (days since
+    * last event, lower is better), Frequency (event count), and
+    * Monetary (milli-unit value sum), reported as segment sizes over
+    * the ≤125-cell (r, f, m) grid. Deliberately NOT ntile() — the
+    * textbook spelling funnels ALL users through one unpartitioned
+    * sort. Instead the quintile thresholds come from ONE percentile
+    * aggregation (a 1-row, 12-number frame), broadcast back, and each
+    * user scores row-locally by counting thresholds exceeded — the
+    * [[Mixing.outlierBands]] broadcast-band discipline, so nothing
+    * corpus-sized ever sorts globally. Thresholds are rounded to 2
+    * decimals on BOTH sides (integer metrics make a .005 collision
+    * unrepresentable), the proven cross-engine percentile recipe.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    rfm(Tables.events(spark, dir), "user_id", "ts", "value")
+
+  /** DataFrame-first form over any (key, timestamp, value) frame. */
+  def rfm(events: DataFrame, keyCol: String, tsCol: String,
+          valCol: String): DataFrame = {
+    val e = events.select(col(keyCol).as("user_id"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"),
+      round(col(valCol) * 1000).cast("long").as("v"))
+    val users = e.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("v")).as("mon"))
+    val anchor = users.agg(max(col("last_day")).as("anchor_day"))
+    val scored = users.crossJoin(broadcast(anchor))
+      .withColumn("rec", col("anchor_day") - col("last_day"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thrCols =
+      qs.zipWithIndex.map { case (q, i) =>
+        round(percentile(col("rec"), lit(q)), 2).as(s"r$i") } ++
+      qs.zipWithIndex.map { case (q, i) =>
+        round(percentile(col("freq"), lit(q)), 2).as(s"f$i") } ++
+      qs.zipWithIndex.map { case (q, i) =>
+        round(percentile(col("mon"), lit(q)), 2).as(s"m$i") }
+    val thr = scored.agg(thrCols.head, thrCols.tail: _*)
+    def score(m: Column, pre: String): Column =
+      lit(1) + (0 to 3).map(i => when(m > col(s"$pre$i"), 1).otherwise(0))
+        .reduce(_ + _)
+    scored.crossJoin(broadcast(thr))
+      .withColumn("r_score", lit(6) - score(col("rec"), "r"))
+      .withColumn("f_score", score(col("freq"), "f"))
+      .withColumn("m_score", score(col("mon"), "m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon")).as("segment_mon_milli"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val rfmSql: String = {
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thrCols = (for ((pre, m) <- Seq("r" -> "rec", "f" -> "freq", "m" -> "mon");
+                        (q, i) <- qs.zipWithIndex)
+      yield s"round(quantile_cont($m, $q), 2) AS $pre$i").mkString(",\n      |    ")
+    def sc(m: String, pre: String) =
+      (0 to 3).map(i => s"(CASE WHEN $m > $pre$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, max(day) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS freq, CAST(sum(v) AS BIGINT) AS mon
+      |  FROM e GROUP BY 1),
+      |s AS (
+      |  SELECT user_id, freq, mon,
+      |    (SELECT max(last_day) FROM u) - last_day AS rec
+      |  FROM u),
+      |t AS (
+      |  SELECT
+      |    $thrCols
+      |  FROM s),
+      |g AS (
+      |  SELECT 6 - (1 + ${sc("rec", "r")}) AS r_score,
+      |    1 + ${sc("freq", "f")} AS f_score,
+      |    1 + ${sc("mon", "m")} AS m_score,
+      |    mon
+      |  FROM s, t)
+      |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(mon) AS BIGINT) AS segment_mon_milli
+      |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** CUSUM change-point detection per event type: the day the daily
+    * value level shifted, found as the argmax of |cumulative deviation
+    * from the series mean| — the classic offline CUSUM estimator for
+    * a single level change, and the time-axis sibling of the
+    * cross-source KS drift report. Arithmetic is EXACT: values
+    * quantize to milli-unit BIGINTs, the center is the ROUNDED global
+    * mean (one IEEE division + round both engines share bit-exactly),
+    * so deviations, cumulative sums, and the argmax comparison are
+    * pure integers — no float accumulation order can move the
+    * detected day. Events reduce to a (type, day) daily frame first
+    * (partial+final agg), the per-type totals broadcast back, and
+    * BOTH windows (running sum, argmax rank) run keyed over the
+    * bounded |types|×|days| frame — never over raw events.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(Tables.events(spark, dir), "event_type", "ts", "value")
+
+  /** DataFrame-first form over any (group, timestamp, value) frame. */
+  def cusum(events: DataFrame, groupCol: String, tsCol: String,
+            valCol: String): DataFrame = {
+    val e = events.select(col(groupCol).as("event_type"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"),
+      round(col(valCol) * 1000).cast("long").as("v"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("sv")).as("s_all"), sum(col("n")).as("n_all"),
+        count(lit(1)).as("n_days"))
+      .withColumn("mean_milli",
+        round(col("s_all").cast("double") / col("n_all")).cast("long"))
+    val wSum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wArg = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum_milli")).desc, col("day"))
+    daily.join(broadcast(tot.select(col("event_type"), col("mean_milli"),
+        col("n_days"))), Seq("event_type"))
+      .withColumn("cusum_milli",
+        sum(col("sv") - col("n") * col("mean_milli")).over(wSum))
+      .withColumn("rk", row_number().over(wArg))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("day")).as("change_day"),
+        col("cusum_milli"), col("mean_milli"), col("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val cusumSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(sum(sv) AS DOUBLE) / sum(n)) AS BIGINT)
+      |      AS mean_milli,
+      |    CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT d.event_type, day, mean_milli, n_days,
+      |    CAST(sum(sv - n * mean_milli) OVER (PARTITION BY d.event_type
+      |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cusum_milli
+      |  FROM daily d JOIN tot t ON d.event_type = t.event_type),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(cusum_milli) DESC, day) AS rk
+      |  FROM c)
+      |SELECT event_type, DATE '1970-01-01' + CAST(day AS INTEGER)
+      |    AS change_day,
+      |  cusum_milli, mean_milli, n_days
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
 
   /** Trailing 7-day distinct active users per day — the sliding
     * COUNT(DISTINCT) every engagement dashboard needs and naive SQL

@@ -422,4 +422,53 @@ class AdvancedSpec extends AnyFunSuite {
     }.filter(_._2 > 0L).toMap
     assert(got2 == brute, s"brute-force mismatch: got $got2 want $brute")
   }
+
+  test("cusum: planted level shift detected on the last pre-shift day") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // "a": 10.0 on days 0–4, 20.0 on days 5–9 → mean 15, cumulative
+    // deviation bottoms out at −25000 milli on day 4 (the last day of
+    // the old regime — the offline CUSUM change-point estimator)
+    val a = (0 to 4).map(d => ("a", t(d), 10.0)) ++
+      (5 to 9).map(d => ("a", t(d), 20.0))
+    // "b": symmetric two-day series — |cusum| ties at day 0 only
+    // (day 1 closes at zero); argmax must pick day 0
+    val b = Seq(("b", t(0), 10.0), ("b", t(1), 20.0))
+    val events = (a ++ b).toDF("event_type", "ts", "value")
+    val got = ops.Advanced.cusum(events, "event_type", "ts", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDate(1).toLocalDate.toEpochDay, r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+    assert(got("a") == ((4L, -25000L, 15000L, 10L)), s"a wrong: ${got("a")}")
+    assert(got("b") == ((0L, -5000L, 15000L, 2L)), s"b wrong: ${got("b")}")
+    // corpus run: one row per type, n_days positive
+    val corpus = ops.Advanced.cusum(spark, sfDir).cache()
+    assert(corpus.select("event_type").distinct.count() == corpus.count())
+    assert(corpus.filter(col("n_days") < 1).count() == 0)
+  }
+
+  test("rfm: extreme users land on extreme scores; segment sizes partition users") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // user i (0..9): active only on day i (rec = 9−i), i+1 events,
+    // value i+1 each → strictly increasing freq and monetary with i,
+    // strictly improving recency with i
+    val events = (for (i <- 0 until 10; _ <- 0 to i)
+      yield (i.toLong, t(i), (i + 1).toDouble)).toDF("user_id", "ts", "value")
+    val seg = ops.Advanced.rfm(events, "user_id", "ts", "value").collect()
+    assert(seg.map(_.getAs[Long]("n_users")).sum == 10L, "segments must partition users")
+    // all three metrics rank users identically, so the grid collapses
+    // to the diagonal with exactly 2 users per quintile: users 8,9 →
+    // (5,5,5), users 0,1 → (1,1,1)
+    val cells = seg.map(r => ((r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+      r.getAs[Int]("m_score")), r.getAs[Long]("n_users"))).toMap
+    assert(cells == (1 to 5).map(s => (s, s, s) -> 2L).toMap, s"grid: $cells")
+    assert(cells.keys.forall { case (r, f, m) =>
+      Seq(r, f, m).forall(s => s >= 1 && s <= 5) }, s"scores out of range: $cells")
+    // corpus run: grid bounded, all scores in range, users conserved
+    val corpus = ops.Advanced.rfm(spark, sfDir).cache()
+    assert(corpus.count() <= 125)
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct.count()
+    assert(corpus.agg(sum("n_users")).head.getLong(0) == nUsers)
+  }
 }
