@@ -784,6 +784,59 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** Day-of-week seasonality profile per event type: the ISO-weekday
+    * activity mix, each day's share of the type's volume in integer
+    * basis points (floor division of exact BIGINT counts — no float
+    * share can disagree cross-engine), and the peak day flagged. One
+    * partial+final count aggregation to the bounded |types|×7 frame;
+    * the per-type total and peak are windows OVER that frame, not the
+    * events. The report a pipeline owner reads before trusting any
+    * day-partitioned metric: a 9-to-5 weekday corpus and a weekend
+    * spike need different alerting baselines.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    seasonality(Tables.events(spark, dir), "event_type", "ts")
+
+  /** DataFrame-first form over any (group, timestamp) frame. */
+  def seasonality(events: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val d = events.select(col(groupCol).as("event_type"),
+      (weekday(to_date(col(tsCol))) + lit(1)).cast("long").as("isodow"))
+    val counts = d.groupBy(col("event_type"), col("isodow"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("tot", sum(col("n")).over(wTot))
+      .withColumn("mx", max(col("n")).over(wTot))
+      .withColumn("peak_dow",
+        min(when(col("n") === col("mx"), col("isodow"))).over(wTot))
+      .select(col("event_type"), col("isodow"), col("n"),
+        expr("10000 * n DIV tot").as("share_bp"),
+        (col("n") === col("mx") && col("isodow") === col("peak_dow"))
+          .as("is_peak"))
+      .orderBy(col("event_type"), col("isodow"))
+  }
+
+  val seasonalitySql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS isodow
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, isodow, CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, isodow, n,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot,
+      |    max(n) OVER (PARTITION BY event_type) AS mx
+      |  FROM c),
+      |p AS (
+      |  SELECT *, min(CASE WHEN n = mx THEN isodow END)
+      |    OVER (PARTITION BY event_type) AS peak_dow
+      |  FROM w)
+      |SELECT event_type, isodow, n,
+      |  CAST(10000 * n // tot AS BIGINT) AS share_bp,
+      |  (n = mx AND isodow = peak_dow) AS is_peak
+      |FROM p ORDER BY event_type, isodow""".stripMargin
+
   /** RFM segmentation: every user scored 1–5 on Recency (days since
     * last event, lower is better), Frequency (event count), and
     * Monetary (milli-unit value sum), reported as segment sizes over

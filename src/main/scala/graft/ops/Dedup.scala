@@ -56,6 +56,63 @@ object Dedup {
     """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
+  /** Record linkage (entity resolution) by blocked fuzzy join: find
+    * DISTINCT entity names that are edit-distance-near, with the
+    * record count each name carries — "blue bolt" ↔ "blue rod" is a
+    * probable data-entry variant; the counts say which spelling is
+    * canonical. Three scale disciplines stack: (1) the quadratic
+    * match runs at the VOCABULARY level — records collapse to
+    * (name, count) first, so 100 TB of rows become |names| candidates;
+    * (2) candidates come from a blocking-key equi-join (first token),
+    * never a cross join; (3) blocks above `maxBlock` are dropped from
+    * pairing with the [[lshCandidates]] cap discipline — a degenerate
+    * block ("inc" in every company name) would otherwise re-create the
+    * quadratic blow-up blocking exists to prevent. Levenshtein runs
+    * only inside surviving blocks, on name pairs, and both engines
+    * share its unit-cost semantics.
+    */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame =
+    recordLinkage(Tables.part(spark, dir), "p_name", maxDist = 3, maxBlock = 1000)
+
+  /** DataFrame-first form over any named-record frame. */
+  def recordLinkage(records: DataFrame, nameCol: String, maxDist: Int,
+                    maxBlock: Int): DataFrame = {
+    val names = records.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("block", split(col("name"), " ").getItem(0))
+    val sizes = names.groupBy(col("block"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBlock)
+    val blocked = names.join(sizes.select("block"), Seq("block"))
+    val a = blocked.select(col("block"), col("name").as("name_a"),
+      col("n_records").as("n_a"))
+    val b = blocked.select(col("block"), col("name").as("name_b"),
+      col("n_records").as("n_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist").between(1, maxDist))
+      .select(col("name_a"), col("name_b"), col("dist").cast("long"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
+
+  val recordLinkageSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_records,
+      |    split_part(p_name, ' ', 1) AS block
+      |  FROM part GROUP BY 1),
+      |ok AS (
+      |  SELECT block FROM names GROUP BY block HAVING count(*) <= 1000)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |  a.n_records AS n_a, b.n_records AS n_b
+      |FROM names a
+      |JOIN ok USING (block)
+      |JOIN names b ON a.block = b.block AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+      |ORDER BY dist, name_a, name_b""".stripMargin
+
   /** Incremental exact dedup — the daily-ingest production shape:
     * dedup a NEW increment against the digest INDEX of the
     * already-ingested corpus, without ever re-reading the old corpus

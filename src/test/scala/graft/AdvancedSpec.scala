@@ -471,4 +471,29 @@ class AdvancedSpec extends AnyFunSuite {
     val nUsers = Tables.events(spark, sfDir).select("user_id").distinct.count()
     assert(corpus.agg(sum("n_users")).head.getLong(0) == nUsers)
   }
+
+  test("seasonality: planted weekday mix with integer shares and unique peak") {
+    import spark.implicits._
+    // 1970-01-05 is a Monday (isodow 1). Type "a": 3 Mondays, 1 Tuesday;
+    // shares 7500/2500 bp; peak Monday. Type "b": 2 Mon, 2 Tue — tie →
+    // peak is the EARLIEST tied day (Monday), exactly one peak row.
+    def t(day: Int) = new java.sql.Timestamp((4 + day).toLong * 86400000L)
+    val events = (Seq(t(0), t(0), t(0), t(1)).map(("a", _)) ++
+      Seq(t(0), t(7), t(1), t(8)).map(("b", _))).toDF("event_type", "ts")
+    val got = ops.Advanced.seasonality(events, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("a", 1L)) == ((3L, 7500L, true)), s"a-mon: $got")
+    assert(got(("a", 2L)) == ((1L, 2500L, false)), s"a-tue: $got")
+    assert(got(("b", 1L)) == ((2L, 5000L, true)), s"b-mon: $got")
+    assert(got(("b", 2L)) == ((2L, 5000L, false)), s"tie must peak earliest: $got")
+    // corpus run: shares sum to ≤10000 per type (floor division), one
+    // peak per type, isodow in 1..7
+    val corpus = ops.Advanced.seasonality(spark, sfDir).cache()
+    assert(corpus.filter(col("isodow") < 1 || col("isodow") > 7).count() == 0)
+    val sums = corpus.groupBy("event_type")
+      .agg(sum("share_bp").as("s"), sum(when(col("is_peak"), 1L).otherwise(0L)).as("p"))
+    assert(sums.filter(col("s") > 10000 || col("s") < 9993).count() == 0)
+    assert(sums.filter(col("p") =!= 1L).count() == 0)
+  }
 }

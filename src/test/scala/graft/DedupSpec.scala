@@ -246,4 +246,27 @@ class DedupSpec extends AnyFunSuite {
     val missedExact = exactPairs.join(corpus, Seq("doc_a", "doc_b"), "left_anti").count()
     assert(missedExact == 0, s"$missedExact exact-dup pairs missing from containment output")
   }
+
+  test("recordLinkage: near-variants pair with record counts; oversized and cross-block pairs excluded") {
+    import spark.implicits._
+    // "acme corp" (×3) vs "acme korp" (×1): dist 1, same block → linked.
+    // "acme corporation": dist 7 from "acme corp" → beyond maxDist.
+    // "zeta corp": different block — never paired despite dist 3 to "acme corp".
+    val recs = (Seq.fill(3)("acme corp") ++ Seq("acme korp", "acme corporation",
+      "zeta corp", "zeta corp")).toDF("name")
+    val got = ops.Dedup.recordLinkage(recs, "name", maxDist = 3, maxBlock = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("acme corp", "acme korp", 1L, 3L, 1L)),
+      s"linkage wrong: ${got.toSeq}")
+    // a degenerate block larger than maxBlock is dropped from pairing
+    val big = (0 until 20).map(i => s"inc variant$i").toDF("name")
+    val capped = ops.Dedup.recordLinkage(big, "name", maxDist = 3, maxBlock = 10)
+    assert(capped.count() == 0, "oversized block must not produce pairs")
+    // corpus run: symmetric-free (a < b), dist within bound
+    val corpus = ops.Dedup.recordLinkage(spark, sfDir).cache()
+    assert(corpus.filter(col("name_a") >= col("name_b")).count() == 0)
+    assert(corpus.filter(col("dist") < 1 || col("dist") > 3).count() == 0)
+  }
+
 }
