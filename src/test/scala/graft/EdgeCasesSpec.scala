@@ -261,4 +261,43 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.streaming.StreamingDedup.nearDupIngest(noDocs, "doc_id", "text", 0.7)
       .count() == 0)
   }
+
+  test("empty and singleton corpora flow through the round-6 diagnostics leg") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-03-04 12:00:00") // a Monday
+    val noTyped = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("event_type", "ts", "value")
+    val oneTyped = Seq(("a", ts, 2.5)).toDF("event_type", "ts", "value")
+    // MAD: empty → empty; singleton → its own median, MAD 0, no outliers
+    assert(ops.Mixing.madOutliers(noTyped, "event_type", "value").count() == 0)
+    val m = ops.Mixing.madOutliers(oneTyped, "event_type", "value").head()
+    assert(m.getLong(1) == 1L && m.getDouble(2) == 2.5 &&
+      m.getDouble(3) == 0.0 && m.getLong(4) == 0L, s"singleton MAD: $m")
+    // cusum: singleton series — deviation 0, change day = the only day
+    assert(ops.Advanced.cusum(noTyped, "event_type", "ts", "value").count() == 0)
+    val c = ops.Advanced.cusum(oneTyped, "event_type", "ts", "value").head()
+    assert(c.getLong(2) == 0L && c.getLong(4) == 1L, s"singleton cusum: $c")
+    // seasonality: one event owns its weekday outright
+    assert(ops.Advanced.seasonality(noTyped, "event_type", "ts").count() == 0)
+    val s = ops.Advanced.seasonality(oneTyped, "event_type", "ts").head()
+    assert(s.getLong(1) == 1L && s.getLong(3) == 10000L && s.getBoolean(4),
+      s"singleton seasonality: $s")
+    val noUser = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    val oneUser = Seq((7L, ts, 2.5)).toDF("user_id", "ts", "value")
+    // rolling distinct: singleton reports exactly its own day
+    assert(ops.Advanced.rollingDistinct(noUser, "user_id", "ts", 7).count() == 0)
+    val r = ops.Advanced.rollingDistinct(oneUser, "user_id", "ts", 7).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L, s"singleton rolling: ${r.toSeq}")
+    // rfm: a lone user tops recency (nothing staler) and floors f/m
+    assert(ops.Advanced.rfm(noUser, "user_id", "ts", "value").count() == 0)
+    val f = ops.Advanced.rfm(oneUser, "user_id", "ts", "value").head()
+    assert((f.getInt(0), f.getInt(1), f.getInt(2), f.getLong(3)) == ((5, 1, 1, 1L)),
+      s"singleton rfm: $f")
+    // record linkage: empty and singleton name sets pair nothing
+    val noNames = Seq.empty[String].toDF("name")
+    assert(ops.Dedup.recordLinkage(noNames, "name", 3, 1000).count() == 0)
+    assert(ops.Dedup.recordLinkage(Seq("acme corp").toDF("name"), "name", 3, 1000)
+      .count() == 0)
+  }
 }

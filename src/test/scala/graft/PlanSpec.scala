@@ -402,6 +402,65 @@ class PlanSpec extends AnyFunSuite {
     assert(!sp.toString.contains("Join"), s"zipf fit plans a join:\n$sp")
   }
 
+  test("rolling distinct never plans a distinct aggregation or Expand") {
+    // the whole point of the next-active-day construction: each
+    // (user, end) is emitted once, so the final count is a PLAIN count —
+    // a count(distinct) or Expand here means the rewrite regressed
+    val plan = formatted(ops.Advanced.rollingDistinct(spark, sfDir))
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      s"rolling distinct fell back to count-distinct:\n$plan")
+    assert(!plan.contains("Expand"), s"rolling distinct plans an Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("MAD outliers broadcast both stat frames and stay windowless") {
+    val plan = formatted(ops.Mixing.madOutliers(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"median/MAD frames not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"MAD outliers plan a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stat-frame join degraded to SMJ:\n$plan")
+  }
+
+  test("cusum windows run above the daily aggregate with a broadcast total") {
+    val sp = ops.Advanced.cusum(spark, sfDir).queryExecution.sparkPlan
+    val wins = sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, s"cusum lost its windows:\n$sp")
+    def aggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case other => other.children.nonEmpty && other.children.forall(aggBelow)
+    }
+    assert(wins.forall(w => aggBelow(w.child)),
+      s"a cusum window consumes raw events, not the daily aggregate:\n$sp")
+    assert(!sp.toString.contains("SortMergeJoin"),
+      s"per-type totals not broadcast:\n$sp")
+  }
+
+  test("rfm is windowless — quintile thresholds broadcast, no global ntile sort") {
+    val plan = formatted(ops.Advanced.rfm(spark, sfDir))
+    assert(!plan.contains("Window"), s"rfm plans a window (ntile regression):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rfm stat join degraded to SMJ:\n$plan")
+  }
+
+  test("record linkage stays on the blocking equi-join — no cartesian pairing") {
+    val plan = formatted(ops.Dedup.recordLinkage(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"record linkage pairs outside the blocking join:\n$plan")
+  }
+
+  test("seasonality is joinless; its windows sit above the weekday aggregate") {
+    val sp = ops.Advanced.seasonality(spark, sfDir).queryExecution.sparkPlan
+    assert(!sp.toString.contains("Join"), s"seasonality plans a join:\n$sp")
+    val wins = sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    def aggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case other => other.children.nonEmpty && other.children.forall(aggBelow)
+    }
+    assert(wins.nonEmpty && wins.forall(w => aggBelow(w.child)),
+      s"seasonality windows the raw events:\n$sp")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
