@@ -114,4 +114,30 @@ class DeterminismSpec extends AnyFunSuite {
     val c = run(_.coalesce(1))
     assert(a == b && b == c, "pca projection depends on the input partitioning")
   }
+
+  test("round-6 event diagnostics are invariant to input layout") {
+    val events = Tables.events(spark, sfDir)
+    val runs: Seq[DataFrame => DataFrame] = Seq(
+      e => ops.Mixing.madOutliers(e, "event_type", "value"),
+      e => ops.Advanced.cusum(e, "event_type", "ts", "value"),
+      e => ops.Advanced.rfm(e, "user_id", "ts", "value"),
+      e => ops.Advanced.rollingDistinct(e, "user_id", "ts", 7),
+      e => ops.Advanced.seasonality(e, "event_type", "ts"))
+    runs.zipWithIndex.foreach { case (op, i) =>
+      val a = rowsOf(op(events.repartition(3)))
+      val b = rowsOf(op(events.repartition(17)))
+      val c = rowsOf(op(events.coalesce(1)))
+      assert(a == b && b == c, s"event op #$i depends on the input partitioning")
+    }
+  }
+
+  test("record linkage is invariant to input layout") {
+    val parts = Tables.part(spark, sfDir)
+    def run(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Dedup.recordLinkage(f(parts), "p_name", 3, 1000))
+    val a = run(_.repartition(3))
+    val b = run(_.repartition(17))
+    val c = run(_.coalesce(1))
+    assert(a == b && b == c, "record linkage depends on the input partitioning")
+  }
 }
