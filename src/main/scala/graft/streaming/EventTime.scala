@@ -63,6 +63,34 @@ object EventTime {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col(keyCol), col("n_events"))
 
+  /** Sliding-window distinct active users — the streaming twin of the
+    * batch [[graft.ops.Advanced.rollingDistinct]], spelled as CHAINED
+    * STATEFUL operators (supported since Spark 3.5, append mode): a
+    * streaming `dropDuplicates` on (user, window) feeds a windowed
+    * count. The dedup state store is the streaming equivalent of the
+    * batch construction's "each (user, end) emitted exactly once" —
+    * downstream the count is a PLAIN count, never count-distinct,
+    * which Structured Streaming could not express over sliding
+    * windows at all. The watermark evicts BOTH states as windows
+    * close; per-key state is partitioned across executors, so at
+    * scale state size is bounded by |active users| × window/slide,
+    * not by the stream. The same call works in batch (watermark and
+    * dedup state degrade to a plain distinct), which the parity spec
+    * pins against the batch operator.
+    */
+  def rollingDistinctUsers(events: DataFrame, tsCol: String, keyCol: String,
+                           windowLen: String, slide: String,
+                           watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("user_id"),
+        window(col(tsCol), windowLen, slide).as("win"))
+      .dropDuplicates("user_id", "win")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("win.start").as("w_start"), col("win.end").as("w_end"),
+        col("active_users"))
+
   /** Trending terms over a timestamped text stream: watermarked
     * tumbling-window (window, term) counts — the streaming half of the
     * corpus n-gram monitor ([[graft.ops.TextAnalysis.topNgrams]] is the

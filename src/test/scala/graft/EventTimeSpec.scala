@@ -238,4 +238,42 @@ class EventTimeSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     assert(streamed.map(_._1) == Set(31L), s"expected exactly the spike: $streamed")
   }
+
+  test("rolling distinct users: chained dedup+window states, late drop, batch parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def dts(day: Int) = new Timestamp(day.toLong * 86400000L)
+    val in = MemoryStream[TimedEvent]
+    val q = EventTime.rollingDistinctUsers(in.toDF(), "ts", "user_id",
+        "7 days", "1 day", "1 day")
+      .writeStream.format("memory").queryName("rolling_users")
+      .outputMode("append").start()
+    // u1 active days 0, 1 (twice — dedup state must collapse), 8; u2 day 1
+    val onTime = Seq(TimedEvent(1, dts(0), 1.0), TimedEvent(1, dts(1), 1.0),
+      TimedEvent(1, dts(1), 2.0), TimedEvent(2, dts(1), 1.0),
+      TimedEvent(1, dts(8), 1.0))
+    in.addData(onTime: _*)
+    q.processAllAvailable()
+    in.addData(TimedEvent(9, dts(40), 0.0)) // flush: closes every planted window
+    q.processAllAvailable()
+    in.addData(TimedEvent(3, dts(0), 1.0)) // late: behind the day-39 watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rolling_users")
+      .select(to_date(col("w_end") - expr("INTERVAL 1 DAY")).as("day"),
+        col("active_users"))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    // trailing-7 ends: day 0 → {u1}; 1..7 → {u1,u2}; 8..14 → {u1} (the
+    // flush user's windows are still open and must NOT appear; the late
+    // user-3 row must not have reopened day 0)
+    val want = (Map(0L -> 1L) ++ (1L to 7L).map(_ -> 2L) ++
+      (8L to 14L).map(_ -> 1L)).toMap
+    assert(got == want, s"stream windows wrong: $got")
+    // batch parity: the batch operator caps at the max active day — the
+    // stream, filtered to those ends, must agree exactly
+    val batch = ops.Advanced.rollingDistinct(onTime.toDF(), "user_id", "ts", 7)
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    assert(got.view.filterKeys(_ <= 8L).toMap == batch,
+      s"stream $got vs batch $batch")
+  }
 }
