@@ -567,6 +567,71 @@ object TextAnalysis {
       |  round(CAST(sum_micro_lp AS DOUBLE) / n_tokens / 1e6, 4) AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained BIGRAM language-model scoring — the context-aware
+    * step up from [[unigramLm]]: each document scored by its mean
+    * conditional log-probability ln p(w₂|w₁) = ln(count(w₁w₂) /
+    * count(w₁·)), the signal that separates locally-plausible word
+    * salad (good unigrams, nonsense transitions) from real prose.
+    * Trained on the corpus itself, so every observed bigram has
+    * count ≥ 1 and no smoothing is needed.
+    *
+    * Bigram derivation is ROW-LOCAL (an indexed `transform` over the
+    * token array — no window over the corpus-sized token stream, no
+    * self-join on position). The model is two vocabulary aggregates
+    * (bigram counts; prefix counts derived from the bigram frame, one
+    * level smaller); tokens reach both by shuffled equi-join —
+    * web-scale bigram vocabularies are 1e9+ entries, never broadcast.
+    * Micro-nat integer quantization before the per-doc sum keeps the
+    * score exact cross-engine ([[unigramLm]]'s discipline). Documents
+    * with fewer than two tokens have no transitions and drop out.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val big = d.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> x || ' ' || tk[i + 1])"))
+        .as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val pc = bc.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+    big
+      .join(bc, Seq("bg"))
+      .join(pc, Seq("w1"))
+      .select(col("doc_id"),
+        round(log(col("bc").cast("double") / col("pc")) * 1e6)
+          .cast("long").as("micro_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro_lp")).as("sum_micro_lp"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_lp").cast("double") / col("n_bigrams") / 1e6, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |big AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg, l[i] AS w1
+      |  FROM t, UNNEST(range(1, len(l))) AS u(i)),
+      |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS bc FROM big GROUP BY bg),
+      |pc AS (SELECT w1, CAST(count(*) AS BIGINT) AS pc FROM big GROUP BY w1),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(bc AS DOUBLE) / pc) * 1e6) AS BIGINT) AS micro_lp
+      |  FROM big JOIN bc USING (bg) JOIN pc USING (w1)),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(micro_lp) AS BIGINT) AS sum_micro_lp
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, sum_micro_lp,
+      |  round(CAST(sum_micro_lp AS DOUBLE) / n_bigrams / 1e6, 4) AS avg_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Compression-ratio quality signal: DEFLATE-compressed size over
     * raw byte size, per document — the redundancy detector the
     * CCNet/Gopher filter families run alongside token-level ratios

@@ -333,4 +333,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     val perQ = corpus.groupBy("query_id").count()
     assert(perQ.filter(col("count") > 5).count() == 0)
   }
+
+  test("bigramLm: hand-computed conditional log-probs; short docs drop out") {
+    import spark.implicits._
+    // bc: "a b"=3, "b a"=1, "b c"=1; prefix counts: a·=3, b·=2.
+    // doc 1 "a b a b": lp(b|a)=ln 1=0 twice, lp(a|b)=ln ½ → avg −0.2310
+    // doc 2 "a b c":   lp(b|a)=0, lp(c|b)=ln ½       → avg −0.3466
+    // doc 3 "x": a single token has no transitions → absent
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = ops.TextAnalysis.bigramLm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L), s"short doc must drop: $got")
+    assert(got(1L) == ((3L, -693147L, -0.231)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((2L, -693147L, -0.3466)), s"doc 2: ${got(2L)}")
+    // corpus run: log-probs never positive, every ≥2-token doc scored
+    val corpus = ops.TextAnalysis.bigramLm(spark, sfDir).cache()
+    assert(corpus.filter(col("avg_logprob") > 1e-9).count() == 0)
+    val expected = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(corpus.count() == expected, "a multi-token doc is missing a score")
+  }
 }
