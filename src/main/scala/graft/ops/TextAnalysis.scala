@@ -1110,6 +1110,88 @@ object TextAnalysis {
       |SELECT lang, CAST(rank AS INT) AS rank, pair, CAST(cnt AS BIGINT) AS cnt
       |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
 
+  /** Train a real BPE tokenizer on the corpus — the iterative
+    * merge loop [[bpePairs]] only previews. Sennrich-style: words
+    * become character sequences with a `</w>` end marker, and each
+    * round merges the globally most frequent adjacent symbol pair
+    * (frequency-weighted, ties broken lexicographically so training is
+    * deterministic), returning the ordered merge table a tokenizer
+    * ships with.
+    *
+    * Spark-first discipline for an inherently iterative algorithm:
+    * the corpus collapses ONCE to the (word, freq) vocabulary — BPE
+    * training never needs the corpus again, so 100 TB of text becomes
+    * a |vocab|-row frame. Each round is one pair-count aggregation
+    * over that frame plus a 1-row argmax collect (the bounded
+    * driver-side step [[graft.ops.Similarity]]'s IVF centroids
+    * legitimized), and the winning merge applies as a ROW-LOCAL
+    * `aggregate` lambda fold over each word's symbol array — no
+    * UDF, no shuffle. The vocabulary is `localCheckpoint`ed each
+    * round to cut the growing lambda lineage ([[graft.ops.Dedup]]'s
+    * connected-components discipline). The merge loop is not
+    * expressible in one SQL statement → rows-only driver check;
+    * the classic low/lower/lowest hand-trace is pinned in the spec.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir), "text", 8)
+
+  /** DataFrame-first form over any text frame. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        """concat(
+          |  CASE WHEN length(word) >= 1
+          |    THEN transform(sequence(1, length(word)), i -> substring(word, i, 1))
+          |    ELSE CAST(array() AS array<string>) END,
+          |  array('</w>')) AS syms""".stripMargin))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(expr(
+          """transform(slice(syms, 1, size(syms) - 1),
+            |  (x, i) -> struct(x AS l, syms[i + 1] AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        val merged = l + r
+        merges += ((round, l, r, merged, cnt))
+        vocab = vocab.select(col("freq"), expr(
+          s"""aggregate(
+             |  sequence(0, size(syms) - 1),
+             |  struct(CAST(array() AS array<string>) AS out, false AS skip),
+             |  (acc, i) -> CASE
+             |    WHEN acc.skip THEN struct(acc.out AS out, false AS skip)
+             |    WHEN i < size(syms) - 1 AND syms[i] = '${esc(l)}'
+             |         AND syms[i + 1] = '${esc(r)}'
+             |      THEN struct(concat(acc.out, array('${esc(merged)}')) AS out,
+             |                  true AS skip)
+             |    ELSE struct(concat(acc.out, array(syms[i])) AS out,
+             |                false AS skip)
+             |  END,
+             |  acc -> acc.out) AS syms""".stripMargin))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
   /** Zipf rank-frequency fit per language: least-squares slope and
     * intercept of ln(frequency) against ln(rank) over the term
     * vocabulary — the standard corpus-health diagnostic (natural

@@ -355,4 +355,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(size(split(col("text"), " ")) >= 2).count()
     assert(corpus.count() == expected, "a multi-token doc is missing a score")
   }
+
+  test("bpeTrain: the classic low/lower/lowest hand-trace, ties lexicographic") {
+    import spark.implicits._
+    // vocab: low×3, lower×1, lowest×1 (with </w> markers)
+    // r1: (l,o)=5 ties (o,w)=5 → lexicographic picks (l,o) → "lo"
+    // r2: (lo,w)=5 → "low"; r3: (low,</w>)=3; r4: (low,e)=2 → "lowe"
+    val docs = Seq("low low lower", "low lowest").toDF("text")
+    val got = ops.TextAnalysis.bpeTrain(docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "</w>", "low</w>", 3L),
+      (4, "low", "e", "lowe", 2L)), s"merge table wrong: ${got.toSeq}")
+    // exhaustion: a one-word corpus runs out of pairs and stops early
+    val tiny = Seq("ab").toDF("text")
+    val ex = ops.TextAnalysis.bpeTrain(tiny, "text", 10).collect()
+    // [a, b, </w>] → "ab" → "ab</w>" → single symbol, no pairs left
+    assert(ex.length == 2, s"ab</w> admits exactly 2 merges: ${ex.toSeq}")
+    // corpus run: rounds contiguous from 1, counts positive and
+    // non-increasing is NOT required (later merges can beat earlier
+    // counts only if ties — BPE counts are non-increasing in fact)
+    val corpus = ops.TextAnalysis.bpeTrain(
+      Tables.documents(spark, sfDir), "text", 8).cache()
+    assert(corpus.count() == 8)
+    assert(corpus.select("merge_round").collect().map(_.getInt(0)).toSeq == (1 to 8))
+    val counts = corpus.orderBy("merge_round").collect().map(_.getLong(4))
+    assert(counts.forall(_ > 0))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"BPE merge counts must be non-increasing: ${counts.toSeq}")
+  }
 }
