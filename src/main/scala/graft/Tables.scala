@@ -22,16 +22,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * by default (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-nano longs
-    * and rebuild a µs TimestampType column (floor division — matches
-    * DuckDB's ns→µs truncation), so callers see the documented schema.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops (which Spark's reader rejects by default —
+    * PARQUET_TYPE_ILLEGAL) and as plain TIMESTAMP(MICROS) in others, so
+    * normalize whatever is on disk to one caller-visible µs
+    * TimestampType column:
+    *  - NANOS: read as epoch-nano longs (`nanosAsLong`) and rebuild via
+    *    floor division — matches DuckDB's ns→µs truncation;
+    *  - MICROS without UTC adjustment: Spark infers TIMESTAMP_NTZ; the
+    *    session runs in UTC (GraftSession), so the cast to TimestampType
+    *    re-labels the same wall-clock instant losslessly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
