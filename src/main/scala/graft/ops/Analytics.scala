@@ -619,6 +619,85 @@ object Analytics {
     * rewritten per-call so concurrent queries cannot race on
     * `createOrReplaceTempView`).
     */
+  private val ItemsetMinSup = 2
+  private val ItemsetTopK = 50
+
+  /** Market-basket frequent item PAIRS with confidence and lift —
+    * association-rule mining over order baskets (Agrawal et al.,
+    * "Mining Association Rules", SIGMOD 1993; the pair level is the
+    * workhorse of co-occurrence recommendation).
+    *
+    * Scale shape: pair derivation is deliberately NOT a fact self-join
+    * (which would scan and shuffle lineitem twice). Baskets collapse to
+    * one sorted item array per order — a single keyed aggregate — and
+    * the i&lt;j pair expansion is ROW-LOCAL over that array, bounded by
+    * basket size squared (TPC-H baskets hold ≤ 7 items, so ≤ 21 pairs
+    * per order at any corpus size). Pair counts cut to the top
+    * [[ItemsetTopK]] via TakeOrdered (never a global sort), and only
+    * that bounded frame broadcasts into the item-support joins; the
+    * |parts|-sized support side streams. Confidence and lift divide
+    * exact BIGINT counts once at the end — cross-engine bit-identical.
+    */
+  def freqItemsets(spark: SparkSession, dir: String): DataFrame =
+    freqItemsets(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+
+  /** DataFrame-first form. */
+  def freqItemsets(lines: DataFrame, orderCol: String, itemCol: String,
+                   minSup: Int = ItemsetMinSup, k: Int = ItemsetTopK): DataFrame = {
+    val b = lines.select(col(orderCol).as("ok"), col(itemCol).as("pk")).distinct()
+    val pairs = b.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(tk) - 2),
+          |  i -> transform(sequence(i + 1, size(tk) - 1),
+          |    j -> named_struct('a', tk[i], 'b', tk[j]))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+    val pc = pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSup)
+      .orderBy(col("pair_cnt").desc, col("part_a"), col("part_b"))
+      .limit(k)
+    val items = b.groupBy(col("pk")).agg(count(lit(1)).as("item_cnt"))
+    val n = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val withA = items.join(broadcast(pc), col("pk") === col("part_a"))
+      .select(col("part_a"), col("part_b"), col("pair_cnt"),
+        col("item_cnt").as("cnt_a"))
+    items.withColumnRenamed("pk", "pk_b")
+      .withColumnRenamed("item_cnt", "cnt_b")
+      .join(broadcast(withA), col("pk_b") === col("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"),
+        round(col("pair_cnt").cast("double") / col("cnt_a"), 4).as("conf_ab"),
+        round((col("pair_cnt") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")), 4).as("lift"))
+      .orderBy(col("pair_cnt").desc, col("part_a"), col("part_b"))
+  }
+
+  val freqItemsetsSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS (
+      |  SELECT a.pk AS part_a, c.pk AS part_b, count(*) AS pair_cnt
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT part_a, part_b, pair_cnt,
+      |    row_number() OVER (ORDER BY pair_cnt DESC, part_a, part_b) AS rn
+      |  FROM p WHERE pair_cnt >= $ItemsetMinSup),
+      |i AS (SELECT pk, count(*) AS cnt FROM b GROUP BY pk),
+      |n AS (SELECT count(*) AS n_orders FROM (SELECT DISTINCT ok FROM b))
+      |SELECT part_a, part_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+      |  CAST(ia.cnt AS BIGINT) AS cnt_a, CAST(ib.cnt AS BIGINT) AS cnt_b,
+      |  round(CAST(pair_cnt AS DOUBLE) / ia.cnt, 4) AS conf_ab,
+      |  round(CAST(pair_cnt * n_orders AS DOUBLE) / (ia.cnt * ib.cnt), 4) AS lift
+      |FROM top
+      |JOIN i ia ON part_a = ia.pk
+      |JOIN i ib ON part_b = ib.pk
+      |CROSS JOIN n
+      |WHERE rn <= $ItemsetTopK
+      |ORDER BY pair_cnt DESC, part_a, part_b""".stripMargin
+
   private def runWithTables(spark: SparkSession, dir: String, sql: String,
                             names: Seq[String]): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")

@@ -566,6 +566,39 @@ object Dedup {
       |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
       |ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-aware training weights — the SOFT alternative to hard
+    * dedup (keep every copy, downweight each by its cluster size so a
+    * document duplicated a thousand times contributes one document's
+    * worth of gradient). Weight = 1e6/n_copies in integer PPM (floor),
+    * so the report is cross-engine exact; a cluster's total weight is
+    * within (n_copies−1) ppm of exactly 1.0.
+    *
+    * Scale shape: the same digest discipline as [[dedupExact]] /
+    * [[canonicalize]] — one census aggregate keyed on the 16-byte
+    * md5 digest, one digest-keyed equi-join back; no window, nothing
+    * text-keyed crosses an exchange.
+    */
+  def dedupWeight(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val census = docs
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__digest"))
+      .join(census, "__digest")
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000L div n_copies").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupWeight(spark: SparkSession, dir: String): DataFrame =
+    dedupWeight(Tables.documents(spark, dir), "doc_id", "text")
+
+  val dedupWeightSql: String =
+    """WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY text)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_copies,
+      |  CAST(1000000 // n AS BIGINT) AS weight_ppm
+      |FROM documents JOIN c USING (text)
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-duplicate cluster formation: connected components over the
     * MinHash-verified similarity graph (Jaccard ≥ 0.7), via iterative
     * min-label propagation — each round, every doc takes the minimum

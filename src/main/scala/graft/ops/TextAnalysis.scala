@@ -1350,6 +1350,129 @@ object TextAnalysis {
       |FROM rk WHERE rank <= $SparseKnnK
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Unicode script mix + encoding-damage audit per language — the
+    * mojibake/encoding QA gate a multilingual crawl needs before
+    * training: per lang, exact character counts by script class
+    * (ASCII letters, digits, Cyrillic, CJK, other-non-ASCII) plus the
+    * two hard encoding-bug signals — U+FFFD replacement characters
+    * (the scar a lossy decode leaves) and C0 control characters — and
+    * the count of documents carrying either. Everything is an exact
+    * BIGINT count from RE2-compatible character-class patterns both
+    * engines share; the non-ASCII share is floor basis points.
+    * Row-local projection + one |langs|-row aggregate: scan speed at
+    * any corpus size.
+    */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame =
+    scriptMix(Tables.documents(spark, dir), "lang", "text")
+
+  /** DataFrame-first form. */
+  def scriptMix(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, langCol -> "lang", textCol -> "text")
+    def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
+    val perDoc = d.select(col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      cnt("[A-Za-z]").as("n_ascii_alpha"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),
+      cnt("[\\u4e00-\\u9fff]").as("n_cjk"),
+      cnt("[^\\x00-\\x7F]").as("n_non_ascii"),
+      cnt("\\uFFFD").as("n_replacement"),
+      cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_ascii_alpha")).as("ascii_alpha"),
+        sum(col("n_digit")).as("digits"),
+        sum(col("n_cyrillic")).as("cyrillic"),
+        sum(col("n_cjk")).as("cjk"),
+        sum(col("n_non_ascii")).as("non_ascii"),
+        sum(col("n_replacement")).as("replacement_chars"),
+        sum(col("n_control")).as("control_chars"),
+        count_if(col("n_replacement") > 0 || col("n_control") > 0)
+          .as("docs_damaged"))
+      .withColumn("non_ascii_bp",
+        expr("non_ascii * 10000L div greatest(sum_chars, 1L)"))
+      .orderBy(col("lang"))
+  }
+
+  val scriptMixSql: String =
+    """WITH d AS (
+      |  SELECT lang, len(text) AS n_chars,
+      |    len(regexp_extract_all(text, '[A-Za-z]')) AS a_alpha,
+      |    len(regexp_extract_all(text, '[0-9]')) AS a_digit,
+      |    len(regexp_extract_all(text, '[\x{400}-\x{4FF}]')) AS a_cyr,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS a_cjk,
+      |    len(regexp_extract_all(text, '[^\x{00}-\x{7F}]')) AS a_nonascii,
+      |    len(regexp_extract_all(text, '\x{FFFD}')) AS a_repl,
+      |    len(regexp_extract_all(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]')) AS a_ctrl
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(a_alpha) AS BIGINT) AS ascii_alpha,
+      |  CAST(sum(a_digit) AS BIGINT) AS digits,
+      |  CAST(sum(a_cyr) AS BIGINT) AS cyrillic,
+      |  CAST(sum(a_cjk) AS BIGINT) AS cjk,
+      |  CAST(sum(a_nonascii) AS BIGINT) AS non_ascii,
+      |  CAST(sum(a_repl) AS BIGINT) AS replacement_chars,
+      |  CAST(sum(a_ctrl) AS BIGINT) AS control_chars,
+      |  CAST(count(*) FILTER (a_repl > 0 OR a_ctrl > 0) AS BIGINT) AS docs_damaged,
+      |  CAST((sum(a_nonascii) * 10000) // greatest(sum(n_chars), 1) AS BIGINT)
+      |    AS non_ascii_bp
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val HeavyWidth = 200
+
+  /** Sketch-pruned EXACT frequent terms: every term holding more than
+    * 1/[[HeavyWidth]] of the corpus token stream, with its exact count
+    * and floor-basis-point share.
+    *
+    * Scale shape — the reason this isn't a plain vocabulary aggregate:
+    * at 100 TB the distinct-term vocabulary is far larger than any
+    * executor's aggregation hash map wants to hold, but the answer set
+    * is tiny (≤ width terms can each exceed N/width). Pass 1 runs the
+    * bounded [[graft.functions.MisraGriesAggregator]] — O(width)
+    * state per partition regardless of vocabulary size, mergeable, and
+    * guaranteed to surface every term with true count > N/(width+1) —
+    * together with the exact stream length N in the SAME single scan.
+    * Pass 2 re-scans counting ONLY the ≤ width candidates (a
+    * driver-bounded literal IN set — the IVF-centroid fixed-size
+    * collect pattern), so the aggregation state is candidate-bounded,
+    * and keeps terms whose EXACT count clears N/width. The sketch
+    * prunes; the output carries zero sketch error — which is what makes
+    * the DuckDB oracle an exact check.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir), "text")
+
+  /** DataFrame-first form. */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   width: Int = HeavyWidth): DataFrame = {
+    val d = canon(docs, textCol -> "text")
+    val terms = d.select(explode(toks).as("term"))
+    val row = terms.agg(
+      graft.functions.MisraGries.misraGries(width)(col("term")).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val inCand =
+      if (cand.isEmpty) lit(false) else col("term").isInCollection(cand)
+    terms.filter(inCand)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(width.toLong) > lit(n))
+      .select(col("term"), col("cnt"),
+        expr(s"cnt * 10000L div ${n}L").as("share_bp"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |n AS (SELECT count(*) AS n FROM t),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
+      |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST((cnt * 10000) // n AS BIGINT) AS share_bp
+      |FROM c, n WHERE cnt * $HeavyWidth > n
+      |ORDER BY cnt DESC, term""".stripMargin
+
   val zipfFitSql: String =
     """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
       |tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term),

@@ -280,4 +280,30 @@ class AnalyticsSpec extends AnyFunSuite {
       "concentration tails must be monotone")
     assert(byBin.head.getDouble(3) == 1.0 && byBin.head.getDouble(4) == 1.0)
   }
+
+  test("freqItemsets: planted baskets score exact support/confidence/lift; sub-support absent") {
+    import spark.implicits._
+    // baskets: o1{10,20} o2{10,20} o3{10,20,30} o4{30,40} o5{40,10};
+    // the duplicated (1,10) line must not inflate support (DISTINCT).
+    val lines = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 30L), (4L, 40L),
+      (5L, 40L), (5L, 10L)).toDF("ok", "pk")
+    val got = ops.Analytics.freqItemsets(lines, "ok", "pk").collect()
+    // only (10,20) reaches support 2 (it has 3); every other pair is 1
+    assert(got.length == 1, s"expected one surviving pair: ${got.toSeq}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((10L, 20L, 3L, 4L, 3L)), s"counts wrong: $r")
+    // conf = 3/4; lift = 3·5/(4·3) = 1.25 — exact divisions of exact counts
+    assert(r.getDouble(5) == 0.75 && r.getDouble(6) == 1.25, s"ratios wrong: $r")
+    // corpus run: pairs ordered by support; confidence within (0,1]
+    val corpus = ops.Analytics.freqItemsets(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.length <= 50)
+    val sups = corpus.map(_.getLong(2)).toSeq
+    assert(sups.zip(sups.tail).forall { case (a, b) => a >= b })
+    assert(corpus.forall(r => r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
+  }
 }

@@ -269,4 +269,27 @@ class DedupSpec extends AnyFunSuite {
     assert(corpus.filter(col("dist") < 1 || col("dist") > 3).count() == 0)
   }
 
+  test("dedupWeight: cluster weights floor at 1e6/n and nearly conserve unit mass per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),
+      (4L, "bbb"),
+      (5L, "ccc"), (6L, "ccc")).toDF("doc_id", "text")
+    val got = ops.Dedup.dedupWeight(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L),
+      (5L, 2L, 500000L), (6L, 2L, 500000L)), s"weights wrong: $got")
+    // corpus invariant: every doc weighted, weights in (0, 1e6],
+    // and effective size (Σw/1e6) never exceeds the distinct-text count
+    val corpus = ops.Dedup.dedupWeight(spark, sfDir).cache()
+    assert(corpus.count() == Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(col("weight_ppm") <= 0 ||
+      col("weight_ppm") > 1000000L).count() == 0)
+    val eff = corpus.agg(sum("weight_ppm")).head().getLong(0)
+    val distinctTexts = Tables.documents(spark, sfDir)
+      .select("text").distinct().count()
+    assert(eff <= distinctTexts * 1000000L)
+  }
 }

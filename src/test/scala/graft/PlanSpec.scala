@@ -461,6 +461,16 @@ class PlanSpec extends AnyFunSuite {
       s"seasonality windows the raw events:\n$sp")
   }
 
+  test("heavy hitters: candidate-bounded final count — no join, no window, literal IN set") {
+    val plan = formatted(ops.TextAnalysis.heavyHitters(spark, sfDir))
+    assert(!plan.contains("Join"), s"heavy hitters joins its candidate set:\n$plan")
+    assert(!plan.contains("Window"), s"heavy hitters ranks through a window:\n$plan")
+    // one keyed exchange for the candidate-only count — candidates ride
+    // as a literal IN filter, never a shuffled/broadcast frame
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"heavy hitters shuffles more than its single aggregate:\n$plan")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)

@@ -387,4 +387,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
       s"BPE merge counts must be non-increasing: ${counts.toSeq}")
   }
+
+  test("scriptMix: planted Cyrillic/CJK/mojibake counts exact; clean ASCII flags nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "abc 123"),
+      ("ru", "привет hi"),
+      ("zh", "你好 world"),
+      ("en", "bad\uFFFDtext\u0001")).toDF("lang", "text")
+    val got = ops.TextAnalysis.scriptMix(docs, "lang", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4)) ==
+      ((2L, 16L, 10L, 3L)), s"en counts wrong: $en")
+    assert((en.getLong(8), en.getLong(9), en.getLong(10), en.getLong(11)) ==
+      ((1L, 1L, 1L, 625L)), s"en damage wrong: $en")
+    val ru = got("ru")
+    assert((ru.getLong(2), ru.getLong(3), ru.getLong(5), ru.getLong(7),
+      ru.getLong(10), ru.getLong(11)) == ((9L, 2L, 6L, 6L, 0L, 6666L)),
+      s"ru counts wrong: $ru")
+    val zh = got("zh")
+    assert((zh.getLong(2), zh.getLong(3), zh.getLong(6), zh.getLong(11)) ==
+      ((8L, 5L, 2L, 2500L)), s"zh counts wrong: $zh")
+    // corpus invariants: class counts bounded by chars, share within [0,10000]
+    val corpus = ops.TextAnalysis.scriptMix(spark, sfDir).cache()
+    assert(corpus.filter(col("ascii_alpha") + col("digits") > col("sum_chars")).count() == 0)
+    assert(corpus.filter(col("non_ascii_bp") < 0 || col("non_ascii_bp") > 10000).count() == 0)
+  }
+
+  test("heavyHitters: sketch-pruned output equals brute force on a vocab far above the width") {
+    import spark.implicits._
+    // 3000 singleton terms crowd a width-16 summary; three planted
+    // heavies must still surface with EXACT counts — the MG guarantee.
+    val noise = (1 to 3000).map(i => s"rare$i")
+    val heavies = Seq.fill(300)("alpha") ++ Seq.fill(280)("beta") ++ Seq.fill(260)("gamma")
+    val words = new scala.util.Random(42).shuffle((noise ++ heavies).toVector)
+    val docs = words.grouped(37).map(_.mkString(" ")).toSeq.toDF("text")
+    val w = 16
+    val got = ops.TextAnalysis.heavyHitters(docs, "text", w).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = noise.size + heavies.size
+    // brute force: exact counts, threshold cnt * w > n
+    val brute = Seq("alpha" -> 300L, "beta" -> 280L, "gamma" -> 260L)
+      .filter { case (_, c) => c * w > n }
+    assert(got == brute, s"got $got expected $brute")
+    // layout invariance: the exact verification pass erases any
+    // partition-order dependence in the sketch's candidate set
+    val re = ops.TextAnalysis.heavyHitters(docs.repartition(7), "text", w)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(re == brute, s"under repartition(7): $re")
+    // empty corpus degrades to an empty report
+    assert(ops.TextAnalysis.heavyHitters(
+      Seq.empty[String].toDF("text"), "text", w).count() == 0)
+  }
 }
