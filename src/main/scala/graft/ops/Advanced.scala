@@ -684,6 +684,68 @@ object Advanced {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Weekly cohort retention MATRIX — [[retention]]'s production form:
+    * users grouped by first-activity ISO week, each cohort's distinct
+    * active users counted at every later week offset, with the
+    * retention share in floor basis points against the cohort's size.
+    * The triangle (cohort week × week offset) is the standard
+    * engagement report; the share column is what makes cohorts of
+    * different sizes comparable.
+    *
+    * Scale shape: two user-keyed aggregates (first week, distinct
+    * user-weeks), one user-keyed equi-join, a |weeks|²-bounded grid
+    * aggregate, and a |weeks|-row broadcast join for cohort sizes —
+    * nothing event-volume-sized crosses the final exchanges and no
+    * window anywhere. Offsets divide exact day counts by 7 (both
+    * engines floor positive integer division); shares are
+    * floor-basis-point BIGINTs, immune to float summation order.
+    */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame =
+    cohortMatrix(Tables.events(spark, dir), "user_id", "ts")
+
+  /** DataFrame-first form. */
+  def cohortMatrix(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    val cohorts = activity.groupBy(col("u"))
+      .agg(min(col("week")).as("cohort_week"))
+    val grid = activity.join(cohorts, Seq("u"))
+      .withColumn("week_offset",
+        expr("datediff(week, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = grid.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    grid.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 10000L div cohort_size").as("retention_bp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortMatrixSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |cohorts AS (
+      |  SELECT u, min(week) AS cohort_week FROM activity GROUP BY u),
+      |grid AS (
+      |  SELECT cohort_week, (week - cohort_week) // 7 AS week_offset,
+      |    count(*) AS n_users
+      |  FROM activity JOIN cohorts USING (u)
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_week, n_users AS cohort_size FROM grid
+      |  WHERE week_offset = 0)
+      |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size,
+      |  CAST(n_users * 10000 // cohort_size AS BIGINT) AS retention_bp
+      |FROM grid JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Correlated subqueries, written in SQL because correlation is
     * SQL-native: a correlated scalar subquery (max supplier balance in
     * the customer's nation — max, not avg, so the scalar is exact and

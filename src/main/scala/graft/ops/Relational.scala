@@ -248,6 +248,50 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
+  /** Mergeable HLL distinct-count sketches (Apache DataSketches HLL,
+    * Spark 3.5+ `hll_sketch_agg`/`hll_union_agg`) — the capability
+    * [[approxDistinct]]'s scalar estimate lacks: per-shard sketches are
+    * STORED STATE that re-aggregates without rescanning the data. At
+    * 100 TB this is how distinct-user/doc counts roll up across
+    * partitions, days, and datacenters: build once per shard, union the
+    * ≤ |shards| fixed-size (2^lgK registers) byte arrays for any
+    * cross-shard total. Per source: sketch estimate + exact distinct +
+    * the error in basis points. HLL registers are deterministic and
+    * merge by register-max, so the report is layout-invariant (pinned
+    * in spec). Union-of-sketches tracks sketch-of-union within the
+    * configured error but is NOT bit-identical: a streamed sketch
+    * reports the HIP estimator, a union result the composite one —
+    * the spec pins the tolerance, not equality. No DuckDB analogue of
+    * the sketch → rows-only driver check.
+    */
+  def hllSketch(spark: SparkSession, dir: String): DataFrame =
+    hllSketch(Tables.documents(spark, dir), "source", "text")
+
+  /** DataFrame-first form: distinct `valCol` per `grpCol` group. */
+  def hllSketch(docs: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val perGroup = docs.groupBy(col(grpCol).as("grp"))
+      .agg(hll_sketch_agg(col(valCol), 12).as("sk"),
+        count_distinct(col(valCol)).as("exact_distinct"))
+    // the ≤|groups| sketch rows collapse to ONE sorted partition before
+    // the union: DataSketches' composite estimate can differ in its low
+    // digits with merge ORDER, so pinning the sequence is what makes
+    // the report layout-invariant (asserted in RelationalSpec)
+    val union = perGroup.coalesce(1).sortWithinPartitions("grp")
+      .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = false).as("sk"))
+    val globalExact = docs.agg(count_distinct(col(valCol)).as("g"))
+      .select(col("g")).head().getLong(0)
+    val all = union.select(lit("__ALL__").as("grp"),
+      col("sk"), lit(globalExact).as("exact_distinct"))
+    perGroup.select(col("grp"), col("sk"), col("exact_distinct"))
+      .unionByName(all)
+      .select(col("grp").as("source"),
+        hll_sketch_estimate(col("sk")).as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_bp",
+        expr("abs(est_distinct - exact_distinct) * 10000L div greatest(exact_distinct, 1L)"))
+      .orderBy(col("source"))
+  }
+
   /** Set operations (UNION/INTERSECT/EXCEPT, all DISTINCT semantics). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

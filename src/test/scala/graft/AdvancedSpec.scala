@@ -496,4 +496,32 @@ class AdvancedSpec extends AnyFunSuite {
     assert(sums.filter(col("s") > 10000 || col("s") < 9993).count() == 0)
     assert(sums.filter(col("p") =!= 1L).count() == 0)
   }
+
+  test("cohortMatrix: planted cohorts retain exactly; offset-0 share is always 10000 bp") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // weeks (Mondays): W0=2024-01-01, W1=01-08, W2=01-15, W3=01-22
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-03 11:00:00")), // u1 W0 ×2
+      (1L, t("2024-01-16 09:00:00")),                                 // u1 W2
+      (2L, t("2024-01-02 08:00:00")),                                 // u2 W0
+      (3L, t("2024-01-15 12:00:00")), (3L, t("2024-01-22 12:00:00"))  // u3 W2,W3
+    ).toDF("user_id", "ts")
+    val got = ops.Advanced.cohortMatrix(events, "user_id", "ts").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 10000L)),
+      ("2024-01-01", 2L) -> ((1L, 2L, 5000L)),
+      ("2024-01-15", 0L) -> ((1L, 1L, 10000L)),
+      ("2024-01-15", 1L) -> ((1L, 1L, 10000L))), s"matrix wrong: $got")
+    // corpus invariants: offset 0 exists per cohort at 10000 bp; counts
+    // never exceed the cohort size; offsets non-negative
+    val corpus = ops.Advanced.cohortMatrix(spark, sfDir).cache()
+    assert(corpus.filter(col("week_offset") === 0)
+      .filter(col("retention_bp") =!= 10000L || col("n_users") =!= col("cohort_size"))
+      .count() == 0)
+    assert(corpus.filter(col("n_users") > col("cohort_size")).count() == 0)
+    assert(corpus.filter(col("week_offset") < 0).count() == 0)
+  }
 }

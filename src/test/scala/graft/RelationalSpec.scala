@@ -217,4 +217,30 @@ class RelationalSpec extends AnyFunSuite {
       7L -> ((70.0, "inserted"))),
       s"merge produced $out")
   }
+
+  test("hllSketch: union row merges shard sketches to the whole-corpus estimate; error bounded") {
+    val df = ops.Relational.hllSketch(spark, sfDir).cache()
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.contains("__ALL__"), s"union row missing: ${rows.keys}")
+    // register-max merge: the union of per-source sketches must track a
+    // one-pass whole-corpus sketch within the configured error (NOT
+    // bit-equal — streamed sketches report HIP, unions composite)
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val whole = Tables.documents(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("text"), 12)).as("e"))
+      .head().getLong(0)
+    val unionEst = rows("__ALL__")._1
+    assert(math.abs(unionEst - whole) * 10000L <= 200L * whole,
+      s"union-of-sketches $unionEst drifted from sketch-of-union $whole")
+    // lgK=12 keeps relative error ~1.6%; allow 400 bp headroom
+    assert(rows.values.forall(_._3 <= 400),
+      s"sketch error exceeded 400 bp: $rows")
+    // layout invariance: register merge is commutative/associative
+    val re = ops.Relational.hllSketch(
+      Tables.documents(spark, sfDir).repartition(17), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      "hll report must be layout-invariant")
+  }
 }
