@@ -23,6 +23,7 @@ case class MediaRecord(
 case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Long,
     detected_format: String, decoded_w: Int, decoded_h: Int,
+    audio_rate: Int, audio_channels: Int, audio_ms: Long,
     mean_byte: Double, byte_entropy: Double,
     resized_w: Int, resized_h: Int, histogram: String)
 
@@ -148,6 +149,39 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE `fmt ` + `data` chunk walk — the audio sibling of
+    * [[headerDims]], again pure public byte-layout parsing (RIFF
+    * chunks are `[4-byte id][u32le size][payload]`, first at offset
+    * 12; the PCM `fmt ` chunk carries channels at +2, sample rate at
+    * +4, bits per sample at +14). Returns
+    * (sampleRate, channels, bitsPerSample, durationMs) with duration
+    * derived from the `data` chunk byte length — (0,0,0,0) for
+    * non-WAV or truncated payloads.
+    */
+  private[graft] def wavInfo(b: Array[Byte]): (Int, Int, Int, Long) = {
+    @inline def u(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24)) & 0xffffffffL
+    if (sniffFormat(b) != "wav") return (0, 0, 0, 0L)
+    var i = 12
+    var rate = 0; var ch = 0; var bits = 0; var dataLen = 0L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        ch = le16(i + 8 + 2)
+        rate = le32(i + 8 + 4).toInt
+        bits = le16(i + 8 + 14)
+      } else if (id == "data") dataLen = sz
+      // chunks are u16-aligned: odd sizes carry one pad byte
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    val bytesPerSec = rate.toLong * ch * bits / 8
+    val ms = if (bytesPerSec > 0) dataLen * 1000L / bytesPerSec else 0L
+    (rate, ch, bits, ms)
+  }
+
   /** Decoder front-end. Container sniffing and header dimensions are
     * REAL byte parsing ([[sniffFormat]]/[[headerDims]]); the
     * pixel-level statistics that would need an actual codec library
@@ -175,9 +209,11 @@ object Multimodal {
     val scale = 224.0 / math.max(r.width, r.height)
     val fmt = sniffFormat(bytes)
     val (dw, dh) = headerDims(bytes, fmt)
+    val (rate, ch, _, ms) = wavInfo(bytes)
     MediaFeatures(
       r.doc_id, r.media_type, bytes.length.toLong,
       detected_format = fmt, decoded_w = dw, decoded_h = dh,
+      audio_rate = rate, audio_channels = ch, audio_ms = ms,
       mean_byte = math.rint(sum.toDouble / n * 100) / 100,
       byte_entropy = math.rint(entropy * 10000) / 10000,
       resized_w = math.max(1, math.rint(r.width * scale).toInt),

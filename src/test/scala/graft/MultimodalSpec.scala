@@ -79,15 +79,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(headerDims(png.take(20), "png") == ((0, 0)))
   }
 
+  test("wavInfo: planted PCM fmt/data chunks decode rate, channels, bits and duration") {
+    import ops.Multimodal.wavInfo
+    def le32(v: Long) = Array[Int]((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff)
+    // 44100 Hz stereo 16-bit, 1 s of data = 176400 bytes
+    val fmtChunk = "fmt ".map(_.toInt).toArray ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
+    val dataChunk = "data".map(_.toInt).toArray ++ le32(176400)
+    val wav = ("RIFF".map(_.toInt).toArray ++ le32(36 + 176400) ++
+      "WAVE".map(_.toInt).toArray ++ fmtChunk ++ dataChunk).map(_.toByte)
+    assert(wavInfo(wav) == ((44100, 2, 16, 1000L)), s"got ${wavInfo(wav)}")
+    // an odd-sized junk chunk before fmt must be skipped with its pad byte
+    val junk = "JUNK".map(_.toInt).toArray ++ le32(3) ++ Array(1, 2, 3, 0)
+    val wav2 = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++ junk ++ fmtChunk ++ dataChunk).map(_.toByte)
+    assert(wavInfo(wav2) == ((44100, 2, 16, 1000L)))
+    // half a second, mono 8-bit 8000 Hz: 4000 bytes
+    val fmt8 = "fmt ".map(_.toInt).toArray ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val wav3 = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++ fmt8 ++
+      ("data".map(_.toInt).toArray ++ le32(4000))).map(_.toByte)
+    assert(wavInfo(wav3) == ((8000, 1, 8, 500L)))
+    // non-WAV and truncated payloads answer zeros, never throw
+    assert(wavInfo("not audio".getBytes) == ((0, 0, 0, 0L)))
+    assert(wavInfo(wav.take(14)) == ((0, 0, 0, 0L)))
+  }
+
   test("mediaFeatures surfaces planted real headers through the full pipeline") {
     import spark.implicits._
     val png = Array[Int](
       0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       0, 0, 0, 13, 'I', 'H', 'D', 'R',
       0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    def le32(v: Long) = Array[Int]((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff)
+    val wav = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++
+      ("fmt ".map(_.toInt).toArray ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)) ++
+      ("data".map(_.toInt).toArray ++ le32(4000))).map(_.toByte)
     val cat = Seq(
       ops.MediaRecord(1L, "image", png, 640, 480, 1),
-      ops.MediaRecord(2L, "image", "plain text bytes".getBytes, 64, 64, 1))
+      ops.MediaRecord(2L, "image", "plain text bytes".getBytes, 64, 64, 1),
+      ops.MediaRecord(3L, "audio", wav, 1, 1, 1))
       .toDF()
     val got = ops.Multimodal.mediaFeatures(cat).collect()
     val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -96,6 +134,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L).getAs[Int]("decoded_h") == 480)
     assert(byId(2L).getAs[String]("detected_format") == "unknown")
     assert(byId(2L).getAs[Int]("decoded_w") == 0)
+    assert(byId(3L).getAs[String]("detected_format") == "wav")
+    assert(byId(3L).getAs[Int]("audio_rate") == 8000)
+    assert(byId(3L).getAs[Int]("audio_channels") == 1)
+    assert(byId(3L).getAs[Long]("audio_ms") == 500L)
+    assert(byId(1L).getAs[Int]("audio_rate") == 0, "images carry no audio fields")
   }
 
   test("frameSample: only videos; <=4 frames each; offsets inside the payload") {
