@@ -1192,6 +1192,73 @@ object TextAnalysis {
       .orderBy(col("merge_round"))
   }
 
+  /** BPE tokenizer APPLICATION — the consuming half of [[bpeTrain]]:
+    * tokenize every document with the first `nMerges` trained merges
+    * and report per-doc whitespace-word count, BPE token count, and
+    * integer centi-chars-per-token (the compression ratio a tokenizer
+    * shopper actually compares).
+    *
+    * Scale shape — merges apply at the VOCABULARY level, never per
+    * document occurrence: the corpus collapses to distinct words once,
+    * each trained merge is one row-local `aggregate` lambda fold over
+    * the word's symbol array (nMerges chained projections over the
+    * bounded vocab frame), and documents reach their token counts
+    * through a word-keyed equi-join of that (word, n_toks) lookup —
+    * the [[tfidf]] shuffled-vocabulary discipline. A word repeated a
+    * billion times across 100 TB is re-tokenized exactly once. The
+    * trained merge table itself is a ≤ nMerges driver-side literal
+    * (the IVF-centroid bounded-collect pattern). Merge order is
+    * deterministic (count desc, lexicographic ties) → the report is
+    * layout-invariant; no single-SQL oracle exists for the iterative
+    * trainer → rows-only driver check, hand-trace parity in spec.
+    */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApply(Tables.documents(spark, dir), "doc_id", "text", 8)
+
+  /** DataFrame-first form. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val merges = bpeTrain(docs, textCol, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    var vocab = d.select(explode(toks).as("word")).distinct()
+      .select(col("word"), expr(
+        """concat(
+          |  CASE WHEN length(word) >= 1
+          |    THEN transform(sequence(1, length(word)), i -> substring(word, i, 1))
+          |    ELSE CAST(array() AS array<string>) END,
+          |  array('</w>')) AS syms""".stripMargin))
+    merges.foreach { case (l, r, merged) =>
+      vocab = vocab.select(col("word"), expr(
+        s"""aggregate(
+           |  sequence(0, size(syms) - 1),
+           |  struct(CAST(array() AS array<string>) AS out, false AS skip),
+           |  (acc, i) -> CASE
+           |    WHEN acc.skip THEN struct(acc.out AS out, false AS skip)
+           |    WHEN i < size(syms) - 1 AND syms[i] = '${esc(l)}'
+           |         AND syms[i + 1] = '${esc(r)}'
+           |      THEN struct(concat(acc.out, array('${esc(merged)}')) AS out,
+           |                  true AS skip)
+           |    ELSE struct(concat(acc.out, array(syms[i])) AS out,
+           |                false AS skip)
+           |  END,
+           |  acc -> acc.out) AS syms""".stripMargin))
+    }
+    val lookup = vocab.select(col("word"), size(col("syms")).cast("long").as("n_toks"))
+    d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(toks).as("word"))
+      .join(lookup, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        first(col("n_chars")).as("n_chars"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        expr("n_chars * 100L div greatest(n_bpe_tokens, 1L)")
+          .as("centi_chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf rank-frequency fit per language: least-squares slope and
     * intercept of ln(frequency) against ln(rank) over the term
     * vocabulary — the standard corpus-health diagnostic (natural

@@ -388,6 +388,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"BPE merge counts must be non-increasing: ${counts.toSeq}")
   }
 
+  test("bpeApply: classic hand-trace token counts; more merges never grow the total") {
+    import spark.implicits._
+    // low ×5, lower ×2, newest ×6, widest ×3 — Sennrich's worked example
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    // merges (count desc, lexicographic ties): es(9), est(9), est</w>(9),
+    // lo(7), low(7), e+st</w>? — after 5 merges the token counts are
+    // hand-checkable: newest → [n,e,w,est</w>] = 4, widest → [w,i,d,est</w>] = 4,
+    // low → [low,</w>] = 2, lower → [low,e,r,</w>] = 4
+    val got = ops.TextAnalysis.bpeApply(corpus, "doc_id", "text", 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 10L)), s"low×5 wrong: $got")
+    assert(got(2L) == ((2L, 8L)), s"lower×2 wrong: $got")
+    assert(got(3L) == ((6L, 24L)), s"newest×6 wrong: $got")
+    assert(got(4L) == ((3L, 12L)), s"widest×3 wrong: $got")
+    // monotonicity: total token count never increases with more merges
+    def total(k: Int) = ops.TextAnalysis.bpeApply(corpus, "doc_id", "text", k)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val totals = Seq(0, 2, 5, 8).map(total)
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b },
+      s"token totals must be non-increasing in merges: $totals")
+  }
+
   test("scriptMix: planted Cyrillic/CJK/mojibake counts exact; clean ASCII flags nothing") {
     import spark.implicits._
     val docs = Seq(
