@@ -344,6 +344,59 @@ object Dedup {
     } finally if (materialize) sets.unpersist()
   }
 
+  /** MinHash calibration report — the near-dup family's analogue of
+    * the ANN recall report: for every LSH candidate pair, compare the
+    * SKETCH's Jaccard estimate (matching signature slots / 64) against
+    * the EXACT shingle Jaccard, bucketed by exact-similarity decile.
+    * This is the measurement that justifies (or indicts) the 16×4
+    * banding and 64-hash signature in production: estimator bias and
+    * spread per similarity band, plus how many candidates each band
+    * contributes. All scores are integer basis points (slot counts and
+    * set sizes are exact ints; one floor division per figure) so the
+    * report is deterministic and layout-invariant.
+    *
+    * Scale shape: candidates come from the same capped band-bucket
+    * equi-join as [[minhashVerifiedPairs]] (never all pairs); the
+    * signature is computed once per doc; the output is a ≤ 10-row
+    * grid. xxhash64-seeded sketch → rows-only driver check; planted
+    * identical/disjoint calibration pinned in DedupSpec.
+    */
+  def nearDupEval(spark: SparkSession, dir: String): DataFrame =
+    nearDupEval(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def nearDupEval(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol)
+      .withColumn("sig", expr("minhash_sig(shset, 64)"))
+      .persist()
+    try {
+      val buckets = sets.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+        .withColumnRenamed("pos", "bucket_id")
+        .withColumnRenamed("col", "bucket_hash")
+      val cand = lshCandidates(buckets, maxBucket = 100, materialize = true)
+      val scored = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+          col("sig").as("siga")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb"),
+          col("sig").as("sigb")), Seq("doc_b"))
+        .select(
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) * 10000L div 64")
+            .as("est_bp"),
+          (floor(jaccard(col("sa"), col("sb")) * 10000).cast("long")).as("exact_bp"))
+        .select(col("est_bp"), col("exact_bp"),
+          least(expr("exact_bp div 1000"), lit(9L)).as("decile"),
+          abs(col("est_bp") - col("exact_bp")).as("abs_err"))
+      scored.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est_bp) div count(1)").as("avg_est_bp"),
+          expr("sum(exact_bp) div count(1)").as("avg_exact_bp"),
+          expr("sum(abs_err) div count(1)").as("avg_abs_err_bp"))
+        .orderBy(col("decile"))
+    } finally sets.unpersist()
+  }
+
   /** Per-document MinHash near-dup summary over any corpus frame. */
   def dedupMinhash(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7): DataFrame =

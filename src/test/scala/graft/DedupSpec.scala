@@ -269,6 +269,28 @@ class DedupSpec extends AnyFunSuite {
     assert(corpus.filter(col("dist") < 1 || col("dist") > 3).count() == 0)
   }
 
+  test("nearDupEval: identical pairs calibrate to 10000 bp with zero error; disjoint never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (3L, "one two three four five six seven eight"),
+      (4L, "unrelated words entirely disjoint from all others completely")
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.nearDupEval(docs, "doc_id", "text").collect()
+    // only the identical pair is a candidate: one decile-9 row
+    assert(got.length == 1, s"expected only the identical pair: ${got.toSeq}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((9L, 1L, 10000L, 10000L, 0L)), s"calibration wrong: $r")
+    // corpus: deciles within range, estimator means within basis-point rails
+    val corpus = ops.Dedup.nearDupEval(spark, sfDir).cache()
+    assert(corpus.filter(col("decile") < 0 || col("decile") > 9).count() == 0)
+    assert(corpus.filter(col("avg_est_bp") < 0 || col("avg_est_bp") > 10000).count() == 0)
+    assert(corpus.filter(col("avg_abs_err_bp") > 4000).count() == 0,
+      "sketch estimate drifted wildly from exact Jaccard")
+  }
+
   test("dedupWeight: cluster weights floor at 1e6/n and nearly conserve unit mass per cluster") {
     import spark.implicits._
     val docs = Seq(
