@@ -256,13 +256,15 @@ object Relational {
     * partitions, days, and datacenters: build once per shard, union the
     * ≤ |shards| fixed-size (2^lgK registers) byte arrays for any
     * cross-shard total. Per source: sketch estimate + exact distinct +
-    * the error in basis points. HLL registers are deterministic and
-    * merge by register-max, so the report is layout-invariant (pinned
-    * in spec). Union-of-sketches tracks sketch-of-union within the
-    * configured error but is NOT bit-identical: a streamed sketch
-    * reports the HIP estimator, a union result the composite one —
-    * the spec pins the tolerance, not equality. No DuckDB analogue of
-    * the sketch → rows-only driver check.
+    * the error in basis points. Determinism is stated honestly:
+    * per-group sketches at sparse-mode cardinalities are functions of
+    * the value SET and layout-invariant (spec-pinned across
+    * repartitionings), but a UNION's estimate can move in its low
+    * digits with merge order — inherent to DataSketches HLL (a
+    * streamed sketch reports the HIP estimator, a union the composite
+    * one) — so the union row is pinned to a tolerance against the
+    * one-pass whole-corpus sketch, never to bit equality. No DuckDB
+    * analogue of the sketch → rows-only driver check.
     */
   def hllSketch(spark: SparkSession, dir: String): DataFrame =
     hllSketch(Tables.documents(spark, dir), "source", "text")
@@ -272,11 +274,7 @@ object Relational {
     val perGroup = docs.groupBy(col(grpCol).as("grp"))
       .agg(hll_sketch_agg(col(valCol), 12).as("sk"),
         count_distinct(col(valCol)).as("exact_distinct"))
-    // the ≤|groups| sketch rows collapse to ONE sorted partition before
-    // the union: DataSketches' composite estimate can differ in its low
-    // digits with merge ORDER, so pinning the sequence is what makes
-    // the report layout-invariant (asserted in RelationalSpec)
-    val union = perGroup.coalesce(1).sortWithinPartitions("grp")
+    val union = perGroup
       .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = false).as("sk"))
     val globalExact = docs.agg(count_distinct(col(valCol)).as("g"))
       .select(col("g")).head().getLong(0)

@@ -140,4 +140,32 @@ class DeterminismSpec extends AnyFunSuite {
     val c = run(_.coalesce(1))
     assert(a == b && b == c, "record linkage depends on the input partitioning")
   }
+
+  test("round-6 second-leg document ops are invariant to input layout") {
+    // hllSketch is NOT in this list: its per-source rows are invariant
+    // (pinned in RelationalSpec) but the union row's low digits follow
+    // HLL merge order — inherent to the sketch, documented on the op
+    val runs: Seq[DataFrame => DataFrame] = Seq(
+      d => ops.TextAnalysis.heavyHitters(d, "text", 200),
+      d => ops.TextAnalysis.scriptMix(d, "lang", "text"),
+      d => ops.Dedup.dedupWeight(d, "doc_id", "text"),
+      d => ops.TextAnalysis.bpeApply(d, "doc_id", "text", 4))
+    runs.zipWithIndex.foreach { case (op, i) =>
+      assertLayoutInvariant(op)
+      assert(true, s"doc op #$i")
+    }
+  }
+
+  test("frequent itemsets and cohort matrix are invariant to input layout") {
+    val lines = Tables.lineitem(spark, sfDir)
+    def runI(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Analytics.freqItemsets(f(lines), "l_orderkey", "l_partkey"))
+    val ia = runI(_.repartition(3)); val ib = runI(_.repartition(17))
+    assert(ia == ib, "freq itemsets depend on the input partitioning")
+    val events = Tables.events(spark, sfDir)
+    def runC(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Advanced.cohortMatrix(f(events), "user_id", "ts"))
+    val ca = runC(_.repartition(3)); val cb = runC(_.coalesce(1))
+    assert(ca == cb, "cohort matrix depends on the input partitioning")
+  }
 }

@@ -300,4 +300,47 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ops.Dedup.recordLinkage(Seq("acme corp").toDF("name"), "name", 3, 1000)
       .count() == 0)
   }
+
+  test("empty and singleton corpora flow through the round-6 second-leg ops") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val oneDoc = Seq((1L, "solo words here", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    // heavy hitters: empty → empty; singleton → every term clears n/width
+    assert(ops.TextAnalysis.heavyHitters(noDocs, "text", 16).count() == 0)
+    assert(ops.TextAnalysis.heavyHitters(oneDoc, "text", 16).count() == 3)
+    // script mix: empty → no groups; singleton → one clean row
+    assert(ops.TextAnalysis.scriptMix(noDocs, "lang", "text").count() == 0)
+    val sm = ops.TextAnalysis.scriptMix(oneDoc, "lang", "text").head()
+    assert(sm.getLong(1) == 1L && sm.getLong(10) == 0L, s"singleton scriptMix: $sm")
+    // dedup weight: a lone doc carries full unit weight
+    assert(ops.Dedup.dedupWeight(noDocs, "doc_id", "text").count() == 0)
+    val dw = ops.Dedup.dedupWeight(oneDoc, "doc_id", "text").head()
+    assert(dw.getLong(1) == 1L && dw.getLong(2) == 1000000L)
+    // hll sketch: singleton → its group row + __ALL__, both exact
+    val hs = ops.Relational.hllSketch(oneDoc, "source", "text").collect()
+    assert(hs.length == 2 && hs.forall(r => r.getLong(1) == 1L && r.getLong(3) == 0L),
+      s"singleton hll: ${hs.toSeq}")
+    // bpe apply: empty corpus → no rows; singleton tokenizes fully
+    assert(ops.TextAnalysis.bpeApply(noDocs, "doc_id", "text", 4).count() == 0)
+    val ba = ops.TextAnalysis.bpeApply(oneDoc, "doc_id", "text", 4).head()
+    assert(ba.getLong(1) == 3L && ba.getLong(3) >= 3L, s"singleton bpeApply: $ba")
+    // near-dup eval: nothing pairs in an empty or one-doc corpus
+    assert(ops.Dedup.nearDupEval(noDocs, "doc_id", "text").count() == 0)
+    assert(ops.Dedup.nearDupEval(oneDoc, "doc_id", "text").count() == 0)
+    // freq itemsets: empty lineitem and single-item baskets emit nothing
+    val noLines = Seq.empty[(Long, Long)].toDF("ok", "pk")
+    assert(ops.Analytics.freqItemsets(noLines, "ok", "pk").count() == 0)
+    assert(ops.Analytics.freqItemsets(Seq((1L, 10L)).toDF("ok", "pk"), "ok", "pk")
+      .count() == 0)
+    // cohort matrix: empty events → empty; one event → one full cell
+    val noEv = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(ops.Advanced.cohortMatrix(noEv, "user_id", "ts").count() == 0)
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-04 12:00:00")
+    val cm = ops.Advanced.cohortMatrix(
+      Seq((7L, ts0)).toDF("user_id", "ts"), "user_id", "ts").head()
+    assert(cm.getLong(1) == 0L && cm.getLong(2) == 1L && cm.getLong(4) == 10000L,
+      s"singleton cohort: $cm")
+  }
 }
