@@ -563,4 +563,62 @@ object Mixing {
       |  round(expected, 4) AS expected, contrib_micro,
       |  CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
       |FROM q ORDER BY lang, source""".stripMargin
+
+  /** Mann–Whitney U drift test per source — the RANK-based sibling of
+    * [[sourceDrift]]'s KS statistic: each source's length distribution
+    * against the rest of the corpus, reported as the exact doubled-U
+    * statistic and the common-language effect size AUC = U/(n·m) (0.5 =
+    * no shift; the probability a random doc from the source is longer
+    * than a random doc from the rest — the ROC-AUC reading). Rank
+    * statistics resist the heavy tails and outliers that move moment-
+    * based drift tests; midranks handle ties exactly.
+    *
+    * Scale shape: the corpus collapses to a (value, count) grid first —
+    * the measure's distinct-value frame — so the ranking window runs
+    * over a BOUNDED frame, never the corpus (the [[Curation.
+    * quantileNormalize]] discipline); per-source rank sums are one
+    * vocabulary-keyed join + aggregate. DOUBLED midranks
+    * (2·cum_before + tie + 1) keep every rank an exact BIGINT, so U is
+    * integer-exact and the single final division makes AUC
+    * cross-engine bit-identical.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(Tables.documents(spark, dir), "source", "n_chars")
+
+  /** DataFrame-first form over any (group, measure) frame. */
+  def mannWhitney(docs: DataFrame, sourceCol: String, valCol: String): DataFrame = {
+    val v = docs.select(col(sourceCol).as("source"), col(valCol).as("val"))
+    val grid = v.groupBy(col("val")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("val"))
+    // doubled midrank over the bounded distinct-value frame
+    val ranked = grid.withColumn("dr",
+      lit(2) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + 1)
+    val perSrcVal = v.groupBy(col("source"), col("val"))
+      .agg(count(lit(1)).as("scnt"))
+    val rankSums = perSrcVal.join(ranked.select(col("val"), col("dr")), "val")
+      .groupBy(col("source"))
+      .agg(sum(col("scnt") * col("dr")).as("r2"),
+        sum(col("scnt")).as("n"))
+    val total = v.agg(count(lit(1)).as("nt"))
+    rankSums.crossJoin(broadcast(total))
+      .select(col("source"), col("n"),
+        (col("r2") - col("n") * (col("n") + 1)).as("u2"),
+        round((col("r2") - col("n") * (col("n") + 1)).cast("double") /
+          (lit(2.0) * col("n") * (col("nt") - col("n"))), 4).as("auc"))
+      .orderBy(col("source"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH v AS (SELECT source, n_chars AS val FROM documents),
+      |g AS (SELECT val, count(*) AS cnt FROM v GROUP BY val),
+      |r AS (SELECT val, cnt,
+      |  2 * (sum(cnt) OVER (ORDER BY val) - cnt) + cnt + 1 AS dr FROM g),
+      |s AS (SELECT source, val, count(*) AS scnt FROM v GROUP BY source, val),
+      |rs AS (SELECT source, CAST(sum(scnt * dr) AS BIGINT) AS r2,
+      |       CAST(sum(scnt) AS BIGINT) AS n
+      |       FROM s JOIN r USING (val) GROUP BY source),
+      |tot AS (SELECT count(*) AS nt FROM v)
+      |SELECT source, n, CAST(r2 - n * (n + 1) AS BIGINT) AS u2,
+      |  round(CAST(r2 - n * (n + 1) AS DOUBLE) / (2.0 * n * (nt - n)), 4) AS auc
+      |FROM rs, tot ORDER BY source""".stripMargin
 }

@@ -218,4 +218,27 @@ class MixingSpec extends AnyFunSuite {
     assert(corpus.filter(col("mad_value") > 0 &&
       col("n_outliers") * 2 > col("n_events")).count() == 0)
   }
+
+  test("mannWhitney: hand-computed doubled-U with ties; separated sources hit AUC 0 and 1") {
+    import spark.implicits._
+    // A={1,2}, B={2,3}: doubled midranks 2/5/8 → U2_A=1 (auc .125), U2_B=7 (auc .875)
+    val tied = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L)).toDF("source", "val")
+    val got = ops.Mixing.mannWhitney(tied, "source", "val").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("A") == ((2L, 1L, 0.125)) && got("B") == ((2L, 7L, 0.875)),
+      s"tied hand-trace wrong: $got")
+    // complete separation: every low doc in A → AUC exactly 0 / 1
+    val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 14L), ("B", 15L), ("B", 16L))
+      .toDF("source", "val")
+    val g2 = ops.Mixing.mannWhitney(sep, "source", "val").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(g2 == Map("A" -> 0.0, "B" -> 1.0), s"separation wrong: $g2")
+    // corpus: AUC within [0,1], masses recount, U bounded by 2·n·(nt−n)
+    val corpus = ops.Mixing.mannWhitney(spark, sfDir).cache()
+    assert(corpus.filter(col("auc") < 0 || col("auc") > 1).count() == 0)
+    val nt = Tables.documents(spark, sfDir).count()
+    assert(corpus.agg(sum("n")).head().getLong(0) == nt)
+    assert(corpus.filter(col("u2") < 0 ||
+      col("u2") > lit(2L) * col("n") * (lit(nt) - col("n"))).count() == 0)
+  }
 }
