@@ -471,6 +471,52 @@ class PlanSpec extends AnyFunSuite {
       s"heavy hitters shuffles more than its single aggregate:\n$plan")
   }
 
+  test("freq itemsets: row-local pair expansion, broadcast support joins, top-k heap") {
+    val plan = formatted(ops.Analytics.freqItemsets(spark, sfDir))
+    // the only acceptable non-equi join is the 1-row order-count
+    // broadcast cross join (the bounded-stats pattern)
+    assert(!plan.contains("CartesianProduct"),
+      s"itemset pairing went quadratic:\n$plan")
+    val bnlj = ops.Analytics.freqItemsets(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+    assert(bnlj.size <= 1, s"more than the 1-row stats cross join:\n$plan")
+    // the bounded pair frame broadcasts into both support joins + the
+    // 1-row order count — the |parts|-sized support side must stream
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"support joins lost the broadcast shape:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut is not a bounded heap:\n$plan")
+  }
+
+  test("cohort matrix is windowless; cohort sizes broadcast back") {
+    val plan = formatted(ops.Advanced.cohortMatrix(spark, sfDir))
+    assert(!plan.contains("Window"), s"cohort matrix ranks through a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes not broadcast:\n$plan")
+  }
+
+  test("mann-whitney ranks over the bounded value grid, never the corpus") {
+    val sp = ops.Mixing.mannWhitney(spark, sfDir).queryExecution.sparkPlan
+    val wins = sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    def aggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case other => other.children.nonEmpty && other.children.forall(aggBelow)
+    }
+    assert(wins.size == 1 && wins.forall(w => aggBelow(w.child)),
+      s"mann-whitney windows the raw corpus:\n$sp")
+  }
+
+  test("script mix and dedup weight keep their one-aggregate / census-join shapes") {
+    val sm = formatted(ops.TextAnalysis.scriptMix(spark, sfDir))
+    assert(!sm.contains("Join") && !sm.contains("Window"),
+      s"script mix is not a pure scan+aggregate:\n$sm")
+    val dw = formatted(ops.Dedup.dedupWeight(spark, sfDir))
+    assert(!dw.contains("Window"), s"dedup weight ranks through a window:\n$dw")
+    assert(!dw.contains("CartesianProduct"), s"dedup weight went quadratic:\n$dw")
+  }
+
   test("native vec_dot participates in whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = Tables.embeddings(spark, sfDir)
