@@ -698,6 +698,59 @@ object Analytics {
       |WHERE rn <= $ItemsetTopK
       |ORDER BY pair_cnt DESC, part_a, part_b""".stripMargin
 
+  /** Skyline (Pareto frontier) query — multi-objective retrieval: the
+    * orders NOT DOMINATED on (order date, total price), i.e. no other
+    * order is at least as late AND at least as expensive with one
+    * strict. The classic "best trade-offs" operator (Börzsönyi et al.,
+    * "The Skyline Operator", ICDE 2001).
+    *
+    * Scale shape — never the naive quadratic NOT-EXISTS self-join: for
+    * a 2-D skyline, dominance collapses along one axis first. One
+    * keyed aggregate reduces the corpus to (date, max price) — a
+    * |dates|-bounded frame — the frontier test is a strict cummax over
+    * LATER dates on that bounded frame (one window, never over raw
+    * orders), and surviving (date, price) frontier points semi-join
+    * back to pull every tied order. Prices compare in exact integer
+    * cents so a double round-trip can't flip a frontier membership.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skyline(Tables.orders(spark, dir), "o_orderkey", "o_orderdate", "o_totalprice")
+
+  /** DataFrame-first form: frontier of (maximize dateCol, maximize priceCol). */
+  def skyline(orders: DataFrame, idCol: String, dateCol: String,
+              priceCol: String): DataFrame = {
+    val o = orders.select(col(idCol).as("id"), col(dateCol).as("d"),
+      cents(col(priceCol)).as("pc"))
+    val perDate = o.groupBy(col("d")).agg(max(col("pc")).as("pmax"))
+    val laterMax = org.apache.spark.sql.expressions.Window.orderBy(col("d").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = perDate
+      .withColumn("later_max", max(col("pmax")).over(laterMax))
+      .filter(col("later_max").isNull || col("pmax") > col("later_max"))
+      .select(col("d").as("fd"), col("pmax"))
+    o.join(broadcast(frontier),
+        col("d") === col("fd") && col("pc") === col("pmax"))
+      .select(col("id").as("o_orderkey"), col("d").as("o_orderdate"),
+        (col("pc").cast("double") / 100).as("price"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val skylineSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderdate AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders),
+      |m AS (SELECT d, max(pc) AS pmax FROM o GROUP BY d),
+      |f AS (
+      |  SELECT d, pmax, max(pmax) OVER (ORDER BY d DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS later_max
+      |  FROM m)
+      |SELECT o.o_orderkey, o.d AS o_orderdate,
+      |  CAST(o.pc AS DOUBLE) / 100 AS price
+      |FROM o JOIN f ON o.d = f.d AND o.pc = f.pmax
+      |WHERE f.later_max IS NULL OR f.pmax > f.later_max
+      |ORDER BY o_orderdate, o_orderkey""".stripMargin
+
   private def runWithTables(spark: SparkSession, dir: String, sql: String,
                             names: Seq[String]): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")

@@ -281,6 +281,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byBin.head.getDouble(3) == 1.0 && byBin.head.getDouble(4) == 1.0)
   }
 
+  test("skyline: planted frontier with ties; dominated points excluded; corpus law holds") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-01"), 10.00), (2L, d("2024-01-01"), 5.00),
+      (3L, d("2024-01-02"), 8.00), (6L, d("2024-01-02"), 9.00),
+      (4L, d("2024-01-03"), 8.00), (5L, d("2024-01-03"), 8.00))
+      .toDF("id", "d", "price")
+    val got = ops.Analytics.skyline(orders, "id", "d", "price")
+      .collect().map(_.getLong(0)).toSet
+    // 1 is latest-nothing-richer, 6 beats 3 same-day, 4 and 5 tie on the
+    // frontier point (no strict dominance between equals)
+    assert(got == Set(1L, 6L, 4L, 5L), s"frontier wrong: $got")
+    // corpus law: no surviving order is dominated by ANY order (brute check)
+    val sky = ops.Analytics.skyline(spark, sfDir).cache()
+    val all = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k2"), col("o_orderdate").as("d2"),
+      round(col("o_totalprice") * 100).cast("long").as("p2"))
+    val dominated = sky
+      .withColumn("pc", round(col("price") * 100).cast("long"))
+      .join(all,
+        col("d2") >= col("o_orderdate") && col("p2") >= col("pc") &&
+        (col("d2") > col("o_orderdate") || col("p2") > col("pc")))
+    assert(dominated.count() == 0, "a skyline member is dominated")
+    assert(sky.count() > 0)
+  }
+
   test("freqItemsets: planted baskets score exact support/confidence/lift; sub-support absent") {
     import spark.implicits._
     // baskets: o1{10,20} o2{10,20} o3{10,20,30} o4{30,40} o5{40,10};
