@@ -203,6 +203,84 @@ object Curation {
        |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Contamination SPAN report — [[contamination]]'s actionable form:
+    * not just whether a corpus document overlaps the benchmark but
+    * WHERE — the 1-based token positions of every matching
+    * [[ShingleN]]-gram, so a cleaning pass can excise the span instead
+    * of dropping the document (the surgical decontamination production
+    * pipelines actually run). Per doc: hit count, first/last match
+    * position, and the first 8 sorted positions as a CSV scalar (the
+    * driver compare hashes scalars, not arrays).
+    *
+    * Same scale shape as [[contamination]]: one shingling pass feeds
+    * both sides, the small fixed benchmark set broadcasts, the corpus
+    * side never shuffles before its per-doc aggregate. Positions ride
+    * the existing explode — keeping them costs nothing extra.
+    */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame =
+    contaminationSpans(Tables.documents(spark, dir), "doc_id", "text",
+      col("doc_id") % 97 === 0)
+
+  /** DataFrame-first form; `benchPred` selects benchmark rows. */
+  def contaminationSpans(docs0: DataFrame, idCol: String, textCol: String,
+                         benchPred: org.apache.spark.sql.Column): DataFrame = {
+    val docs = docs0.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val base = docs.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= ShingleN)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(tk) - $ShingleN),
+           |  i -> named_struct('pos', i + 1,
+           |    'h', md5(concat_ws(' ', slice(tk, i + 1, $ShingleN)))))""".stripMargin)
+        .as("sh"))
+      .persist()
+    val hits = try {
+      val corpus = base.filter(!benchPred)
+        .select(col("doc_id"), explode(col("sh")).as("u"))
+        .select(col("doc_id"), col("u.pos").as("pos"), col("u.h").as("h"))
+      val bench = base.filter(benchPred)
+        .select(explode(col("sh")).as("u"))
+        .select(col("u.h").as("h")).distinct()
+      corpus.join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("pos")).cast("long").as("first_pos"),
+          max(col("pos")).cast("long").as("last_pos"),
+          expr("""array_join(transform(
+                 |  slice(array_sort(collect_list(pos)), 1, 8),
+                 |  x -> cast(x AS string)), ',')""".stripMargin).as("pos_csv"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+    docs.filter(!benchPred).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits", "first_pos", "last_pos"))
+      .na.fill("", Seq("pos_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSpansSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    [{'pos': i + 1, 'h': md5(array_to_string(t[i + 1 : i + $ShingleN], ' '))}
+       |     FOR i IN generate_series(0, len(t) - $ShingleN)] AS lst
+       |  FROM tk WHERE len(t) >= $ShingleN),
+       |u AS (SELECT doc_id, unnest(lst) AS s FROM sh),
+       |corpus AS (
+       |  SELECT doc_id, s.pos AS pos, s.h AS h FROM u WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT DISTINCT s.h AS h FROM u WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n, CAST(min(pos) AS BIGINT) AS fp,
+       |    CAST(max(pos) AS BIGINT) AS lp,
+       |    array_to_string(list_sort(list(pos))[1:8], ',') AS pc
+       |  FROM corpus JOIN bench USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(fp, 0) AS BIGINT) AS first_pos,
+       |  CAST(coalesce(lp, 0) AS BIGINT) AS last_pos,
+       |  coalesce(pc, '') AS pos_csv
+       |FROM documents d LEFT JOIN hits USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Composite quality filter — the pipeline stage the individual
     * signals exist for: every document gets a keep/drop verdict plus
     * the FIRST failing rule as an audit reason (a production corpus

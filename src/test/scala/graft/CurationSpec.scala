@@ -188,4 +188,28 @@ class CurationSpec extends AnyFunSuite {
       .count()
     assert(inversions == 0, s"$inversions within-source quantile inversions")
   }
+
+  test("contaminationSpans: planted positions exact; clean and short docs report zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z a b c d e"),       // hits at shingle pos 1 and 9
+      (2L, "no overlap here at all whatsoever truly"),
+      (3L, "tiny doc"),                          // shorter than one shingle
+      (100L, "a b c d e")).toDF("doc_id", "text")
+    val got = ops.Curation.contaminationSpans(docs, "doc_id", "text",
+        col("doc_id") >= 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 1L, 9L, "1,9")), s"planted spans wrong: $got")
+    assert(got(2L) == ((0L, 0L, 0L, "")), s"clean doc wrong: $got")
+    assert(got(3L) == ((0L, 0L, 0L, "")), s"short doc wrong: $got")
+    assert(!got.contains(100L), "benchmark rows must not appear in the report")
+    // corpus: span counts recount the doc-level contamination flags
+    val spans = ops.Curation.contaminationSpans(spark, sfDir).cache()
+    val flags = ops.Curation.contamination(spark, sfDir)
+      .select(col("doc_id"), col("contaminated"))
+    val mismatch = spans.join(flags, "doc_id")
+      .filter((col("n_hits") > 0) =!= (col("contaminated") === 1)).count()
+    assert(mismatch == 0, "span report disagrees with the contamination flags")
+  }
 }
