@@ -751,6 +751,58 @@ object Analytics {
       |WHERE f.later_max IS NULL OR f.pmax > f.later_max
       |ORDER BY o_orderdate, o_orderkey""".stripMargin
 
+  /** Period-over-period growth — the classic BI reporting rollup:
+    * monthly revenue with month-over-month and year-over-year growth
+    * ratios. Revenue sums exact integer cents (order-independent);
+    * the growth columns are each ONE division of two exact BIGINTs
+    * rounded once, so they are cross-engine bit-identical — note
+    * deliberately NOT integer `div` for the ratio: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and negative
+    * growth would land on different integers. Lags ride one window
+    * over the |months|-bounded post-aggregate frame, never the fact
+    * table. First month / first year rows carry NULL growth (no
+    * fabricated zero).
+    */
+  def revenueGrowth(spark: SparkSession, dir: String): DataFrame =
+    revenueGrowth(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** DataFrame-first form. */
+  def revenueGrowth(orders: DataFrame, dateCol: String,
+                    priceCol: String): DataFrame = {
+    val monthly = orders
+      .select(date_trunc("month", col(dateCol)).cast("date").as("month"),
+        cents(col(priceCol)).as("pc"))
+      .groupBy(col("month"))
+      .agg(sum(col("pc")).as("revenue_cents"), count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_m", lag(col("revenue_cents"), 1).over(w))
+      .withColumn("prev_y", lag(col("revenue_cents"), 12).over(w))
+      .select(col("month"), col("revenue_cents"), col("n_orders"),
+        round((col("revenue_cents") - col("prev_m")).cast("double") /
+          col("prev_m"), 4).as("mom_growth"),
+        round((col("revenue_cents") - col("prev_y")).cast("double") /
+          col("prev_y"), 4).as("yoy_growth"))
+      .orderBy(col("month"))
+  }
+
+  val revenueGrowthSql: String =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT month, revenue_cents, n_orders,
+      |    lag(revenue_cents, 1) OVER (ORDER BY month) AS prev_m,
+      |    lag(revenue_cents, 12) OVER (ORDER BY month) AS prev_y
+      |  FROM m)
+      |SELECT month, revenue_cents, n_orders,
+      |  round(CAST(revenue_cents - prev_m AS DOUBLE) / prev_m, 4) AS mom_growth,
+      |  round(CAST(revenue_cents - prev_y AS DOUBLE) / prev_y, 4) AS yoy_growth
+      |FROM g ORDER BY month""".stripMargin
+
   private def runWithTables(spark: SparkSession, dir: String, sql: String,
                             names: Seq[String]): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")

@@ -281,6 +281,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byBin.head.getDouble(3) == 1.0 && byBin.head.getDouble(4) == 1.0)
   }
 
+  test("revenueGrowth: planted months compute exact ratios; leading periods stay null") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (d("2024-01-05"), 10.00), (d("2024-01-20"), 10.00), // Jan: 2000c
+      (d("2024-02-10"), 30.00),                           // Feb: 3000c → +50%
+      (d("2024-03-15"), 15.00))                           // Mar: 1500c → −50%
+      .toDF("d", "price")
+    val got = ops.Analytics.revenueGrowth(orders, "d", "price").collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("2024-01-01") == ((2000L, None)), s"jan wrong: $got")
+    assert(got("2024-02-01") == ((3000L, Some(0.5))), s"feb wrong: $got")
+    assert(got("2024-03-01") == ((1500L, Some(-0.5))), s"mar wrong: $got")
+    // corpus: one row per month, months strictly increasing, yoy null
+    // until a full year of history exists
+    val corpus = ops.Analytics.revenueGrowth(spark, sfDir).collect()
+    val months = corpus.map(_.getDate(0).toString)
+    assert(months.sorted.toSeq == months.toSeq && months.distinct.length == months.length)
+    assert(corpus.take(12).forall(_.isNullAt(4)), "yoy must be null in the first year")
+  }
+
   test("skyline: planted frontier with ties; dominated points excluded; corpus law holds") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
