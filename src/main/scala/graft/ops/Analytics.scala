@@ -758,9 +758,12 @@ object Analytics {
     * rounded once, so they are cross-engine bit-identical — note
     * deliberately NOT integer `div` for the ratio: Spark's `div`
     * truncates toward zero while DuckDB's `//` floors, and negative
-    * growth would land on different integers. Lags ride one window
-    * over the |months|-bounded post-aggregate frame, never the fact
-    * table. First month / first year rows carry NULL growth (no
+    * growth would land on different integers. Prior periods are
+    * CALENDAR-exact: self-joins on `month = add_months(month, -1/-12)`
+    * over the |months|-bounded post-aggregate frame (broadcast, never
+    * the fact table) — a `lag(12)` over month rows would silently
+    * pair the wrong months the moment any calendar month has no
+    * orders. Months with no prior-period row carry NULL growth (no
     * fabricated zero).
     */
   def revenueGrowth(spark: SparkSession, dir: String): DataFrame =
@@ -774,10 +777,13 @@ object Analytics {
         cents(col(priceCol)).as("pc"))
       .groupBy(col("month"))
       .agg(sum(col("pc")).as("revenue_cents"), count(lit(1)).as("n_orders"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    def prior(as: String) = broadcast(monthly.select(
+      col("month").as(s"${as}_month"), col("revenue_cents").as(as)))
     monthly
-      .withColumn("prev_m", lag(col("revenue_cents"), 1).over(w))
-      .withColumn("prev_y", lag(col("revenue_cents"), 12).over(w))
+      .join(prior("prev_m"),
+        col("month") === add_months(col("prev_m_month"), 1), "left")
+      .join(prior("prev_y"),
+        col("month") === add_months(col("prev_y_month"), 12), "left")
       .select(col("month"), col("revenue_cents"), col("n_orders"),
         round((col("revenue_cents") - col("prev_m")).cast("double") /
           col("prev_m"), 4).as("mom_growth"),
@@ -792,16 +798,16 @@ object Analytics {
       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |      AS revenue_cents,
       |    count(*) AS n_orders
-      |  FROM orders GROUP BY 1),
-      |g AS (
-      |  SELECT month, revenue_cents, n_orders,
-      |    lag(revenue_cents, 1) OVER (ORDER BY month) AS prev_m,
-      |    lag(revenue_cents, 12) OVER (ORDER BY month) AS prev_y
-      |  FROM m)
-      |SELECT month, revenue_cents, n_orders,
-      |  round(CAST(revenue_cents - prev_m AS DOUBLE) / prev_m, 4) AS mom_growth,
-      |  round(CAST(revenue_cents - prev_y AS DOUBLE) / prev_y, 4) AS yoy_growth
-      |FROM g ORDER BY month""".stripMargin
+      |  FROM orders GROUP BY 1)
+      |SELECT m.month, m.revenue_cents, m.n_orders,
+      |  round(CAST(m.revenue_cents - pm.revenue_cents AS DOUBLE)
+      |    / pm.revenue_cents, 4) AS mom_growth,
+      |  round(CAST(m.revenue_cents - py.revenue_cents AS DOUBLE)
+      |    / py.revenue_cents, 4) AS yoy_growth
+      |FROM m
+      |LEFT JOIN m pm ON pm.month = CAST(m.month - INTERVAL 1 MONTH AS DATE)
+      |LEFT JOIN m py ON py.month = CAST(m.month - INTERVAL 12 MONTH AS DATE)
+      |ORDER BY m.month""".stripMargin
 
   private def runWithTables(spark: SparkSession, dir: String, sql: String,
                             names: Seq[String]): DataFrame = {

@@ -394,6 +394,9 @@ object Dedup {
           expr("sum(exact_bp) div count(1)").as("avg_exact_bp"),
           expr("sum(abs_err) div count(1)").as("avg_abs_err_bp"))
         .orderBy(col("decile"))
+        // ≤10-row grid: materialize while `sets` is still cached, or the
+        // unpersist below silently turns the cache into a double recompute
+        .localCheckpoint(true)
     } finally sets.unpersist()
   }
 

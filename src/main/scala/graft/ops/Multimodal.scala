@@ -14,9 +14,15 @@ case class MediaRecord(
 
 /** Output of the decode + feature-extract step. `detected_format` /
   * `decoded_w` / `decoded_h` come from REAL byte parsing (magic-byte
-  * sniff + JPEG/PNG/GIF/BMP header fields); the pixel-level statistics
-  * remain byte-derived stand-ins until a codec library exists. The
-  * histogram is emitted as a fixed-format CSV string (scalar, not
+  * sniff + JPEG/PNG/GIF/BMP header fields). For payloads the JDK can
+  * decode (PNG/GIF/BMP/JPEG via `javax.imageio`, PCM WAV via direct
+  * sample arithmetic) the pixel/sample statistics are REAL content
+  * features: `mean_luma`/`mean_r`/`mean_g`/`mean_b`/`edge_density`
+  * for images, `audio_rms`/`audio_peak`/`audio_zcr` for audio — null
+  * (None) when the payload is not decodable, which doubles as the
+  * visibility flag. The byte-level `mean_byte`/`byte_entropy`/
+  * `histogram` stay as format-agnostic fallbacks every payload gets.
+  * The histogram is emitted as a fixed-format CSV string (scalar, not
   * array<double>) so the driver's pandas-based row sort can hash every
   * cell.
   */
@@ -25,22 +31,34 @@ case class MediaFeatures(
     detected_format: String, decoded_w: Int, decoded_h: Int,
     audio_rate: Int, audio_channels: Int, audio_ms: Long,
     mean_byte: Double, byte_entropy: Double,
-    resized_w: Int, resized_h: Int, histogram: String)
+    resized_w: Int, resized_h: Int, histogram: String,
+    mean_luma: Option[Double], mean_r: Option[Double],
+    mean_g: Option[Double], mean_b: Option[Double],
+    edge_density: Option[Double],
+    audio_rms: Option[Double], audio_peak: Option[Double],
+    audio_zcr: Option[Double])
 
 /** Multimodal-column operators (driver north star: image/audio/video
   * as opaque `binary` columns with typed metadata).
   *
-  * The real decode libraries (JPEG/PNG/audio codecs) are NOT in this
-  * container, so the decode step is a clearly-marked deterministic
-  * STUB ([[Multimodal.decodeStub]]) — but the Spark-side plumbing is
-  * real and tested: binary payload column, metadata struct derivation,
-  * typed `Dataset[MediaRecord]` with `mapPartitions` batched exactly
-  * like an Arrow-batched decode would be, frame sampling via explode,
-  * and a resize step that only touches metadata until the decoder
-  * exists. Swapping `decodeStub` for a real codec changes no schema,
-  * partitioning, or query shape.
+  * The decode step ([[Multimodal.decodeFeatures]]) is REAL for every
+  * format the JDK ships a codec for: PNG/GIF/BMP/JPEG pixels via
+  * `javax.imageio` (mean luminance, per-channel means, edge-density
+  * proxy over a bounded sample grid) and PCM WAV samples via direct
+  * byte arithmetic over the `data` chunk (RMS, peak, zero-crossing
+  * rate). Payloads no JDK codec accepts (e.g. video containers, or
+  * the synthetic text payloads of the demo catalog) fall back to
+  * byte-level statistics with the pixel/sample columns left null —
+  * the honest answer, and the visibility flag. The Spark-side
+  * plumbing is the shape a production decoder needs: binary payload
+  * column, metadata struct derivation, typed `Dataset[MediaRecord]`
+  * with `mapPartitions` batched exactly like an Arrow-batched decode
+  * would be, frame sampling via explode.
   */
 object Multimodal {
+
+  // executor-side: never spill ImageIO scratch to disk tmp files
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** The media catalog: documents' text bytes play the role of the
     * opaque payload; metadata is pure arithmetic on doc_id (so the
@@ -159,40 +177,149 @@ object Multimodal {
     * non-WAV or truncated payloads.
     */
   private[graft] def wavInfo(b: Array[Byte]): (Int, Int, Int, Long) = {
+    val (rate, ch, bits, _, dataLen) = wavParse(b)
+    val bytesPerSec = rate.toLong * ch * bits / 8
+    val ms = if (bytesPerSec > 0) dataLen * 1000L / bytesPerSec else 0L
+    (rate, ch, bits, ms)
+  }
+
+  /** Full chunk-walk result: (rate, channels, bitsPerSample, dataOff,
+    * dataLen). The walk advances in Long arithmetic and stops (keeping
+    * whatever it has already read) the moment a chunk size would move
+    * the cursor backwards, nowhere, or past the buffer — a crafted
+    * size like 0xFFFFFFF8 must not truncate to a 0/negative Int
+    * advance and hang the executor task. `dataLen` is the declared
+    * chunk size (duration math wants the declared length even when the
+    * payload is truncated); sample statistics clamp to the bytes
+    * actually present.
+    */
+  private[graft] def wavParse(b: Array[Byte]): (Int, Int, Int, Long, Long) = {
     @inline def u(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
     def le32(i: Int): Long =
       (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24)) & 0xffffffffL
-    if (sniffFormat(b) != "wav") return (0, 0, 0, 0L)
+    if (sniffFormat(b) != "wav") return (0, 0, 0, 0L, 0L)
     var i = 12
-    var rate = 0; var ch = 0; var bits = 0; var dataLen = 0L
-    while (i + 8 <= b.length) {
+    var rate = 0; var ch = 0; var bits = 0; var dataOff = 0L; var dataLen = 0L
+    var walking = true
+    while (walking && i + 8 <= b.length) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(i + 4)
       if (id == "fmt " && i + 8 + 16 <= b.length) {
         ch = le16(i + 8 + 2)
         rate = le32(i + 8 + 4).toInt
         bits = le16(i + 8 + 14)
-      } else if (id == "data") dataLen = sz
+      } else if (id == "data" && dataLen == 0L) { dataOff = i + 8L; dataLen = sz }
       // chunks are u16-aligned: odd sizes carry one pad byte
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > b.length) walking = false
+      else i = next.toInt
     }
-    val bytesPerSec = rate.toLong * ch * bits / 8
-    val ms = if (bytesPerSec > 0) dataLen * 1000L / bytesPerSec else 0L
-    (rate, ch, bits, ms)
+    (rate, ch, bits, dataOff, dataLen)
+  }
+
+  /** PCM sample statistics over the `data` chunk located by
+    * [[wavParse]] — pure arithmetic, no codec: samples normalized to
+    * [-1, 1] (8-bit unsigned offset-binary, 16-bit signed
+    * little-endian), statistics over channel 0 of the interleaved
+    * frames. Returns (rms, peak, zeroCrossingRate) rounded to 6
+    * decimals, or None for non-WAV / non-PCM-8/16 / empty-data
+    * payloads. Truncated data chunks clamp to the bytes present.
+    */
+  private[graft] def wavSampleStats(b: Array[Byte]): Option[(Double, Double, Double)] = {
+    val (rate, ch, bits, dataOff, dataLen) = wavParse(b)
+    if (rate <= 0 || ch <= 0 || (bits != 8 && bits != 16)) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * ch
+    val avail = math.min(dataLen, b.length.toLong - dataOff)
+    val nFrames = (avail / frameBytes).toInt
+    if (nFrames <= 0) return None
+    var f = 0
+    var sumSq = 0.0; var peak = 0.0; var zc = 0L; var prev = 0.0
+    while (f < nFrames) {
+      val off = (dataOff + f.toLong * frameBytes).toInt
+      val s =
+        if (bits == 16) (((b(off) & 0xff) | (b(off + 1) << 8)).toShort) / 32768.0
+        else ((b(off) & 0xff) - 128) / 128.0
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (f > 0 && prev * s < 0) zc += 1
+      prev = s
+      f += 1
+    }
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val zcr = if (nFrames > 1) zc.toDouble / (nFrames - 1) else 0.0
+    Some((r6(math.sqrt(sumSq / nFrames)), r6(peak), r6(zcr)))
+  }
+
+  /** REAL pixel statistics via the JDK's own codecs
+    * (`javax.imageio.ImageIO` decodes PNG, GIF, BMP and JPEG with no
+    * external library): mean luminance (ITU-R BT.601
+    * 0.299R+0.587G+0.114B), per-channel means, and an edge-density
+    * proxy — mean absolute horizontal+vertical luminance gradient
+    * between adjacent sampled pixels, normalized to [0, 1] by 255.
+    * The image is stride-sampled to a ≤256×256 grid so a
+    * 100-megapixel payload costs the same as a thumbnail — the cap
+    * that keeps a 100 TB media scan's per-task cost bounded by row
+    * count, not pixel count. Returns None when no JDK codec accepts
+    * the payload (corrupt, truncated, or an unsupported format) —
+    * never throws.
+    */
+  private[graft] def imageStats(b: Array[Byte], fmt: String)
+      : Option[(Double, Double, Double, Double, Double)] = {
+    if (fmt != "png" && fmt != "gif" && fmt != "bmp" && fmt != "jpeg") return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val w = img.getWidth; val h = img.getHeight
+      val sx = math.max(1, (w + 255) / 256); val sy = math.max(1, (h + 255) / 256)
+      val gw = (w + sx - 1) / sx; val gh = (h + sy - 1) / sy
+      val luma = new Array[Double](gw * gh)
+      var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val rgb = img.getRGB(gx * sx, gy * sy)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+          sumR += r; sumG += g; sumB += bl
+          luma(gy * gw + gx) = 0.299 * r + 0.587 * g + 0.114 * bl
+          gx += 1
+        }
+        gy += 1
+      }
+      val n = gw * gh
+      var edgeSum = 0.0; var nPairs = 0L
+      gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val l = luma(gy * gw + gx)
+          if (gx + 1 < gw) { edgeSum += math.abs(luma(gy * gw + gx + 1) - l); nPairs += 1 }
+          if (gy + 1 < gh) { edgeSum += math.abs(luma((gy + 1) * gw + gx) - l); nPairs += 1 }
+          gx += 1
+        }
+        gy += 1
+      }
+      def r4(v: Double) = math.rint(v * 1e4) / 1e4
+      val edge = if (nPairs > 0) edgeSum / (255.0 * nPairs) else 0.0
+      Some((r4((0.299 * sumR + 0.587 * sumG + 0.114 * sumB) / n),
+        r4(sumR / n), r4(sumG / n), r4(sumB / n), r4(edge)))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decoder front-end. Container sniffing and header dimensions are
-    * REAL byte parsing ([[sniffFormat]]/[[headerDims]]); the
-    * pixel-level statistics that would need an actual codec library
-    * (absent from this container) remain deterministic byte-derived
-    * stand-ins: mean byte value, byte-histogram entropy, a 16-bin
-    * normalized byte histogram (the stand-in "feature vector"), and
-    * the resize-to-fit-224 target dimensions computed on the catalog
-    * metadata. Signature and batch shape are exactly what a full
-    * decoder needs.
+    * REAL byte parsing ([[sniffFormat]]/[[headerDims]]); pixel
+    * statistics are REAL JDK decodes ([[imageStats]]) for
+    * PNG/GIF/BMP/JPEG and PCM sample arithmetic ([[wavSampleStats]])
+    * for WAV — null columns when no codec accepts the payload. The
+    * byte-level statistics (mean byte value, byte-histogram entropy,
+    * 16-bin normalized byte histogram) are format-agnostic fallbacks
+    * every payload gets, alongside the resize-to-fit-224 target
+    * dimensions computed on the catalog metadata.
     */
-  private[ops] def decodeStub(r: MediaRecord): MediaFeatures = {
+  private[ops] def decodeFeatures(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val n = math.max(bytes.length, 1)
     val hist = new Array[Double](16)
@@ -210,6 +337,8 @@ object Multimodal {
     val fmt = sniffFormat(bytes)
     val (dw, dh) = headerDims(bytes, fmt)
     val (rate, ch, _, ms) = wavInfo(bytes)
+    val px = imageStats(bytes, fmt)
+    val au = wavSampleStats(bytes)
     MediaFeatures(
       r.doc_id, r.media_type, bytes.length.toLong,
       detected_format = fmt, decoded_w = dw, decoded_h = dh,
@@ -218,15 +347,21 @@ object Multimodal {
       byte_entropy = math.rint(entropy * 10000) / 10000,
       resized_w = math.max(1, math.rint(r.width * scale).toInt),
       resized_h = math.max(1, math.rint(r.height * scale).toInt),
-      histogram = hist.map(p => String.format(java.util.Locale.ROOT, "%.4f", Double.box(p))).mkString(","))
+      histogram = hist.map(p => String.format(java.util.Locale.ROOT, "%.4f", Double.box(p))).mkString(","),
+      mean_luma = px.map(_._1), mean_r = px.map(_._2),
+      mean_g = px.map(_._3), mean_b = px.map(_._4),
+      edge_density = px.map(_._5),
+      audio_rms = au.map(_._1), audio_peak = au.map(_._2),
+      audio_zcr = au.map(_._3))
   }
 
   /** Decode + feature-extract over the catalog. Typed `mapPartitions`
     * consuming records in batches of 64 — the same batch shape an
-    * Arrow/vectorized decode would use, so a real decoder slots in
+    * Arrow/vectorized decode would use, so further codecs slot in
     * without re-plumbing. The payload column is projected ONLY here;
     * every other query prunes it at the scan. Rows-only driver check
-    * (byte-level stub), invariants pinned by MultimodalSpec.
+    * (JDK pixel/PCM decodes have no DuckDB twin); planted-image and
+    * planted-PCM exactness pinned by MultimodalSpec.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     mediaFeatures(catalog(spark, dir))
@@ -243,7 +378,7 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         // batched like an Arrow-fed decoder: amortizes codec init per batch
-        it.grouped(64).flatMap(_.map(decodeStub))
+        it.grouped(64).flatMap(_.map(decodeFeatures))
       }
       .toDF()
       .orderBy(col("doc_id"))

@@ -1314,6 +1314,11 @@ object TextAnalysis {
 
   private val SparseKnnQueries = 10
   private val SparseKnnK = 5
+  // terms appearing in more documents than this are dropped from the
+  // index outright (the ContainPostingCap discipline): a near-stopword
+  // term's posting list is a constant fraction of the corpus, so both
+  // the persisted weighted frame and the hot-term join stay bounded
+  private val SparseKnnPostingCap = 1000
 
   /** Sparse tf·idf k-NN document search — the INVERTED-INDEX
     * similarity path, complementing the dense-embedding ANN family
@@ -1324,6 +1329,11 @@ object TextAnalysis {
     * topology (posting-list join + keyed aggregation — no pairwise
     * doc×doc anything); the weighted-term frame is built ONCE and
     * persisted for its three readers (norms, query side, corpus side).
+    * Posting lists are df-capped ([[SparseKnnPostingCap]], the
+    * ContainPostingCap discipline): a near-stopword term whose list is
+    * a constant fraction of the corpus is cut from the index — and
+    * from the cache — entirely, with the per-query cut count surfaced
+    * as `q_dropped_terms` so degraded vectors are visible, not silent.
     *
     * Cross-engine determinism: idf is quantized to integer MILLI-units
     * (w = tf · round(ln(N/df)·1000) — milli not micro keeps Σw² well
@@ -1346,15 +1356,28 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val dft = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df cap BEFORE the persist: hot-term posting lists never enter the
+    // cache or the join. q_dropped_terms (below) keeps the cut visible.
     val w = tok.join(dft, Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("term"),
+      .select(col("doc_id"), col("term"), col("df"),
         (col("tf") *
           round(log(col("n_docs").cast("double") / col("df")) * 1000).cast("long"))
           .as("w"))
       .filter(col("w") > 0) // corpus-ubiquitous terms carry no signal
+      .filter(col("df") <= SparseKnnPostingCap)
+      .drop("df")
       .persist()
     try {
+      // visibility: how many of each query doc's positive-weight terms
+      // the df cap removed from its vector (bounded: ≤ nQueries rows)
+      val qDropped = tok.filter(col("doc_id") < nQueries)
+        .join(dft, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .filter(round(log(col("n_docs").cast("double") / col("df")) * 1000) > 0 &&
+          col("df") > SparseKnnPostingCap)
+        .groupBy(col("doc_id").as("query_id"))
+        .agg(count(lit(1)).as("q_dropped_terms"))
       val norms = w.groupBy(col("doc_id"))
         .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
       val qw = w.filter(col("doc_id") < nQueries)
@@ -1373,8 +1396,10 @@ object TextAnalysis {
       cos.groupBy(col("query_id"))
         .agg(graft.functions.TopK.topK(k)(col("cos"), col("doc_id")).as("top"))
         .select(col("query_id"), posexplode(col("top")))
+        .join(broadcast(qDropped), Seq("query_id"), "left")
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("col.id").as("doc_id"), round(col("col.score"), 4).as("cos_sim"))
+          col("col.id").as("doc_id"), round(col("col.score"), 4).as("cos_sim"),
+          coalesce(col("q_dropped_terms"), lit(0L)).as("q_dropped_terms"))
         .orderBy(col("query_id"), col("rank"))
         .localCheckpoint(true) // small: nQueries × k rows — frees the w cache
     } finally w.unpersist()
@@ -1391,7 +1416,15 @@ object TextAnalysis {
       |    CAST(tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT)
       |      AS BIGINT) AS w
       |  FROM tf JOIN dft USING (term) CROSS JOIN n
-      |  WHERE tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) > 0),
+      |  WHERE tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) > 0
+      |    AND df <= $SparseKnnPostingCap),
+      |qd AS (
+      |  SELECT doc_id AS query_id, count(*) AS q_dropped_terms
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n
+      |  WHERE doc_id < $SparseKnnQueries
+      |    AND CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) > 0
+      |    AND df > $SparseKnnPostingCap
+      |  GROUP BY 1),
       |nrm AS (
       |  SELECT doc_id, sqrt(CAST(CAST(sum(w * w) AS BIGINT) AS DOUBLE)) AS nrm
       |  FROM w GROUP BY doc_id),
@@ -1413,8 +1446,10 @@ object TextAnalysis {
       |      ORDER BY cos DESC, doc_id) AS rank
       |  FROM cos)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-      |  round(cos, 4) AS cos_sim
-      |FROM rk WHERE rank <= $SparseKnnK
+      |  round(cos, 4) AS cos_sim,
+      |  CAST(COALESCE(qd.q_dropped_terms, 0) AS BIGINT) AS q_dropped_terms
+      |FROM rk LEFT JOIN qd USING (query_id)
+      |WHERE rank <= $SparseKnnK
       |ORDER BY query_id, rank""".stripMargin
 
   /** Unicode script mix + encoding-damage audit per language — the
@@ -1437,7 +1472,11 @@ object TextAnalysis {
     val d = canon(docs, langCol -> "lang", textCol -> "text")
     def cnt(pat: String) = regexp_count(col("text"), lit(pat)).cast("long")
     val perDoc = d.select(col("lang"),
-      length(col("text")).cast("long").as("n_chars"),
+      // code-POINT count (Java regex `.` consumes a full code point,
+      // `(?s)` includes newlines) — Spark's length() counts UTF-16
+      // code units, which diverges from DuckDB len() on any
+      // supplementary-plane character (emoji, CJK ext-B)
+      cnt("(?s).").as("n_chars"),
       cnt("[A-Za-z]").as("n_ascii_alpha"),
       cnt("[0-9]").as("n_digit"),
       cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),

@@ -303,6 +303,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(corpus.take(12).forall(_.isNullAt(4)), "yoy must be null in the first year")
   }
 
+  test("revenueGrowth: calendar gaps yield NULL growth, never a wrong-month pairing") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // March has no orders: April's mom must be NULL (a 1-row lag would
+    // silently pair April with February). Jan-2025 pairs yoy with
+    // Jan-2024 even though only 4 month-rows exist between them (a
+    // 12-row lag would find nothing); May-2025 has no May-2024 → NULL.
+    val orders = Seq(
+      (d("2024-01-05"), 10.00), (d("2024-02-10"), 20.00),
+      (d("2024-04-15"), 40.00), (d("2025-01-09"), 25.00),
+      (d("2025-05-02"), 8.00))
+      .toDF("d", "price")
+    val got = ops.Analytics.revenueGrowth(orders, "d", "price").collect()
+      .map(r => r.getDate(0).toString ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("2024-04-01") == ((None, None)), s"gap month paired wrongly: $got")
+    assert(got("2025-01-01") == ((None, Some(1.5))), s"yoy must pair Jan24: $got")
+    assert(got("2025-05-01") == ((None, None)), s"no May24 → null yoy: $got")
+    assert(got("2024-02-01") == ((Some(1.0), None)))
+  }
+
   test("skyline: planted frontier with ties; dominated points excluded; corpus law holds") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)

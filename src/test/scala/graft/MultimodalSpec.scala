@@ -141,6 +141,119 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L).getAs[Int]("audio_rate") == 0, "images carry no audio fields")
   }
 
+  test("wavParse: crafted/oversized chunk sizes terminate with zeros, never hang or throw") {
+    import ops.Multimodal.{wavInfo, wavSampleStats}
+    def le32(v: Long) = Array[Int]((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    // sz = 0xFFFFFFF8 once truncated to Int gave a 0 advance (infinite
+    // loop); the Long-arithmetic walk must stop and answer zeros
+    val evil = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++
+      "JUNK".map(_.toInt).toArray ++ le32(0xFFFFFFF8L) ++ Array.fill(8)(0)).map(_.toByte)
+    assert(wavInfo(evil) == ((0, 0, 0, 0L)))
+    // a large-but-not-wrapping size that would drive the Int cursor
+    // negative must also stop cleanly
+    val evil2 = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++
+      "JUNK".map(_.toInt).toArray ++ le32(0x7FFFFFF0L) ++ Array.fill(8)(0)).map(_.toByte)
+    assert(wavInfo(evil2) == ((0, 0, 0, 0L)))
+    // chunks already read before the bad one survive
+    def le16(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff)
+    val fmtChunk = "fmt ".map(_.toInt).toArray ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val half = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++ fmtChunk ++
+      "data".map(_.toInt).toArray ++ le32(0xFFFFFFF8L)).map(_.toByte)
+    val (rate, ch, bits, _) = wavInfo(half)
+    assert((rate, ch, bits) == ((8000, 1, 8)))
+    assert(wavSampleStats(half).isEmpty, "declared-huge but absent data has no samples")
+  }
+
+  test("wavSampleStats: planted 8-bit square wave pins RMS, peak and zero-crossing rate") {
+    import ops.Multimodal.wavSampleStats
+    def le32(v: Long) = Array[Int]((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff)
+    // 8 kHz mono 8-bit, 8 samples alternating 255/0:
+    //   s = +0.9921875 / -1.0, every consecutive pair crosses zero
+    val samples = Array(255, 0, 255, 0, 255, 0, 255, 0)
+    val wav = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++
+      ("fmt ".map(_.toInt).toArray ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)) ++
+      ("data".map(_.toInt).toArray ++ le32(8)) ++ samples).map(_.toByte)
+    val Some((rms, peak, zcr)) = wavSampleStats(wav)
+    val hi = 127.0 / 128.0
+    val expRms = math.rint(math.sqrt((hi * hi + 1.0) / 2.0) * 1e6) / 1e6
+    assert(rms == expRms, s"rms $rms != $expRms")
+    assert(peak == 1.0)
+    assert(zcr == 1.0, "7 sign changes over 7 consecutive pairs")
+    // 16-bit stereo: channel-0 full-scale DC, channel-1 noise — stats
+    // must read channel 0 only: rms = peak = 0.25, zcr = 0
+    val s16 = Array(8192, 31111, 8192, -17, 8192, 999, 8192, -30000)
+      .flatMap(v => le16(v & 0xffff))
+    val wav2 = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++
+      ("fmt ".map(_.toInt).toArray ++ le32(16) ++
+        le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)) ++
+      ("data".map(_.toInt).toArray ++ le32(16)) ++ s16).map(_.toByte)
+    assert(wavSampleStats(wav2).contains((0.25, 0.25, 0.0)))
+  }
+
+  test("imageStats: planted 2x2 PNG decodes to exact channel means, luminance and edge density") {
+    import ops.Multimodal.{imageStats, sniffFormat}
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    assert(sniffFormat(bytes) == "png")
+    val Some((luma, r, g, b, edge)) = imageStats(bytes, "png")
+    assert(r == 127.5 && g == 127.5 && b == 127.5)
+    // per-pixel luma: 76.245, 149.685, 29.07, 255 → mean 127.5
+    assert(luma == 127.5)
+    // 4 adjacent pairs: |149.685-76.245| + |255-29.07| + |29.07-76.245|
+    // + |255-149.685| = 451.86; / (255*4) = 0.443
+    assert(edge == 0.443, s"edge $edge")
+    // non-decodable payloads answer None, never throw
+    assert(imageStats("not an image".getBytes, "png").isEmpty)
+    assert(imageStats(bytes.take(12), "png").isEmpty)
+    assert(imageStats(bytes, "wav").isEmpty, "only image formats are attempted")
+  }
+
+  test("mediaFeatures carries real pixel/sample statistics end-to-end; non-decodable stay null") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    def le32(v: Long) = Array[Int]((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff)
+    val wav = ("RIFF".map(_.toInt).toArray ++ le32(0) ++
+      "WAVE".map(_.toInt).toArray ++
+      ("fmt ".map(_.toInt).toArray ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)) ++
+      ("data".map(_.toInt).toArray ++ le32(4)) ++ Array(255, 0, 255, 0)).map(_.toByte)
+    val cat = Seq(
+      ops.MediaRecord(1L, "image", bos.toByteArray, 2, 2, 1),
+      ops.MediaRecord(2L, "audio", wav, 1, 1, 1),
+      ops.MediaRecord(3L, "image", "plain text".getBytes, 64, 64, 1)).toDF()
+    val byId = ops.Multimodal.mediaFeatures(cat).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("mean_luma") == 127.5)
+    assert(byId(1L).getAs[Double]("edge_density") == 0.443)
+    assert(byId(1L).getAs[Int]("decoded_w") == 2, "header dims agree with the decode")
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("audio_rms")), "images carry no sample stats")
+    assert(byId(2L).getAs[Double]("audio_peak") == 1.0)
+    assert(byId(2L).getAs[Double]("audio_zcr") == 1.0)
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("mean_luma")))
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("mean_luma")), "undecodable stays null")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("audio_rms")))
+  }
+
   test("frameSample: only videos; <=4 frames each; offsets inside the payload") {
     val df = ops.Multimodal.frameSample(spark, sfDir).cache()
     val videos = ops.Multimodal.mediaCatalog(spark, sfDir)

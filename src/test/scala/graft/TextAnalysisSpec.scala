@@ -334,6 +334,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(perQ.filter(col("count") > 5).count() == 0)
   }
 
+  test("sparseKnn: df-capped hot term is cut from the index and surfaced in q_dropped_terms") {
+    import spark.implicits._
+    // "hot" appears in 1103 of 1500 docs — over the 1000-doc posting
+    // cap but NOT corpus-ubiquitous (idf ln(1500/1103) > 0), so only
+    // the cap removes it. Query doc 0 and doc 1 still pair on
+    // alpha+beta (cos exactly 1.0); doc 2 shares ONLY the hot term, so
+    // with the cap it must not pair at all.
+    val docs = (Seq(
+      (0L, "hot alpha beta"),
+      (1L, "hot alpha beta"),
+      (2L, "hot gamma delta")) ++
+      (3L to 1102L).map(i => (i, s"hot filler$i")) ++
+      (1103L to 1499L).map(i => (i, s"cold$i only$i"))).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.sparseKnn(docs, "doc_id", "text", nQueries = 1, k = 5)
+      .collect()
+    assert(got.length == 1, s"hot-term-only pairs leaked: ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0, "alpha+beta vectors are identical after the cut")
+    assert(r.getAs[Long]("q_dropped_terms") == 1L, "the hot term cut must be visible")
+  }
+
   test("bigramLm: hand-computed conditional log-probs; short docs drop out") {
     import spark.implicits._
     // bc: "a b"=3, "b a"=1, "b c"=1; prefix counts: a·=3, b·=2.
@@ -435,6 +457,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     val zh = got("zh")
     assert((zh.getLong(2), zh.getLong(3), zh.getLong(6), zh.getLong(11)) ==
       ((8L, 5L, 2L, 2500L)), s"zh counts wrong: $zh")
+    // supplementary-plane characters count as ONE char, not two UTF-16
+    // code units: "🚀🚀 ab" = 5 code points (DuckDB len() semantics)
+    val emoji = Seq(("em", "🚀🚀 ab")).toDF("lang", "text")
+    val em = ops.TextAnalysis.scriptMix(emoji, "lang", "text").collect().head
+    assert(em.getLong(2) == 5L, s"sum_chars must be code points, got ${em.getLong(2)}")
+    assert(em.getLong(7) == 2L, s"two emoji are two non-ascii chars: $em")
+    assert(em.getLong(11) == 4000L, s"non_ascii_bp = 2*10000 div 5: $em")
     // corpus invariants: class counts bounded by chars, share within [0,10000]
     val corpus = ops.TextAnalysis.scriptMix(spark, sfDir).cache()
     assert(corpus.filter(col("ascii_alpha") + col("digits") > col("sum_chars")).count() == 0)
