@@ -70,6 +70,19 @@ object Bench {
     val total = times.collect {
       case (n, ts) if !errs.contains(n) && ts.nonEmpty => median(ts.toSeq)
     }.sum
+    // Contention-at-a-glance for the stdout line (per-query min/max
+    // live in BENCH_LAST.json; repeating them per query would blow the
+    // 1940-char budget): "tmin" is the sum of per-query MINIMA — the
+    // total an uncontended box would post — and "spread" is the worst
+    // per-query max/median ratio. A contended round shows as
+    // total >> tmin or spread >> 2.
+    val totalMin = times.collect {
+      case (n, ts) if !errs.contains(n) && ts.nonEmpty => ts.min
+    }.sum
+    val spread = times.collect {
+      case (n, ts) if !errs.contains(n) && ts.nonEmpty && median(ts.toSeq) > 0 =>
+        ts.max / median(ts.toSeq)
+    }.foldLeft(1.0)(math.max)
     // Full per-query stats (median/min/max, n_ok = rounds that completed —
     // distinguishes "failed round 3 of 3" from "never ran") go to the side
     // file ONLY. The stdout line must stay compact: the harness that reads
@@ -116,7 +129,8 @@ object Bench {
           val useDp = if (math.abs(m) >= 10) (dp - 1).max(0) else dp
           s"\"${name.stripPrefix("q_")}\":${trim(m, useDp)}"
         }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","prefix":"q_",""" +
+      s"""{"metric":"total","value":${f(total)},"tmin":${trim(totalMin, 2)},""" +
+        s""""spread":${trim(spread, 1)},"unit":"sec","prefix":"q_",""" +
         s""""queries":$qs,"iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
     }
     // Past ~110 queries even the 0-decimal full map overflows the tail
@@ -138,7 +152,8 @@ object Bench {
           else (acc, used)
       }
       val omitted = medians.length - entries.length
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","prefix":"q_",""" +
+      s"""{"metric":"total","value":${f(total)},"tmin":${trim(totalMin, 2)},""" +
+        s""""spread":${trim(spread, 1)},"unit":"sec","prefix":"q_",""" +
         s""""queries":${entries.reverse.mkString("{", ",", "}")},""" +
         s""""omitted":$omitted,"iters":$iters,"failed":$failed,"sf":"$sfBase"}"""
     }
@@ -151,7 +166,8 @@ object Bench {
     val line = (Seq(2, 1, 0).map(compactLine(_, true)) ++ Seq(topLine(2), topLine(1)) :+
       compactLine(2, false))
       .find(_.length <= 1940).getOrElse(compactLine(2, false))
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+    val full = s"""{"metric":"total","value":${f(total)},"tmin":${f(totalMin)},""" +
+      s""""spread":${f(spread)},"unit":"sec",""" +
       s""""iters":$iters,"stats":$stats,"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -30,6 +30,26 @@ case class AnomalyState(ring: Seq[Long])
 /** Mutable-per-key state for [[EventTime.sessionizeWithState]]. */
 case class SessionState(n: Long, sum: Double, startMs: Long, lastMs: Long)
 
+/** One (window, token) occurrence for [[EventTime.heavyHittersWithState]];
+  * `pos` is the token's position within its document so per-invocation
+  * processing order is deterministic.
+  */
+case class TimedTerm(ts: java.sql.Timestamp, w_start_ms: Long, pos: Int,
+                     term: String)
+
+/** Per-window Misra–Gries state: tracked counters (≤ width), the
+  * number of decrement-all steps taken (`dec` — the sketch's error
+  * bound), and the exact token count `n`.
+  */
+case class HHState(counts: Map[String, Long], dec: Long, n: Long)
+
+/** A heavy-hitter candidate emitted when the watermark closes its
+  * window: `cnt_lb ≤ true count ≤ cnt_lb + err_ub`, and any term with
+  * true count &gt; n_tokens/(width+1) is guaranteed present.
+  */
+case class HeavyOut(w_start_ms: Long, term: String, cnt_lb: Long,
+                    err_ub: Long, n_tokens: Long)
+
 /** Event-time streaming operators: watermarked tumbling/sliding/session
   * windows and a custom `flatMapGroupsWithState` sessionizer.
   *
@@ -212,6 +232,77 @@ object EventTime {
           }
           state.update(AnomalyState(ring))
           out.result().iterator
+      }
+  }
+
+  /** Streaming twin of the batch heavy-hitters miner
+    * ([[graft.ops.TextAnalysis.heavyHitters]]): one bounded
+    * Misra–Gries summary per event-time tumbling window, maintained in
+    * `flatMapGroupsWithState` keyed by window start and emitted ONCE —
+    * when the watermark passes the window's end (event-time timeout,
+    * the sessionizer's eviction pattern). The batch op can afford a
+    * second exact-recount pass over the full corpus; a stream cannot
+    * re-read itself, so the streaming twin reports the sketch's own
+    * honest contract instead: per candidate, `cnt_lb ≤ true ≤
+    * cnt_lb + err_ub` (err_ub = number of decrement steps, at most
+    * n/(width+1)), and EVERY term with true count &gt;
+    * n_tokens/(width+1) is present — the same Misra–Gries guarantee
+    * the batch op uses for pruning, with the exact window token count
+    * `n_tokens` carried alongside. EventTimeSpec pins guarantee-level
+    * parity against an exact recount across a micro-batch split, plus
+    * the late-data contract (rows behind the watermark are dropped,
+    * never resurrect an emitted window).
+    *
+    * Scale shape: state is O(width) counters per OPEN window — bounded
+    * regardless of vocabulary, the whole point of the sketch at
+    * 100 TB/day stream rates — and the timeout evicts it the moment
+    * the watermark closes the window. The token explosion is
+    * row-local; the only shuffle is the keyed exchange to the state
+    * store, exactly like the windowed counts above.
+    */
+  def heavyHittersWithState(docs: Dataset[TimedText], windowMs: Long,
+                            watermark: String, width: Int): Dataset[HeavyOut] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (floor(unix_millis(col("ts")) / windowMs) * windowMs).cast("long")
+          .as("w_start_ms"),
+        posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "term")
+      .filter(col("term") =!= "")
+      .as[TimedTerm]
+      .groupByKey(_.w_start_ms)
+      .flatMapGroupsWithState[HHState, HeavyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wStart: Long, rows: Iterator[TimedTerm], state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: emit the final summary
+            val s = state.get
+            state.remove()
+            s.counts.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+              .map { case (t, c) => HeavyOut(wStart, t, c, s.dec, s.n) }
+          } else {
+            var s = state.getOption.getOrElse(HHState(Map.empty, 0L, 0L))
+            // deterministic fold order within the invocation
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.pos)).foreach { r =>
+              val m = s.counts
+              s = m.get(r.term) match {
+                case Some(c) => HHState(m.updated(r.term, c + 1L), s.dec, s.n + 1)
+                case None if m.size < width =>
+                  HHState(m.updated(r.term, 1L), s.dec, s.n + 1)
+                case None =>
+                  // decrement-all: the incoming term and one unit of every
+                  // tracked term cancel — fires ≤ n/(width+1) times
+                  HHState(m.flatMap { case (t, c) =>
+                    if (c > 1L) Some(t -> (c - 1L)) else None
+                  }, s.dec + 1, s.n + 1)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(wStart + windowMs)
+            Iterator.empty
+          }
       }
   }
 

@@ -172,6 +172,53 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows.exists(s => s.n_events == 1 && s.sum_value == 7.0), s"got: ${rows.mkString(",")}")
   }
 
+  test("streaming heavy hitters: MG guarantee holds vs exact recount across micro-batches; late rows never resurrect a window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{HeavyOut, TimedText}
+    val width = 4
+    // tokens of the [10:00, 10:10) window, split across three batches
+    val d1 = "a a a a a a b b b c"
+    val d2 = "a a d d e f g"
+    val d3 = "b b h i j a"
+    val exact = s"$d1 $d2 $d3".split(" ").groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = exact.values.sum // 23
+    val in = MemoryStream[TimedText]
+    val q = EventTime.heavyHittersWithState(in.toDS(),
+        windowMs = 10 * 60 * 1000, watermark = "5 minutes", width = width)
+      .writeStream.format("memory").queryName("heavystream").outputMode("append").start()
+    in.addData(TimedText(1L, ts(1), d1), TimedText(2L, ts(3), d2))
+    q.processAllAvailable()
+    in.addData(TimedText(3L, ts(5), d3))
+    q.processAllAvailable()
+    assert(spark.table("heavystream").isEmpty, "window must not emit before the watermark closes it")
+    in.addData(TimedText(4L, ts(21), "zz")) // watermark → 10:16 > window end
+    q.processAllAvailable()
+    val rows = spark.table("heavystream").as[HeavyOut].collect()
+    assert(rows.nonEmpty, "closed window must emit its summary")
+    assert(rows.forall(_.w_start_ms == ts(0).getTime), s"wrong window: ${rows.toSeq}")
+    assert(rows.length <= width, "summary is width-bounded")
+    assert(rows.forall(_.n_tokens == n), s"exact token count wrong: ${rows.toSeq}")
+    // MG guarantee: every term above n/(width+1) is present (a=9, b=5 > 4.6)
+    val terms = rows.map(_.term).toSet
+    assert(terms.contains("a") && terms.contains("b"), s"heavy terms missing: $terms")
+    // per-candidate bound vs the exact recount: cnt_lb <= true <= cnt_lb + err_ub
+    rows.foreach { r =>
+      val t = exact(r.term)
+      assert(r.cnt_lb <= t && t <= r.cnt_lb + r.err_ub,
+        s"bound violated for ${r.term}: lb=${r.cnt_lb} err=${r.err_ub} true=$t")
+      assert(r.err_ub <= n / (width + 1), s"err_ub exceeds n/(width+1): $r")
+    }
+    // late data: a row behind the watermark must not resurrect the window
+    in.addData(TimedText(5L, ts(2), "a a a"))
+    q.processAllAvailable()
+    in.addData(TimedText(6L, ts(22), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("heavystream").as[HeavyOut].collect()
+    assert(after.length == rows.length, s"late row resurrected the closed window: ${after.toSeq}")
+  }
+
   test("stream-static enrichment join matches the batch run on identical data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

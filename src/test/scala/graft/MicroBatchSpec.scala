@@ -367,4 +367,60 @@ class MicroBatchSpec extends AnyFunSuite {
       "restart re-delivered committed data or missed the new file")
   }
 
+  test("exactlyOnceParquetAppend: a replayed batch lands a single copy in every crash window") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-eo-data").toString
+    val log = Files.createTempDirectory("graft-eo-log").toString
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(MicroBatch.exactlyOnceParquetAppend(b0, 0L, data, log))
+    assert(spark.read.parquet(data).count() == 2)
+    // crash AFTER the marker: replay is skipped outright
+    assert(!MicroBatch.exactlyOnceParquetAppend(b0, 0L, data, log))
+    assert(spark.read.parquet(data).count() == 2)
+    // crash BETWEEN data write and marker: simulate by deleting the
+    // marker and replaying — dynamic overwrite must REPLACE the
+    // partition, not append a second copy beside it
+    val marker = new org.apache.hadoop.fs.Path(log, f"${0L}%020d")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false))
+    assert(MicroBatch.exactlyOnceParquetAppend(b0, 0L, data, log))
+    assert(spark.read.parquet(data).count() == 2, "replay duplicated the batch")
+    // distinct batches append side by side under their partition keys
+    assert(MicroBatch.exactlyOnceParquetAppend(Seq((3L, "z")).toDF("id", "v"), 1L, data, log))
+    val all = spark.read.parquet(data)
+    assert(all.count() == 3)
+    assert(all.select("_batch_id").distinct().count() == 2)
+    assert(all.filter(org.apache.spark.sql.functions.col("_batch_id") === 0L).count() == 2)
+  }
+
+  test("startExactlyOnce: checkpointed restart lands every source row exactly once in the table") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft-eo-src")
+    val ckpt = Files.createTempDirectory("graft-eo-wal").toString
+    val data = Files.createTempDirectory("graft-eo-table").toString
+    val log = Files.createTempDirectory("graft-eo-commits").toString
+    val schema = Tables.table(spark, sfDir, "events").schema
+    val eventsFile = Paths.get(s"$sfDir/events.parquet")
+    val perFile = Tables.table(spark, sfDir, "events").count()
+    def run(): Unit = {
+      val q = MicroBatch.startExactlyOnce(
+        spark.readStream.schema(schema).parquet(src.toString),
+        processor = (_, df) => Success(df),
+        dataDir = data, logDir = log,
+        availableNow = true, checkpoint = Some(ckpt))
+      q.awaitTermination(60000)
+    }
+    Files.copy(eventsFile, src.resolve("a.parquet"))
+    run()
+    assert(spark.read.parquet(data).count() == perFile)
+    // restart over the same checkpoint with a second file: the WAL
+    // skips the committed batch, the commit log guards the sink — the
+    // table must grow by exactly one file's rows
+    Files.copy(eventsFile, src.resolve("b.parquet"))
+    run()
+    assert(spark.read.parquet(data).count() == 2 * perFile,
+      "restart duplicated or lost sink rows")
+  }
+
 }
