@@ -569,9 +569,23 @@ object Similarity {
     kmeansReport(Tables.embeddings(spark, dir), "vec_id", "label", "embedding",
       KmeansK, TrainIters)
 
-  /** DataFrame-first form over any (id, label, vector) frame. */
-  def kmeansReport(embs: DataFrame, idCol: String, labelCol: String,
-                   vecCol: String, k: Int, iters: Int): DataFrame = {
+  /** Corpus-parameter assignments twin of [[kmeansReport]](spark, dir)
+    * for the SimilaritySpec recomputation law.
+    */
+  private[graft] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignments(Tables.embeddings(spark, dir), "vec_id", "label",
+      "embedding", KmeansK, TrainIters)
+
+  /** The per-vector assignment frame behind [[kmeansReport]] —
+    * (vec_id, label, cluster, sim). Exposed package-private so the
+    * second-algorithm law in SimilaritySpec can recompute the report
+    * from the raw assignments; deterministic, so a separate call
+    * retrains the identical centroids (hash sample + fixed-iteration
+    * trainer).
+    */
+  private[graft] def kmeansAssignments(embs: DataFrame, idCol: String,
+                                       labelCol: String, vecCol: String,
+                                       k: Int, iters: Int): DataFrame = {
     require(k >= 2 && iters >= 0, s"kmeansReport: bad params k=$k iters=$iters")
     graft.functions.GraftFunctions.register(embs.sparkSession)
     val e = embs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
@@ -579,10 +593,15 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
     val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k * 200)
     val cents = trainCentroids(sample, k, iters)
-    val grid = e
-      .withColumn("best", greatest(centroidSims(cents): _*))
-      .select(col("best.cid").as("cluster"), col("label"),
+    e.withColumn("best", greatest(centroidSims(cents): _*))
+      .select(col("vec_id"), col("label"), col("best.cid").as("cluster"),
         (col("best.sim") / col("nrm")).as("sim"))
+  }
+
+  /** DataFrame-first form over any (id, label, vector) frame. */
+  def kmeansReport(embs: DataFrame, idCol: String, labelCol: String,
+                   vecCol: String, k: Int, iters: Int): DataFrame = {
+    val grid = kmeansAssignments(embs, idCol, labelCol, vecCol, k, iters)
       .groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("cnt"), sum(col("sim")).as("sim_sum"))
     grid.groupBy(col("cluster"))

@@ -247,4 +247,108 @@ class SimilaritySpec extends AnyFunSuite {
     assert(corpus.count() == Tables.embeddings(spark, sfDir).count())
     assert(corpus.filter(!col("kept") && col("n_closer_dups") === 0).count() == 0)
   }
+
+  // ---- second-algorithm laws: every rows-only (no DuckDB oracle)
+  // query in this family gets an independent driver-side recomputation
+  // agreeing with the Spark derivation, the q_span_dedup discipline.
+
+  private def collectVecs(): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  test("law: kmeans report equals a driver-side refold of the raw assignments") {
+    val report = ops.Similarity.kmeansReport(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("cluster") -> r).toMap
+    val asg = ops.Similarity.kmeansAssignments(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("label"),
+        r.getAs[Double]("sim")))
+    assert(asg.length == Tables.embeddings(spark, sfDir).count())
+    asg.groupBy(_._1).foreach { case (cluster, rows) =>
+      val rep = report(cluster)
+      assert(rep.getAs[Long]("n_members") == rows.length.toLong,
+        s"cluster $cluster member count")
+      val cohesion = rows.map(_._3).sum / rows.length
+      assert(math.abs(rep.getAs[Double]("cohesion") - cohesion) < 5e-4,
+        s"cluster $cluster cohesion ${rep.getAs[Double]("cohesion")} vs $cohesion")
+      // the op's argmax is max(struct(cnt, label)): count first, then
+      // the LARGER label on a tie — replicate exactly
+      val (topLabel, topCnt) = rows.groupBy(_._2).view.mapValues(_.length)
+        .toSeq.maxBy { case (l, c) => (c, l) }
+      assert(rep.getAs[Int]("top_label") == topLabel, s"cluster $cluster label")
+      assert(math.abs(rep.getAs[Double]("top_label_share") -
+        topCnt.toDouble / rows.length) < 5e-4, s"cluster $cluster share")
+    }
+    assert(report.keySet == asg.map(_._1).toSet, "report/assignment cluster sets differ")
+  }
+
+  test("law: semanticDedup flags equal a brute-force within-cell cosine recount") {
+    // corpus constants of semanticDedup(spark, dir): tau, maxCell
+    val tau = 0.97; val maxCell = 5000
+    val out = ops.Similarity.semanticDedup(spark, sfDir).collect()
+    val vecs = collectVecs()
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    byCell.foreach { case (_, members) =>
+      val oversized = members.length > maxCell
+      val ids = members.map(_.getAs[Long]("vec_id")).sorted
+      members.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        assert(r.getAs[Boolean]("in_oversized_cell") == oversized,
+          s"oversized flag wrong for $id")
+        val expected =
+          if (oversized) 0L
+          else ids.takeWhile(_ < id).count { u =>
+            dot(vecs(id), vecs(u)) / (nrm(id) * nrm(u)) >= tau
+          }.toLong
+        assert(r.getAs[Long]("n_closer_dups") == expected,
+          s"n_closer_dups wrong for $id: got ${r.getAs[Long]("n_closer_dups")}, want $expected")
+        assert(r.getAs[Boolean]("kept") == (oversized || expected == 0L),
+          s"kept flag wrong for $id")
+      }
+    }
+  }
+
+  test("law: pcaProject coordinates re-derive by direct centered matrix math on the driver") {
+    val out = ops.Similarity.pcaProject(spark, sfDir).collect()
+    val vecs = collectVecs()
+    val n = vecs.size
+    val dim = vecs.head._2.length
+    val mean = Array.tabulate(dim)(j => vecs.values.iterator.map(_(j)).sum / n)
+    // DIRECT centered covariance — deliberately a different formula
+    // than the op's single-pass raw-moment aggregate
+    val cov = Array.ofDim[Double](dim, dim)
+    vecs.values.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          cov(i)(j) += (v(i) - mean(i)) * (v(j) - mean(j)); j += 1
+        }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      cov(i)(j) /= (n - 1); cov(j)(i) = cov(i)(j)
+    }
+    val (_, evs) = graft.functions.Jacobi.eigenDesc(cov)
+    out.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val centered = Array.tabulate(dim)(d => v(d) - mean(d))
+      for (k <- 0 until 3) {
+        val expected = dot(centered, evs(k))
+        val got = r.getAs[Double](s"pc${k + 1}")
+        assert(math.abs(got - expected) < 1e-3,
+          s"pc${k + 1} for ${r.getAs[Long]("vec_id")}: got $got, want $expected")
+      }
+    }
+  }
 }
