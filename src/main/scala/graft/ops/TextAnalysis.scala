@@ -1349,7 +1349,16 @@ object TextAnalysis {
     * ids below `nQueries`.
     */
   def sparseKnn(docs: DataFrame, idCol: String, textCol: String,
-                nQueries: Int, k: Int): DataFrame = {
+                nQueries: Int, k: Int): DataFrame =
+    sparseKnnImpl(docs, idCol, textCol, nQueries, k, materialize = true)
+
+  /** Full lazy plan (no persist, no checkpoint) for plan contracts. */
+  private[graft] def sparseKnnPlan(spark: SparkSession, dir: String): DataFrame =
+    sparseKnnImpl(Tables.documents(spark, dir), "doc_id", "text",
+      SparseKnnQueries, SparseKnnK, materialize = false)
+
+  private def sparseKnnImpl(docs: DataFrame, idCol: String, textCol: String,
+                            nQueries: Int, k: Int, materialize: Boolean): DataFrame = {
     require(nQueries >= 1 && k >= 1, s"sparseKnn: bad params n=$nQueries k=$k")
     val d = canon(docs, idCol -> "doc_id", textCol -> "text")
     val tok = d.select(col("doc_id"), explode(toks).as("term"))
@@ -1358,7 +1367,7 @@ object TextAnalysis {
     val dft = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // df cap BEFORE the persist: hot-term posting lists never enter the
     // cache or the join. q_dropped_terms (below) keeps the cut visible.
-    val w = tok.join(dft, Seq("term"))
+    val w0 = tok.join(dft, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("df"),
         (col("tf") *
@@ -1367,7 +1376,7 @@ object TextAnalysis {
       .filter(col("w") > 0) // corpus-ubiquitous terms carry no signal
       .filter(col("df") <= SparseKnnPostingCap)
       .drop("df")
-      .persist()
+    val w = if (materialize) w0.persist() else w0
     try {
       // visibility: how many of each query doc's positive-weight terms
       // the df cap removed from its vector (bounded: ≤ nQueries rows)
@@ -1393,7 +1402,7 @@ object TextAnalysis {
         .join(norms, Seq("doc_id"))
         .select(col("query_id"), col("doc_id"),
           (col("dot").cast("double") / (col("qn") * col("nrm"))).as("cos"))
-      cos.groupBy(col("query_id"))
+      val out = cos.groupBy(col("query_id"))
         .agg(graft.functions.TopK.topK(k)(col("cos"), col("doc_id")).as("top"))
         .select(col("query_id"), posexplode(col("top")))
         .join(broadcast(qDropped), Seq("query_id"), "left")
@@ -1401,8 +1410,9 @@ object TextAnalysis {
           col("col.id").as("doc_id"), round(col("col.score"), 4).as("cos_sim"),
           coalesce(col("q_dropped_terms"), lit(0L)).as("q_dropped_terms"))
         .orderBy(col("query_id"), col("rank"))
-        .localCheckpoint(true) // small: nQueries × k rows — frees the w cache
-    } finally w.unpersist()
+      // small: nQueries × k rows — frees the w cache
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) w.unpersist()
   }
 
   val sparseKnnSql: String =

@@ -319,12 +319,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sparse knn stays on keyed equi-joins — no cartesian, only the 1-row stats broadcast") {
-    val plan = formatted(ops.TextAnalysis.sparseKnn(
-      Tables.documents(spark, sfDir), "doc_id", "text", 10, 5))
+    // the lazy-plan variant: the production form localCheckpoints its
+    // (bounded) result, which would hide the plan behind a LogicalRDD
+    val plan = formatted(ops.TextAnalysis.sparseKnnPlan(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"cartesian in sparse knn:\n$plan")
     // the n_docs scalar rides a 1-row broadcast nested loop — that one is
     // bounded and correct; anything unbounded is not
     assert(!plan.contains("Window"), s"ranking must be the TopK aggregate:\n$plan")
+    // the posting-list df cap must sit in the plan: hot terms are cut
+    // BEFORE the weighted frame is cached or joined
+    assert(plan.contains("<= 1000"), s"df cap filter missing from the plan:\n$plan")
+  }
+
+  test("revenue growth joins its prior-period months by broadcast, never a window over months") {
+    val plan = formatted(ops.Analytics.revenueGrowth(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"prior-month/year frames not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"calendar join regressed to a lag window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in revenue growth:\n$plan")
   }
 
   test("source drift derives the global ECDF by reusing the per-source exchange, not a rescan") {
