@@ -21,7 +21,9 @@ class CacheLifecycleSpec extends AnyFunSuite {
       ops.Dedup.dedupEmbedding(spark, sfDir),
       ops.Similarity.knnBrute(spark, sfDir),
       ops.Similarity.annLsh(spark, sfDir),
-      ops.Similarity.annIvf(spark, sfDir)
+      ops.Similarity.annIvf(spark, sfDir),
+      ops.Dedup.nearDupEval(spark, sfDir),
+      ops.TextAnalysis.sparseKnn(spark, sfDir)
     ).foreach(_.write.format("noop").mode("overwrite").save())
     assert(spark.sharedState.cacheManager.isEmpty,
       "an op returned without unpersisting its internal cache")

@@ -343,4 +343,35 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(cm.getLong(1) == 0L && cm.getLong(2) == 1L && cm.getLong(4) == 10000L,
       s"singleton cohort: $cm")
   }
+
+  test("empty and singleton corpora flow through the round-7 ops") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val oneDoc = Seq((0L, "solo words here")).toDF("doc_id", "text")
+    // sparse knn: empty → empty; a lone query doc has nothing to pair with
+    assert(ops.TextAnalysis.sparseKnn(noDocs, "doc_id", "text", 1, 5).count() == 0)
+    assert(ops.TextAnalysis.sparseKnn(oneDoc, "doc_id", "text", 1, 5).count() == 0)
+    // revenue growth: empty orders → empty; one order → one row, both
+    // growth columns null (no prior month/year exists)
+    val noOrders = Seq.empty[(java.sql.Date, Double)].toDF("d", "price")
+    assert(ops.Analytics.revenueGrowth(noOrders, "d", "price").count() == 0)
+    val rg = ops.Analytics.revenueGrowth(
+      Seq((java.sql.Date.valueOf("2024-05-02"), 12.34)).toDF("d", "price"),
+      "d", "price").head()
+    assert(rg.getLong(1) == 1234L && rg.isNullAt(3) && rg.isNullAt(4),
+      s"singleton revenueGrowth: $rg")
+    // media features: an empty catalog-shaped frame emits nothing
+    val emptyCat = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.Encoders.product[ops.MediaRecord].schema)
+    assert(ops.Multimodal.mediaFeatures(emptyCat).count() == 0)
+    // exactly-once sink: an EMPTY micro-batch must still commit its
+    // marker so a crash replay skips it instead of re-running
+    val data = java.nio.file.Files.createTempDirectory("graft-eo-edge-data").toString
+    val log = java.nio.file.Files.createTempDirectory("graft-eo-edge-log").toString
+    assert(streaming.MicroBatch.exactlyOnceParquetAppend(
+      noDocs, 0L, data, log))
+    assert(!streaming.MicroBatch.exactlyOnceParquetAppend(
+      noDocs, 0L, data, log), "empty batch must be marker-committed")
+  }
 }
