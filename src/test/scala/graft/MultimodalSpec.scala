@@ -222,6 +222,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imageStats(bytes, "wav").isEmpty, "only image formats are attempted")
   }
 
+  test("imageStats: JPEG decodes through the JDK codec too — uniform gray survives the lossy round-trip") {
+    import ops.Multimodal.{imageStats, sniffFormat}
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    assert(sniffFormat(bytes) == "jpeg")
+    val Some((luma, r, g, b, edge)) = imageStats(bytes, "jpeg")
+    // a uniform image is pure DC: every channel decodes to ~128 and the
+    // gradient proxy stays ~0 (JPEG may shift the constant by ±2)
+    Seq(luma, r, g, b).foreach(v => assert(math.abs(v - 128.0) <= 2.0, s"uniform gray drifted: $v"))
+    assert(edge <= 0.01, s"uniform image has no edges: $edge")
+  }
+
   test("mediaFeatures carries real pixel/sample statistics end-to-end; non-decodable stay null") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
