@@ -361,4 +361,179 @@ object Diagnostics {
       |  CAST(n_violations AS BIGINT) AS n_violations,
       |  n_violations = 0 AS ok
       |FROM u ORDER BY constraint_name""".stripMargin
+
+  /** Per-segment ordinary least squares of order value (whole dollars)
+    * on order width (number of line items) — the exact-moment
+    * complement of [[Relational.statsBattery]]'s float-path
+    * `regr_slope`: here every moment (n, Σx, Σy, Σx², Σxy, Σy²) is an
+    * exact integer sum (order-independent, so partition layout cannot
+    * move the result), and only the final closed-form divisions run in
+    * doubles — the same IEEE expression tree both engines evaluate on
+    * identical inputs, reproducible to round-6.
+    *
+    * Scale posture: one fact-side aggregation per order (shuffle on
+    * the natural join key), one shuffled equi-join to orders, one
+    * broadcast-joined dim, then a k-row (|segments|) final aggregate.
+    * The squared/cross moments accumulate in DECIMAL(38,0) — y² sums
+    * pass 9.2e18 (the BIGINT ceiling) near SF1000, and a silent
+    * wraparound would be unforgivable in a statistics operator.
+    */
+  def linReg(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+    val xy = Tables.orders(spark, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("x"),
+        round(col("o_totalprice")).cast("long").as("y"))
+    linReg(xy, "segment", "x", "y")
+  }
+
+  /** DataFrame-first form over any (group, x, y) frame with integral
+    * x/y columns.
+    */
+  def linReg(df: DataFrame, groupCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val xd = x.cast(DecimalType(20, 0)); val yd = y.cast(DecimalType(20, 0))
+    val m = df.groupBy(col(groupCol).as("segment")).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"), sum(yd * yd).as("syy"))
+    def d(name: String) = col(name).cast("double")
+    // the three classical cross-moments; every engine-visible double
+    // op below mirrors the oracle SQL's expression tree exactly
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = num / denx
+    m.select(col("segment"), col("n").as("n_orders"),
+        when(denx === 0d, lit(null)).otherwise(round(slope, 6)).as("slope"),
+        when(denx === 0d, lit(null))
+          .otherwise(round((d("sy") - slope * d("sx")) / d("n"), 2)).as("intercept"),
+        when(denx === 0d || deny === 0d, lit(null))
+          .otherwise(round(num * num / (denx * deny), 6)).as("r2"))
+      .orderBy(col("segment"))
+  }
+
+  val linRegSql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY 1),
+      |xy AS (
+      |  SELECT c_mktsegment AS segment, po.x AS x,
+      |         CAST(round(o_totalprice) AS BIGINT) AS y
+      |  FROM orders JOIN po ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |m AS (
+      |  SELECT segment, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |  FROM xy GROUP BY segment),
+      |d AS (
+      |  SELECT segment, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+      |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      |  FROM m)
+      |SELECT segment, CAST(n AS BIGINT) AS n_orders,
+      |  CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+      |       ELSE round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+      |  END AS slope,
+      |  CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+      |       ELSE round((syd - (nd * sxyd - sxd * syd)
+      |                         / (nd * sxxd - sxd * sxd) * sxd) / nd, 2)
+      |  END AS intercept,
+      |  CASE WHEN nd * sxxd - sxd * sxd = 0 OR nd * syyd - syd * syd = 0
+      |       THEN NULL
+      |       ELSE round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+      |                  / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+      |  END AS r2
+      |FROM d ORDER BY segment""".stripMargin
+
+  /** Welch's unequal-variance two-sample t-test between every pair of
+    * event types on the event `value` column — the parametric sibling
+    * of [[Mixing.mannWhitney]]. Values are quantized ONCE to exact
+    * milli-units (round(value·1000) as BIGINT) so all moments are
+    * order-independent integer sums; t, the Welch–Satterthwaite df and
+    * the means then come from one fixed double expression tree over
+    * those exact sums, identical in both engines.
+    *
+    * Scale posture: one corpus-sized keyed aggregation (k = |event
+    * types| rows out), then a k² pair expansion of a k-row broadcast
+    * frame — the quadratic blowup is over GROUP STATS, never rows.
+    * Σv² accumulates in DECIMAL(38,0) (same rationale as [[linReg]]).
+    */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"),
+      round(col("value") * 1000).cast("long").as("vm"))
+    welchTTest(e, "event_type", "vm")
+  }
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def welchTTest(df: DataFrame, keyCol: String, vCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(vCol).cast("long")
+    val vd = v.cast(DecimalType(20, 0))
+    val stats = df.groupBy(col(keyCol).as("t")).agg(
+      count(lit(1)).as("n"), sum(v).as("s"), sum(vd * vd).as("ss"))
+    def side(sfx: String) = stats.select(
+      col("t").as(s"type_$sfx"), col("n").as(s"n_$sfx"),
+      col("s").as(s"s_$sfx"), col("ss").as(s"ss_$sfx"))
+    def d(name: String) = col(name).cast("double")
+    val pairs = side("a").join(broadcast(side("b")),
+      col("type_a") < col("type_b"))
+    // staged selects mirror the oracle's staged CTEs: identical
+    // double expression trees → identical bits
+    pairs
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (d("s_a") / d("n_a")).as("ma"), (d("s_b") / d("n_b")).as("mb"),
+        ((d("ss_a") - d("s_a") * d("s_a") / d("n_a")) / (d("n_a") - lit(1.0)))
+          .as("va"),
+        ((d("ss_b") - d("s_b") * d("s_b") / d("n_b")) / (d("n_b") - lit(1.0)))
+          .as("vb"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("ma"), col("mb"),
+        (col("va") / d("n_a")).as("sea"), (col("vb") / d("n_b")).as("seb"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        round(col("ma") / 1000.0, 4).as("mean_a"),
+        round(col("mb") / 1000.0, 4).as("mean_b"),
+        round((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 4)
+          .as("t_stat"),
+        round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+            (col("sea") * col("sea") / (d("n_a") - lit(1.0)) +
+             col("seb") * col("seb") / (d("n_b") - lit(1.0))), 2)
+          .as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val welchTTestSql: String =
+    """WITH q AS (
+      |  SELECT event_type AS t, CAST(round(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |m AS (
+      |  SELECT t, count(*) AS n, sum(vm) AS s, sum(vm * vm) AS ss
+      |  FROM q GROUP BY t),
+      |p AS (
+      |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+      |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+      |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+      |    (CAST(a.ss AS DOUBLE)
+      |       - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+      |      / (CAST(a.n AS DOUBLE) - 1.0) AS va,
+      |    (CAST(b.ss AS DOUBLE)
+      |       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |      / (CAST(b.n AS DOUBLE) - 1.0) AS vb
+      |  FROM m a JOIN m b ON a.t < b.t),
+      |se AS (
+      |  SELECT type_a, type_b, n_a, n_b, ma, mb,
+      |    va / CAST(n_a AS DOUBLE) AS sea, vb / CAST(n_b AS DOUBLE) AS seb
+      |  FROM p)
+      |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  round(ma / 1000.0, 4) AS mean_a, round(mb / 1000.0, 4) AS mean_b,
+      |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+      |  round((sea + seb) * (sea + seb)
+      |        / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+      |           + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS df
+      |FROM se ORDER BY type_a, type_b""".stripMargin
 }

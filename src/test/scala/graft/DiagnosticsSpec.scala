@@ -130,4 +130,60 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(corpus.count() == 9)
     assert(corpus.select("max_abs_dev_micro").distinct.count() == 1)
   }
+
+  test("linReg: exact line recovers slope/intercept/r2=1; noisy group hand-checked") {
+    import spark.implicits._
+    val planted = Seq(
+      ("exact", 1L, 2L), ("exact", 2L, 4L), ("exact", 3L, 6L),
+      ("noisy", 1L, 1L), ("noisy", 2L, 3L), ("noisy", 3L, 2L))
+      .toDF("g", "x", "y")
+    val got = ops.Diagnostics.linReg(planted, "g", "x", "y").collect()
+    val exact = got.find(_.getAs[String]("segment") == "exact").get
+    assert(exact.getAs[Long]("n_orders") == 3L)
+    assert(exact.getAs[Double]("slope") == 2.0)
+    assert(exact.getAs[Double]("intercept") == 0.0)
+    assert(exact.getAs[Double]("r2") == 1.0)
+    // noisy: n=3 Sx=6 Sy=6 Sxx=14 Sxy=13 Syy=14 → num=3 den=6 → 0.5, 1.0, 0.25
+    val noisy = got.find(_.getAs[String]("segment") == "noisy").get
+    assert(noisy.getAs[Double]("slope") == 0.5)
+    assert(noisy.getAs[Double]("intercept") == 1.0)
+    assert(noisy.getAs[Double]("r2") == 0.25)
+    // degenerate x (zero variance) → NULL stats, never a divide blowup
+    val flat = ops.Diagnostics.linReg(
+      Seq(("f", 2L, 5L), ("f", 2L, 7L)).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(flat.isNullAt(flat.fieldIndex("slope")))
+    assert(flat.isNullAt(flat.fieldIndex("r2")))
+    // corpus: one row per market segment, r2 in [0,1]
+    val corpus = ops.Diagnostics.linReg(spark, sfDir).collect()
+    assert(corpus.length == 5)
+    corpus.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("welchTTest: planted two-sample t and Welch df match hand computation") {
+    import spark.implicits._
+    // A: 1,2,3 (milli 1000,2000,3000); B: 2,4 → t=-0.8660, df=1.68
+    val planted = (Seq(1000L, 2000L, 3000L).map(("a", _)) ++
+      Seq(2000L, 4000L).map(("b", _))).toDF("t", "vm")
+    val got = ops.Diagnostics.welchTTest(planted, "t", "vm").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("type_a") == "a" && r.getAs[String]("type_b") == "b")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 3.0)
+    assert(r.getAs[Double]("t_stat") == -0.866)
+    assert(r.getAs[Double]("df") == 1.68)
+    // corpus: all 5-choose-2 event-type pairs, df <= n_a+n_b-2,
+    // pair columns in strict order
+    val corpus = ops.Diagnostics.welchTTest(spark, sfDir).collect()
+    assert(corpus.length == 10)
+    corpus.foreach { p =>
+      assert(p.getAs[String]("type_a") < p.getAs[String]("type_b"))
+      assert(p.getAs[Double]("df") <=
+        (p.getAs[Long]("n_a") + p.getAs[Long]("n_b") - 2).toDouble)
+    }
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Independent driver-side model of the exact scaled-integer
+    * PageRank recurrence: same floor divisions, same damping fold,
+    * computed over plain Scala Maps. Any drift between this and the
+    * distributed implementation is a bug in one of them.
+    */
+  private def model(directed: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = directed ++ directed.map { case (a, b) => (b, a) }
+    val outdeg = und.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val nodes = outdeg.keySet
+    val n = nodes.size.toLong
+    val teleport = ops.Graph.Scale * 15L / (100L * n)
+    var pr = nodes.map(_ -> ops.Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inbox = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / outdeg(u) }.sum
+      }
+      pr = nodes.map(v => v -> (teleport + 85L * inbox(v) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the exact integer model on a planted graph") {
+    import spark.implicits._
+    // two customers share supplier 1; customer 2 also uses supplier 2 —
+    // asymmetric degrees exercise the outdeg division
+    val edges = Seq((2L, 3L), (4L, 3L), (4L, 5L))
+    val got = ops.Graph.pageRank(edges.toDF("src", "dst"), 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val want = model(edges, 5)
+    assert(got == want)
+    // rank mass: each round loses only floor-truncation dust relative
+    // to the damped total, so the sum stays within |V| units + damping
+    // identity of Scale — a coarse but implementation-independent bound
+    assert(got.values.sum > ops.Graph.Scale * 9 / 10)
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("pageRank on a symmetric pair splits rank equally") {
+    import spark.implicits._
+    val got = ops.Graph.pageRank(Seq((2L, 3L)).toDF("src", "dst"), 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(got(2L) == got(3L)) // symmetric graph → identical ranks
+  }
+
+  test("q_pagerank: 20 rows, suppliers dominate, lineage cut by checkpoint") {
+    val df = ops.Graph.pageRank(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // bipartite purchase graph: far fewer suppliers than customers
+    // with the same total edge mass → suppliers out-rank customers, so
+    // every supplier node precedes every customer node in the top-20
+    val firstCust = rows.indexWhere(_.getAs[String]("node_type") == "customer")
+    assert(rows.head.getAs[String]("node_type") == "supplier")
+    if (firstCust >= 0)
+      assert(rows.drop(firstCust)
+        .forall(_.getAs[String]("node_type") == "customer"))
+    val ranks = rows.map(_.getAs[Long]("rank_scaled"))
+    assert(ranks.toSeq == ranks.sortBy(-_).toSeq)
+    assert(ranks.forall(_ > 0))
+    // the returned frame reads the final checkpointed round — its plan
+    // must NOT re-embed the per-round join/agg cascade
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"lineage not cut:\n$plan")
+  }
+}
