@@ -71,25 +71,40 @@ object Graph {
     * isolated vertices never enter (they'd hold exactly the teleport
     * mass and contribute nothing; a caller that wants them appends
     * them afterwards, the [[Dedup.clusterPairs]] singleton pattern).
+    *
+    * `checkpointEvery` sets the lineage-cut cadence: rounds between
+    * cuts chain lazily into ONE job (AQE plans the whole segment, no
+    * per-round materialization of the rank frame), and every K-th
+    * round `localCheckpoint`s to stop the plan growing without bound.
+    * The default cuts once at the end — right for a handful of rounds;
+    * a long walk (say 50 rounds) should cut every ~5.
     */
-  def pageRank(directedEdges: DataFrame, iterations: Int): DataFrame = {
-    val e = directedEdges.select(col("src"), col("dst"))
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    // edge list + out-degree, persisted once for all rounds (the ONLY
-    // corpus-sized frame in the loop)
-    val adj = und
-      .join(und.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+  def pageRank(directedEdges: DataFrame, iterations: Int,
+               checkpointEvery: Int = Int.MaxValue): DataFrame = {
+    // ONE pass builds the whole iteration input: symmetrize with a
+    // row-local explode (a union of a frame with its own swap would
+    // scan the caller's edge derivation — a fact-fact join + distinct —
+    // once per branch), then attach out-degrees with a window on the
+    // same src shuffle. The persisted frame keeps that hash
+    // partitioning, so every round's rank join reuses it and only the
+    // |V|-row rank side moves.
+    val adj = directedEdges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
     try {
-      val n = adj.select(countDistinct(col("src"))).head.getLong(0)
+      val nodes = adj.select(col("src")).distinct()
+      val n = nodes.count()
       require(n > 0, "pageRank: empty edge frame")
       // teleport mass per node, floored once — both constants are
       // driver-side Scala Long arithmetic (exact, positive)
       val teleport = Scale * 15L / (100L * n)
-      var ranks = adj.select(col("src").as("node")).distinct()
-        .withColumn("pr", lit(Scale / n))
-        .localCheckpoint(true)
-      for (_ <- 1 to iterations) {
+      var ranks = nodes.select(col("src").as("node"), lit(Scale / n).as("pr"))
+      for (i <- 1 to iterations) {
         ranks = adj
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"), expr("pr DIV outdeg").as("c"))
@@ -97,7 +112,8 @@ object Graph {
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("node"),
             (lit(teleport) + expr("(85 * s) DIV 100")).as("pr"))
-          .localCheckpoint(true) // materializes the round + cuts lineage
+        if (i % checkpointEvery == 0 || i == iterations)
+          ranks = ranks.localCheckpoint(true) // materialize + cut lineage
       }
       ranks
     } finally adj.unpersist()
