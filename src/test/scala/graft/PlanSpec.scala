@@ -539,4 +539,21 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"vec_dot fell out of codegen:\n$plan")
   }
+
+  test("linReg: windowless exact-moment aggregate; no cartesian pairing") {
+    val plan = formatted(ops.Diagnostics.linReg(spark, sfDir))
+    assert(!plan.contains("Window"), s"linReg ranks through a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"linReg went quadratic:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected partial+final moments")
+  }
+
+  test("welch t-test: one corpus aggregate, pair expansion over broadcast stats") {
+    val plan = formatted(ops.Diagnostics.welchTTest(spark, sfDir))
+    // the k^2 pair expansion must be a broadcast nested loop over the
+    // k-row stats frames — never a shuffle of event rows
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion lost its broadcast shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pair expansion went cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"welch t-test plans a window:\n$plan")
+  }
 }
