@@ -475,7 +475,10 @@ object Diagnostics {
     val v = col(vCol).cast("long")
     val vd = v.cast(DecimalType(20, 0))
     val stats = df.groupBy(col(keyCol).as("t")).agg(
-      count(lit(1)).as("n"), sum(v).as("s"), sum(vd * vd).as("ss"))
+        count(lit(1)).as("n"), sum(v).as("s"), sum(vd * vd).as("ss"))
+      // a 1-row group has no sample variance: (n-1)=0 would put an
+      // engine-dependent inf/nan in the t — exclude it, documented
+      .filter(col("n") >= 2)
     def side(sfx: String) = stats.select(
       col("t").as(s"type_$sfx"), col("n").as(s"n_$sfx"),
       col("s").as(s"s_$sfx"), col("ss").as(s"ss_$sfx"))
@@ -512,7 +515,7 @@ object Diagnostics {
       |  FROM events),
       |m AS (
       |  SELECT t, count(*) AS n, sum(vm) AS s, sum(vm * vm) AS ss
-      |  FROM q GROUP BY t),
+      |  FROM q GROUP BY t HAVING count(*) >= 2),
       |p AS (
       |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
       |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,

@@ -119,6 +119,116 @@ object Graph {
     } finally adj.unpersist()
   }
 
+  /** Per-customer supplier-basket cap for [[coPurchase]]: pair fan-out
+    * is quadratic in basket size, so a power customer (a bot, a
+    * reseller) with 10k suppliers would emit 50M pair rows on its own;
+    * capped baskets bound every row's expansion at maxBasket²/2 and the
+    * dropped whales are the caller-visible difference (documented, and
+    * mirrored in the oracle's HAVING).
+    */
+  val CoPurchaseMaxBasket = 128
+  /** Noise floor: a pair must share ≥ this many customers to rank. */
+  val CoPurchaseMinShared = 5
+
+  /** Item-item collaborative-filtering similarity over the purchase
+    * graph: the top-20 supplier pairs by Jaccard similarity of their
+    * customer sets (cosine alongside). The classic "customers who
+    * bought from A also bought from B" signal, computed exactly:
+    * shared-customer counts come from a row-local sorted-basket i&lt;j
+    * pair expansion (never a fact self-join — the
+    * [[Analytics.freqItemsets]] discipline, here with the basket cap
+    * because customer baskets are unbounded where order baskets
+    * aren't), degrees from the same capped baskets so the Jaccard
+    * denominator is consistent, and both similarities are ONE double
+    * division of exact BIGINTs — deterministic ordering, so the
+    * top-20 cut is cross-engine stable (ties broken by the pair key).
+    */
+  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    coPurchase(e, "c", "s")
+  }
+
+  /** DataFrame-first form over any (customer, item) incidence frame. */
+  def coPurchase(edges: DataFrame, custCol: String, itemCol: String,
+                 maxBasket: Int = CoPurchaseMaxBasket,
+                 minShared: Int = CoPurchaseMinShared,
+                 k: Int = 20): DataFrame = {
+    // one aggregation builds the capped baskets; pairs AND degrees both
+    // derive from it, so the upstream fact join runs once. Size-1
+    // baskets stay: they emit no pairs but their customer belongs in
+    // the Jaccard denominator (dropping them would inflate every
+    // similarity that touches a mostly-loyal customer base).
+    val baskets = edges
+      .select(col(custCol).as("c"), col(itemCol).as("s"))
+      .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
+      .persist()
+    try {
+      val shared = baskets
+        .filter(size(col("items")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(items) - 2),
+            |  i -> transform(sequence(i + 1, size(items) - 1),
+            |    j -> named_struct('a', items[i], 'b', items[j]))))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
+        .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("shared_cust"))
+        .filter(col("shared_cust") >= minShared)
+      val deg = baskets
+        .select(explode(col("items")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("d"))
+      val dd = col("shared_cust").cast("double")
+      val scored = shared
+        .join(broadcast(deg.select(col("s").as("s_a"), col("d").as("deg_a"))),
+          Seq("s_a"))
+        .join(broadcast(deg.select(col("s").as("s_b"), col("d").as("deg_b"))),
+          Seq("s_b"))
+        .withColumn("jacc",
+          dd / (col("deg_a") + col("deg_b") - col("shared_cust")).cast("double"))
+        .withColumn("cos", dd / sqrt((col("deg_a") * col("deg_b")).cast("double")))
+        .orderBy(col("jacc").desc, col("s_a"), col("s_b"))
+        .limit(k)
+        .localCheckpoint(true) // ≤ k rows; frees the basket cache safely
+      scored.select(col("s_a"), col("s_b"), col("shared_cust"),
+        col("deg_a"), col("deg_b"),
+        round(col("jacc"), 6).as("jaccard"), round(col("cos"), 6).as("cosine"))
+    } finally baskets.unpersist()
+  }
+
+  /** DuckDB twin of [[coPurchase]] — the self-join formulation over the
+    * SAME capped customer set produces the identical pair multiset the
+    * sorted-basket expansion does.
+    */
+  val coPurchaseSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |),
+      |bc AS (SELECT c FROM e GROUP BY c HAVING count(*) <= 128),
+      |ee AS (SELECT e.c, e.s FROM e JOIN bc ON e.c = bc.c),
+      |sc AS (
+      |  SELECT a.s AS s_a, b.s AS s_b, count(*) AS shared_cust
+      |  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
+      |  GROUP BY a.s, b.s HAVING count(*) >= 5
+      |),
+      |deg AS (SELECT s, count(*) AS d FROM ee GROUP BY s),
+      |j AS (
+      |  SELECT s_a, s_b, shared_cust, da.d AS deg_a, db.d AS deg_b,
+      |    CAST(shared_cust AS DOUBLE)
+      |      / CAST(da.d + db.d - shared_cust AS DOUBLE) AS jacc,
+      |    CAST(shared_cust AS DOUBLE)
+      |      / sqrt(CAST(da.d * db.d AS DOUBLE)) AS cos
+      |  FROM sc JOIN deg da ON sc.s_a = da.s JOIN deg db ON sc.s_b = db.s
+      |)
+      |SELECT s_a, s_b, shared_cust, deg_a, deg_b,
+      |  round(jacc, 6) AS jaccard, round(cos, 6) AS cosine
+      |FROM j
+      |ORDER BY jacc DESC, s_a, s_b
+      |LIMIT 20""".stripMargin
+
   /** DuckDB twin: the 5 iterations unrolled as chained CTEs, every
     * arithmetic step (`//` floor-division, BIGINT sums) mirroring the
     * Spark plan bit-for-bit.

@@ -70,4 +70,43 @@ class GraphSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), s"lineage not cut:\n$plan")
   }
+
+  test("coPurchase: planted shared-customer pairs score exact Jaccard/cosine") {
+    import spark.implicits._
+    // items 10,20 share customers 1..5 (J = 5/(6+5-5) = 5/6: item 10
+    // also sells to customer 6); items 10,30 share only customers 1,2
+    // (below minShared=5) and must not appear
+    val edges = (
+      (1L to 5L).flatMap(c => Seq((c, 10L), (c, 20L))) ++
+        Seq((6L, 10L), (1L, 30L), (2L, 30L))).toDF("c", "s")
+    val got = ops.Graph.coPurchase(edges, "c", "s", maxBasket = 128,
+      minShared = 5, k = 20).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("s_a") == 10L && r.getAs[Long]("s_b") == 20L)
+    assert(r.getAs[Long]("shared_cust") == 5L)
+    assert(r.getAs[Long]("deg_a") == 6L && r.getAs[Long]("deg_b") == 5L)
+    assert(r.getAs[Double]("jaccard") == math.rint(5.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("cosine") == math.rint(5.0 / math.sqrt(30.0) * 1e6) / 1e6)
+    // whale cap: a customer over the basket cap contributes no pairs
+    val whale = (1L to 10L).map(s => (99L, s)) ++
+      (1L to 5L).flatMap(c => Seq((c, 1L), (c, 2L)))
+    val capped = ops.Graph.coPurchase(whale.toDF("c", "s"), "c", "s",
+      maxBasket = 8, minShared = 5, k = 20).collect()
+    assert(capped.length == 1 && capped.head.getAs[Long]("shared_cust") == 5L)
+  }
+
+  test("q_copurchase: bounded output, consistent degrees, descending similarity") {
+    val rows = ops.Graph.coPurchase(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (sh, da, db) = (r.getAs[Long]("shared_cust"),
+        r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"))
+      assert(sh >= 5 && sh <= math.min(da, db))
+      assert(r.getAs[Long]("s_a") < r.getAs[Long]("s_b"))
+      assert(r.getAs[Double]("jaccard") <= r.getAs[Double]("cosine") + 1e-9)
+    }
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.toSeq == js.sortBy(-(_: Double)).toSeq)
+  }
 }
