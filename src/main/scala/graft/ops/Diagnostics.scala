@@ -500,11 +500,18 @@ object Diagnostics {
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         round(col("ma") / 1000.0, 4).as("mean_a"),
         round(col("mb") / 1000.0, 4).as("mean_b"),
-        round((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 4)
+        // both-samples-constant → 0 standard error: Spark's double
+        // division would give ±Infinity/NaN where DuckDB gives NULL —
+        // make the degenerate case NULL in BOTH engines
+        when(col("sea") + col("seb") === 0d, lit(null))
+          .otherwise(
+            round((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 4))
           .as("t_stat"),
-        round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
-            (col("sea") * col("sea") / (d("n_a") - lit(1.0)) +
-             col("seb") * col("seb") / (d("n_b") - lit(1.0))), 2)
+        when(col("sea") + col("seb") === 0d, lit(null))
+          .otherwise(
+            round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+              (col("sea") * col("sea") / (d("n_a") - lit(1.0)) +
+               col("seb") * col("seb") / (d("n_b") - lit(1.0))), 2))
           .as("df"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -534,9 +541,11 @@ object Diagnostics {
       |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
       |  CAST(n_b AS BIGINT) AS n_b,
       |  round(ma / 1000.0, 4) AS mean_a, round(mb / 1000.0, 4) AS mean_b,
-      |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
-      |  round((sea + seb) * (sea + seb)
+      |  CASE WHEN sea + seb = 0 THEN NULL
+      |       ELSE round((ma - mb) / sqrt(sea + seb), 4) END AS t_stat,
+      |  CASE WHEN sea + seb = 0 THEN NULL
+      |       ELSE round((sea + seb) * (sea + seb)
       |        / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
-      |           + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS df
+      |           + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 2) END AS df
       |FROM se ORDER BY type_a, type_b""".stripMargin
 }

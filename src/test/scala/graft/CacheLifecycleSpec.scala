@@ -23,7 +23,9 @@ class CacheLifecycleSpec extends AnyFunSuite {
       ops.Similarity.annLsh(spark, sfDir),
       ops.Similarity.annIvf(spark, sfDir),
       ops.Dedup.nearDupEval(spark, sfDir),
-      ops.TextAnalysis.sparseKnn(spark, sfDir)
+      ops.TextAnalysis.sparseKnn(spark, sfDir),
+      ops.Graph.pageRank(spark, sfDir),
+      ops.Graph.coPurchase(spark, sfDir)
     ).foreach(_.write.format("noop").mode("overwrite").save())
     assert(spark.sharedState.cacheManager.isEmpty,
       "an op returned without unpersisting its internal cache")

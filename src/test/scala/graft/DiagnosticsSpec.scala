@@ -176,6 +176,15 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 3.0)
     assert(r.getAs[Double]("t_stat") == -0.866)
     assert(r.getAs[Double]("df") == 1.68)
+    // zero-variance pair → NULL t/df in BOTH engines (Spark's double
+    // division would otherwise emit Infinity where DuckDB NULLs)
+    val const = (Seq.fill(3)(("x", 5000L)) ++ Seq.fill(2)(("y", 5000L)))
+      .toDF("t", "vm")
+    val cr = ops.Diagnostics.welchTTest(const, "t", "vm").collect().head
+    assert(cr.isNullAt(cr.fieldIndex("t_stat")) && cr.isNullAt(cr.fieldIndex("df")))
+    // a 1-row group has no sample variance and is excluded
+    val single = Seq(("x", 1000L), ("x", 2000L), ("y", 500L)).toDF("t", "vm")
+    assert(ops.Diagnostics.welchTTest(single, "t", "vm").count() == 0)
     // corpus: all 5-choose-2 event-type pairs, df <= n_a+n_b-2,
     // pair columns in strict order
     val corpus = ops.Diagnostics.welchTTest(spark, sfDir).collect()
