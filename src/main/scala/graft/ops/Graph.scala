@@ -198,6 +198,69 @@ object Graph {
     } finally baskets.unpersist()
   }
 
+  /** Power-of-two degree-distribution histogram of the purchase graph,
+    * per node type — the shape diagnostic that decides the graph ops'
+    * physical strategy (a heavy-tailed degree distribution is what
+    * makes basket caps, posting caps and skew salting necessary; this
+    * op MEASURES the tail instead of assuming it). Buckets are the
+    * largest power of two ≤ degree, computed by an integer CASE chain
+    * — never floor(log2(d)): log(8)/log(2) is 2.9999999999999996 in
+    * doubles, and a power-of-two degree landing one bucket low in only
+    * ONE engine is exactly the kind of drift the exact discipline
+    * exists to prevent. One aggregation over the symmetrized edge
+    * list, then a |buckets|×2-bounded count — nothing corpus-sized
+    * leaves the first shuffle.
+    */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"))
+    und.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(
+        when(col("src") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr(DegreeBucketCase).as("bucket_lo"),
+        col("degree"))
+      .groupBy(col("node_type"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("sum_degree"))
+      .orderBy(col("node_type"), col("bucket_lo"))
+  }
+
+  /** Descending power-of-two CASE chain shared verbatim by both
+    * engines (first match = largest power of two ≤ degree).
+    */
+  private val DegreeBucketCase: String =
+    "CASE " + (30 to 0 by -1)
+      .map(k => s"WHEN degree >= ${1L << k} THEN ${1L << k}")
+      .mkString(" ") + " END"
+
+  val degreeProfileSql: String =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |e AS (
+       |  SELECT src FROM e0
+       |  UNION ALL
+       |  SELECT dst AS src FROM e0
+       |),
+       |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+       |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS node_type,
+       |       $DegreeBucketCase AS bucket_lo,
+       |       count(*) AS n_nodes,
+       |       CAST(sum(degree) AS BIGINT) AS sum_degree
+       |FROM deg
+       |GROUP BY 1, 2
+       |ORDER BY node_type, bucket_lo""".stripMargin
+
   /** DuckDB twin of [[coPurchase]] — the self-join formulation over the
     * SAME capped customer set produces the identical pair multiset the
     * sorted-basket expansion does.

@@ -96,6 +96,27 @@ class GraphSpec extends AnyFunSuite {
     assert(capped.length == 1 && capped.head.getAs[Long]("shared_cust") == 5L)
   }
 
+  test("degreeProfile: planted degrees land in exact power-of-two buckets") {
+    import spark.implicits._
+    // reuse the table-bound op's planted shape through the corpus
+    // query is overkill here; check the bucket CASE via the corpus run:
+    val rows = ops.Graph.degreeProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, s) = (r.getAs[Int]("bucket_lo"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("sum_degree"))
+      assert((b & (b - 1)) == 0 && b >= 1, s"bucket $b not a power of two")
+      // every member degree lies in [b, 2b): n*b <= sum < n*2b
+      assert(s >= n * b && s < n * 2L * b,
+        s"bucket $b: sum_degree $s outside [${n * b}, ${n * 2 * b})")
+    }
+    // customers and suppliers both present, and both more numerous
+    // than their bucket count (a histogram, not a node dump)
+    assert(rows.map(_.getAs[String]("node_type")).toSet ==
+      Set("customer", "supplier"))
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum > rows.length)
+  }
+
   test("q_copurchase: bounded output, consistent degrees, descending similarity") {
     val rows = ops.Graph.coPurchase(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
