@@ -292,11 +292,12 @@ object Graph {
       |ORDER BY jacc DESC, s_a, s_b
       |LIMIT 20""".stripMargin
 
-  /** DuckDB twin: the 5 iterations unrolled as chained CTEs, every
+  /** The shared oracle-side iteration: deg/nn/r0 plus `iters` unrolled
+    * rounds as chained CTEs over an edge CTE named `e`, every
     * arithmetic step (`//` floor-division, BIGINT sums) mirroring the
-    * Spark plan bit-for-bit.
+    * Spark recurrence bit-for-bit.
     */
-  val pageRankSql: String = {
+  private def pageRankRoundsSql(iters: Int): String = {
     def round(k: Int) =
       s"""r$k AS (
          |  SELECT e.dst AS node,
@@ -308,6 +309,17 @@ object Graph {
          |  JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst
          |)""".stripMargin
+    s"""deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT deg.src AS node, (SELECT 1000000000000 // n FROM nn) AS pr
+       |  FROM deg
+       |),
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB twin of [[pageRank]]. */
+  val pageRankSql: String = {
     s"""WITH e0 AS (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -317,13 +329,7 @@ object Graph {
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM e0
        |),
-       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-       |nn AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (
-       |  SELECT deg.src AS node, (SELECT 1000000000000 // n FROM nn) AS pr
-       |  FROM deg
-       |),
-       |${(1 to Iterations).map(round).mkString(",\n")}
+       |${pageRankRoundsSql(Iterations)}
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
        |         AS node_type,
        |       node // 2 AS entity_id,
@@ -332,4 +338,84 @@ object Graph {
        |ORDER BY rank_scaled DESC, node_type ASC, entity_id ASC
        |LIMIT 20""".stripMargin
   }
+
+  /** Word co-occurrence floor for [[textRank]]: an adjacent word pair
+    * must repeat ≥ this often corpus-wide to become a graph edge —
+    * the noise floor that keeps one-off typo adjacencies out of the
+    * vocabulary graph (and bounds |E| by the frequent-pair count).
+    */
+  val TextRankMinCooc = 3
+
+  /** TextRank keyword extraction: the [[pageRank]] recurrence run over
+    * the word co-occurrence graph — nodes are vocabulary words, edges
+    * are adjacent-word pairs repeating ≥ [[TextRankMinCooc]] times
+    * corpus-wide (binary, undirected — the classical formulation).
+    * Because the iteration is the same scaled-BIGINT arithmetic, the
+    * top-20 keywords are STILL oracle-checkable — a property no
+    * float-damped TextRank has.
+    *
+    * Scale posture: the pair derivation is row-local (indexed
+    * transform over each token array, the [[Analytics.freqItemsets]]
+    * shape), the only corpus-sized shuffle is the pair count keyed by
+    * the pair itself, and the iteration then runs on the
+    * |frequent-pairs|-bounded graph — vocabulary graphs grow with
+    * vocabulary (sublinear in corpus size), not with the corpus.
+    */
+  def textRank(spark: SparkSession, dir: String): DataFrame =
+    textRank(Tables.documents(spark, dir), "text")
+
+  /** DataFrame-first form over any corpus with a space-tokenized text
+    * column.
+    */
+  def textRank(docs: DataFrame, textCol: String,
+               minCooc: Int = TextRankMinCooc, k: Int = 20): DataFrame = {
+    val pairs = docs
+      .select(split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('a', t[i], 'b', t[i + 1]))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCooc)
+      .select(col("src"), col("dst"))
+    pageRank(pairs, Iterations)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("term"), col("pr").as("rank_scaled"))
+  }
+
+  /** DuckDB twin of [[textRank]] — identical tokenization (space
+    * split), identical pair floor, identical iteration unroll.
+    */
+  val textRankSql: String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |p AS (
+       |  SELECT unnest([t[i + 1] || ' ' || t[i + 2]
+       |                 FOR i IN generate_series(0, len(t) - 2)]) AS pr2
+       |  FROM tk WHERE len(t) >= 2
+       |),
+       |e1 AS (
+       |  SELECT least(string_split(pr2, ' ')[1], string_split(pr2, ' ')[2]) AS s,
+       |         greatest(string_split(pr2, ' ')[1], string_split(pr2, ' ')[2]) AS d
+       |  FROM p
+       |  WHERE string_split(pr2, ' ')[1] <> string_split(pr2, ' ')[2]
+       |),
+       |ew AS (
+       |  SELECT s AS src, d AS dst, count(*) AS w
+       |  FROM e1 GROUP BY s, d HAVING count(*) >= $TextRankMinCooc
+       |),
+       |e AS (
+       |  SELECT src, dst FROM ew
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM ew
+       |),
+       |${pageRankRoundsSql(Iterations)}
+       |SELECT node AS term, pr AS rank_scaled
+       |FROM r$Iterations
+       |ORDER BY rank_scaled DESC, term ASC
+       |LIMIT 20""".stripMargin
 }

@@ -117,6 +117,28 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_nodes")).sum > rows.length)
   }
 
+  test("textRank: the planted hub word out-ranks the spokes; floor drops rare pairs") {
+    import spark.implicits._
+    // 'hub' co-occurs with four distinct spokes (each pair 3×, at the
+    // floor); 'rare noise' appears twice (below the floor → no edge)
+    val docs = (
+      Seq.fill(3)("hub alpha hub beta hub gamma hub delta") ++
+        Seq.fill(2)("rare noise")).toDF("text")
+    val got = ops.Graph.textRank(docs, "text").collect()
+    val terms = got.map(_.getAs[String]("term"))
+    assert(terms.head == "hub", s"hub not first: ${terms.toSeq}")
+    assert(terms.toSet == Set("hub", "alpha", "beta", "gamma", "delta"))
+    // degree-1 spokes are rank-symmetric
+    val spokes = got.filter(_.getAs[String]("term") != "hub")
+      .map(_.getAs[Long]("rank_scaled")).toSet
+    assert(spokes.size == 1, s"spokes not symmetric: $spokes")
+    // corpus: bounded output, positive descending ranks
+    val corpus = ops.Graph.textRank(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.length <= 20)
+    val rs = corpus.map(_.getAs[Long]("rank_scaled"))
+    assert(rs.forall(_ > 0) && rs.toSeq == rs.sortBy(-(_: Long)).toSeq)
+  }
+
   test("q_copurchase: bounded output, consistent degrees, descending similarity") {
     val rows = ops.Graph.coPurchase(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
