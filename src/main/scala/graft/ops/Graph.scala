@@ -156,15 +156,21 @@ object Graph {
                  maxBasket: Int = CoPurchaseMaxBasket,
                  minShared: Int = CoPurchaseMinShared,
                  k: Int = 20): DataFrame = {
-    // one aggregation builds the capped baskets; pairs AND degrees both
-    // derive from it, so the upstream fact join runs once. Size-1
-    // baskets stay: they emit no pairs but their customer belongs in
-    // the Jaccard denominator (dropping them would inflate every
-    // similarity that touches a mostly-loyal customer base).
-    val baskets = edges
-      .select(col(custCol).as("c"), col(itemCol).as("s"))
+    val ecols = edges.select(col(custCol).as("c"), col(itemCol).as("s")).persist()
+    // cap BEFORE collecting: filtering on size(collect_set(...)) would
+    // still materialize a whale's full item array in the aggregation
+    // buffer — at corpus scale that is an executor OOM, not a filter.
+    // The census + semi-join keeps every collect_set buffer ≤ maxBasket.
+    val keep = ecols.groupBy(col("c"))
+      .agg(countDistinct(col("s")).as("k"))
+      .filter(col("k") <= maxBasket)
+      .select(col("c"))
+    // capped baskets feed pairs AND degrees, so the upstream edge
+    // derivation runs once. Size-1 baskets stay: they emit no pairs but
+    // their customer belongs in the Jaccard denominator (dropping them
+    // would inflate every similarity that touches a loyal customer base).
+    val baskets = ecols.join(keep, Seq("c"), "left_semi")
       .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
-      .filter(size(col("items")) <= maxBasket)
       .persist()
     try {
       val shared = baskets
@@ -195,7 +201,7 @@ object Graph {
       scored.select(col("s_a"), col("s_b"), col("shared_cust"),
         col("deg_a"), col("deg_b"),
         round(col("jacc"), 6).as("jaccard"), round(col("cos"), 6).as("cosine"))
-    } finally baskets.unpersist()
+    } finally { baskets.unpersist(); ecols.unpersist() }
   }
 
   /** Power-of-two degree-distribution histogram of the purchase graph,

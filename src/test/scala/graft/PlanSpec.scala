@@ -540,6 +540,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"vec_dot fell out of codegen:\n$plan")
   }
 
+  test("co-purchase: row-local pair expansion, broadcast degree joins, top-k heap") {
+    val plan = formatted(ops.Graph.coPurchase(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"pairing went quadratic:\n$plan")
+    assert(!plan.contains("Window"), s"ranking through a window:\n$plan")
+    // final cut reads the <= k-row checkpoint — a TakeOrdered ran inside
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"top-k not materialized from the bounded checkpoint:\n$plan")
+  }
+
+  test("textrank: edge derivation is row-local; no cartesian in the word graph") {
+    val df = ops.Graph.textRank(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), s"word pairing went quadratic:\n$plan")
+    // like pageRank, the returned frame reads the final checkpointed
+    // round: per-round join/agg cascades must not re-embed
+    assert(!formatted(df).contains("SortMergeJoin"),
+      s"iteration lineage leaked into the result plan:\n$plan")
+  }
+
   test("linReg: windowless exact-moment aggregate; no cartesian pairing") {
     val plan = formatted(ops.Diagnostics.linReg(spark, sfDir))
     assert(!plan.contains("Window"), s"linReg ranks through a window:\n$plan")
