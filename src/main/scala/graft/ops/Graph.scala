@@ -345,6 +345,94 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  /** Fixed round count for [[entityComponents]]: min-label propagation
+    * reaches the exact component labeling once rounds ≥ the largest
+    * component diameter; with fewer rounds the output is still the
+    * well-defined (and oracle-identical) R-round labeling. 8 covers
+    * every entity graph the blocked levenshtein pairing produces here
+    * ([[GraphSpec]] pins round-8 = round-9 stability on the corpus).
+    */
+  val ComponentRounds = 8
+
+  /** Oracle-checked connected components over the [[Dedup.recordLinkage]]
+    * duplicate-pair graph: every part name labeled with the
+    * lexicographically smallest name reachable through levenshtein-≤3
+    * links — the entity-resolution step AFTER pair detection, as a
+    * deterministic fixed-round min-label propagation (the
+    * [[Dedup.clusterPairs]] recurrence, but with a static round count
+    * and no driver-side convergence loop, so DuckDB unrolls it and
+    * hash-matches every label — components for sketch-free graphs are
+    * NOT rows-only).
+    *
+    * Scale posture: identical to [[Dedup.clusterPairs]] — per round one
+    * equi-join + one min-aggregate on the label frame, all keyed by
+    * name; the pair graph is block-bounded by construction. The label
+    * frame is |distinct names|, far below the record count.
+    */
+  def entityComponents(spark: SparkSession, dir: String): DataFrame =
+    entityComponents(Tables.part(spark, dir), "p_name",
+      maxDist = 3, maxBlock = 1000, rounds = ComponentRounds)
+
+  /** DataFrame-first form over any named-record frame. */
+  def entityComponents(records: DataFrame, nameCol: String, maxDist: Int,
+                       maxBlock: Int, rounds: Int): DataFrame = {
+    val pairs = Dedup.recordLinkage(records, nameCol, maxDist, maxBlock)
+      .select(col("name_a"), col("name_b"))
+    val names = records.select(col(nameCol).as("name")).distinct()
+    // symmetrized pair edges + a self-loop per name: singletons and
+    // blocked-out names keep themselves as their own entity
+    val adj = pairs.select(col("name_a").as("x"), col("name_b").as("y"))
+      .unionByName(pairs.select(col("name_b").as("x"), col("name_a").as("y")))
+      .unionByName(names.select(col("name").as("x"), col("name").as("y")))
+      .persist()
+    try {
+      var labels = names.select(col("name"), col("name").as("lbl"))
+      for (i <- 1 to rounds) {
+        labels = adj
+          .join(labels.select(col("name").as("y"), col("lbl")), Seq("y"))
+          .groupBy(col("x")).agg(min(col("lbl")).as("lbl"))
+          .select(col("x").as("name"), col("lbl"))
+        if (i == rounds) labels = labels.localCheckpoint(true)
+      }
+      labels
+        .select(col("name"), col("lbl").as("entity"),
+          (col("name") === col("lbl")).as("is_canonical"))
+        .orderBy(col("name"))
+    } finally adj.unpersist()
+  }
+
+  /** DuckDB twin of [[entityComponents]] — the blocked levenshtein pair
+    * CTE plus [[ComponentRounds]] unrolled min-label rounds.
+    */
+  val entityComponentsSql: String = {
+    def round(k: Int) =
+      s"""l$k AS (
+         |  SELECT adj.x AS name, min(l${k - 1}.lbl) AS lbl
+         |  FROM adj JOIN l${k - 1} ON adj.y = l${k - 1}.name
+         |  GROUP BY adj.x
+         |)""".stripMargin
+    s"""WITH names AS (
+       |  SELECT p_name AS name, split_part(p_name, ' ', 1) AS block
+       |  FROM part GROUP BY 1, 2),
+       |ok AS (SELECT block FROM names GROUP BY block HAVING count(*) <= 1000),
+       |pr AS (
+       |  SELECT a.name AS name_a, b.name AS name_b
+       |  FROM names a
+       |  JOIN ok USING (block)
+       |  JOIN names b ON a.block = b.block AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3),
+       |alln AS (SELECT DISTINCT name FROM names),
+       |adj AS (
+       |  SELECT name_a AS x, name_b AS y FROM pr
+       |  UNION ALL SELECT name_b AS x, name_a AS y FROM pr
+       |  UNION ALL SELECT name AS x, name AS y FROM alln),
+       |l0 AS (SELECT name, name AS lbl FROM alln),
+       |${(1 to ComponentRounds).map(round).mkString(",\n")}
+       |SELECT name, lbl AS entity, name = lbl AS is_canonical
+       |FROM l$ComponentRounds
+       |ORDER BY name""".stripMargin
+  }
+
   /** Word co-occurrence floor for [[textRank]]: an adjacent word pair
     * must repeat ≥ this often corpus-wide to become a graph edge —
     * the noise floor that keeps one-off typo adjacencies out of the

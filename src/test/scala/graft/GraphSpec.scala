@@ -139,6 +139,31 @@ class GraphSpec extends AnyFunSuite {
     assert(rs.forall(_ > 0) && rs.toSeq == rs.sortBy(-(_: Long)).toSeq)
   }
 
+  test("entityComponents: transitive chain collapses to one entity; rounds stable") {
+    import spark.implicits._
+    // chain: aaaa—aabb (dist 2), aabb—bbbb (dist 2), aaaa—bbbb dist 4 —
+    // only transitivity links the ends; unrelated singleton keeps itself
+    val names = Seq("zz aaaa", "zz aabb", "zz bbbb", "yy solo").toDF("nm")
+    val got = ops.Graph.entityComponents(names, "nm", maxDist = 3,
+      maxBlock = 1000, rounds = 8).collect()
+    val ent = got.map(r => r.getAs[String]("name") -> r.getAs[String]("entity")).toMap
+    assert(ent("zz aaaa") == "zz aaaa" && ent("zz aabb") == "zz aaaa" &&
+      ent("zz bbbb") == "zz aaaa")
+    assert(ent("yy solo") == "yy solo")
+    assert(got.count(_.getAs[Boolean]("is_canonical")) == 2)
+    // corpus: the fixed round count has converged — one more round
+    // changes nothing (the documented rounds >= diameter condition)
+    val parts = Tables.part(spark, sfDir)
+    val r8 = ops.Graph.entityComponents(parts, "p_name", 3, 1000, 8)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val r9 = ops.Graph.entityComponents(parts, "p_name", 3, 1000, 9)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(r8.sameElements(r9), "round 8 labeling not yet stable")
+    // every entity label is a member name and the minimum of its group
+    val byEnt = r8.groupBy(_._2)
+    byEnt.foreach { case (e, ms) => assert(ms.map(_._1).min == e) }
+  }
+
   test("q_copurchase: bounded output, consistent degrees, descending similarity") {
     val rows = ops.Graph.coPurchase(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
