@@ -144,10 +144,12 @@ object Graph {
     * top-20 cut is cross-engine stable (ties broken by the pair key).
     */
   def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+    // no .distinct() here: the census counts DISTINCT items and
+    // collect_set dedups — pre-distincting would add a full extra
+    // shuffle of the fact join for nothing
     val e = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
     coPurchase(e, "c", "s")
   }
 
