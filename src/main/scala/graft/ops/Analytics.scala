@@ -809,6 +809,107 @@ object Analytics {
       |LEFT JOIN m py ON py.month = CAST(m.month - INTERVAL 12 MONTH AS DATE)
       |ORDER BY m.month""".stripMargin
 
+  /** Holt's linear-trend (double exponential smoothing) revenue
+    * forecast, α=0.2 β=0.3, ENTIRELY in integer cents: the recurrence
+    *   l_t = ⌊(2·y_t + 8·(l_{t−1}+b_{t−1})) / 10⌋
+    *   b_t = ⌊(3·(l_t − l_{t−1}) + 7·b_{t−1}) / 10⌋
+    * runs as a row-local `aggregate` fold over the |months|-bounded
+    * sorted series (the q_hof_battery sequential-fold discipline), so
+    * DuckDB replays it as a recursive CTE and hash-matches the state,
+    * the 3-month-ahead forecasts l_T + h·b_T, AND the in-sample
+    * absolute-error total. The ⌊·⌋ here is TRUNCATION toward zero, not
+    * floor: a crashing trend makes numerators negative, and Spark's
+    * `DIV` and DuckDB's `//` BOTH truncate (verified: `-7 // 10` is 0
+    * in DuckDB, not −1) — so plain integer division is the one form
+    * the two engines already agree on, and it is the documented
+    * semantics of this op.
+    * Initialization (textbook): l₂=y₂, b₂=y₂−y₁; updates and the
+    * absolute-error total run from t=3 (the series needs ≥ 2 observed
+    * months). Gap months are skipped, not
+    * zero-filled — the recurrence steps over OBSERVED months in
+    * calendar order (zero-fill would teach the trend a crash that
+    * never happened; document-level gap handling is [[revenueGrowth]]'s
+    * calendar-exact join).
+    *
+    * Scale posture: the corpus-sized work is ONE keyed month aggregate;
+    * everything after runs on a bounded frame collapsed to a single
+    * row — the same bounded-collect contract as the PCA/IVF stats.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame =
+    holtForecast(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** DataFrame-first form; series must have ≥ 2 observed months. */
+  def holtForecast(orders: DataFrame, dateCol: String,
+                   priceCol: String): DataFrame = {
+    def fdiv10(x: String) = s"(($x) DIV 10)"
+    val lt = fdiv10("2 * x.c + 8 * (acc.lp + acc.bp)")
+    val bt = fdiv10(s"3 * ($lt - acc.lp) + 7 * acc.bp")
+    val fold =
+      s"""aggregate(
+         |  slice(a, 3, greatest(size(a) - 2, 0)),
+         |  named_struct('lp', a[1].c, 'bp', a[1].c - a[0].c,
+         |               'sae', CAST(0 AS BIGINT)),
+         |  (acc, x) -> named_struct(
+         |    'lp', $lt,
+         |    'bp', $bt,
+         |    'sae', acc.sae + abs(x.c - (acc.lp + acc.bp))))""".stripMargin
+    orders
+      .select(date_trunc("month", col(dateCol)).cast("date").as("m"),
+        cents(col(priceCol)).as("pc"))
+      .groupBy(col("m")).agg(sum(col("pc")).as("c"))
+      .agg(sort_array(collect_list(struct(col("m"), col("c")))).as("a"))
+      .select(expr(fold).as("st"),
+        expr("element_at(a, size(a)).m").as("last_m"),
+        expr("CAST(greatest(size(a) - 2, 0) AS BIGINT)").as("n_fit"))
+      .select(explode(expr("sequence(1, 3)")).as("h"),
+        col("st"), col("last_m"), col("n_fit"))
+      .select(col("h").cast("int").as("h"),
+        add_months(col("last_m"), col("h")).as("forecast_month"),
+        (col("st.lp") + col("h") * col("st.bp")).as("forecast_cents"),
+        col("st.lp").as("level_cents"), col("st.bp").as("trend_cents"),
+        col("st.sae").as("sae_cents"), col("n_fit"))
+      .orderBy(col("h"))
+  }
+
+  /** DuckDB twin: the identical recurrence as a recursive CTE (the
+    * nested subquery computes l_t once so b_t can reference it; `//`
+    * floors negatives exactly like the Spark pmod form).
+    */
+  val holtForecastSql: String =
+    """WITH RECURSIVE mo AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS c
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT m, c, row_number() OVER (ORDER BY m) AS i FROM mo),
+      |nn AS (SELECT count(*) AS n, max(m) AS last_m FROM idx),
+      |hw AS (
+      |  SELECT 2 AS i,
+      |         (SELECT c FROM idx WHERE i = 2) AS lp,
+      |         (SELECT c FROM idx WHERE i = 2)
+      |           - (SELECT c FROM idx WHERE i = 1) AS bp,
+      |         CAST(0 AS BIGINT) AS sae
+      |  UNION ALL
+      |  SELECT s.i, s.lt, (3 * (s.lt - s.lp) + 7 * s.bp) // 10,
+      |         s.sae + abs(s.c - (s.lp + s.bp))
+      |  FROM (
+      |    SELECT hw.i + 1 AS i, idx.c AS c, hw.lp AS lp, hw.bp AS bp,
+      |           hw.sae AS sae,
+      |           (2 * idx.c + 8 * (hw.lp + hw.bp)) // 10 AS lt
+      |    FROM hw JOIN idx ON idx.i = hw.i + 1
+      |  ) s
+      |),
+      |fin AS (SELECT lp, bp, sae FROM hw WHERE i = (SELECT n FROM nn))
+      |SELECT CAST(h AS INT) AS h,
+      |  CAST((SELECT last_m FROM nn) + h * INTERVAL 1 MONTH AS DATE)
+      |    AS forecast_month,
+      |  CAST(lp + h * bp AS BIGINT) AS forecast_cents,
+      |  CAST(lp AS BIGINT) AS level_cents, CAST(bp AS BIGINT) AS trend_cents,
+      |  CAST(sae AS BIGINT) AS sae_cents,
+      |  (SELECT CAST(greatest(n - 2, 0) AS BIGINT) FROM nn) AS n_fit
+      |FROM fin, (SELECT unnest(generate_series(1, 3)) AS h) hh
+      |ORDER BY h""".stripMargin
+
   private def runWithTables(spark: SparkSession, dir: String, sql: String,
                             names: Seq[String]): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * per-edge contribution is one integer division (`pr DIV outdeg`),
   * the damping multiply is `(85 * sum) DIV 100`, and BIGINT sums are
   * order-independent — so there is no floating-point accumulation
-  * anywhere and both engines floor the same positive quotients.
-  * (Spark's `DIV` truncates toward zero and DuckDB's `//` floors;
-  * every operand here is positive, where the two agree.)
+  * anywhere and both engines truncate the same positive quotients.
+  * (Spark's `DIV` and DuckDB's `//` both truncate toward zero —
+  * verified, `-7 // 10` is 0 in DuckDB — and every operand here is
+  * positive anyway.)
   *
   * Scale posture (100 TB): this is textbook distributed PageRank — the
   * edge list is the big frame and it is touched once per iteration by

@@ -377,4 +377,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sups.zip(sups.tail).forall { case (a, b) => a >= b })
     assert(corpus.forall(r => r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
   }
+
+  test("holtForecast: a perfect linear trend forecasts exactly; noisy step hand-traced") {
+    import spark.implicits._
+    def d(m: Int) = java.sql.Timestamp.valueOf(f"2020-$m%02d-15 00:00:00")
+    // revenue 10.00, 12.00, 14.00, 16.00 — slope +200 cents/month
+    val lin = Seq(d(1) -> 10.0, d(2) -> 12.0, d(3) -> 14.0, d(4) -> 16.0)
+      .toDF("dt", "price")
+    val got = ops.Analytics.holtForecast(lin, "dt", "price").collect()
+    assert(got.length == 3)
+    // l4=1600 b4=200: forecasts 1800/2000/2200 cents, zero in-sample error
+    assert(got.map(_.getAs[Long]("forecast_cents")).toSeq ==
+      Seq(1800L, 2000L, 2200L))
+    assert(got.forall(_.getAs[Long]("sae_cents") == 0L))
+    assert(got.forall(_.getAs[Long]("trend_cents") == 200L))
+    assert(got.head.getAs[java.sql.Date]("forecast_month").toString == "2020-05-01")
+    // noisy third month: y = 1000, 1200, 1000 (cents)
+    // init l2=1200 b2=200; t=3: fitted=1400, err=400,
+    // l3=floor((2*1000+8*1400)/10)=1320, b3=floor((3*120+7*200)/10)=176
+    val noisy = Seq(d(1) -> 10.0, d(2) -> 12.0, d(3) -> 10.0).toDF("dt", "price")
+    val n1 = ops.Analytics.holtForecast(noisy, "dt", "price").collect().head
+    assert(n1.getAs[Long]("level_cents") == 1320L)
+    assert(n1.getAs[Long]("trend_cents") == 176L)
+    assert(n1.getAs[Long]("sae_cents") == 400L)
+    assert(n1.getAs[Long]("forecast_cents") == 1320L + 176L)
+    assert(n1.getAs[Long]("n_fit") == 1L)
+    // corpus: 3 rows, forecast arithmetic consistent with level/trend
+    val c = ops.Analytics.holtForecast(spark, sfDir).collect()
+    assert(c.length == 3)
+    c.foreach { r =>
+      assert(r.getAs[Long]("forecast_cents") ==
+        r.getAs[Long]("level_cents") + r.getAs[Int]("h") * r.getAs[Long]("trend_cents"))
+    }
+  }
 }
