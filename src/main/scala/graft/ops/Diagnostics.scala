@@ -548,4 +548,106 @@ object Diagnostics {
       |        / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
       |           + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 2) END AS df
       |FROM se ORDER BY type_a, type_b""".stripMargin
+
+  /** Right-censoring horizon for [[kaplanMeier]]: a customer whose last
+    * order falls within this many days of the dataset's end may still
+    * be active — censored, not churned.
+    */
+  val ChurnCensorDays = 90
+
+  /** Kaplan–Meier survival curve of customer lifetime (days between
+    * first and last order), right-censored at [[ChurnCensorDays]]
+    * before the dataset end — churn analysis as the product-limit
+    * estimator, in EXACT integers: the survival product
+    * S_i = ⌊S_{i−1}·(n_i−d_i)/n_i⌋ runs at micro-unit scale through
+    * the same row-local fold discipline as [[Analytics.holtForecast]]
+    * (truncating division, which Spark `DIV` and DuckDB `//` agree
+    * on), so every curve point hash-matches the oracle's recursive
+    * CTE. Risk sets come from one descending cumulative sum over the
+    * |distinct-durations|-bounded grid — the "window above the
+    * aggregate" pattern, never over customers.
+    *
+    * Scale posture: one keyed aggregate over orders (the only
+    * corpus-sized shuffle), a 1-row max broadcast, then everything
+    * runs on the bounded duration grid.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    kaplanMeier(Tables.orders(spark, dir), "o_custkey", "o_orderdate",
+      ChurnCensorDays)
+
+  /** DataFrame-first form over any (subject, event date) frame. */
+  def kaplanMeier(events: DataFrame, subjCol: String, dateCol: String,
+                  censorDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events.groupBy(col(subjCol).as("k"))
+      .agg(min(col(dateCol).cast("date")).as("f"),
+        max(col(dateCol).cast("date")).as("l"))
+    val mx = per.agg(max(col("l")).as("m"))
+    val pc = per.crossJoin(broadcast(mx))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (col("l") <= date_sub(col("m"), censorDays)).cast("long").as("ev"))
+    val grid = pc.groupBy(col("t"))
+      .agg(count(lit(1)).as("m_t"), sum(col("ev")).as("d_t"))
+    val riskW = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = grid
+      .withColumn("n_risk", sum(col("m_t")).over(riskW))
+      .filter(col("d_t") > 0)
+      .select(col("t"), col("n_risk"), col("d_t"))
+    val fold =
+      """aggregate(a,
+        |  named_struct('s', CAST(1000000 AS BIGINT),
+        |               'out', CAST(array() AS ARRAY<BIGINT>)),
+        |  (acc, x) -> named_struct(
+        |    's', (acc.s * (x.n_risk - x.d_t)) DIV x.n_risk,
+        |    'out', concat(acc.out,
+        |                  array((acc.s * (x.n_risk - x.d_t)) DIV x.n_risk))))
+        |""".stripMargin
+    ev.agg(sort_array(collect_list(struct(col("t"), col("n_risk"),
+        col("d_t")))).as("a"))
+      .select(col("a"), expr(fold).as("st"))
+      .select(posexplode(col("a")), col("st.out").as("out"))
+      .select(col("col.t").as("t_days"), col("col.n_risk").as("n_risk"),
+        col("col.d_t").as("n_event"),
+        expr("element_at(out, pos + 1)").as("surv_micro"))
+      .orderBy(col("t_days"))
+  }
+
+  /** DuckDB twin of [[kaplanMeier]] — descending cumulative risk sets
+    * plus the product-limit recursion, all-integer.
+    */
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE per AS (
+       |  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+       |         CAST(max(o_orderdate) AS DATE) AS l
+       |  FROM orders GROUP BY 1),
+       |mx AS (SELECT max(l) AS m FROM per),
+       |pc AS (
+       |  SELECT CAST(l - f AS BIGINT) AS t,
+       |         CASE WHEN l <= (SELECT m FROM mx) - $ChurnCensorDays
+       |              THEN 1 ELSE 0 END AS ev
+       |  FROM per),
+       |grid AS (
+       |  SELECT t, count(*) AS m_t, CAST(sum(ev) AS BIGINT) AS d_t
+       |  FROM pc GROUP BY t),
+       |g2 AS (
+       |  SELECT t, d_t,
+       |    CAST(sum(m_t) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM grid),
+       |ev AS (
+       |  SELECT t, d_t, n_risk, row_number() OVER (ORDER BY t) AS i
+       |  FROM g2 WHERE d_t > 0),
+       |km AS (
+       |  SELECT i, t, d_t, n_risk,
+       |         CAST(1000000 * (n_risk - d_t) // n_risk AS BIGINT) AS s
+       |  FROM ev WHERE i = 1
+       |  UNION ALL
+       |  SELECT e.i, e.t, e.d_t, e.n_risk,
+       |         CAST(km.s * (e.n_risk - e.d_t) // e.n_risk AS BIGINT)
+       |  FROM km JOIN ev e ON e.i = km.i + 1
+       |)
+       |SELECT t AS t_days, n_risk, d_t AS n_event, s AS surv_micro
+       |FROM km ORDER BY t_days""".stripMargin
 }

@@ -163,6 +163,34 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("kaplanMeier: planted cohort traces the exact product-limit curve") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(day).atStartOfDay())
+    // A,B: t=10 events; C: t=100 event; D: t=100 censored (active at end)
+    val ev = Seq(
+      ("A", d(0)), ("A", d(10)), ("B", d(0)), ("B", d(10)),
+      ("C", d(0)), ("C", d(100)), ("D", d(100)), ("D", d(200)))
+      .toDF("k", "dt")
+    val got = ops.Diagnostics.kaplanMeier(ev, "k", "dt", censorDays = 90)
+      .collect()
+    assert(got.length == 2)
+    val r10 = got(0)
+    assert(r10.getAs[Long]("t_days") == 10L && r10.getAs[Long]("n_risk") == 4L &&
+      r10.getAs[Long]("n_event") == 2L && r10.getAs[Long]("surv_micro") == 500000L)
+    val r100 = got(1)
+    assert(r100.getAs[Long]("t_days") == 100L && r100.getAs[Long]("n_risk") == 2L &&
+      r100.getAs[Long]("n_event") == 1L && r100.getAs[Long]("surv_micro") == 250000L)
+    // corpus: curve is monotone non-increasing, risk sets shrink with t
+    val c = ops.Diagnostics.kaplanMeier(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    val sv = c.map(_.getAs[Long]("surv_micro"))
+    assert(sv.zip(sv.tail).forall { case (a, b) => a >= b })
+    val nr = c.map(_.getAs[Long]("n_risk"))
+    assert(nr.zip(nr.tail).forall { case (a, b) => a >= b })
+    assert(sv.forall(s => s >= 0 && s <= 1000000L))
+  }
+
   test("welchTTest: planted two-sample t and Welch df match hand computation") {
     import spark.implicits._
     // A: 1,2,3 (milli 1000,2000,3000); B: 2,4 → t=-0.8660, df=1.68
