@@ -168,4 +168,39 @@ class DeterminismSpec extends AnyFunSuite {
     val ca = runC(_.repartition(3)); val cb = runC(_.coalesce(1))
     assert(ca == cb, "cohort matrix depends on the input partitioning")
   }
+
+  test("round-7 graph and statistics ops are invariant to input layout") {
+    // exact-integer disciplines all: any layout sensitivity is a bug
+    val orders = Tables.orders(spark, sfDir)
+    def runH(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Analytics.holtForecast(f(orders), "o_orderdate", "o_totalprice"))
+    assert(runH(_.repartition(7)) == runH(_.coalesce(1)),
+      "holt forecast depends on the input partitioning")
+    def runK(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Diagnostics.kaplanMeier(f(orders), "o_custkey", "o_orderdate", 90))
+    assert(runK(_.repartition(7)) == runK(_.coalesce(1)),
+      "kaplan-meier depends on the input partitioning")
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+      .distinct()
+    // the generic form returns the rank frame unordered (callers sort);
+    // determinism here means the VALUES are layout-invariant
+    def runP(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.pageRank(f(edges), 5).orderBy("node"))
+    assert(runP(_.repartition(7)) == runP(_.coalesce(1)),
+      "pagerank depends on the input partitioning")
+    def runCp(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.coPurchase(f(edges.selectExpr("src AS c", "dst AS s")),
+        "c", "s"))
+    assert(runCp(_.repartition(7)) == runCp(_.coalesce(1)),
+      "co-purchase depends on the input partitioning")
+    val docs = Tables.documents(spark, sfDir)
+    def runT(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.textRank(f(docs), "text"))
+    assert(runT(_.repartition(7)) == runT(_.coalesce(1)),
+      "textrank depends on the input partitioning")
+  }
 }
