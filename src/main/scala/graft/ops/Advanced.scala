@@ -554,6 +554,109 @@ object Advanced {
       |ORDER BY user_id, lag_k""".stripMargin
   }
 
+  /** Lag window for [[crossCorr]]: ±3 days around alignment. */
+  private val CrossCorrLags = 3
+  /** Minimum overlapping days for a (pair, lag) cell to report. */
+  private val CrossCorrMinDays = 10
+
+  /** Lead/lag cross-correlation between event-type daily volumes: for
+    * every ORDERED pair of distinct event types and every lag k in
+    * ±[[CrossCorrLags]] days, the Pearson correlation of (x_t, y_{t+k})
+    * over the zero-filled daily grid — the diagnostic that says "clicks
+    * lead purchases by two days", which [[autocorr]] (self-correlation)
+    * cannot see. Zero-filling matters: skipping silent days would
+    * misalign every series against calendar time.
+    *
+    * Same exactness discipline as [[autocorr]]: daily counts and all
+    * five moments accumulate in BIGINT; only the final Pearson
+    * combination runs in double (identical IEEE sequence both
+    * engines). Scale shape: the ONLY corpus-sized operation is the
+    * (type, day) count aggregate; the calendar grid, the |types|×|days|
+    * zero-fill, the 7-lag fan-out and the pair join are all bounded
+    * frames.
+    */
+  def crossCorr(spark: SparkSession, dir: String): DataFrame =
+    crossCorr(Tables.events(spark, dir), "event_type", "ts")
+
+  /** DataFrame-first form over any (category, timestamp) event frame. */
+  def crossCorr(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("t"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val grid = daily.select(col("t")).distinct()
+      .crossJoin(cal) // bounded × bounded: |types| × |days|
+      .join(daily, Seq("t", "day"), "left")
+      .select(col("t"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = grid
+      .select(col("t").as("type_a"), col("day"), col("n").as("x"))
+      .select(col("*"),
+        explode(expr(s"sequence(${-CrossCorrLags}, $CrossCorrLags)")).as("lag_k"))
+    val b = grid.select(col("t").as("type_b"), col("day").as("bday"),
+      col("n").as("y"))
+    a.join(b, col("bday") === date_add(col("day"), col("lag_k")) &&
+        col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag_k"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .where(col("n_days") >= CrossCorrMinDays)
+      .withColumn("vx", col("n_days").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+      .withColumn("vy", col("n_days").cast("double") * col("syy")
+        - col("sy").cast("double") * col("sy"))
+      .where(col("vx") > 0 && col("vy") > 0)
+      .withColumn("r", round(
+        (col("n_days").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy"))
+          / sqrt(col("vx") * col("vy")), 4))
+      .select(col("type_a"), col("type_b"), col("lag_k").cast("int").as("lag_k"),
+        col("n_days"), col("r"))
+      .orderBy(col("type_a"), col("type_b"), col("lag_k"))
+  }
+
+  val crossCorrSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |cal AS (
+       |  SELECT CAST(unnest(generate_series(
+       |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+       |    INTERVAL 1 DAY)) AS DATE) AS day),
+       |grid AS (
+       |  SELECT ty.t, cal.day, coalesce(daily.n, 0) AS n
+       |  FROM (SELECT DISTINCT t FROM daily) ty
+       |  CROSS JOIN cal
+       |  LEFT JOIN daily ON daily.t = ty.t AND daily.day = cal.day),
+       |pairs AS (
+       |  SELECT a.t AS type_a, b.t AS type_b, k.lag_k, a.n AS x, b.n AS y
+       |  FROM grid a
+       |  CROSS JOIN (SELECT CAST(unnest(generate_series(${-CrossCorrLags},
+       |                              $CrossCorrLags)) AS INTEGER) AS lag_k) k
+       |  JOIN grid b ON b.day = a.day + k.lag_k AND b.t <> a.t),
+       |m AS (
+       |  SELECT type_a, type_b, lag_k, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pairs GROUP BY 1, 2, 3
+       |  HAVING count(*) >= $CrossCorrMinDays),
+       |v AS (
+       |  SELECT type_a, type_b, lag_k, n_days,
+       |    CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+       |    CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+       |    CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy
+       |  FROM m)
+       |SELECT type_a, type_b, CAST(lag_k AS INT) AS lag_k, n_days,
+       |  round(cxy / sqrt(vx * vy), 4) AS r
+       |FROM v WHERE vx > 0 AND vy > 0
+       |ORDER BY type_a, type_b, lag_k""".stripMargin
+
   /** Event-sequence funnel: per user, the first `view`, the first
     * `click` strictly after that view, and the first `purchase`
     * strictly after that click — then the per-stage user counts with

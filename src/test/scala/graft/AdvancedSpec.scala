@@ -524,4 +524,31 @@ class AdvancedSpec extends AnyFunSuite {
     assert(corpus.filter(col("n_users") > col("cohort_size")).count() == 0)
     assert(corpus.filter(col("week_offset") < 0).count() == 0)
   }
+
+  test("crossCorr: a one-day-shifted copy correlates perfectly at lag 1") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 3, 1).plusDays(day).atStartOfDay())
+    // type a: day i carries i+1 events (i=0..19); type b is a's series
+    // delayed one day — "a leads b by one day"
+    val rows = (0 until 20).flatMap { i =>
+      Seq.fill(i + 1)(("a", ts(i))) ++ Seq.fill(i + 1)(("b", ts(i + 1)))
+    }
+    val got = ops.Advanced.crossCorr(rows.toDF("t", "at"), "t", "at")
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[Int]("lag_k")) -> r.getAs[Double]("r")).toMap
+    assert(got(("a", "b", 1)) == 1.0, s"lead not detected: $got")
+    assert(got(("b", "a", -1)) == 1.0)
+    // at wrong-direction lags the ramp still correlates, but less
+    assert(got(("a", "b", -1)) < 1.0)
+    // corpus: bounded grid of pairs × lags, r within [-1, 1]
+    val corpus = ops.Advanced.crossCorr(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.length <= 5 * 4 * 7)
+    corpus.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 && v <= 1.0)
+      assert(r.getAs[String]("type_a") != r.getAs[String]("type_b"))
+    }
+  }
 }
