@@ -25,7 +25,9 @@ class CacheLifecycleSpec extends AnyFunSuite {
       ops.Dedup.nearDupEval(spark, sfDir),
       ops.TextAnalysis.sparseKnn(spark, sfDir),
       ops.Graph.pageRank(spark, sfDir),
-      ops.Graph.coPurchase(spark, sfDir)
+      ops.Graph.coPurchase(spark, sfDir),
+      ops.Graph.textRank(spark, sfDir),
+      ops.Graph.entityComponents(spark, sfDir)
     ).foreach(_.write.format("noop").mode("overwrite").save())
     assert(spark.sharedState.cacheManager.isEmpty,
       "an op returned without unpersisting its internal cache")
