@@ -374,4 +374,39 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(!streaming.MicroBatch.exactlyOnceParquetAppend(
       noDocs, 0L, data, log), "empty batch must be marker-committed")
   }
+
+  test("degenerate inputs flow through the round-7 second-leg ops") {
+    import spark.implicits._
+    // pageRank: an empty edge frame is a hard precondition — fail loudly
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      ops.Graph.pageRank(noEdges, 5)
+    }
+    // textRank: no pair reaches the co-occurrence floor → same loud path
+    intercept[IllegalArgumentException] {
+      ops.Graph.textRank(Seq("every word distinct entirely").toDF("text"), "text")
+    }
+    // co-purchase: single-item baskets everywhere → no pairs, empty result
+    val loyal = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("c", "s")
+    assert(ops.Graph.coPurchase(loyal, "c", "s").count() == 0)
+    // entity components: pair-free names are each their own entity
+    val lone = Seq("aa one", "bb two").toDF("nm")
+    val ec = ops.Graph.entityComponents(lone, "nm", 3, 1000, 8).collect()
+    assert(ec.length == 2 && ec.forall(_.getAs[Boolean]("is_canonical")))
+    // kaplan-meier: everyone censored → no event rows, empty curve
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(d).atStartOfDay())
+    val active = Seq(("A", ts(0)), ("A", ts(100)), ("B", ts(60)), ("B", ts(100)))
+      .toDF("k", "dt")
+    assert(ops.Diagnostics.kaplanMeier(active, "k", "dt", 90).count() == 0)
+    // cross-corr: a single event type has no pairs
+    val mono = (0 until 30).map(i => ("only", ts(i))).toDF("t", "at")
+    assert(ops.Advanced.crossCorr(mono, "t", "at").count() == 0)
+    // holt: two months is the minimum series — forecasts extrapolate the
+    // single observed step
+    val two = Seq((ts(0), 10.0), (ts(31), 12.0)).toDF("dt", "price")
+    val hf = ops.Analytics.holtForecast(two, "dt", "price").collect()
+    assert(hf.length == 3 && hf.head.getAs[Long]("forecast_cents") == 1400L)
+    assert(hf.forall(_.getAs[Long]("n_fit") == 0L))
+  }
 }
