@@ -27,11 +27,11 @@ import org.apache.spark.sql.functions._
   * edge list is the big frame and it is touched once per iteration by
   * an equi-join on `src` followed by an aggregation on `dst` (two
   * shuffles per round, both on graph keys, never a collect). The
-  * edge+degree frame is persisted ONCE and reused by all rounds; each
-  * round's rank frame (|V| rows, far smaller than |E|) is eagerly
-  * `localCheckpoint`ed to cut lineage — without the cut, round N's
-  * plan embeds N copies of the join/agg cascade, which is what kills
-  * iterative jobs at scale (same discipline as
+  * edge+degree frame is persisted ONCE and reused by all rounds; the
+  * rank frame (|V| rows, far smaller than |E|) is `localCheckpoint`ed
+  * on a configurable cadence to cut lineage — an unbounded chain of
+  * rounds would embed N copies of the join/agg cascade in the plan,
+  * which is what kills iterative jobs at scale (same discipline as
   * [[Dedup.clusterPairs]]). Iteration count is FIXED (not
   * convergence-tested) so the job graph is statically known and the
   * oracle can unroll it.
@@ -303,8 +303,8 @@ object Graph {
 
   /** The shared oracle-side iteration: deg/nn/r0 plus `iters` unrolled
     * rounds as chained CTEs over an edge CTE named `e`, every
-    * arithmetic step (`//` floor-division, BIGINT sums) mirroring the
-    * Spark recurrence bit-for-bit.
+    * arithmetic step (`//` truncating division, BIGINT sums) mirroring
+    * the Spark recurrence bit-for-bit.
     */
   private def pageRankRoundsSql(iters: Int): String = {
     def round(k: Int) =
