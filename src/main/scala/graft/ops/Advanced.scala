@@ -657,6 +657,89 @@ object Advanced {
        |FROM v WHERE vx > 0 AND vy > 0
        |ORDER BY type_a, type_b, lag_k""".stripMargin
 
+  /** Attribution look-back window in days. */
+  private val AttribWindowDays = 7
+
+  /** Multi-touch purchase attribution: for every purchase, the same
+    * user's view/click touches in the prior [[AttribWindowDays]] days,
+    * credited three ways at once — first-touch, last-touch, and linear
+    * — reported per touch type. Linear credit is EXACT integer ppm:
+    * each touch gets ⌊1e6/n⌋ and the remainder 1e6 mod n goes to the
+    * first touch (a stated, deterministic policy), so per-purchase
+    * credit sums to exactly 1e6 and the report's total equals
+    * 1e6 × (touched purchases) to the last unit — the invariant the
+    * spec pins. Purchases with no in-window touch attribute nothing
+    * (they are the funnel's organic tail).
+    *
+    * Scale shape: one user-keyed equi-join with a time-band predicate
+    * (per-user touch lists are rate-bounded, never a cross join), then
+    * TWO window passes over the same purchase-keyed exchange (forward
+    * and reverse rank) and one bounded per-type aggregate.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir), "user_id", "event_type", "ts",
+      "event_id")
+
+  /** DataFrame-first form over any (user, type, time, id) event frame. */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("ts"), col(idCol).as("eid"))
+    val purchases = e.filter(col("et") === "purchase")
+      .select(col("u").as("pu"), col("ts").as("pt"), col("eid").as("pid"))
+    val touches = e.filter(col("et").isin("view", "click"))
+      .join(purchases, col("u") === col("pu") &&
+        col("ts") >= col("pt") - expr(s"INTERVAL $AttribWindowDays DAYS") &&
+        col("ts") < col("pt"))
+      .select(col("pid"), col("et").as("touch_type"), col("ts"), col("eid"))
+    val byP = Window.partitionBy(col("pid"))
+    val fwd = byP.orderBy(col("ts"), col("eid"))
+    val rev = byP.orderBy(col("ts").desc, col("eid").desc)
+    touches
+      .withColumn("rk", row_number().over(fwd))
+      .withColumn("rk_rev", row_number().over(rev))
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("credit_ppm",
+        expr("1000000 DIV n") +
+          when(col("rk") === 1, expr("1000000 % n")).otherwise(lit(0L)))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rk_rev") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(col("credit_ppm")).as("linear_ppm"))
+      .orderBy(col("touch_type"))
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id AS u, event_type AS et, ts, event_id AS eid
+       |  FROM events),
+       |p AS (
+       |  SELECT u AS pu, ts AS pt, eid AS pid FROM e
+       |  WHERE et = 'purchase'),
+       |t AS (
+       |  SELECT p.pid, e.et AS touch_type, e.ts, e.eid
+       |  FROM e JOIN p ON e.u = p.pu
+       |    AND e.ts >= p.pt - INTERVAL $AttribWindowDays DAY
+       |    AND e.ts < p.pt
+       |  WHERE e.et IN ('view', 'click')),
+       |r AS (
+       |  SELECT touch_type,
+       |    row_number() OVER (PARTITION BY pid ORDER BY ts, eid) AS rk,
+       |    row_number() OVER (PARTITION BY pid ORDER BY ts DESC, eid DESC)
+       |      AS rk_rev,
+       |    count(*) OVER (PARTITION BY pid) AS n
+       |  FROM t)
+       |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS first_touch,
+       |  CAST(sum(CASE WHEN rk_rev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS last_touch,
+       |  CAST(sum(1000000 // n
+       |           + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+       |    AS linear_ppm
+       |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
   /** Event-sequence funnel: per user, the first `view`, the first
     * `click` strictly after that view, and the first `purchase`
     * strictly after that click — then the per-stage user counts with

@@ -525,6 +525,38 @@ class AdvancedSpec extends AnyFunSuite {
     assert(corpus.filter(col("week_offset") < 0).count() == 0)
   }
 
+  test("attribution: planted journey splits exact ppm; totals close to the unit") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 6, 1).atStartOfDay.plusHours(h))
+    // user 1: view, click, view → purchase (3 touches, n=3:
+    // each ⌊1e6/3⌋=333333, remainder 1 → first view 333334);
+    // user 2: purchase with no prior touch → attributes nothing
+    val ev = Seq(
+      (1L, "view", ts(0), 10L), (1L, "click", ts(1), 11L),
+      (1L, "view", ts(2), 12L), (1L, "purchase", ts(3), 13L),
+      (2L, "purchase", ts(5), 20L))
+      .toDF("u", "et", "at", "id")
+    val got = ops.Advanced.attribution(ev, "u", "et", "at", "id").collect()
+    val by = got.map(r => r.getAs[String]("touch_type") -> r).toMap
+    assert(by("view").getAs[Long]("n_touches") == 2L &&
+      by("view").getAs[Long]("first_touch") == 1L &&
+      by("view").getAs[Long]("last_touch") == 1L &&
+      by("view").getAs[Long]("linear_ppm") == 333334L + 333333L)
+    assert(by("click").getAs[Long]("n_touches") == 1L &&
+      by("click").getAs[Long]("first_touch") == 0L &&
+      by("click").getAs[Long]("last_touch") == 0L &&
+      by("click").getAs[Long]("linear_ppm") == 333333L)
+    // corpus invariants: the remainder policy makes linear credit close
+    // EXACTLY — 1e6 per touched purchase, no dust
+    val c = ops.Advanced.attribution(spark, sfDir).collect()
+    val firsts = c.map(_.getAs[Long]("first_touch")).sum
+    val lasts = c.map(_.getAs[Long]("last_touch")).sum
+    val ppm = c.map(_.getAs[Long]("linear_ppm")).sum
+    assert(firsts == lasts && firsts > 0)
+    assert(ppm == 1000000L * firsts, s"linear credit leaked: $ppm vs $firsts")
+  }
+
   test("crossCorr: a one-day-shifted copy correlates perfectly at lag 1") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(
