@@ -580,9 +580,13 @@ object Advanced {
 
   /** DataFrame-first form over any (category, timestamp) event frame. */
   def crossCorr(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    // the ONLY corpus-sized work, materialized once: the lazy plan
+    // embeds `daily` six times (calendar span, type list, zero-fill,
+    // × both pair sides), which would re-run the events aggregate 6×
     val daily = events
       .groupBy(col(typeCol).as("t"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(expr("sequence(d0, d1)")).as("day"))
     val grid = daily.select(col("t")).distinct()
