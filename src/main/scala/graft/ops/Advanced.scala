@@ -661,6 +661,91 @@ object Advanced {
        |FROM v WHERE vx > 0 AND vy > 0
        |ORDER BY type_a, type_b, lag_k""".stripMargin
 
+  /** Inter-purchase cadence profile per market segment: how often do
+    * customers come back? Per customer the gaps between CONSECUTIVE
+    * orders (one keyed window, ordered by (date, orderkey) so same-day
+    * ties can't flip), then per segment: repeat-customer counts and the
+    * gap distribution — median exact via the doubled-integer trick
+    * ([[Diagnostics.madOutliers]] discipline: doubling makes the one
+    * possible interpolation midpoint an integer), mean as one division
+    * of exact sums, max exact. Deliberately NO p90: an interpolated
+    * 0.9 quantile sits at an engine-dependent floating position —
+    * the kind of latent cross-engine flake this library refuses.
+    *
+    * Scale shape: one customer-keyed window over orders (the only
+    * corpus-sized exchange), one broadcast dim join for the segment,
+    * one bounded per-segment aggregate.
+    */
+  def purchaseGaps(spark: SparkSession, dir: String): DataFrame =
+    purchaseGaps(Tables.orders(spark, dir), Tables.customer(spark, dir))
+
+  /** DataFrame-first form. */
+  def purchaseGaps(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_orderkey"))
+      .withColumn("prev_d", lag(col("d"), 1).over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d"), col("o_orderkey"))))
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+    val perCust = gaps.groupBy(col("segment"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val custStats = perCust.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+          .as("n_repeat_customers"))
+    val gapStats = gaps.filter(col("prev_d").isNotNull)
+      .select(col("segment"),
+        (datediff(col("d"), col("prev_d")).cast("long") * 2L).as("g2"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        percentile(col("g2"), lit(0.5)).cast("long").as("med2"),
+        sum(col("g2")).as("sum2"), max(col("g2")).as("max2"))
+    custStats.join(gapStats, Seq("segment"))
+      .select(col("segment"), col("n_customers"), col("n_repeat_customers"),
+        col("n_gaps"),
+        round(col("med2").cast("double") / 2.0, 1).as("median_gap_days"),
+        round(col("sum2").cast("double") / 2.0 / col("n_gaps"), 4)
+          .as("avg_gap_days"),
+        expr("max2 DIV 2").as("max_gap_days"))
+      .orderBy(col("segment"))
+  }
+
+  val purchaseGapsSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey, d,
+      |    lag(d, 1) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |      AS prev_d
+      |  FROM o),
+      |j AS (
+      |  SELECT c_mktsegment AS segment, g.* FROM g
+      |  JOIN customer ON o_custkey = c_custkey),
+      |pc AS (
+      |  SELECT segment, o_custkey, count(*) AS n_orders
+      |  FROM j GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_repeat_customers
+      |  FROM pc GROUP BY 1),
+      |gs AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(quantile_cont(2 * (d - prev_d), 0.5) AS BIGINT) AS med2,
+      |    CAST(sum(2 * (d - prev_d)) AS BIGINT) AS sum2,
+      |    CAST(max(2 * (d - prev_d)) AS BIGINT) AS max2
+      |  FROM j WHERE prev_d IS NOT NULL GROUP BY 1)
+      |SELECT cs.segment, n_customers, n_repeat_customers, n_gaps,
+      |  round(CAST(med2 AS DOUBLE) / 2.0, 1) AS median_gap_days,
+      |  round(CAST(sum2 AS DOUBLE) / 2.0 / n_gaps, 4) AS avg_gap_days,
+      |  CAST(max2 // 2 AS BIGINT) AS max_gap_days
+      |FROM cs JOIN gs ON cs.segment = gs.segment
+      |ORDER BY cs.segment""".stripMargin
+
   /** Attribution look-back window in days. */
   private val AttribWindowDays = 7
 

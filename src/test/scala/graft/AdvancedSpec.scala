@@ -525,6 +525,35 @@ class AdvancedSpec extends AnyFunSuite {
     assert(corpus.filter(col("week_offset") < 0).count() == 0)
   }
 
+  test("purchaseGaps: planted cadence yields exact median/mean/max gaps") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2021, 1, 1).plusDays(day))
+    // cust 1: orders on days 0,10,30 → gaps 10, 20; cust 2: one order
+    val orders = Seq(
+      (1L, d(0), 100L), (1L, d(10), 101L), (1L, d(30), 102L),
+      (2L, d(5), 200L)).toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val cust = Seq((1L, "SEG"), (2L, "SEG"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = ops.Advanced.purchaseGaps(orders, cust).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_customers") == 2L &&
+      row.getAs[Long]("n_repeat_customers") == 1L &&
+      row.getAs[Long]("n_gaps") == 2L)
+    assert(row.getAs[Double]("median_gap_days") == 15.0) // midpoint of 10, 20
+    assert(row.getAs[Double]("avg_gap_days") == 15.0)
+    assert(row.getAs[Long]("max_gap_days") == 20L)
+    // corpus: repeat customers bounded by customers, gaps positive
+    val c = ops.Advanced.purchaseGaps(spark, sfDir).collect()
+    assert(c.length == 5)
+    c.foreach { s =>
+      assert(s.getAs[Long]("n_repeat_customers") <= s.getAs[Long]("n_customers"))
+      assert(s.getAs[Double]("median_gap_days") >= 0.0 &&
+        s.getAs[Double]("median_gap_days") <= s.getAs[Long]("max_gap_days"))
+    }
+  }
+
   test("attribution: planted journey splits exact ppm; totals close to the unit") {
     import spark.implicits._
     def ts(h: Int) = java.sql.Timestamp.valueOf(
