@@ -96,8 +96,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val knnBruteSql: String =
-    s"""WITH e AS (
+  /** The brute-force ranking CTE chain, shared by [[knnBruteSql]] and
+    * [[ndcgReportSql]].
+    */
+  private val knnCtesSql: String =
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |n AS (
        |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
@@ -110,11 +113,88 @@ object Similarity {
        |r AS (
        |  SELECT qid, nid, sim6,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, nid) AS rank
-       |  FROM s)
+       |  FROM s)""".stripMargin
+
+  val knnBruteSql: String =
+    s"""WITH $knnCtesSql
        |SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
        |  round(sim6, 4) AS sim
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Micro-scaled DCG discounts round(1e6 / log2(i+1)) for ranks
+    * 1..[[K]] — computed ONCE on the driver and embedded as LITERALS
+    * in both engines, so neither engine evaluates a transcendental
+    * (libm `log` is not correctly-rounded and may differ in the last
+    * ulp between JVM and C — the exact class of cross-engine drift
+    * this library designs out).
+    */
+  private val NdcgW: Seq[Long] =
+    (1 to K).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val NdcgCum: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality evaluation of the exact cosine ranking: for
+    * every query vector, label-match relevance of its top-[[K]]
+    * neighbors → precision@K and NDCG@K. DCG accumulates EXACT
+    * integer micro-units against the literal discount table; the
+    * ideal DCG is a prefix-sum lookup by relevant-count; one double
+    * division at the end. A query with zero relevant neighbors
+    * reports NULL NDCG (0/0 is undefined, not zero).
+    *
+    * Scale shape: rides [[knnBrute]]'s ranking (corpus × broadcast
+    * query block), two broadcast label joins, then a |queries|-bounded
+    * aggregate.
+    */
+  def ndcgReport(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val cumArr = array(NdcgCum.map(lit): _*)
+    knnBrute(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"))), Seq("neighbor_id"))
+      .select(col("query_id"),
+        when(col("ql") === col("nl"), 1L).otherwise(0L).as("rel"),
+        col("rank"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_relevant"),
+        sum(col("rel") * element_at(wArr, col("rank").cast("int")))
+          .as("dcg_micro"))
+      .select(col("query_id"), col("n_relevant"), col("dcg_micro"),
+        round(col("n_relevant").cast("double") / K, 4).as("precision_at_k"),
+        when(col("n_relevant") === 0, lit(null))
+          .otherwise(round(col("dcg_micro").cast("double") /
+            element_at(cumArr, col("n_relevant").cast("int")).cast("double"),
+            6))
+          .as("ndcg_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val ndcgReportSql: String = {
+    val wList = NdcgW.mkString("[", ", ", "]")
+    val cumList = NdcgCum.mkString("[", ", ", "]")
+    s"""WITH $knnCtesSql,
+       |t AS (
+       |  SELECT r.qid, r.rank,
+       |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+       |  FROM r
+       |  JOIN embeddings ql ON ql.vec_id = r.qid
+       |  JOIN embeddings nl ON nl.vec_id = r.nid
+       |  WHERE r.rank <= $K),
+       |a AS (
+       |  SELECT qid, CAST(sum(rel) AS BIGINT) AS n_relevant,
+       |    CAST(sum(rel * ($wList)[rank]) AS BIGINT) AS dcg_micro
+       |  FROM t GROUP BY qid)
+       |SELECT qid AS query_id, n_relevant, dcg_micro,
+       |  round(CAST(n_relevant AS DOUBLE) / $K, 4) AS precision_at_k,
+       |  CASE WHEN n_relevant = 0 THEN NULL
+       |       ELSE round(CAST(dcg_micro AS DOUBLE)
+       |                  / CAST(($cumList)[n_relevant] AS DOUBLE), 6)
+       |  END AS ndcg_at_k
+       |FROM a ORDER BY query_id""".stripMargin
+  }
 
   private val NPlanes = 32 // 8 bands × 4 bits
   private val NBands = 8

@@ -351,4 +351,34 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ndcgReport: driver-side recomputation from the knn ranking agrees exactly") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val w = (1 to 5).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val byQuery = ops.Similarity.knnBrute(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val got = ops.Similarity.ndcgReport(spark, sfDir).collect()
+    assert(got.length == byQuery.size)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val rels = byQuery(q).sortBy(_.getAs[Int]("rank"))
+        .map(x => if (labels(x.getAs[Long]("neighbor_id")) == labels(q)) 1L else 0L)
+      val nRel = rels.sum
+      val dcg = rels.zip(w).map { case (rel, wi) => rel * wi }.sum
+      assert(r.getAs[Long]("n_relevant") == nRel, s"q$q n_relevant")
+      assert(r.getAs[Long]("dcg_micro") == dcg, s"q$q dcg")
+      assert(r.getAs[Double]("precision_at_k") ==
+        math.rint(nRel / 5.0 * 1e4) / 1e4)
+      if (nRel == 0) assert(r.isNullAt(r.fieldIndex("ndcg_at_k")))
+      else {
+        val ndcg = r.getAs[Double]("ndcg_at_k")
+        assert(ndcg > 0.0 && ndcg <= 1.0)
+        assert(ndcg == math.rint(dcg.toDouble / cum(nRel.toInt - 1) * 1e6) / 1e6,
+          s"q$q ndcg")
+      }
+    }
+  }
 }
