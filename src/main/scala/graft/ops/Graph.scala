@@ -515,4 +515,273 @@ object Graph {
        |FROM r$Iterations
        |ORDER BY rank_scaled DESC, term ASC
        |LIMIT 20""".stripMargin
+
+  /** Fixed hop count for [[bfsReach]] — unrolled identically in the
+    * oracle SQL.
+    */
+  val BfsHops = 4
+
+  /** Fixed-round breadth-first reachability from the highest-degree
+    * node of the bipartite purchase graph — the small-world
+    * diagnostic ("how much of the graph is within k hops of the
+    * biggest hub") and the third Pregel-style pattern alongside
+    * [[pageRank]] (value propagation) and [[entityComponents]]
+    * (label convergence): FRONTIER EXPANSION with a visited set.
+    *
+    * Exactly [[BfsHops]] rounds, so the job graph is static and the
+    * DuckDB oracle unrolls the identical frontier/visited recurrence
+    * as chained CTEs — hop membership is set algebra on exact keys,
+    * no floats anywhere, every row hash-matches. Seed choice is
+    * deterministic: max degree, ties to the smallest node id.
+    *
+    * Scale posture: each round is one equi-join of the persisted,
+    * pre-partitioned edge frame against the (≤|V|-row) frontier plus
+    * one anti-join against the visited frame — the textbook
+    * distributed BFS; both frames are eagerly `localCheckpoint`ed per
+    * round so the plan never re-embeds earlier rounds and AQE can
+    * size each round's shuffle from the true frontier cardinality.
+    * Output is ≤ hops+1 rows.
+    */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    bfsReach(edges, BfsHops)
+  }
+
+  /** DataFrame-first form over any directed (src, dst) edge frame;
+    * symmetrized before walking (BFS on the undirected graph).
+    */
+  def bfsReach(directedEdges: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, s"bfsReach: hops must be >= 1, got $hops")
+    // same one-pass symmetrize-and-persist discipline as [[pageRank]]:
+    // the edge frame keeps its src hash partitioning across rounds
+    val e = directedEdges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .persist()
+    try {
+      val seed = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("src"))
+        .limit(1)
+        .select(col("src").as("n"))
+        .localCheckpoint(true) // 1 row
+      var frontier = seed
+      var visited = seed
+      var levels = seed.withColumn("hop", lit(0))
+      for (k <- 1 to hops) {
+        val next = e
+          .join(frontier.withColumnRenamed("n", "src"), Seq("src"))
+          .select(col("dst").as("n")).distinct()
+          .join(visited, Seq("n"), "left_anti")
+          .localCheckpoint(true) // ≤|V| rows; cuts the round's lineage
+        frontier = next
+        visited = visited.union(next).localCheckpoint(true)
+        levels = levels.union(next.withColumn("hop", lit(k)))
+      }
+      // node encoding as in [[pageRank]]: even = customer, odd = supplier
+      levels.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum((col("n") % 2 === 0).cast("long")).as("n_customers"),
+          sum((col("n") % 2 === 1).cast("long")).as("n_suppliers"))
+        .select(col("hop").cast("int").as("hop"), col("n_nodes"),
+          col("n_customers"), col("n_suppliers"))
+        .orderBy(col("hop"))
+    } finally e.unpersist()
+  }
+
+  /** DuckDB twin of [[bfsReach]] — the same seed rule and the same
+    * frontier \ visited recurrence unrolled [[BfsHops]] times.
+    */
+  val bfsReachSql: String = {
+    def round(k: Int) =
+      s"""f$k AS (
+         |  SELECT DISTINCT e.dst AS n
+         |  FROM e JOIN f${k - 1} ON e.src = f${k - 1}.n
+         |  WHERE e.dst NOT IN (SELECT n FROM v${k - 1})
+         |),
+         |v$k AS (SELECT n FROM v${k - 1} UNION SELECT n FROM f$k)""".stripMargin
+    val levels = (0 to BfsHops)
+      .map(k => s"SELECT $k AS hop, n FROM f$k").mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |e AS (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM e0
+       |),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |f0 AS (
+       |  SELECT src AS n FROM deg ORDER BY d DESC, src LIMIT 1
+       |),
+       |v0 AS (SELECT n FROM f0),
+       |${(1 to BfsHops).map(round).mkString(",\n")},
+       |lv AS (
+       |  $levels
+       |)
+       |SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_customers,
+       |  CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_suppliers
+       |FROM lv
+       |GROUP BY hop
+       |ORDER BY hop""".stripMargin
+  }
+
+  /** Triangle counting + local clustering coefficient over the
+    * co-purchase supplier graph (an edge per supplier pair sharing ≥
+    * [[CoPurchaseMinShared]] capped-basket customers — the same graph
+    * [[coPurchase]] scores, here analyzed structurally: triangles are
+    * the community-cohesion signal, the clustering coefficient the
+    * per-node "how clique-like is this supplier's neighborhood"
+    * diagnostic).
+    *
+    * Scale posture: the classic degree-ordered orientation (Chiba &
+    * Nishizeki 1985; the standard MapReduce formulation is Suri &
+    * Vassilvitskii, WWW 2011) — each undirected edge is directed from
+    * its (degree, id)-smaller endpoint to the larger, which bounds
+    * every node's OUT-degree by O(√|E|), so the wedge self-join fans
+    * out to at most O(|E|^{3/2}) candidate wedges TOTAL regardless of
+    * hub skew (a raw neighbor self-join on an h-degree hub emits
+    * h²/2 wedges; orientation caps that at |E|). Each triangle is
+    * enumerated exactly once, at its orientation-minimal vertex. All
+    * joins are equi-joins on graph keys; per-node counts are one
+    * aggregate; the final cut is a TakeOrdered top-k. Nothing
+    * corpus-sized is collected — the persisted frames are the derived
+    * supplier graph (≪ fact table) and its |V|-row degree frame.
+    *
+    * Determinism: counts are exact BIGINTs; the clustering coefficient
+    * divides exact integers in ONE shared double expression
+    * (`CAST(2·T AS DOUBLE) / (d·(d−1))`, round 6) so the DuckDB
+    * oracle hash-matches; nodes with degree &lt; 2 have no defined
+    * coefficient and carry NULL in both engines.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    triangles(e, "c", "s")
+  }
+
+  /** DataFrame-first form over any (customer, item) incidence frame. */
+  def triangles(edges: DataFrame, custCol: String, itemCol: String,
+                maxBasket: Int = CoPurchaseMaxBasket,
+                minShared: Int = CoPurchaseMinShared,
+                k: Int = 20): DataFrame = {
+    val ecols = edges.select(col(custCol).as("c"), col(itemCol).as("s"))
+    // identical capped-basket pair derivation to [[coPurchase]]: the
+    // census+semi-join cap bounds every collect_set buffer, and the
+    // i<j expansion is row-local (see the scale notes there)
+    val keep = ecols.groupBy(col("c"))
+      .agg(countDistinct(col("s")).as("k"))
+      .filter(col("k") <= maxBasket)
+      .select(col("c"))
+    val und = ecols.join(keep, Seq("c"), "left_semi")
+      .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(items) - 2),
+          |  i -> transform(sequence(i + 1, size(items) - 1),
+          |    j -> named_struct('a', items[i], 'b', items[j]))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
+      .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minShared)
+      .select(col("s_a"), col("s_b"))
+      .persist() // canonical (s_a < s_b) edge list — read 3× below
+    val deg = und
+      .select(explode(array(col("s_a"), col("s_b"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("d"))
+      .persist() // |V| rows
+    try {
+      val aFirst = col("d_a") < col("d_b") ||
+        (col("d_a") === col("d_b") && col("s_a") < col("s_b"))
+      val o = und
+        .join(deg.select(col("s").as("s_a"), col("d").as("d_a")), Seq("s_a"))
+        .join(deg.select(col("s").as("s_b"), col("d").as("d_b")), Seq("s_b"))
+        .select(when(aFirst, col("s_a")).otherwise(col("s_b")).as("u"),
+          when(aFirst, col("s_b")).otherwise(col("s_a")).as("v"))
+        .persist() // oriented copy — both sides of the wedge join
+      try {
+        // unordered wedge at u kept once via id-order on the far ends;
+        // the closing edge check hits `und` in canonical form directly
+        // because vb < vc already holds
+        val tri = o.select(col("u"), col("v").as("vb"))
+          .join(o.select(col("u"), col("v").as("vc")), Seq("u"))
+          .filter(col("vb") < col("vc"))
+          .join(und, col("vb") === col("s_a") && col("vc") === col("s_b"))
+          .select(col("u"), col("vb"), col("vc"))
+        val pn = tri
+          .select(explode(array(col("u"), col("vb"), col("vc"))).as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("t"))
+        deg.join(pn, Seq("s"), "left")
+          .select(col("s"), col("d").cast("long").as("degree"),
+            coalesce(col("t"), lit(0L)).cast("long").as("triangles"))
+          .withColumn("clustering",
+            when(col("degree") >= 2,
+              round((lit(2L) * col("triangles")).cast("double") /
+                (col("degree") * (col("degree") - 1)), 6)))
+          .orderBy(col("triangles").desc, col("s"))
+          .limit(k)
+          .localCheckpoint(true) // ≤ k rows; frees both caches safely
+      } finally o.unpersist()
+    } finally { und.unpersist(); deg.unpersist() }
+  }
+
+  /** DuckDB twin of [[triangles]] — same capped pair derivation as
+    * [[coPurchaseSql]], same (degree, id) orientation, same single
+    * double division for the coefficient.
+    */
+  val trianglesSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |bc AS (SELECT c FROM e GROUP BY c HAVING count(*) <= $CoPurchaseMaxBasket),
+       |ee AS (SELECT e.c, e.s FROM e JOIN bc ON e.c = bc.c),
+       |und AS (
+       |  SELECT a.s AS s_a, b.s AS s_b
+       |  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
+       |),
+       |deg AS (
+       |  SELECT s, count(*) AS d
+       |  FROM (SELECT s_a AS s FROM und UNION ALL SELECT s_b AS s FROM und)
+       |  GROUP BY s
+       |),
+       |o AS (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND s_a < s_b)
+       |              THEN s_a ELSE s_b END AS u,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND s_a < s_b)
+       |              THEN s_b ELSE s_a END AS v
+       |  FROM und JOIN deg da ON und.s_a = da.s JOIN deg db ON und.s_b = db.s
+       |),
+       |tri AS (
+       |  SELECT o1.u AS u, o1.v AS vb, o2.v AS vc
+       |  FROM o o1
+       |  JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+       |  JOIN und ON und.s_a = o1.v AND und.s_b = o2.v
+       |),
+       |pn AS (
+       |  SELECT s, count(*) AS t
+       |  FROM (SELECT u AS s FROM tri
+       |        UNION ALL SELECT vb AS s FROM tri
+       |        UNION ALL SELECT vc AS s FROM tri)
+       |  GROUP BY s
+       |)
+       |SELECT deg.s AS s, CAST(deg.d AS BIGINT) AS degree,
+       |  CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN deg.d >= 2
+       |       THEN round(CAST(2 * COALESCE(pn.t, 0) AS DOUBLE)
+       |                  / (deg.d * (deg.d - 1)), 6) END AS clustering
+       |FROM deg LEFT JOIN pn ON deg.s = pn.s
+       |ORDER BY triangles DESC, s
+       |LIMIT 20""".stripMargin
 }

@@ -564,6 +564,85 @@ object Mixing {
       |  CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
       |FROM q ORDER BY lang, source""".stripMargin
 
+  /** Mutual information between two categorical columns — the
+    * information-theoretic sibling of [[chiSquare]] (chi-square asks
+    * "are they dependent?"; MI measures HOW MANY NATS of information
+    * one label carries about the other — the feature-relevance score
+    * used to rank candidate grouping/stratification columns). Emits
+    * one row per OBSERVED cell with its counts, pointwise mutual
+    * information, and the repeated global MI.
+    *
+    * Determinism: PMI = ln(n_xy·N / (n_x·n_y)) is quantized to
+    * integer micro-nats per cell; the global MI is the exact BIGINT
+    * sum Σ n_xy·pmi_micro divided ONCE by N with truncating integer
+    * division — no double accumulates across rows. The PMI ratio is
+    * computed in doubles (`CAST(n_xy AS DOUBLE) · N / (CAST(n_x AS
+    * DOUBLE) · n_y)`) because the BIGINT cross-products overflow
+    * past ~3e9 rows — one shared IEEE expression, identical on both
+    * engines ([[chiSquare]]'s expected-count rule). Zero cells are
+    * correctly ABSENT here (0·ln 0 = 0 contributes nothing), unlike
+    * chi-square's grid where they carry expected mass.
+    *
+    * Scale shape: ONE corpus-sized aggregation to the |X|×|Y| cell
+    * frame (map-side combined); marginals, N, and the global sum all
+    * derive from that bounded frame; label cardinalities are bounded
+    * (these are categorical columns) so every join below the cell
+    * aggregate broadcasts.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    mutualInfo(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_orderpriority")
+
+  /** DataFrame-first form: MI between any two label columns. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    val scored = cells
+      .join(broadcast(nx), Seq("x"))
+      .join(broadcast(ny), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(log(col("n_xy").cast("double") * col("n") /
+          (col("n_x").cast("double") * col("n_y"))) * 1e6).cast("long"))
+    val mi = scored
+      .groupBy(col("n"))
+      .agg(sum(col("n_xy") * col("pmi_micro")).as("w"))
+      .select(expr("w DIV n").as("mi_total_micro"))
+    scored.crossJoin(broadcast(mi))
+      .select(col("x").as("segment"), col("y").as("priority"),
+        col("n_xy"), col("n_x"), col("n_y"),
+        col("pmi_micro"), col("mi_total_micro"))
+      .orderBy(col("segment"), col("priority"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment AS x, o_orderpriority AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+      |          FROM b GROUP BY x, y),
+      |nx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+      |ny AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+      |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+      |scored AS (
+      |  SELECT x, y, n_xy, n_x, n_y, n,
+      |    CAST(round(ln(CAST(n_xy AS DOUBLE) * n
+      |                  / (CAST(n_x AS DOUBLE) * n_y)) * 1e6) AS BIGINT)
+      |      AS pmi_micro
+      |  FROM cells JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN tot),
+      |mi AS (
+      |  SELECT CAST(sum(n_xy * pmi_micro) // any_value(n) AS BIGINT)
+      |    AS mi_total_micro
+      |  FROM scored)
+      |SELECT x AS segment, y AS priority, n_xy, n_x, n_y, pmi_micro,
+      |  mi_total_micro
+      |FROM scored CROSS JOIN mi
+      |ORDER BY segment, priority""".stripMargin
+
   /** Mann–Whitney U drift test per source — the RANK-based sibling of
     * [[sourceDrift]]'s KS statistic: each source's length distribution
     * against the rest of the corpus, reported as the exact doubled-U

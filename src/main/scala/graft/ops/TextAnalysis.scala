@@ -632,6 +632,102 @@ object TextAnalysis {
       |  round(CAST(sum_micro_lp AS DOUBLE) / n_bigrams / 1e6, 4) AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Keep threshold for [[pplFilter]], in micro-nats per transition:
+    * keep ⇔ mean conditional log-probability ≥ −5 nats. Compared in
+    * EXACT integer form (`sum_micro_lp ≥ threshold × n_bigrams`) so
+    * the cut never hinges on a double rounding edge.
+    */
+  val PplKeepAvgMicroNats: Long = -5000000L
+
+  /** Held-out perplexity filtering — the CCNet-family curation pass
+    * (Wenzek et al., "CCNet", LREC 2020): train a smoothed bigram LM
+    * on the TRAIN split of the corpus, score every held-out document
+    * by its mean conditional log-probability under that model, and
+    * flag the documents a perplexity cut would keep. Unlike
+    * [[bigramLm]] (scored on its own training corpus, every bigram
+    * seen), the scoring side here meets UNSEEN transitions, so the
+    * model is add-one smoothed over the train vocabulary:
+    * ln p(w₂|w₁) = ln((c(w₁w₂)+1) / (c(w₁·)+V)).
+    *
+    * The split is the corpus-standard [[Sampling.splitBucket]]
+    * assignment (80% train), so the filter composes with
+    * `q_train_split`'s artifact. Scale shape: the model is two
+    * vocabulary aggregates over the train side reached by shuffled
+    * equi-joins (bigram vocabularies are never broadcast); V is a
+    * 1-row broadcast; scoring is one aggregate over held-out bigrams.
+    * Micro-nat integer quantization before the per-doc sum keeps every
+    * value exact cross-engine, and the keep flag is a pure BIGINT
+    * comparison.
+    */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame =
+    pplFilter(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) frame. */
+  def pplFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+      .withColumn("is_train", Sampling.splitBucket(col("doc_id")) < 800)
+    val big = d.select(col("doc_id"), col("is_train"), toks.as("tk"))
+      .select(col("doc_id"), col("is_train"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> x || ' ' || tk[i + 1])"))
+        .as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bc = big.filter(col("is_train"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val pc = bc.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+    val v = d.filter(col("is_train"))
+      .select(explode(toks).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    big.filter(!col("is_train"))
+      .join(bc, Seq("bg"), "left")
+      .join(pc, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((coalesce(col("bc"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("pc"), lit(0L)) + col("v"))) * 1e6)
+          .cast("long").as("micro_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro_lp")).as("sum_micro_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro_lp"),
+        round(col("sum_micro_lp").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("avg_logprob"),
+        (col("sum_micro_lp") >= lit(PplKeepAvgMicroNats) * col("n_bigrams"))
+          .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pplFilterSql: String =
+    s"""WITH lab AS (
+       |  SELECT doc_id, text,
+       |    ((doc_id % 1000000007) * 2654435761) % 1000 < 800 AS is_train
+       |  FROM documents),
+       |t AS (SELECT doc_id, is_train, string_split(text, ' ') AS l FROM lab),
+       |big AS (
+       |  SELECT doc_id, is_train, l[i] || ' ' || l[i + 1] AS bg, l[i] AS w1
+       |  FROM t, UNNEST(range(1, len(l))) AS u(i)),
+       |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS bc
+       |       FROM big WHERE is_train GROUP BY bg),
+       |pc AS (SELECT string_split(bg, ' ')[1] AS w1,
+       |              CAST(sum(bc) AS BIGINT) AS pc
+       |       FROM bc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT unnest(l) AS tok FROM t WHERE is_train)),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(CAST(COALESCE(bc.bc, 0) + 1 AS DOUBLE)
+       |                  / (COALESCE(pc.pc, 0) + v.v)) * 1e6) AS BIGINT)
+       |      AS micro_lp
+       |  FROM big LEFT JOIN bc USING (bg) LEFT JOIN pc USING (w1) CROSS JOIN v
+       |  WHERE NOT is_train),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(micro_lp) AS BIGINT) AS sum_micro_lp
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, sum_micro_lp,
+       |  round(CAST(sum_micro_lp AS DOUBLE) / n_bigrams / 1e6, 4) AS avg_logprob,
+       |  CAST(sum_micro_lp >= $PplKeepAvgMicroNats * n_bigrams AS INT) AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Compression-ratio quality signal: DEFLATE-compressed size over
     * raw byte size, per document — the redundancy detector the
     * CCNet/Gopher filter families run alongside token-level ratios

@@ -27,7 +27,9 @@ class CacheLifecycleSpec extends AnyFunSuite {
       ops.Graph.pageRank(spark, sfDir),
       ops.Graph.coPurchase(spark, sfDir),
       ops.Graph.textRank(spark, sfDir),
-      ops.Graph.entityComponents(spark, sfDir)
+      ops.Graph.entityComponents(spark, sfDir),
+      ops.Graph.triangles(spark, sfDir),
+      ops.Graph.bfsReach(spark, sfDir)
     ).foreach(_.write.format("noop").mode("overwrite").save())
     assert(spark.sharedState.cacheManager.isEmpty,
       "an op returned without unpersisting its internal cache")

@@ -203,4 +203,33 @@ class DeterminismSpec extends AnyFunSuite {
     assert(runT(_.repartition(7)) == runT(_.coalesce(1)),
       "textrank depends on the input partitioning")
   }
+
+  test("round-7 third-leg ops are invariant to input layout") {
+    val orders = Tables.orders(spark, sfDir)
+    val inc = Tables.lineitem(spark, sfDir)
+      .join(orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_custkey AS c", "l_suppkey AS s")
+    def runTri(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.triangles(f(inc), "c", "s"))
+    assert(runTri(_.repartition(7)) == runTri(_.coalesce(1)),
+      "triangles depends on the input partitioning")
+    val edges = inc.selectExpr("c * 2 AS src", "s * 2 + 1 AS dst").distinct()
+    def runB(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.bfsReach(f(edges), 4))
+    assert(runB(_.repartition(7)) == runB(_.coalesce(1)),
+      "bfs reach depends on the input partitioning")
+    val docs = Tables.documents(spark, sfDir)
+    def runPpl(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.TextAnalysis.pplFilter(f(docs), "doc_id", "text"))
+    assert(runPpl(_.repartition(7)) == runPpl(_.coalesce(1)),
+      "ppl filter depends on the input partitioning")
+    val oc = orders.join(Tables.customer(spark, sfDir),
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+    def runMi(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Mixing.mutualInfo(f(oc), "c_mktsegment", "o_orderpriority"))
+    assert(runMi(_.repartition(7)) == runMi(_.coalesce(1)),
+      "mutual info depends on the input partitioning")
+  }
 }

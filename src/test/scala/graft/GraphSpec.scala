@@ -177,4 +177,94 @@ class GraphSpec extends AnyFunSuite {
     val js = rows.map(_.getAs[Double]("jaccard"))
     assert(js.toSeq == js.sortBy(-(_: Double)).toSeq)
   }
+
+  test("bfsReach: planted path walks hop-by-hop from the smallest max-degree node") {
+    import spark.implicits._
+    // path 1-2-3-4-5: degree-2 tie between 2,3,4 breaks to seed 2;
+    // hops reach {1,3}, then {4}, then {5}, then nothing at hop 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = ops.Graph.bfsReach(edges, 4).collect()
+      .map(r => (r.getAs[Int]("hop"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("n_suppliers")))
+    assert(got.toSeq == Seq((0, 1L, 1L, 0L), (1, 2L, 0L, 2L),
+      (2, 1L, 1L, 0L), (3, 1L, 0L, 1L)))
+  }
+
+  test("q_bfs_reach: hop 0 is the seed alone, levels alternate bipartite sides") {
+    val rows = ops.Graph.bfsReach(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= ops.Graph.BfsHops + 1)
+    assert(rows.head.getAs[Int]("hop") == 0 &&
+      rows.head.getAs[Long]("n_nodes") == 1L)
+    rows.foreach { r =>
+      val (n, c, s) = (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("n_suppliers"))
+      assert(c + s == n)
+      // purchase graph is bipartite: every level is pure one side
+      assert(c == 0L || s == 0L, s"mixed level: $r")
+    }
+    // consecutive levels sit on opposite sides
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert((a.getAs[Long]("n_customers") == 0L) !=
+          (b.getAs[Long]("n_customers") == 0L))
+      case _ =>
+    }
+  }
+
+  test("triangles: planted K4-minus-an-edge counts each triangle once") {
+    import spark.implicits._
+    // one customer per supplier pair → supplier graph edges
+    // (1,2)(1,3)(2,3)(2,4)(3,4): triangles (1,2,3) and (2,3,4) only
+    val inc = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+      (12L, 2L), (12L, 3L), (13L, 2L), (13L, 4L), (14L, 3L), (14L, 4L))
+    val got = ops.Graph.triangles(inc.toDF("c", "s"), "c", "s",
+      maxBasket = 128, minShared = 1, k = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("degree"),
+        r.getAs[Long]("triangles"), r.getAs[Double]("clustering")))
+    // ordered by triangles desc then id; both middle nodes sit on both
+    // triangles, the outer nodes on one each with a fully-connected
+    // (coefficient 1.0) neighborhood
+    val third = math.rint(2.0 * 2 / (3 * 2) * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (2L, 3L, 2L, third), (3L, 3L, 2L, third),
+      (1L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
+  }
+
+  test("triangles: star graph has zero triangles; leaves carry NULL coefficient") {
+    import spark.implicits._
+    // hub supplier 1 shares one customer with each spoke 2..6 — no
+    // spoke pair shares a customer, so the graph is a star
+    val inc = (2L to 6L).flatMap(s => Seq((s * 100, 1L), (s * 100, s)))
+    val rows = ops.Graph.triangles(inc.toDF("c", "s"), "c", "s",
+      maxBasket = 128, minShared = 1, k = 20).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("triangles") == 0L))
+    val hub = rows.find(_.getAs[Long]("s") == 1L).get
+    assert(hub.getAs[Long]("degree") == 5L)
+    assert(hub.getAs[Double]("clustering") == 0.0)
+    rows.filter(_.getAs[Long]("s") != 1L)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("clustering"))))
+  }
+
+  test("q_triangles: bounded output, internally consistent coefficients, lineage cut") {
+    val df = ops.Graph.triangles(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (d, t) = (r.getAs[Long]("degree"), r.getAs[Long]("triangles"))
+      assert(d >= 1)
+      // a node on t triangles has ≥ t neighbor pairs: t ≤ C(d,2)
+      assert(t >= 0 && 2 * t <= d * (d - 1))
+      if (d >= 2) {
+        val cc = r.getAs[Double]("clustering")
+        assert(cc >= 0.0 && cc <= 1.0)
+        assert(cc == math.rint(2.0 * t / (d * (d - 1)) * 1e6) / 1e6)
+      } else assert(r.isNullAt(r.fieldIndex("clustering")))
+    }
+    val ts = rows.map(_.getAs[Long]("triangles"))
+    assert(ts.toSeq == ts.sortBy(-(_: Long)).toSeq)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"lineage not cut:\n$plan")
+  }
 }

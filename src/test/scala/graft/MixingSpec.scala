@@ -194,6 +194,39 @@ class MixingSpec extends AnyFunSuite {
     assert(corpus.select("chi2_micro").distinct.count() == 1)
   }
 
+  test("mutualInfo: independent table carries zero nats; diagonal carries exactly ln 2") {
+    import spark.implicits._
+    // perfectly independent 2×2 → every PMI is ln 1 = 0 → MI 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 2)
+      yield (a, b)).toDF("seg", "pri")
+    val gotI = ops.Mixing.mutualInfo(indep, "seg", "pri").collect()
+    assert(gotI.length == 4)
+    assert(gotI.forall(_.getAs[Long]("pmi_micro") == 0L))
+    assert(gotI.forall(_.getAs[Long]("mi_total_micro") == 0L))
+    // diagonal-only 2×2 → each observed cell has PMI ln 2, MI = ln 2
+    // (one bit); the zero cells are correctly ABSENT (0·ln 0 = 0)
+    val dep = (Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("y", "v")))
+      .toDF("seg", "pri")
+    val gotD = ops.Mixing.mutualInfo(dep, "seg", "pri").collect()
+    val ln2 = math.rint(math.log(2.0) * 1e6).toLong
+    assert(gotD.length == 2, s"zero cells must not appear: ${gotD.toSeq}")
+    assert(gotD.forall(_.getAs[Long]("pmi_micro") == ln2))
+    assert(gotD.forall(_.getAs[Long]("mi_total_micro") == ln2))
+    // corpus run: exact integer identities hold row-by-row
+    val corpus = ops.Mixing.mutualInfo(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    val n = corpus.map(r => r.getAs[Long]("n_xy")).sum
+    val want = corpus.map(r =>
+      r.getAs[Long]("n_xy") * r.getAs[Long]("pmi_micro")).sum / n
+    assert(corpus.forall(_.getAs[Long]("mi_total_micro") == want),
+      "global MI must be the exact integer fold of the cell PMIs")
+    corpus.foreach { r =>
+      val raw = math.log(r.getAs[Long]("n_xy").toDouble * n /
+        (r.getAs[Long]("n_x").toDouble * r.getAs[Long]("n_y"))) * 1e6
+      assert(math.abs(r.getAs[Long]("pmi_micro") - raw) <= 0.5000001)
+    }
+  }
+
   test("madOutliers: planted medians/MADs exact; MAD=0 degenerate case flags any deviation") {
     import spark.implicits._
     // "a": {1,2,3,4,100} → median 3, MAD 1, the 100 is the only |v−med|>3·MAD

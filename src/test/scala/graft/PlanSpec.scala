@@ -575,4 +575,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"pair expansion went cartesian:\n$plan")
     assert(!plan.contains("Window"), s"welch t-test plans a window:\n$plan")
   }
+
+  test("triangles: no cartesian, no window; result reads the bounded checkpoint") {
+    val df = ops.Graph.triangles(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge enumeration went quadratic:\n$plan")
+    assert(!plan.contains("Window"), s"ranking through a window:\n$plan")
+    // the <= k-row localCheckpoint means the returned plan embeds no
+    // join cascade — the wedge work ran inside the op
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"top-k not materialized from the bounded checkpoint:\n$plan")
+  }
+
+  test("mutual info: every join below the cell aggregate broadcasts") {
+    val plan = formatted(ops.Mixing.mutualInfo(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"a bounded marginal join degraded to SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"went cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"plans a window:\n$plan")
+  }
+
+  test("ppl filter: model joins shuffle on the bigram vocabulary, V broadcasts") {
+    val plan = formatted(ops.TextAnalysis.pplFilter(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"went cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"plans a window:\n$plan")
+    // the 1-row vocabulary-size frame must broadcast into the scorer
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"V did not broadcast:\n$plan")
+  }
 }

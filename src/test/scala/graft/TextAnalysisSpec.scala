@@ -378,6 +378,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus.count() == expected, "a multi-token doc is missing a score")
   }
 
+  test("pplFilter: planted split scores held-out bigrams under the add-one train model") {
+    import spark.implicits._
+    // split hash ((id % 1e9+7) * 2654435761) % 1000: ids 0,1,2 land
+    // below 800 (train); ids 5 (805) and 9 (849) are held out
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a c"),
+      (5L, "a b x"), (9L, "z z z")).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.pplFilter(docs, "doc_id", "text").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L, 9L),
+      s"exactly the held-out docs score: ${got.toSeq}")
+    // train model: c(a b)=2, c(a c)=1, prefix a·=3, V=|{a,b,c}|=3
+    val lnAB = math.rint(math.log(3.0 / 6) * 1e6).toLong // (2+1)/(3+3)
+    val lnUnseen = math.rint(math.log(1.0 / 3) * 1e6).toLong // (0+1)/(0+3)
+    val r5 = got(0)
+    assert(r5.getAs[Long]("n_bigrams") == 2L)
+    assert(r5.getAs[Long]("sum_micro_lp") == lnAB + lnUnseen,
+      s"doc 5 must mix one seen and one unseen transition: $r5")
+    assert(r5.getAs[Int]("keep") == 1)
+    val r9 = got(1)
+    assert(r9.getAs[Long]("n_bigrams") == 2L)
+    assert(r9.getAs[Long]("sum_micro_lp") == 2L * lnUnseen,
+      s"doc 9 is all-unseen: $r9")
+  }
+
+  test("q_ppl_filter: held-out docs only, integer-exact keep cut, ordered") {
+    val rows = ops.TextAnalysis.pplFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(((id % 1000000007L) * 2654435761L) % 1000L >= 800L,
+        s"train doc $id leaked into the scored side")
+      val (n, s) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_micro_lp"))
+      assert(n >= 1 && s < 0)
+      assert((r.getAs[Int]("keep") == 1) ==
+        (s >= ops.TextAnalysis.PplKeepAvgMicroNats * n))
+      val avg = r.getAs[Double]("avg_logprob")
+      // round-4 of the mean (tolerance, not rint: HALF_UP vs HALF_EVEN)
+      assert(math.abs(avg - s.toDouble / n / 1e6) <= 5.0001e-5)
+    }
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.toSeq == ids.sorted.toSeq)
+    // every held-out doc with >= 2 tokens gets a score
+    val expected = Tables.documents(spark, sfDir)
+      .filter(ops.Sampling.splitBucket(col("doc_id")) >= 800)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == expected)
+  }
+
   test("bpeTrain: the classic low/lower/lowest hand-trace, ties lexicographic") {
     import spark.implicits._
     // vocab: low×3, lower×1, lowest×1 (with </w> markers)
