@@ -643,6 +643,16 @@ object Graph {
     * per-node "how clique-like is this supplier's neighborhood"
     * diagnostic).
     *
+    * The analyzed graph is the [[TriangleEdgeCap]]-strongest BACKBONE
+    * of the co-purchase graph: pairs ranked by shared-customer count
+    * (ties to ids) and cut to the top |E| — co-purchase graphs over
+    * dense catalogs degenerate toward completeness (this corpus's
+    * does: every supplier pair shares ≥ [[CoPurchaseMinShared]]
+    * customers), where triangle volume is Θ(|V|³) and means nothing;
+    * clustering structure lives in the strong ties. The cap is a
+    * deterministic TakeOrdered, so the subgraph — and every count —
+    * is reproducible cross-engine.
+    *
     * Scale posture: the classic degree-ordered orientation (Chiba &
     * Nishizeki 1985; the standard MapReduce formulation is Suri &
     * Vassilvitskii, WWW 2011) — each undirected edge is directed from
@@ -650,12 +660,13 @@ object Graph {
     * every node's OUT-degree by O(√|E|), so the wedge self-join fans
     * out to at most O(|E|^{3/2}) candidate wedges TOTAL regardless of
     * hub skew (a raw neighbor self-join on an h-degree hub emits
-    * h²/2 wedges; orientation caps that at |E|). Each triangle is
-    * enumerated exactly once, at its orientation-minimal vertex. All
-    * joins are equi-joins on graph keys; per-node counts are one
+    * h²/2 wedges; orientation caps that at |E|). With the backbone
+    * cap that is ≤ cap^{3/2} wedges at ANY corpus size. Each triangle
+    * is enumerated exactly once, at its orientation-minimal vertex.
+    * All joins are equi-joins on graph keys; per-node counts are one
     * aggregate; the final cut is a TakeOrdered top-k. Nothing
-    * corpus-sized is collected — the persisted frames are the derived
-    * supplier graph (≪ fact table) and its |V|-row degree frame.
+    * corpus-sized is collected — the persisted frames are the capped
+    * backbone and its |V|-row degree frame.
     *
     * Determinism: counts are exact BIGINTs; the clustering coefficient
     * divides exact integers in ONE shared double expression
@@ -670,10 +681,17 @@ object Graph {
     triangles(e, "c", "s")
   }
 
+  /** Edge budget for [[triangles]]' backbone: the wedge join touches
+    * at most cap^{3/2} rows no matter how dense the co-purchase
+    * relation gets.
+    */
+  val TriangleEdgeCap = 5000
+
   /** DataFrame-first form over any (customer, item) incidence frame. */
   def triangles(edges: DataFrame, custCol: String, itemCol: String,
                 maxBasket: Int = CoPurchaseMaxBasket,
                 minShared: Int = CoPurchaseMinShared,
+                edgeCap: Int = TriangleEdgeCap,
                 k: Int = 20): DataFrame = {
     val ecols = edges.select(col(custCol).as("c"), col(itemCol).as("s"))
     // identical capped-basket pair derivation to [[coPurchase]]: the
@@ -694,6 +712,8 @@ object Graph {
       .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
       .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minShared)
+      .orderBy(col("n").desc, col("s_a"), col("s_b"))
+      .limit(edgeCap) // deterministic strongest-ties backbone
       .select(col("s_a"), col("s_b"))
       .persist() // canonical (s_a < s_b) edge list — read 3× below
     val deg = und
@@ -736,8 +756,9 @@ object Graph {
   }
 
   /** DuckDB twin of [[triangles]] — same capped pair derivation as
-    * [[coPurchaseSql]], same (degree, id) orientation, same single
-    * double division for the coefficient.
+    * [[coPurchaseSql]], same strongest-ties backbone cut, same
+    * (degree, id) orientation, same single double division for the
+    * coefficient.
     */
   val trianglesSql: String =
     s"""WITH e AS (
@@ -746,11 +767,17 @@ object Graph {
        |),
        |bc AS (SELECT c FROM e GROUP BY c HAVING count(*) <= $CoPurchaseMaxBasket),
        |ee AS (SELECT e.c, e.s FROM e JOIN bc ON e.c = bc.c),
-       |und AS (
-       |  SELECT a.s AS s_a, b.s AS s_b
+       |sc AS (
+       |  SELECT a.s AS s_a, b.s AS s_b, count(*) AS n
        |  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
        |),
+       |rn AS (
+       |  SELECT s_a, s_b,
+       |    row_number() OVER (ORDER BY n DESC, s_a, s_b) AS rn
+       |  FROM sc
+       |),
+       |und AS (SELECT s_a, s_b FROM rn WHERE rn <= $TriangleEdgeCap),
        |deg AS (
        |  SELECT s, count(*) AS d
        |  FROM (SELECT s_a AS s FROM und UNION ALL SELECT s_b AS s FROM und)

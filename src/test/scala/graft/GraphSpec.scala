@@ -231,6 +231,27 @@ class GraphSpec extends AnyFunSuite {
       (1L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
   }
 
+  test("triangles: the backbone cap keeps the strongest ties and drops the rest") {
+    import spark.implicits._
+    // shared counts: (1,2)=3, (2,3)=2, (1,3)=1 — a triangle uncapped;
+    // edgeCap=2 keeps only the two strongest edges, destroying it
+    val inc =
+      (1L to 3L).flatMap(c => Seq((c, 1L), (c, 2L))) ++ // (1,2) ×3
+        (4L to 5L).flatMap(c => Seq((c, 2L), (c, 3L))) ++ // (2,3) ×2
+        Seq((6L, 1L), (6L, 3L)) // (1,3) ×1
+    val full = ops.Graph.triangles(inc.toDF("c", "s"), "c", "s",
+      maxBasket = 128, minShared = 1, edgeCap = 5000, k = 20).collect()
+    assert(full.map(_.getAs[Long]("triangles")).toSeq == Seq(1L, 1L, 1L))
+    val capped = ops.Graph.triangles(inc.toDF("c", "s"), "c", "s",
+      maxBasket = 128, minShared = 1, edgeCap = 2, k = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("degree"),
+        r.getAs[Long]("triangles")))
+    // degrees now reflect the kept subgraph only; zero triangles tie
+    // the ordering back to node id
+    assert(capped.toSeq == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 1L, 0L)))
+  }
+
   test("triangles: star graph has zero triangles; leaves carry NULL coefficient") {
     import spark.implicits._
     // hub supplier 1 shares one customer with each spoke 2..6 — no
