@@ -682,10 +682,15 @@ object TextAnalysis {
       .join(bc, Seq("bg"), "left")
       .join(pc, Seq("w1"), "left")
       .crossJoin(broadcast(v))
+      // v = 0 means the ENTIRE corpus fell on the held-out side — no
+      // model exists; scores stay NULL (visible) instead of dividing
+      // by zero (the driver's corpora always have train docs, so the
+      // oracle never sees this branch)
       .select(col("doc_id"),
-        round(log((coalesce(col("bc"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("pc"), lit(0L)) + col("v"))) * 1e6)
-          .cast("long").as("micro_lp"))
+        when(col("v") > 0,
+          round(log((coalesce(col("bc"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("pc"), lit(0L)) + col("v"))) * 1e6)
+            .cast("long")).as("micro_lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("micro_lp")).as("sum_micro_lp"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_micro_lp"),

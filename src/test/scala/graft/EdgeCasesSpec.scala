@@ -409,4 +409,44 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(hf.length == 3 && hf.head.getAs[Long]("forecast_cents") == 1400L)
     assert(hf.forall(_.getAs[Long]("n_fit") == 0L))
   }
+
+  test("degenerate inputs flow through the round-7 third-leg ops") {
+    import spark.implicits._
+    // triangles: single-item baskets everywhere → no edges, empty result
+    val loyal = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("c", "s")
+    assert(ops.Graph.triangles(loyal, "c", "s").count() == 0)
+    // triangles: empty incidence flows through as empty, no throw
+    assert(ops.Graph.triangles(Seq.empty[(Long, Long)].toDF("c", "s"),
+      "c", "s").count() == 0)
+    // bfsReach: a single edge — hop 0 is the (deg,id)-first endpoint,
+    // hop 1 the other, then the frontier empties and rounds stop
+    val one = ops.Graph.bfsReach(Seq((2L, 3L)).toDF("src", "dst"), 4)
+      .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Long]("n_nodes")))
+    assert(one.toSeq == Seq((0, 1L), (1, 1L)))
+    intercept[IllegalArgumentException] {
+      ops.Graph.bfsReach(Seq((2L, 3L)).toDF("src", "dst"), 0)
+    }
+    // pplFilter: all-train corpus (every id hashes below 800) → nothing
+    // to score, empty frame with the full schema
+    val allTrain = Seq((0L, "a b c"), (1L, "a b"), (2L, "b c"))
+      .toDF("doc_id", "text")
+    val pf = ops.TextAnalysis.pplFilter(allTrain, "doc_id", "text")
+    assert(pf.count() == 0 && pf.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "sum_micro_lp", "avg_logprob", "keep"))
+    // pplFilter: an entirely held-out corpus has no model (V=0) — the
+    // smoothed ratio divides by zero and every score must come out
+    // NULL rather than a spurious finite keep decision
+    val allHeld = Seq((5L, "a b"), (9L, "b a")).toDF("doc_id", "text")
+    val held = ops.TextAnalysis.pplFilter(allHeld, "doc_id", "text").collect()
+    assert(held.forall(r => r.isNullAt(r.fieldIndex("sum_micro_lp"))),
+      s"no-model scores must be NULL: ${held.toSeq}")
+    // mutualInfo: a single observed cell — PMI ln(n·n/(n·n)) = 0, MI 0
+    val mono = Seq.fill(4)(("x", "u")).toDF("a", "b")
+    val mi = ops.Mixing.mutualInfo(mono, "a", "b").collect()
+    assert(mi.length == 1 && mi.head.getAs[Long]("pmi_micro") == 0L &&
+      mi.head.getAs[Long]("mi_total_micro") == 0L)
+    // mutualInfo: empty input → empty output, no throw
+    assert(ops.Mixing.mutualInfo(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b").count() == 0)
+  }
 }
