@@ -687,21 +687,25 @@ object Graph {
     */
   val TriangleEdgeCap = 5000
 
-  /** DataFrame-first form over any (customer, item) incidence frame. */
-  def triangles(edges: DataFrame, custCol: String, itemCol: String,
-                maxBasket: Int = CoPurchaseMaxBasket,
-                minShared: Int = CoPurchaseMinShared,
-                edgeCap: Int = TriangleEdgeCap,
-                k: Int = 20): DataFrame = {
+  /** Shared derivation of the strongest-ties co-purchase BACKBONE:
+    * capped-basket pair counting (the [[coPurchase]] census+semi-join
+    * + row-local i&lt;j expansion — see the scale notes there), pairs
+    * floored at `minShared` shared customers, ranked by tie strength
+    * (count desc, ids) and cut to the top `edgeCap` — the
+    * deterministic TakeOrdered that keeps every structural analysis
+    * ([[triangles]], [[kCore]], [[adamicAdar]]) bounded no matter how
+    * dense the co-purchase relation gets. Returns the canonical
+    * (s_a &lt; s_b) edge list, NOT persisted — callers persist.
+    */
+  private[ops] def copurchaseBackbone(edges: DataFrame, custCol: String,
+                                      itemCol: String, maxBasket: Int,
+                                      minShared: Int, edgeCap: Int): DataFrame = {
     val ecols = edges.select(col(custCol).as("c"), col(itemCol).as("s"))
-    // identical capped-basket pair derivation to [[coPurchase]]: the
-    // census+semi-join cap bounds every collect_set buffer, and the
-    // i<j expansion is row-local (see the scale notes there)
     val keep = ecols.groupBy(col("c"))
       .agg(countDistinct(col("s")).as("k"))
       .filter(col("k") <= maxBasket)
       .select(col("c"))
-    val und = ecols.join(keep, Seq("c"), "left_semi")
+    ecols.join(keep, Seq("c"), "left_semi")
       .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
       .filter(size(col("items")) >= 2)
       .select(explode(expr(
@@ -715,6 +719,40 @@ object Graph {
       .orderBy(col("n").desc, col("s_a"), col("s_b"))
       .limit(edgeCap) // deterministic strongest-ties backbone
       .select(col("s_a"), col("s_b"))
+  }
+
+  /** The backbone CTE chain shared verbatim by every structural
+    * oracle ([[trianglesSql]], [[kCoreSql]], [[adamicAdarSql]]):
+    * defines `und` (canonical s_a &lt; s_b backbone edges) over the
+    * purchase tables.
+    */
+  private def backboneSqlCtes: String =
+    s"""e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |bc AS (SELECT c FROM e GROUP BY c HAVING count(*) <= $CoPurchaseMaxBasket),
+       |ee AS (SELECT e.c, e.s FROM e JOIN bc ON e.c = bc.c),
+       |sc AS (
+       |  SELECT a.s AS s_a, b.s AS s_b, count(*) AS n
+       |  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
+       |),
+       |rn AS (
+       |  SELECT s_a, s_b,
+       |    row_number() OVER (ORDER BY n DESC, s_a, s_b) AS rn
+       |  FROM sc
+       |),
+       |und AS (SELECT s_a, s_b FROM rn WHERE rn <= $TriangleEdgeCap)""".stripMargin
+
+  /** DataFrame-first form over any (customer, item) incidence frame. */
+  def triangles(edges: DataFrame, custCol: String, itemCol: String,
+                maxBasket: Int = CoPurchaseMaxBasket,
+                minShared: Int = CoPurchaseMinShared,
+                edgeCap: Int = TriangleEdgeCap,
+                k: Int = 20): DataFrame = {
+    val und = copurchaseBackbone(edges, custCol, itemCol,
+      maxBasket, minShared, edgeCap)
       .persist() // canonical (s_a < s_b) edge list — read 3× below
     val deg = und
       .select(explode(array(col("s_a"), col("s_b"))).as("s"))
@@ -761,23 +799,7 @@ object Graph {
     * coefficient.
     */
   val trianglesSql: String =
-    s"""WITH e AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |),
-       |bc AS (SELECT c FROM e GROUP BY c HAVING count(*) <= $CoPurchaseMaxBasket),
-       |ee AS (SELECT e.c, e.s FROM e JOIN bc ON e.c = bc.c),
-       |sc AS (
-       |  SELECT a.s AS s_a, b.s AS s_b, count(*) AS n
-       |  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
-       |),
-       |rn AS (
-       |  SELECT s_a, s_b,
-       |    row_number() OVER (ORDER BY n DESC, s_a, s_b) AS rn
-       |  FROM sc
-       |),
-       |und AS (SELECT s_a, s_b FROM rn WHERE rn <= $TriangleEdgeCap),
+    s"""WITH $backboneSqlCtes,
        |deg AS (
        |  SELECT s, count(*) AS d
        |  FROM (SELECT s_a AS s FROM und UNION ALL SELECT s_b AS s FROM und)
@@ -810,5 +832,332 @@ object Graph {
        |                  / (deg.d * (deg.d - 1)), 6) END AS clustering
        |FROM deg LEFT JOIN pn ON deg.s = pn.s
        |ORDER BY triangles DESC, s
+       |LIMIT 20""".stripMargin
+
+  /** Fixed full hub→authority iterations for [[hits]] — unrolled
+    * identically in the oracle SQL.
+    */
+  val HitsIterations = 3
+
+  /** HITS (Kleinberg 1999) hubs &amp; authorities over the bipartite
+    * customer→supplier purchase graph — the second eigenvector-style
+    * centrality alongside [[pageRank]], and the one that exploits the
+    * bipartite structure directly: customers are pure hubs ("who
+    * samples the supplier base broadly and well"), suppliers pure
+    * authorities ("who is endorsed by the strongest hubs"), with the
+    * two scores defined mutually: a(s) = Σ_{c→s} h(c),
+    * h(c) = Σ_{c→s} a(s).
+    *
+    * Determinism: the classical L2 normalization is replaced by L1
+    * normalization in scaled fixed point — after every half-step the
+    * score vector is rescaled to sum ≈ [[Scale]] by
+    * `CAST(raw AS DECIMAL(38,0)) * Scale DIV total` — one integral
+    * divide per node, truncating, so both engines carry identical
+    * BIGINTs (the rescale changes nothing semantically: HITS scores
+    * are defined up to a positive factor). The DECIMAL(38,0) widening
+    * is load-bearing twice: `raw · Scale` reaches ~1e24, and the
+    * normalizer `total = Σ_nodes raw` is itself accumulated in
+    * DECIMAL(38,0) because Σ deg(c)·a(s) can pass 2^63 once a hub
+    * supplier serves ~10M customers. Spark's `DIV` and DuckDB's `//`
+    * agree on decimal/HUGEINT operands (verified: same quotient for a
+    * 10^24-scale dividend).
+    *
+    * Scale posture: identical to [[pageRank]] — the distinct (c, s)
+    * edge frame is persisted once and joined per half-step against the
+    * node-sized score frame; each normalize is a 1-row aggregate
+    * broadcast back. Score frames are `localCheckpoint`ed once per
+    * full iteration so the lazy plan never re-embeds earlier rounds.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    hits(edges, HitsIterations)
+  }
+
+  /** L1-rescale a (key, raw) frame to sum ≈ [[Scale]]: one decimal
+    * integral divide per row against the broadcast 1-row total.
+    */
+  private def l1Rescale(df: DataFrame, keyCol: String,
+                        outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tot = df.agg(sum(col("raw").cast(DecimalType(38, 0))).as("tot"))
+    df.crossJoin(broadcast(tot))
+      .select(col(keyCol),
+        expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Scale DIV tot AS BIGINT)")
+          .as(outCol))
+  }
+
+  /** DataFrame-first form over a bipartite (c, s) edge frame (already
+    * distinct). Returns the top-10 authorities and top-10 hubs:
+    * (role, entity_id, score_scaled).
+    */
+  def hits(bipartiteEdges: DataFrame, iterations: Int): DataFrame = {
+    val e = bipartiteEdges.select(col("c"), col("s")).persist()
+    try {
+      val custs = e.select(col("c")).distinct()
+      val nc = custs.count()
+      require(nc > 0, "hits: empty edge frame")
+      var hubs = custs.select(col("c"), lit(Scale / nc).as("h"))
+      var auths = e.sparkSession.emptyDataFrame
+      for (i <- 1 to iterations) {
+        // authority half-step: raw(s) = Σ h over inlinks ≤ Σ all h ≈ Scale
+        val araw = e.join(hubs, Seq("c"))
+          .groupBy(col("s")).agg(sum(col("h")).as("raw"))
+        auths = l1Rescale(araw, "s", "a")
+        if (i == iterations) auths = auths.localCheckpoint(true)
+        // hub half-step: raw(c) = Σ a over outlinks ≤ Σ all a ≈ Scale
+        val hraw = e.join(auths, Seq("s"))
+          .groupBy(col("c")).agg(sum(col("a")).as("raw"))
+        hubs = l1Rescale(hraw, "c", "h").localCheckpoint(true)
+      }
+      auths.orderBy(col("a").desc, col("s")).limit(10)
+        .select(lit("authority").as("role"), col("s").as("entity_id"),
+          col("a").as("score_scaled"))
+        .unionByName(
+          hubs.orderBy(col("h").desc, col("c")).limit(10)
+            .select(lit("hub").as("role"), col("c").as("entity_id"),
+              col("h").as("score_scaled")))
+        .orderBy(col("role"), col("score_scaled").desc, col("entity_id"))
+    } finally e.unpersist()
+  }
+
+  /** DuckDB twin of [[hits]] — the same L1-rescaled half-steps
+    * unrolled [[HitsIterations]] times in HUGEINT arithmetic.
+    */
+  val hitsSql: String = {
+    def norm(src: String, key: String, out: String, dst: String) =
+      s"""${dst}t AS (SELECT sum(CAST(raw AS HUGEINT)) AS tot FROM $src),
+         |$dst AS (
+         |  SELECT $key,
+         |    CAST(CAST(raw AS HUGEINT) * $Scale // tot AS BIGINT) AS $out
+         |  FROM $src CROSS JOIN ${dst}t
+         |)""".stripMargin
+    def round(k: Int) =
+      s"""a${k}r AS (
+         |  SELECT s, sum(h) AS raw FROM e JOIN h${k - 1} USING (c) GROUP BY s
+         |),
+         |${norm(s"a${k}r", "s", "a", s"a$k")},
+         |h${k}r AS (
+         |  SELECT c, sum(a) AS raw FROM e JOIN a$k USING (s) GROUP BY c
+         |),
+         |${norm(s"h${k}r", "c", "h", s"h$k")}""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |cu AS (SELECT DISTINCT c FROM e),
+       |nc AS (SELECT count(*) AS n FROM cu),
+       |h0 AS (SELECT c, (SELECT $Scale // n FROM nc) AS h FROM cu),
+       |${(1 to HitsIterations).map(round).mkString(",\n")}
+       |SELECT role, entity_id, score_scaled FROM (
+       |  (SELECT 'authority' AS role, s AS entity_id, a AS score_scaled
+       |   FROM a$HitsIterations ORDER BY a DESC, s LIMIT 10)
+       |  UNION ALL
+       |  (SELECT 'hub' AS role, c AS entity_id, h AS score_scaled
+       |   FROM h$HitsIterations ORDER BY h DESC, c LIMIT 10))
+       |ORDER BY role, score_scaled DESC, entity_id""".stripMargin
+  }
+
+  /** Degree floor for [[kCore]]'s peel. */
+  val KCoreK = 8
+  /** Fixed peel rounds — unrolled identically in the oracle SQL. */
+  val KCoreRounds = 6
+
+  /** Fixed-round k-core peeling of the bipartite purchase graph: each
+    * round drops every node whose CURRENT degree is below
+    * [[KCoreK]] and keeps only edges with both endpoints surviving —
+    * after enough rounds the remaining subgraph is the k-core, the
+    * standard "dense engaged nucleus" extraction (and the fourth
+    * Pregel-style pattern here: SUBGRAPH CONTRACTION, alongside value
+    * propagation, label convergence and frontier expansion). With a
+    * FIXED round budget the job graph is static, the output is the
+    * well-defined R-round peel whether or not it has converged, and
+    * the DuckDB oracle unrolls the identical recurrence. Emits one
+    * row per round (round 0 = the input graph): surviving node/edge
+    * census split by side.
+    *
+    * Scale posture: each round is one degree aggregate over the
+    * current edge frame plus two semi-joins against the (≤|V|-row)
+    * keep set, all keyed on graph keys; the shrinking edge frame is
+    * eagerly `localCheckpoint`ed per round (the [[bfsReach]]
+    * discipline) so AQE sizes every round from the true surviving
+    * cardinality and the plan never re-embeds earlier peels. Output
+    * is rounds+1 rows.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    kCore(edges, KCoreK, KCoreRounds)
+  }
+
+  /** DataFrame-first form over a canonical one-row-per-edge frame
+    * (src even = customer, dst odd = supplier under the shared node
+    * encoding; any disjoint src/dst key spaces work).
+    */
+  def kCore(undirectedEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
+    def census(edges: DataFrame, r: Int): DataFrame = {
+      val nodes = edges
+        .select(explode(array(col("src"), col("dst"))).as("n")).distinct()
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum((col("n") % 2 === 0).cast("long")), lit(0L))
+            .as("n_customers"),
+          coalesce(sum((col("n") % 2 === 1).cast("long")), lit(0L))
+            .as("n_suppliers"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(ne).select(lit(r).as("round"), col("n_nodes"),
+        col("n_customers"), col("n_suppliers"), col("n_edges"))
+    }
+    var edges = undirectedEdges.select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    var out = census(edges, 0)
+    for (r <- 1 to rounds) {
+      val deg = edges
+        .select(explode(array(col("src"), col("dst"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      edges = edges
+        .join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true) // shrinking frame; cuts the round's lineage
+      out = out.unionByName(census(edges, r))
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** DuckDB twin of [[kCore]] — the same degree/keep/contract
+    * recurrence unrolled [[KCoreRounds]] times.
+    */
+  val kCoreSql: String = {
+    // every e$r is referenced ~6× (degree census, contraction, round
+    // summary) — MATERIALIZED stops the CTE inlining that would
+    // otherwise re-expand the whole peel chain per reference
+    // (exponentially many base-table scans by round 6)
+    def round(r: Int) =
+      s"""d$r AS MATERIALIZED (
+         |  SELECT n, count(*) AS d
+         |  FROM (SELECT src AS n FROM e${r - 1}
+         |        UNION ALL SELECT dst AS n FROM e${r - 1})
+         |  GROUP BY n
+         |),
+         |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $KCoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT src, dst FROM e${r - 1}
+         |  WHERE src IN (SELECT n FROM k$r) AND dst IN (SELECT n FROM k$r)
+         |)""".stripMargin
+    def census(r: Int) =
+      s"""SELECT $r AS round,
+         |  CAST(count(DISTINCT n) AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(sum(CASE WHEN pn % 2 = 0 THEN 1 END), 0) AS BIGINT)
+         |    AS n_customers,
+         |  CAST(COALESCE(sum(CASE WHEN pn % 2 = 1 THEN 1 END), 0) AS BIGINT)
+         |    AS n_suppliers,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges
+         |FROM (SELECT DISTINCT n, n % 2 AS pn
+         |      FROM (SELECT src AS n FROM e$r UNION ALL SELECT dst FROM e$r))
+         |""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |${(1 to KCoreRounds).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |${(0 to KCoreRounds).map(census).mkString("UNION ALL\n")})
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Adamic–Adar link prediction over the BIPARTITE purchase graph:
+    * suppliers a, b are scored by their shared customers, each
+    * weighted inversely by how promiscuous that customer is —
+    * AA(a,b) = Σ_{c ∈ N(a)∩N(b)} 1/ln(deg c). A customer shared with
+    * everyone says little; a selective shared customer says a lot —
+    * the classical link-prediction baseline (Adamic &amp; Adar 2003),
+    * and the degree-weighted refinement of [[coPurchase]]'s raw
+    * shared-customer counts (the two rankings genuinely differ when
+    * hub customers dominate a pair's overlap).
+    *
+    * Determinism: 1/ln(deg) is quantized per CUSTOMER to integer
+    * micro-units (`round(1e6 / ln(d))`, one shared double expression
+    * — the [[Mixing.mutualInfo]] micro-nat discipline), so the pair
+    * score is an exact BIGINT sum, order-independent, and the top-k
+    * cut hash-matches cross-engine (ties to the pair key). Only
+    * customers with ≥ 2 suppliers form wedges, so ln is never 0.
+    *
+    * Scale posture: identical to [[coPurchase]] — wedges come from a
+    * row-local i&lt;j expansion of the CAPPED sorted baskets (census +
+    * semi-join keeps every collect_set buffer ≤ maxBasket; the weight
+    * is a function of the basket the pair came from, so it rides the
+    * same row), the only corpus-sized shuffle is the pair aggregate
+    * keyed by the pair itself, and the [[CoPurchaseMinShared]] floor
+    * plus top-k TakeOrdered bound the output.
+    */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    adamicAdar(e, "c", "s")
+  }
+
+  /** DataFrame-first form over any (customer, item) incidence frame. */
+  def adamicAdar(edges: DataFrame, custCol: String, itemCol: String,
+                 maxBasket: Int = CoPurchaseMaxBasket,
+                 minShared: Int = CoPurchaseMinShared,
+                 k: Int = 20): DataFrame = {
+    val ecols = edges.select(col(custCol).as("c"), col(itemCol).as("s"))
+    val keep = ecols.groupBy(col("c"))
+      .agg(countDistinct(col("s")).as("k"))
+      .filter(col("k") <= maxBasket)
+      .select(col("c"))
+    ecols.join(keep, Seq("c"), "left_semi")
+      .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      // the weight is row-local: deg(c) IS this basket's size
+      .select(expr("CAST(round(1e6 / ln(CAST(size(items) AS DOUBLE))) AS BIGINT)")
+          .as("w_micro"),
+        explode(expr(
+          """flatten(transform(sequence(0, size(items) - 2),
+            |  i -> transform(sequence(i + 1, size(items) - 1),
+            |    j -> named_struct('a', items[i], 'b', items[j]))))""".stripMargin))
+          .as("p"))
+      .select(col("p.a").as("s_a"), col("p.b").as("s_b"), col("w_micro"))
+      .groupBy(col("s_a"), col("s_b"))
+      .agg(count(lit(1)).as("common_customers"),
+        sum(col("w_micro")).as("aa_micro"))
+      .filter(col("common_customers") >= minShared)
+      .orderBy(col("aa_micro").desc, col("s_a"), col("s_b"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[adamicAdar]] — the wedge enumeration as a
+    * capped-basket self-join at the shared customer, same per-customer
+    * micro quantization of 1/ln(basket size).
+    */
+  val adamicAdarSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |bc AS (
+       |  SELECT c, count(*) AS d FROM e GROUP BY c
+       |  HAVING count(*) <= $CoPurchaseMaxBasket
+       |),
+       |wz AS (
+       |  SELECT a.s AS s_a, b.s AS s_b,
+       |    CAST(round(1e6 / ln(CAST(bc.d AS DOUBLE))) AS BIGINT) AS w_micro
+       |  FROM e a
+       |  JOIN e b ON a.c = b.c AND a.s < b.s
+       |  JOIN bc ON a.c = bc.c
+       |)
+       |SELECT s_a, s_b, CAST(count(*) AS BIGINT) AS common_customers,
+       |  CAST(sum(w_micro) AS BIGINT) AS aa_micro
+       |FROM wz GROUP BY s_a, s_b
+       |HAVING count(*) >= $CoPurchaseMinShared
+       |ORDER BY aa_micro DESC, s_a, s_b
        |LIMIT 20""".stripMargin
 }

@@ -288,4 +288,154 @@ class GraphSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), s"lineage not cut:\n$plan")
   }
+
+  /** Independent driver-side model of the exact L1-rescaled integer
+    * HITS recurrence (BigInt — truncating division on positive
+    * operands matches the decimal DIV both engines run).
+    */
+  private def hitsModel(edges: Seq[(Long, Long)],
+                        iters: Int): (Map[Long, Long], Map[Long, Long]) = {
+    val s = BigInt(ops.Graph.Scale)
+    val custs = edges.map(_._1).distinct
+    var h: Map[Long, BigInt] =
+      custs.map(_ -> BigInt(ops.Graph.Scale / custs.size)).toMap
+    var a: Map[Long, BigInt] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2)
+        .map { case (k, es) => k -> es.map(e => h(e._1)).sum }
+      val at = araw.values.sum
+      a = araw.map { case (k, v) => k -> v * s / at }
+      val hraw = edges.groupBy(_._1)
+        .map { case (k, es) => k -> es.map(e => a(e._2)).sum }
+      val ht = hraw.values.sum
+      h = hraw.map { case (k, v) => k -> v * s / ht }
+    }
+    (h.map { case (k, v) => k -> v.toLong },
+      a.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("hits matches the exact integer model on a planted bipartite graph") {
+    import spark.implicits._
+    // supplier 10 is bought by every customer, 20/30 by one each —
+    // asymmetric enough that hub and authority orders both move
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 10L), (3L, 30L))
+    val (h, a) = hitsModel(edges, ops.Graph.HitsIterations)
+    val rows = ops.Graph.hits(edges.toDF("c", "s"), ops.Graph.HitsIterations)
+      .collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("entity_id"),
+        r.getAs[Long]("score_scaled")))
+    val gotA = rows.filter(_._1 == "authority").map(t => t._2 -> t._3).toMap
+    val gotH = rows.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    assert(gotA == a)
+    assert(gotH == h)
+    // the broad supplier is the top authority; the 2-basket customers
+    // out-hub the 1-basket customer
+    assert(a.maxBy(_._2)._1 == 10L)
+    assert(h(1L) > h(2L) && h(3L) > h(2L))
+  }
+
+  test("hits: symmetric customers and symmetric suppliers tie exactly") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+    val rows = ops.Graph.hits(edges.toDF("c", "s"), 3).collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    byRole.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("score_scaled")).distinct.length == 1)
+    }
+  }
+
+  test("q_hits: 10 per role, descending within role, positive scaled scores") {
+    val rows = ops.Graph.hits(spark, sfDir).collect()
+    assert(rows.length == 20)
+    Seq("authority", "hub").foreach { role =>
+      val scores = rows.filter(_.getAs[String]("role") == role)
+        .map(_.getAs[Long]("score_scaled"))
+      assert(scores.length == 10)
+      assert(scores.toSeq == scores.sortBy(-(_: Long)).toSeq)
+      assert(scores.forall(_ > 0))
+      // L1 normalization: no single node may exceed the whole mass
+      assert(scores.forall(_ <= ops.Graph.Scale))
+    }
+  }
+
+  test("kCore: pendant customer peels in round 1, the 3-core survives") {
+    import spark.implicits._
+    // complete bipartite K(3,3) on even customers {0,2,4} × odd
+    // suppliers {1,3,5} (degree 3 everywhere) + pendant customer 6 on
+    // supplier 1 — with k=3 the pendant peels immediately and the core
+    // is stable thereafter
+    val core = for (c <- Seq(0L, 2L, 4L); s <- Seq(1L, 3L, 5L)) yield (c, s)
+    val edges = (core :+ (6L, 1L)).toDF("src", "dst")
+    val rows = ops.Graph.kCore(edges, 3, 2).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("n_suppliers"),
+        r.getAs[Long]("n_edges")))
+    assert(rows.toSeq == Seq((0, 7L, 4L, 3L, 10L),
+      (1, 6L, 3L, 3L, 9L), (2, 6L, 3L, 3L, 9L)))
+  }
+
+  test("kCore: a star collapses to the empty graph and stays empty") {
+    import spark.implicits._
+    // hub customer 0 on suppliers {1,3,5}: every supplier has degree 1
+    // < k, so round 1 drops them all and with them every edge
+    val edges = Seq((0L, 1L), (0L, 3L), (0L, 5L)).toDF("src", "dst")
+    val rows = ops.Graph.kCore(edges, 2, 2).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges")))
+    assert(rows.toSeq == Seq((0, 4L, 3L), (1, 0L, 0L), (2, 0L, 0L)))
+  }
+
+  test("q_kcore: rounds+1 rows, monotone shrink, side split adds up") {
+    val rows = ops.Graph.kCore(spark, sfDir).collect()
+    assert(rows.length == ops.Graph.KCoreRounds + 1)
+    val census = rows.map(r => (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_customers"), r.getAs[Long]("n_suppliers"),
+      r.getAs[Long]("n_edges")))
+    census.foreach { case (n, c, s, _) => assert(n == c + s) }
+    // peeling only removes: both censuses are non-increasing
+    assert(census.map(_._1).toSeq == census.map(_._1).sortBy(-(_: Long)).toSeq)
+    assert(census.map(_._4).toSeq == census.map(_._4).sortBy(-(_: Long)).toSeq)
+  }
+
+  test("adamicAdar: planted baskets score the exact micro-unit sum") {
+    import spark.implicits._
+    // customer 1 buys {10,20} (w = round(1e6/ln 2) = 1442695);
+    // customer 2 buys {10,20,30} (w = round(1e6/ln 3) = 910239)
+    val edges = Seq((1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L), (2L, 30L))
+    val rows = ops.Graph.adamicAdar(edges.toDF("c", "s"), "c", "s",
+      maxBasket = 128, minShared = 1, k = 20).collect()
+      .map(r => (r.getAs[Long]("s_a"), r.getAs[Long]("s_b"),
+        r.getAs[Long]("common_customers"), r.getAs[Long]("aa_micro")))
+    assert(rows.toSeq == Seq((10L, 20L, 2L, 1442695L + 910239L),
+      (10L, 30L, 1L, 910239L), (20L, 30L, 1L, 910239L)))
+  }
+
+  test("adamicAdar: hub-heavy overlap ranks below selective overlap") {
+    import spark.implicits._
+    // pair (10,20): 2 shared customers, both promiscuous (basket 6);
+    // pair (30,40): 2 shared customers, both selective (basket 2) —
+    // raw co-purchase counts tie, Adamic–Adar must prefer (30,40)
+    val hubs = Seq(1L, 2L).flatMap(c =>
+      Seq(10L, 20L, 50L, 60L, 70L, 80L).map(s => (c, s)))
+    val sel = Seq(3L, 4L).flatMap(c => Seq(30L, 40L).map(s => (c, s)))
+    val rows = ops.Graph.adamicAdar((hubs ++ sel).toDF("c", "s"), "c", "s",
+      maxBasket = 128, minShared = 2, k = 20).collect()
+    val score = rows.map(r => (r.getAs[Long]("s_a"), r.getAs[Long]("s_b")) ->
+      r.getAs[Long]("aa_micro")).toMap
+    assert(score((30L, 40L)) > score((10L, 20L)))
+    assert(rows.head.getAs[Long]("s_a") == 30L)
+  }
+
+  test("q_adamic_adar: bounded, canonical pairs, floors respected, descending") {
+    val rows = ops.Graph.adamicAdar(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s_a") < r.getAs[Long]("s_b"))
+      assert(r.getAs[Long]("common_customers") >= ops.Graph.CoPurchaseMinShared)
+      assert(r.getAs[Long]("aa_micro") > 0)
+    }
+    val aa = rows.map(_.getAs[Long]("aa_micro"))
+    assert(aa.toSeq == aa.sortBy(-(_: Long)).toSeq)
+  }
 }
