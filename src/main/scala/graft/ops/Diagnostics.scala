@@ -650,4 +650,195 @@ object Diagnostics {
        |)
        |SELECT t AS t_days, n_risk, d_t AS n_event, s AS surv_micro
        |FROM km ORDER BY t_days""".stripMargin
+
+  /** Per-segment monthly series (segment, xi = months-since-epoch
+    * index, n_orders, revenue cents) — the bounded frame behind
+    * [[theilSen]] and [[kendallTau]]: one corpus-sized keyed month
+    * aggregate (the [[Analytics.holtForecast]] shape) + one broadcast
+    * dim join; ~|months|·|segments| rows out, so every pairwise
+    * derivation downstream is row-bounded no matter the SF.
+    */
+  private def segmentMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .select(col("segment"),
+        (year(col("m")) * 12 + month(col("m"))).cast("long").as("xi"),
+        col("n_orders"), col("c"))
+
+  /** The shared monthly-series CTE for the two oracles below. */
+  private val segmentMonthlySql: String =
+    """mo AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(year(date_trunc('month', o_orderdate)) * 12
+      |         + month(date_trunc('month', o_orderdate)) AS BIGINT) AS xi,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Theil–Sen robust trend: the median of all pairwise slopes of
+    * monthly revenue (cents) against calendar month index, per market
+    * segment (Theil 1950, Sen 1968) — the estimator a single crazy
+    * month cannot move, where [[linReg]]'s least-squares slope chases
+    * the outlier. Gap months need no fill: every pairwise slope uses
+    * the true calendar Δx.
+    *
+    * Determinism: each slope is quantized ONCE to integer micro-cents
+    * per month, `(1e6·Δy) DIV Δx` with Δx &gt; 0 — truncation toward
+    * zero, the division form Spark's `DIV` and DuckDB's `//` already
+    * agree on (the [[Analytics.holtForecast]] verification). The
+    * median runs on DOUBLED integers so the even-count midpoint is
+    * exact in both engines ([[madOutliers]] discipline).
+    *
+    * Scale posture: the only corpus-sized work is the monthly
+    * aggregate; the pair expansion is a self-join of the bounded
+    * |months|·|segments| frame (≈3k pairs per segment at 80 months —
+    * broadcast, never a fact self-join), and the median is an exact
+    * percentile over those bounded groups.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(segmentMonthly(spark, dir), "segment", "xi", "c")
+
+  /** DataFrame-first form over a BOUNDED (group, x, y) series frame
+    * with integral columns — callers own the boundedness contract
+    * (the pair expansion is quadratic in the per-group series
+    * length).
+    */
+  def theilSen(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val s = series.select(col(groupCol).as("g"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val pairs = s.as("a")
+      .join(broadcast(s.as("b")),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .select(col("a.g").as("g"),
+        expr("(1000000 * (b.y - a.y)) DIV (b.x - a.x)").as("sl"))
+    val n = s.groupBy(col("g")).agg(count(lit(1)).as("n_months"))
+    pairs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("sl") * 2L, lit(0.5)).cast("long").as("med2"))
+      .join(n, Seq("g"))
+      .select(col("g").as("segment"), col("n_months"), col("n_pairs"),
+        col("med2").as("slope_micro2"),
+        round(col("med2").cast("double") / 2e6, 4).as("slope_cents_per_month"))
+      .orderBy(col("segment"))
+  }
+
+  val theilSenSql: String =
+    s"""WITH $segmentMonthlySql,
+       |p AS (
+       |  SELECT a.segment AS g,
+       |    (1000000 * (b.c - a.c)) // (b.xi - a.xi) AS sl
+       |  FROM mo a JOIN mo b ON a.segment = b.segment AND a.xi < b.xi),
+       |n AS (SELECT segment AS g, CAST(count(*) AS BIGINT) AS n_months
+       |      FROM mo GROUP BY 1),
+       |m AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(quantile_cont(2 * sl, 0.5) AS BIGINT) AS med2
+       |  FROM p GROUP BY g)
+       |SELECT m.g AS segment, n_months, n_pairs,
+       |  med2 AS slope_micro2,
+       |  round(CAST(med2 AS DOUBLE) / 2e6, 4) AS slope_cents_per_month
+       |FROM m JOIN n ON m.g = n.g
+       |ORDER BY segment""".stripMargin
+
+  /** Kendall's τ-b rank correlation between monthly order volume and
+    * monthly revenue, per market segment — the nonparametric
+    * concordance complement of [[linReg]] (does revenue rise in the
+    * months volume rises, regardless of BY HOW MUCH?), with the tie
+    * correction volume counts need (equal-order months are common at
+    * small SF). Concordant / discordant / tied pair counts are exact
+    * integers from a canonical month-ordered pair expansion; only the
+    * final τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) runs in doubles — one shared
+    * expression tree, NULL when either tie term consumes the whole
+    * pair budget.
+    *
+    * Scale posture: identical to [[theilSen]] — corpus work is the
+    * monthly aggregate, the quadratic expansion only ever touches the
+    * bounded series frame.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTau(segmentMonthly(spark, dir), "segment", "n_orders", "c")
+
+  /** DataFrame-first form over a BOUNDED (group, x, y) frame; pairs
+    * are canonicalized by an internal monotone row index so each
+    * unordered pair counts once.
+    */
+  def kendallTau(series: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val s = series.select(col(groupCol).as("g"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val pairs = s.as("a")
+      .join(broadcast(s.as("b")),
+        col("a.g") === col("b.g") &&
+          (col("a.x") < col("b.x") ||
+            (col("a.x") === col("b.x") && col("a.y") < col("b.y"))))
+    // the strict (x, y) lexicographic join admits each pair once but
+    // silently drops fully-tied pairs (same x AND same y) — count them
+    // separately from the tie census so n0 closes to n(n-1)/2
+    val cls = pairs.select(col("a.g").as("g"),
+        when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) > 0, "c")
+          .when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) < 0, "d")
+          .when(col("a.x") === col("b.x"), "tx").otherwise("ty").as("k"))
+      .groupBy(col("g")).pivot("k", Seq("c", "d", "tx", "ty")).count()
+      .na.fill(0L, Seq("c", "d", "tx", "ty"))
+    val n = s.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n0 = expr("n * (n - 1) DIV 2")
+    cls.join(n, Seq("g"))
+      .select(col("g"), col("n"), col("c"), col("d").as("disc"),
+        col("tx"), col("ty"), n0.as("n0"))
+      // n1/n2 from the pair classes: ties in x = tx + fully-tied;
+      // fully-tied = n0 - (c + d + tx + ty)
+      .withColumn("nboth", col("n0") - col("c") - col("disc") - col("tx") - col("ty"))
+      .withColumn("n1", col("tx") + col("nboth"))
+      .withColumn("n2", col("ty") + col("nboth"))
+      .select(col("g").as("segment"), col("n").as("n_months"),
+        col("c").as("concordant"), col("disc").as("discordant"),
+        col("tx").as("ties_x_only"), col("ty").as("ties_y_only"),
+        when(col("n0") - col("n1") === 0 || col("n0") - col("n2") === 0,
+          lit(null))
+          .otherwise(round((d(col("c")) - d(col("disc"))) /
+            sqrt(d(col("n0") - col("n1")) * d(col("n0") - col("n2"))), 6))
+          .as("tau_b"))
+      .orderBy(col("segment"))
+  }
+
+  val kendallTauSql: String =
+    s"""WITH $segmentMonthlySql,
+       |p AS (
+       |  SELECT a.segment AS g,
+       |    CASE WHEN (b.n_orders - a.n_orders) * (b.c - a.c) > 0 THEN 'c'
+       |         WHEN (b.n_orders - a.n_orders) * (b.c - a.c) < 0 THEN 'd'
+       |         WHEN a.n_orders = b.n_orders THEN 'tx' ELSE 'ty' END AS k
+       |  FROM mo a JOIN mo b ON a.segment = b.segment
+       |    AND (a.n_orders < b.n_orders
+       |         OR (a.n_orders = b.n_orders AND a.c < b.c))),
+       |cls AS (
+       |  SELECT g,
+       |    CAST(COALESCE(sum(CASE WHEN k = 'c' THEN 1 END), 0) AS BIGINT) AS c,
+       |    CAST(COALESCE(sum(CASE WHEN k = 'd' THEN 1 END), 0) AS BIGINT) AS d,
+       |    CAST(COALESCE(sum(CASE WHEN k = 'tx' THEN 1 END), 0) AS BIGINT) AS tx,
+       |    CAST(COALESCE(sum(CASE WHEN k = 'ty' THEN 1 END), 0) AS BIGINT) AS ty
+       |  FROM p GROUP BY g),
+       |nn AS (SELECT segment AS g, CAST(count(*) AS BIGINT) AS n
+       |       FROM mo GROUP BY 1),
+       |t AS (
+       |  SELECT cls.g, n, c, d, tx, ty, n * (n - 1) // 2 AS n0,
+       |    n * (n - 1) // 2 - c - d - tx - ty AS nboth
+       |  FROM cls JOIN nn ON cls.g = nn.g)
+       |SELECT g AS segment, n AS n_months, c AS concordant, d AS discordant,
+       |  tx AS ties_x_only, ty AS ties_y_only,
+       |  CASE WHEN n0 - (tx + nboth) = 0 OR n0 - (ty + nboth) = 0 THEN NULL
+       |       ELSE round((CAST(c AS DOUBLE) - d)
+       |                  / sqrt(CAST(n0 - (tx + nboth) AS DOUBLE)
+       |                         * CAST(n0 - (ty + nboth) AS DOUBLE)), 6)
+       |  END AS tau_b
+       |FROM t ORDER BY segment""".stripMargin
 }

@@ -223,4 +223,87 @@ class DiagnosticsSpec extends AnyFunSuite {
         (p.getAs[Long]("n_a") + p.getAs[Long]("n_b") - 2).toDouble)
     }
   }
+
+  test("theilSen: planted slopes median exactly; outlier cannot move it") {
+    import spark.implicits._
+    // slopes (1,2)=10e6, (1,3)=12.5e6, (2,3)=15e6 → median 12.5e6
+    val a = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 35L))
+    val got = ops.Diagnostics.theilSen(a.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(got.getAs[Long]("n_pairs") == 3L)
+    assert(got.getAs[Long]("slope_micro2") == 25000000L)
+    assert(got.getAs[Double]("slope_cents_per_month") == 12.5)
+    // robust: a perfect 10/month line + one wild final point — six of
+    // ten pairwise slopes are exactly 10e6, so the median stays put
+    val b = Seq(10L, 20L, 30L, 40L, 1000L).zipWithIndex
+      .map { case (y, i) => ("B", (i + 1).toLong, y) }
+    val gotB = ops.Diagnostics.theilSen(b.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(gotB.getAs[Long]("n_pairs") == 10L)
+    assert(gotB.getAs[Double]("slope_cents_per_month") == 10.0)
+  }
+
+  test("theilSen: negative slope truncates toward zero, not floor") {
+    import spark.implicits._
+    // (1e6 * -7) DIV 3 = -2333333 under truncation; floor would give
+    // -2333334 — the exact cross-engine division contract
+    val rows = ops.Diagnostics.theilSen(
+      Seq(("A", 1L, 0L), ("A", 4L, -7L)).toDF("g", "x", "y"), "g", "x", "y")
+      .collect()
+    assert(rows.head.getAs[Long]("slope_micro2") == 2L * -2333333L)
+  }
+
+  test("q_theil_sen: one row per segment, slope column closes over med2") {
+    val rows = ops.Diagnostics.theilSen(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_months")
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+      assert(r.getAs[Double]("slope_cents_per_month") ==
+        math.rint(r.getAs[Long]("slope_micro2").toDouble / 2e6 * 1e4) / 1e4)
+    }
+  }
+
+  test("kendallTau: hand-counted concordance with every tie class") {
+    import spark.implicits._
+    // pairs of (1,1),(2,2),(2,3),(3,0),(2,3): C=3, D=4, x-only ties 2,
+    // one fully-tied pair → n1=3, n2=1, τb = -1/√63
+    val pts = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 2L, 3L),
+      ("A", 3L, 0L), ("A", 2L, 3L))
+    val got = ops.Diagnostics.kendallTau(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(got.getAs[Long]("concordant") == 3L)
+    assert(got.getAs[Long]("discordant") == 4L)
+    assert(got.getAs[Long]("ties_x_only") == 2L)
+    assert(got.getAs[Long]("ties_y_only") == 0L)
+    assert(got.getAs[Double]("tau_b") ==
+      math.rint(-1.0 / math.sqrt(63.0) * 1e6) / 1e6)
+  }
+
+  test("kendallTau: strict monotone hits +1; all-tied x yields NULL") {
+    import spark.implicits._
+    val mono = (1L to 6L).map(i => ("A", i, i * i))
+    val gm = ops.Diagnostics.kendallTau(mono.toDF("g", "x", "y"),
+      "g", "x", "y").collect().head
+    assert(gm.getAs[Double]("tau_b") == 1.0)
+    val flat = Seq(("B", 7L, 1L), ("B", 7L, 2L), ("B", 7L, 3L))
+    val gf = ops.Diagnostics.kendallTau(flat.toDF("g", "x", "y"),
+      "g", "x", "y").collect().head
+    assert(gf.isNullAt(gf.fieldIndex("tau_b")))
+  }
+
+  test("q_kendall_tau: per-segment rows, tau in range, pair budget closes") {
+    val rows = ops.Diagnostics.kendallTau(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_months")
+      val counted = r.getAs[Long]("concordant") + r.getAs[Long]("discordant") +
+        r.getAs[Long]("ties_x_only") + r.getAs[Long]("ties_y_only")
+      assert(counted <= n * (n - 1) / 2)
+      if (!r.isNullAt(r.fieldIndex("tau_b"))) {
+        val t = r.getAs[Double]("tau_b")
+        assert(t >= -1.0 && t <= 1.0)
+      }
+    }
+  }
 }
