@@ -1,0 +1,275 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed ranking, and the two classical statistics built
+  * on it: Spearman rank correlation and the Gini coefficient.
+  *
+  * Ranking is where naive Spark plans silently stop scaling: a
+  * `rank().over(Window.partitionBy(group).orderBy(v))` funnels every
+  * row of a group through ONE task, so five market segments at 100 TB
+  * become five executor-melting sorts. This module never ranks rows.
+  * It ranks the VALUE CENSUS — one row per distinct (group, value)
+  * with its count — via a TWO-LEVEL PREFIX SCAN, the distributed
+  * scan-primitive classic (Blelloch 1990):
+  *
+  *  1. fine: within each (group, bucket = v DIV width) a running sum
+  *     of counts ordered by value — partitioned by (group, bucket),
+  *     so parallelism is #buckets, not #groups;
+  *  2. coarse: per (group, bucket) subtotals, prefix-summed per group
+  *     — a frame with one row per OCCUPIED BUCKET (bounded by the
+  *     value RANGE over the width, independent of corpus row count).
+  *
+  * `lt(v)` — rows strictly below v — is the coarse prefix plus the
+  * fine prefix, and the tie-averaged rank every statistic below needs
+  * comes out exactly, in integers, as the DOUBLED rank
+  * `dr = 2·lt + cnt + 1` (= rank_min + rank_max, so tie groups carry
+  * their average rank with no fraction). Both engines derive the same
+  * integers — DuckDB via plain rank windows (single-node, its sort is
+  * fine), Spark via the scan — and every downstream moment is an
+  * order-independent integer sum.
+  *
+  * The reference (`/root/reference/batch_processor.go:1-194`) has no
+  * analytics surface; these are north-star capability ops.
+  */
+object Ranks {
+
+  /** Doubled tie-averaged ranks over a value census.
+    *
+    * Input: one row per distinct (g, v) with `cnt` ≥ 1 occurrences
+    * (integral v — negative values are handled: bucketing uses the
+    * exact pmod floor form, not truncating DIV). Output adds
+    * `lt` (rows strictly below v within g) and `dr = 2·lt + cnt + 1`.
+    *
+    * `bucketWidth` trades the two levels off: the coarse frame holds
+    * (value range / width) rows per group, the fine windows sort at
+    * most `width` distinct values each. Callers pick a width that
+    * keeps BOTH bounded — for a value domain spanning R, √R is the
+    * balanced default.
+    */
+  def doubledRanks(census: DataFrame, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = census.withColumn("bk",
+      expr(s"CAST((v - pmod(v, $bucketWidth)) / $bucketWidth AS BIGINT)"))
+    val coarse = b.groupBy(col("g"), col("bk"))
+      .agg(sum(col("cnt")).as("bc"))
+      .withColumn("cb",
+        sum(col("bc")).over(Window.partitionBy(col("g")).orderBy(col("bk")))
+          - col("bc"))
+      .select(col("g"), col("bk"), col("cb"))
+    b.join(coarse, Seq("g", "bk"))
+      .withColumn("fb",
+        sum(col("cnt")).over(
+          Window.partitionBy(col("g"), col("bk")).orderBy(col("v")))
+          - col("cnt"))
+      .withColumn("lt", col("cb") + col("fb"))
+      .withColumn("dr", lit(2L) * col("lt") + col("cnt") + lit(1L))
+      .select(col("g"), col("v"), col("cnt"), col("lt"), col("dr"))
+  }
+
+  /** Census width for order-price cents: the price DOMAIN is a fixed
+    * range (it does not grow with SF), ~9e4..6e7 cents, so 2^16 keeps
+    * ~1k coarse buckets and ≤65536-value fine sorts.
+    */
+  private val PriceBucketWidth = 1L << 16
+
+  /** Spearman rank correlation between order price and order line
+    * count, per market segment — the monotone-association complement
+    * of [[Diagnostics.linReg]]'s linear fit: ρ is Pearson computed on
+    * tie-averaged ranks, so a relationship that is monotone but curved
+    * still scores 1. Ranks come from [[doubledRanks]] (exact doubled
+    * integers, two-level scan — see the module doc for why per-row
+    * rank windows are banned); the row frame reaches its two rank
+    * frames by value-keyed equi-joins, all moments accumulate in
+    * DECIMAL(38,0) (dr² sums pass the BIGINT ceiling near SF100), and
+    * the final ρ is ONE shared double expression tree, NULL for a
+    * degenerate (all-tied) margin.
+    *
+    * Scale posture: one per-order aggregation, one orders equi-join +
+    * one broadcast dim join, two census aggregations (keyed on
+    * (segment, value) — well spread), the two bounded scan windows,
+    * two value-keyed row joins, one k-row final aggregate. No per-row
+    * window anywhere.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+    val rows = Tables.orders(spark, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"), col("y"))
+    spearman(rows, "segment", "x", "y", PriceBucketWidth)
+  }
+
+  /** DataFrame-first form over any (group, x, y) frame with integral
+    * x/y. `bucketWidth` buckets BOTH margins' censuses (pick by the
+    * wider value range).
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+               bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.select(col(groupCol).as("g"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    def ranks(c: String) = doubledRanks(
+      rows.groupBy(col("g"), col(c).as("v")).agg(count(lit(1)).as("cnt")),
+      bucketWidth)
+      .select(col("g"), col("v").as(c), col("dr").as(s"dr$c"))
+    val ranked = rows
+      .join(ranks("x"), Seq("g", "x"))
+      .join(ranks("y"), Seq("g", "y"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val m = ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("drx")).as("sx"), sum(col("dry")).as("sy"),
+      sum(dec(col("drx")) * dec(col("drx"))).as("sxx"),
+      sum(dec(col("drx")) * dec(col("dry"))).as("sxy"),
+      sum(dec(col("dry")) * dec(col("dry"))).as("syy"))
+    def d(name: String) = col(name).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * d("syy") - d("sy") * d("sy")
+    m.select(col("g").as("segment"), col("n").as("n_orders"),
+        when(denx === 0d || deny === 0d, lit(null))
+          .otherwise(round(num / sqrt(denx * deny), 6)).as("rho"))
+      .orderBy(col("segment"))
+  }
+
+  /** DuckDB twin of [[spearman]]: the identical doubled ranks via
+    * plain rank windows (lt = rank() − 1), HUGEINT moments, the same
+    * double tail.
+    */
+  val spearmanSql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, y
+      |  FROM orders JOIN po ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |rk AS (
+      |  SELECT g, x, y,
+      |    2 * rank() OVER (PARTITION BY g ORDER BY x)
+      |      + count(*) OVER (PARTITION BY g, x) - 1 AS drx,
+      |    2 * rank() OVER (PARTITION BY g ORDER BY y)
+      |      + count(*) OVER (PARTITION BY g, y) - 1 AS dry
+      |  FROM r),
+      |m AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(drx) AS BIGINT) AS sx, CAST(sum(dry) AS BIGINT) AS sy,
+      |    sum(CAST(drx AS HUGEINT) * drx) AS sxx,
+      |    sum(CAST(drx AS HUGEINT) * dry) AS sxy,
+      |    sum(CAST(dry AS HUGEINT) * dry) AS syy
+      |  FROM rk GROUP BY g)
+      |SELECT g AS segment, n AS n_orders,
+      |  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+      |         OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0
+      |       THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * sy)
+      |                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                          - CAST(sx AS DOUBLE) * sx)
+      |                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                            - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS rho
+      |FROM m ORDER BY segment""".stripMargin
+
+  /** Census width for customer lifetime spend in cents: spend per
+    * customer is bounded by orders-per-customer (constant in SF) times
+    * the price ceiling, ~5e8 cents, so 2^22 keeps ~128 coarse buckets.
+    */
+  private val SpendBucketWidth = 1L << 22
+
+  /** Gini coefficient of customer lifetime spend per nation — the
+    * classical inequality measure ("how concentrated is revenue on few
+    * customers?"), the smooth complement of
+    * [[Analytics.revenueConcentration]]'s discrete top-share cuts.
+    * With tie-averaged ranks the mean-difference form collapses to
+    *   G = (Σᵢ xᵢ·2r̄ᵢ − (n+1)·Σx) / (n·Σx)
+    * and with [[doubledRanks]] the numerator is the exact integer
+    * Σ_v cnt·v·dr − (n+1)·Σx, accumulated in DECIMAL(38,0) — no row
+    * ever needs its own rank, the whole statistic folds over the
+    * census. One shared double division at the end; NULL for nations
+    * with zero total spend or a single customer.
+    *
+    * Scale posture: per-customer aggregate (the only corpus shuffle),
+    * broadcast nation dim, census aggregate, two bounded scan windows,
+    * k-row final fold. Gini at 100 TB costs two scans and change.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val byNation = spend
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("g"), col("v"))
+    gini(byNation, "g", "v", SpendBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, value) frame with integral
+    * non-negative values.
+    */
+  def gini(df: DataFrame, groupCol: String, vCol: String,
+           bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val census = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val m = doubledRanks(census, bucketWidth)
+      .groupBy(col("g")).agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("v")).as("sv"),
+        sum(dec(col("cnt")) * dec(col("v")) * dec(col("dr"))).as("svdr"))
+    def d(name: String) = col(name).cast("double")
+    m.select(col("g").as("nation"), col("n").as("n_customers"),
+        col("sv").as("total_spend_cents"),
+        when(col("n") < 2 || col("sv") <= 0, lit(null))
+          .otherwise(round(
+            (d("svdr") - (d("n") + 1d) * d("sv")) / (d("n") * d("sv")), 6))
+          .as("gini"))
+      .orderBy(col("nation"))
+  }
+
+  /** DuckDB twin of [[gini]]: same census, rank-window doubled ranks,
+    * HUGEINT numerator, same tail.
+    */
+  val giniSql: String =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT n_name AS g, v
+      |  FROM sp JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |cen AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY g, v),
+      |rk AS (
+      |  SELECT g, v, cnt,
+      |    2 * (CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - cnt)
+      |      + cnt + 1 AS dr
+      |  FROM cen),
+      |m AS (
+      |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(cnt * v) AS BIGINT) AS sv,
+      |    sum(CAST(cnt AS HUGEINT) * v * dr) AS svdr
+      |  FROM rk GROUP BY g)
+      |SELECT g AS nation, n AS n_customers, sv AS total_spend_cents,
+      |  CASE WHEN n < 2 OR sv <= 0 THEN NULL
+      |       ELSE round((CAST(svdr AS DOUBLE) - (CAST(n AS DOUBLE) + 1)
+      |                   * CAST(sv AS DOUBLE))
+      |                  / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6)
+      |  END AS gini
+      |FROM m ORDER BY nation""".stripMargin
+}

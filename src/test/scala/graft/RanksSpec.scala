@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RanksSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("doubledRanks: planted census ranks exactly across bucket boundaries") {
+    import spark.implicits._
+    // values span two far-apart buckets at width 64; dr = 2·lt+cnt+1
+    val census = Seq(("A", 10L, 2L), ("A", 12L, 1L), ("A", 1000000L, 3L))
+    val got = ops.Ranks.doubledRanks(census.toDF("g", "v", "cnt"), 64L)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("lt"), r.getAs[Long]("dr"))).toMap
+    assert(got == Map(10L -> (0L, 3L), 12L -> (2L, 6L), 1000000L -> (3L, 10L)))
+    // rank-mass identity: Σ cnt·dr = n(n+1)
+    val mass = census.map { case (_, v, c) => c * got(v)._2 }.sum
+    assert(mass == 6L * 7L)
+  }
+
+  test("doubledRanks: negative values bucket by exact floor, order intact") {
+    import spark.implicits._
+    val census = Seq(("A", -5L, 1L), ("A", 3L, 1L))
+    val got = ops.Ranks.doubledRanks(census.toDF("g", "v", "cnt"), 4L)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("lt")).toMap
+    assert(got == Map(-5L -> 0L, 3L -> 1L))
+  }
+
+  test("spearman: monotone curve scores exactly ±1; ties hand-checked") {
+    import spark.implicits._
+    val mono = (1L to 5L).map(i => ("A", i, i * i * i))
+    val g1 = ops.Ranks.spearman(mono.toDF("g", "x", "y"), "g", "x", "y", 64L)
+      .collect().head
+    assert(g1.getAs[Double]("rho") == 1.0)
+    val anti = (1L to 5L).map(i => ("A", i, -(i * i * i)))
+    val g2 = ops.Ranks.spearman(anti.toDF("g", "x", "y"), "g", "x", "y", 64L)
+      .collect().head
+    assert(g2.getAs[Double]("rho") == -1.0)
+    // tie case: doubled ranks drx=(2,5,5,8), dry=(4,7,7,2) — recompute
+    // Pearson on those integers independently on the driver
+    val tied = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 2L, 20L),
+      ("A", 3L, 5L))
+    val got = ops.Ranks.spearman(tied.toDF("g", "x", "y"), "g", "x", "y", 64L)
+      .collect().head.getAs[Double]("rho")
+    val (dx, dy) = (Seq(2d, 5d, 5d, 8d), Seq(4d, 7d, 7d, 2d))
+    val n = 4d
+    val (sx, sy) = (dx.sum, dy.sum)
+    val (sxx, syy) = (dx.map(v => v * v).sum, dy.map(v => v * v).sum)
+    val sxy = dx.zip(dy).map { case (a, b) => a * b }.sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got == math.rint(want * 1e6) / 1e6)
+  }
+
+  test("spearman: an all-tied margin yields NULL, not a zero division") {
+    import spark.implicits._
+    val flat = Seq(("A", 7L, 1L), ("A", 7L, 2L), ("A", 7L, 3L))
+    val r = ops.Ranks.spearman(flat.toDF("g", "x", "y"), "g", "x", "y", 64L)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
+  test("gini: uniform, degenerate and fully-concentrated cases exact") {
+    import spark.implicits._
+    // {1,2,3,4} → 0.25; one-customer-takes-all over 4 → (n-1)/n = 0.75;
+    // all-equal → 0; single row → NULL
+    val df = (Seq(("U", 1L), ("U", 2L), ("U", 3L), ("U", 4L)) ++
+      Seq(("C", 100L), ("C", 0L), ("C", 0L), ("C", 0L)) ++
+      Seq(("E", 5L), ("E", 5L), ("E", 5L)) ++
+      Seq(("S", 9L))).toDF("g", "v")
+    val got = ops.Ranks.gini(df, "g", "v", 64L).collect()
+      .map(r => r.getAs[String]("nation") ->
+        (if (r.isNullAt(r.fieldIndex("gini"))) None
+         else Some(r.getAs[Double]("gini")))).toMap
+    assert(got("U").contains(0.25))
+    assert(got("C").contains(0.75))
+    assert(got("E").contains(0.0))
+    assert(got("S").isEmpty)
+  }
+
+  test("q_spearman: per-segment rows with rho in range") {
+    val rows = ops.Ranks.spearman(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orders") > 0)
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+  }
+
+  test("q_gini: per-nation rows, coefficient strictly inside [0, 1)") {
+    val rows = ops.Ranks.gini(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_spend_cents") > 0)
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+}
