@@ -1713,4 +1713,97 @@ object TextAnalysis {
       |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
       |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e6, 4) AS zipf_intercept
       |FROM m ORDER BY lang""".stripMargin
+
+  /** Output cut for [[knBigram]]. */
+  private val KnTopBigrams = 500
+
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * smoothing every serious n-gram LM ships — Chen & Goodman 1999
+    * found it dominant) with the standard fixed discount D = 0.75:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * — the continuation-probability backoff that scores "Francisco"
+    * low after anything but "San", where [[bigramLm]]'s raw MLE and
+    * [[pplFilter]]'s add-one smoothing cannot tell type novelty from
+    * token frequency. With D = 3/4 the whole probability is the exact
+    * rational
+    *
+    *   [max(4·c₁₂ − 3, 0)·T + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4·c₁·T)
+    *
+    * (T = distinct bigram types), so both engines quantize it with ONE
+    * truncating integer division to micro-units — no float path at
+    * all. The numerator reaches c₁₂·T·4e6 ≈ 1e29 at web scale, so it
+    * accumulates in DECIMAL(38,0) / HUGEINT.
+    *
+    * Emits the top-[[KnTopBigrams]] bigrams by count with their exact
+    * smoothed micro-probability and the model's census columns.
+    *
+    * Scale posture: bigram derivation is row-local ([[bigramLm]]'s
+    * indexed transform — no token-stream window, no position
+    * self-join); the model is three vocabulary-keyed aggregates off
+    * the bigram-count frame (context totals, context fan-out,
+    * continuation fan-in — each one level smaller than the bigram
+    * vocabulary and shuffled on its own key, never broadcast at web
+    * scale) plus one 1-row type-count broadcast; the output cut is a
+    * bounded TakeOrdered.
+    */
+  def knBigram(spark: SparkSession, dir: String): DataFrame =
+    knBigram(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def knBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val big = d.select(toks.as("tk"))
+      .select(explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1bwd"))
+    val types = bc.agg(count(lit(1)).as("t"))
+    bc.join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1fwd"), col("n1bwd"),
+        // DIV, not decimal divide: Spark's decimal `/` rounds HALF_UP
+        // at the result scale, DuckDB's `//` truncates — DIV is the
+        // one integral form both engines share
+        expr("""CAST(((CAST(greatest(4 * c12 - 3, 0) AS DECIMAL(38,0)) * t
+                 + CAST(3 AS DECIMAL(38,0)) * n1fwd * n1bwd) * 1000000)
+                DIV (CAST(4 AS DECIMAL(38,0)) * c1 * t) AS BIGINT)""")
+          .as("kn_micro"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(KnTopBigrams)
+  }
+
+  /** DuckDB twin of [[knBigram]] — identical census and ONE HUGEINT
+    * truncating division. (DuckDB's `//` on HUGEINT truncates like
+    * Spark's decimal `DIV`; operands here are non-negative anyway.)
+    */
+  val knBigramSql: String =
+    s"""WITH t AS (
+       |  SELECT string_split(text, ' ') AS l FROM documents),
+       |big AS (
+       |  SELECT l[i] AS w1, l[i + 1] AS w2
+       |  FROM t, UNNEST(range(1, len(l))) AS u(i)),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM big GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |               CAST(count(*) AS BIGINT) AS n1fwd
+       |        FROM bc GROUP BY w1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd
+       |         FROM bc GROUP BY w2),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc)
+       |SELECT w1, w2, c12, c1, n1fwd, n1bwd,
+       |  CAST(((CAST(greatest(4 * c12 - 3, 0) AS HUGEINT) * t
+       |         + CAST(3 AS HUGEINT) * n1fwd * n1bwd) * 1000000)
+       |       // (CAST(4 AS HUGEINT) * c1 * t) AS BIGINT) AS kn_micro
+       |FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+       |ORDER BY c12 DESC, w1, w2
+       |LIMIT $KnTopBigrams""".stripMargin
 }

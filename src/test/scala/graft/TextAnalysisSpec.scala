@@ -543,4 +543,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ops.TextAnalysis.heavyHitters(
       Seq.empty[String].toDF("text"), "text", w).count() == 0)
   }
+
+  test("knBigram: planted corpus hits the exact hand-derived KN probabilities") {
+    import spark.implicits._
+    // bigrams: (a,b)×2, (a,c)×1, (d,b)×1 — T=3, c1(a)=3, N1+(a·)=2,
+    // N1+(·b)=2, N1+(·c)=1; with D=3/4:
+    //   P(b|a) = (5·3 + 3·2·2)/36 = 27/36, P(c|a) = 9/36, P(b|d) = 9/12
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b"))
+      .toDF("doc_id", "text")
+    val rows = ops.TextAnalysis.knBigram(docs, "doc_id", "text").collect()
+    val got = rows.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+      r.getAs[Long]("kn_micro")).toMap
+    assert(got == Map(("a", "b") -> 750000L, ("a", "c") -> 250000L,
+      ("d", "b") -> 750000L))
+    assert(rows.head.getAs[Long]("c12") == 2L) // count-desc cut
+  }
+
+  test("knBigram: smoothed mass closes to exactly 1 over the full vocabulary") {
+    import spark.implicits._
+    // exact integer identity per context w1, unseen continuations
+    // included: Σ_w2 [max(4c12−3,0)·T + 3·N1fwd·N1bwd] = 4·c1·T
+    val docs = Seq((1L, "x y z x y"), (2L, "y z q"), (3L, "q x q z"))
+      .toDF("doc_id", "text")
+    val rows = ops.TextAnalysis.knBigram(docs, "doc_id", "text").collect()
+    val t = BigInt(rows.length) // all bigram types fit the top-500 cut
+    val c12 = rows.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+      BigInt(r.getAs[Long]("c12"))).toMap
+    val ctx = rows.map(r => r.getAs[String]("w1") ->
+      (BigInt(r.getAs[Long]("c1")), BigInt(r.getAs[Long]("n1fwd")))).toMap
+    val cont = rows.map(r => r.getAs[String]("w2") ->
+      BigInt(r.getAs[Long]("n1bwd"))).toMap
+    ctx.foreach { case (w1, (c1, n1fwd)) =>
+      val total = cont.map { case (w2, n1bwd) =>
+        (BigInt(4) * c12.getOrElse((w1, w2), BigInt(0)) - 3).max(BigInt(0)) * t +
+          BigInt(3) * n1fwd * n1bwd
+      }.sum
+      assert(total == BigInt(4) * c1 * t, s"mass for context '$w1'")
+    }
+  }
+
+  test("q_kn_bigram: bounded cut, probabilities inside (0, 1e6]") {
+    val rows = ops.TextAnalysis.knBigram(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val counts = rows.map(_.getAs[Long]("c12"))
+    assert(counts.toSeq == counts.sortBy(-(_: Long)).toSeq)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("kn_micro")
+      assert(p > 0L && p <= 1000000L)
+      // the discounted MLE part alone can never exceed the whole
+      assert(r.getAs[Long]("c12") <= r.getAs[Long]("c1"))
+    }
+  }
 }
