@@ -996,4 +996,123 @@ object Similarity {
       |  round(round(sum(lv * gv) / sqrt(sum(lv * lv) * sum(gv * gv)), 6), 4)
       |    AS cos_to_global
       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
+  /** Selection budget for [[kCenter]]. */
+  private val KCenterK = 8
+
+  /** Greedy k-center coreset selection (Gonzalez 1985) over the
+    * embedding corpus — the classical DIVERSITY sampler for training
+    * data: each round adds the point FARTHEST (min cosine) from every
+    * center chosen so far, so the selected set spreads across the
+    * embedding space instead of oversampling the dense clusters the
+    * way uniform sampling does, with the textbook 2-approximation
+    * guarantee on the covering radius. The complement of [[kMeans]]
+    * (which summarizes density, not extent) and the selection twin of
+    * [[Dedup.semanticDedup]] (which removes redundancy; this PICKS the
+    * spread).
+    *
+    * Determinism: seed = smallest vec_id; each round minimizes
+    * round(cos, 6) (the [[knnBrute]] quantization) with vec_id
+    * tie-break, so both engines trace the identical selection
+    * sequence and the whole output is oracle-checkable — rare for an
+    * iterative geometric algorithm. Emits (round, center_id,
+    * cover_sim6): cover_sim6 is the chosen point's similarity to its
+    * nearest already-chosen center (NULL for the seed) and is
+    * NON-DECREASING over rounds — the coverage-saturation curve a
+    * data-curation run reads to pick its real k.
+    *
+    * Scale posture: k passes over the persisted corpus, each a
+    * codegen'd literal-vector dot-product scan + a TakeOrdered(1);
+    * per-round driver state is ONE row (the new center), the
+    * [[kMeans]] bounded-collect contract. Never a pairwise join; at
+    * 100 TB this is k linear scans, embarrassingly parallel.
+    */
+  def kCenter(spark: SparkSession, dir: String): DataFrame =
+    kCenter(Tables.embeddings(spark, dir), "vec_id", "embedding", KCenterK)
+
+  /** DataFrame-first form; `k` bounds rounds AND driver state. */
+  def kCenter(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"kCenter: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(StructField("round", IntegerType, false),
+      StructField("center_id", LongType, false),
+      StructField("cover_sim6", DoubleType, true)))
+    val e = withNorm(corpus, idCol, vecCol).persist()
+    try {
+      val seed = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("emb"), col("nrm")).collect()
+      if (seed.isEmpty)
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+      // (id, emb, nrm, cover) — k-bounded driver state
+      var centers = Vector((seed(0).getLong(0), seed(0).getSeq[Double](1),
+        seed(0).getDouble(2), Option.empty[Double]))
+      var exhausted = false
+      for (_ <- 2 to k if !exhausted) {
+        val sims = centers.map { case (_, ce, cn, _) =>
+          round(call_function("vec_dot", col("emb"), typedlit(ce)) /
+            (col("nrm") * lit(cn)), 6)
+        }
+        val smax = if (sims.size == 1) sims.head else greatest(sims: _*)
+        val cand = e
+          .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+          .select(col("vec_id"), col("emb"), col("nrm"), smax.as("smax"))
+          .orderBy(col("smax").asc, col("vec_id").asc).limit(1).collect()
+        if (cand.isEmpty) exhausted = true
+        else centers = centers :+ ((cand(0).getLong(0),
+          cand(0).getSeq[Double](1), cand(0).getDouble(2),
+          Some(cand(0).getDouble(3))))
+      }
+      val rows = centers.zipWithIndex.map { case ((id, _, _, cov), i) =>
+        org.apache.spark.sql.Row(i + 1, id, cov.orNull)
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+        .orderBy(col("round"))
+    } finally e.unpersist()
+  }
+
+  /** DuckDB twin of [[kCenter]] — the identical greedy selection
+    * unrolled [[KCenterK]] rounds; each `s_r` frame carries the
+    * running max-similarity so round r is one `greatest` against the
+    * freshly chosen center.
+    */
+  val kCenterSql: String = {
+    def round_(r: Int): String = {
+      // s_r is built from the previous candidate frame; r=2 seeds
+      // smax directly off the base corpus
+      if (r == 2)
+        s"""s2 AS (
+           |  SELECT n.vec_id, n.emb, n.nrm,
+           |    round(list_dot_product(n.emb, c1.emb) / (n.nrm * c1.nrm), 6)
+           |      AS smax
+           |  FROM n, c1 WHERE n.vec_id <> c1.vec_id),
+           |c2 AS (SELECT vec_id, emb, nrm, smax FROM s2
+           |       ORDER BY smax, vec_id LIMIT 1)""".stripMargin
+      else
+        s"""s$r AS (
+           |  SELECT p.vec_id, p.emb, p.nrm,
+           |    greatest(p.smax,
+           |      round(list_dot_product(p.emb, c${r - 1}.emb)
+           |            / (p.nrm * c${r - 1}.nrm), 6)) AS smax
+           |  FROM s${r - 1} p, c${r - 1} WHERE p.vec_id <> c${r - 1}.vec_id),
+           |c$r AS (SELECT vec_id, emb, nrm, smax FROM s$r
+           |        ORDER BY smax, vec_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |c1 AS (SELECT vec_id, emb, nrm FROM n ORDER BY vec_id LIMIT 1),
+       |${(2 to KCenterK).map(round_).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, vec_id AS center_id, CAST(NULL AS DOUBLE)
+       |    AS cover_sim6 FROM c1
+       |${(2 to KCenterK).map(r =>
+          s"  UNION ALL SELECT $r, vec_id, smax FROM c$r").mkString("\n")})
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -381,4 +381,81 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Independent driver-side greedy k-center: same seed rule, same
+    * round-6 HALF_UP quantization, same (smax, id) tie-break.
+    */
+  private def kCenterModel(pts: Seq[(Long, Array[Double])],
+                           k: Int): Seq[(Long, Option[Double])] = {
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def sim(a: Array[Double], b: Array[Double]) =
+      q6(a.zip(b).map { case (x, y) => x * y }.sum / (nrm(a) * nrm(b)))
+    val seed = pts.minBy(_._1)
+    var centers = Vector[(Long, Array[Double], Option[Double])](
+      (seed._1, seed._2, None))
+    for (_ <- 2 to k) {
+      val cand = pts.filterNot(p => centers.exists(_._1 == p._1))
+        .map { case (id, v) =>
+          (centers.map(c => sim(v, c._2)).max, id, v)
+        }
+      if (cand.nonEmpty) {
+        val best = cand.minBy { case (s, id, _) => (s, id) }
+        centers = centers :+ ((best._2, best._3, Some(best._1)))
+      }
+    }
+    centers.map(c => (c._1, c._3))
+  }
+
+  test("kCenter: planted geometry traces the exact greedy selection") {
+    import spark.implicits._
+    // seed 0 points along +x; the far pole, the orthogonal axis and
+    // the diagonal must be picked before the near-duplicate of 0
+    val pts = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.999, 0.045),
+      2L -> Array(0.0, 1.0), 3L -> Array(-1.0, 0.0), 4L -> Array(1.0, 1.0))
+    val got = ops.Similarity.kCenter(
+      pts.toDF("vec_id", "embedding"), "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("center_id"),
+        if (r.isNullAt(r.fieldIndex("cover_sim6"))) None
+        else Some(r.getAs[Double]("cover_sim6"))))
+    assert(got.map(_._1).toSeq == Seq(0L, 3L, 2L, 4L, 1L))
+    assert(got.toSeq == kCenterModel(pts.map(p => (p._1, p._2)), 5))
+  }
+
+  test("kCenter: k beyond the corpus exhausts cleanly; empty corpus is empty") {
+    import spark.implicits._
+    val pts = Seq(7L -> Array(1.0, 0.0), 8L -> Array(0.0, 1.0),
+      9L -> Array(-1.0, 1.0))
+    val got = ops.Similarity.kCenter(
+      pts.toDF("vec_id", "embedding"), "vec_id", "embedding", 8).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("center_id")).toSet == Set(7L, 8L, 9L))
+    val empty = ops.Similarity.kCenter(
+      Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 4)
+    assert(empty.count() == 0)
+  }
+
+  test("q_kcenter: coverage curve is non-decreasing, centers distinct") {
+    val rows = ops.Similarity.kCenter(spark, sfDir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length == 8)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("cover_sim6")))
+    val covers = rows.tail.map(_.getAs[Double]("cover_sim6"))
+    assert(covers.zip(covers.tail).forall { case (a, b) => a <= b },
+      s"coverage must saturate monotonically: ${covers.mkString(",")}")
+    // matches the independent model on the real corpus too
+    val pts = SparkTestSession.spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)).toSeq
+    val want = kCenterModel(pts, 8)
+    assert(rows.map(r => (r.getAs[Long]("center_id"),
+      if (r.isNullAt(r.fieldIndex("cover_sim6"))) None
+      else Some(r.getAs[Double]("cover_sim6")))).toSeq == want)
+  }
 }
