@@ -232,4 +232,59 @@ class DeterminismSpec extends AnyFunSuite {
     assert(runMi(_.repartition(7)) == runMi(_.coalesce(1)),
       "mutual info depends on the input partitioning")
   }
+
+  test("round-7 fourth/fifth-leg ops are invariant to input layout") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.orders(spark, sfDir)
+    val inc = Tables.lineitem(spark, sfDir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_custkey AS c", "l_suppkey AS s")
+    def runH(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.hits(f(inc.selectExpr("c", "s").distinct()), 2))
+    assert(runH(_.repartition(7)) == runH(_.coalesce(1)),
+      "hits depends on the input partitioning")
+    val enc = inc.selectExpr("c * 2 AS src", "s * 2 + 1 AS dst").distinct()
+    def runKc(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.kCore(f(enc), 8, 3))
+    assert(runKc(_.repartition(7)) == runKc(_.coalesce(1)),
+      "k-core depends on the input partitioning")
+    def runAa(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Graph.adamicAdar(f(inc), "c", "s"))
+    assert(runAa(_.repartition(7)) == runAa(_.coalesce(1)),
+      "adamic-adar depends on the input partitioning")
+    val series = orders.selectExpr("o_orderpriority AS g",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v")
+      .groupBy("g", "x")
+      .agg(org.apache.spark.sql.functions.sum("v").as("y"))
+    def runTs(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Diagnostics.theilSen(f(series), "g", "x", "y"))
+    assert(runTs(_.repartition(7)) == runTs(_.coalesce(1)),
+      "theil-sen depends on the input partitioning")
+    def runKt(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Diagnostics.kendallTau(f(series), "g", "x", "y"))
+    assert(runKt(_.repartition(7)) == runKt(_.coalesce(1)),
+      "kendall tau depends on the input partitioning")
+    val pricedays = orders.selectExpr("o_orderpriority AS g",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS x",
+      "CAST(day(o_orderdate) AS BIGINT) AS y")
+    def runSp(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Ranks.spearman(f(pricedays), "g", "x", "y", 1L << 16))
+    assert(runSp(_.repartition(7)) == runSp(_.coalesce(1)),
+      "spearman depends on the input partitioning")
+    def runG(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Ranks.gini(f(pricedays), "g", "x", 1L << 16))
+    assert(runG(_.repartition(7)) == runG(_.coalesce(1)),
+      "gini depends on the input partitioning")
+    val docs = Tables.documents(spark, sfDir)
+    def runKn(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.TextAnalysis.knBigram(f(docs), "doc_id", "text"))
+    assert(runKn(_.repartition(7)) == runKn(_.coalesce(1)),
+      "kneser-ney depends on the input partitioning")
+    val emb = Tables.embeddings(spark, sfDir)
+    def runCtr(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Similarity.kCenter(f(emb), "vec_id", "embedding", 5))
+    assert(runCtr(_.repartition(7)) == runCtr(_.coalesce(1)),
+      "k-center depends on the input partitioning")
+  }
 }
