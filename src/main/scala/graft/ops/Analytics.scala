@@ -910,6 +910,125 @@ object Analytics {
       |FROM fin, (SELECT unnest(generate_series(1, 3)) AS h) hh
       |ORDER BY h""".stripMargin
 
+  /** ABC–XYZ inventory classification of parts — the planner's
+    * standard two-axis grid (e.g. Silver/Pyke/Peterson, "Inventory
+    * Management and Production Planning"): ABC by cumulative revenue
+    * share (A = the head that makes the first 80 % of revenue, B to
+    * 95 %, C the tail), XYZ by demand variability (coefficient of
+    * variation of MONTHLY shipped quantity incl. zero-demand months:
+    * X &lt; 0.5, Y &lt; 1, Z the erratic rest). Nine classes, each with
+    * its part count, exact revenue cents and exact ppm revenue share.
+    *
+    * Determinism — both cuts are EXACT INTEGER comparisons:
+    *  - ABC at the VALUE level via [[Ranks.weightedPrefix]]:
+    *    `higher(v)` = revenue of strictly-richer parts; A ⟺
+    *    5·higher &lt; 4·total, B ⟺ 20·higher &lt; 19·total — tie
+    *    groups (equal-revenue parts) classify identically, no
+    *    row-position cumsum, no float shares;
+    *  - XYZ by cross-multiplied moments: with S = Σq, Q = Σq²_m over
+    *    the M-month calendar, CV &lt; t ⟺ (M·Q − S²) &lt; t²·S², so
+    *    X ⟺ 4(MQ − S²) &lt; S² and Y ⟺ MQ − S² &lt; S² — no sqrt,
+    *    no division anywhere before the final ppm quantization.
+    *
+    * Scale posture: one (part, month) aggregate + one part rollup on
+    * the same key (the only corpus shuffles), the bounded two-level
+    * census scan for the revenue prefix, a value-keyed class join and
+    * a 9-row fold. Parts that never shipped aren't classified (no
+    * demand history — document, don't invent).
+    */
+  def abcXyz(spark: SparkSession, dir: String): DataFrame =
+    abcXyz(Tables.lineitem(spark, dir), "l_partkey", "l_quantity",
+      "l_extendedprice", "l_shipdate")
+
+  /** DataFrame-first form over any (item, quantity, price, date)
+    * movement frame.
+    */
+  def abcXyz(lineitem: DataFrame, partCol: String, qtyCol: String,
+             priceCol: String, shipDateCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = lineitem
+      .select(col(partCol).as("pk"),
+        expr(s"CAST(round($qtyCol) AS BIGINT)").as("q"),
+        expr(s"CAST(round($priceCol * 100) AS BIGINT)").as("rc"),
+        date_trunc("month", col(shipDateCol)).cast("date").as("m"))
+    val months = li.agg(countDistinct(col("m")).as("mm"))
+    val pm = li.groupBy(col("pk"), col("m"))
+      .agg(sum(col("q")).as("qm"), sum(col("rc")).as("rcm"))
+    val parts = pm.groupBy(col("pk"))
+      .agg(sum(col("qm")).as("s"), sum(col("qm") * col("qm")).as("q2"),
+        sum(col("rcm")).as("rev"))
+      .crossJoin(broadcast(months))
+      .withColumn("vnum", col("mm") * col("q2") - col("s") * col("s"))
+      .withColumn("xyz",
+        when(lit(4L) * col("vnum") < col("s") * col("s"), "X")
+          .when(col("vnum") < col("s") * col("s"), "Y").otherwise("Z"))
+    val census = parts.groupBy(col("rev").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("ALL").as("g"), col("v"), col("cnt"),
+        (col("v").cast(DecimalType(38, 0)) * col("cnt")).as("wt"))
+    val tot = census.agg(sum(col("wt")).as("totw"))
+    val abc = Ranks.weightedPrefix(census, 1L << 16)
+      .crossJoin(broadcast(tot))
+      .select(col("v").as("rev"),
+        when(lit(5) * (col("totw") - col("ltw") - col("wt")) <
+          lit(4) * col("totw"), "A")
+          .when(lit(20) * (col("totw") - col("ltw") - col("wt")) <
+            lit(19) * col("totw"), "B").otherwise("C").as("abc"))
+    parts.join(abc, Seq("rev"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc"), col("xyz"), col("n_parts"), col("revenue_cents"),
+        expr("CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 DIV totw AS BIGINT)")
+          .as("revenue_ppm"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  /** DuckDB twin of [[abcXyz]] — identical integer cuts, census
+    * window for the revenue prefix, HUGEINT share arithmetic.
+    */
+  val abcXyzSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey AS pk, CAST(round(l_quantity) AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rc,
+      |    CAST(date_trunc('month', l_shipdate) AS DATE) AS m
+      |  FROM lineitem),
+      |mm AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS mm FROM li),
+      |pm AS (
+      |  SELECT pk, m, CAST(sum(q) AS BIGINT) AS qm,
+      |    CAST(sum(rc) AS BIGINT) AS rcm
+      |  FROM li GROUP BY pk, m),
+      |parts AS (
+      |  SELECT pk, CAST(sum(qm) AS BIGINT) AS s,
+      |    CAST(sum(qm * qm) AS BIGINT) AS q2,
+      |    CAST(sum(rcm) AS BIGINT) AS rev
+      |  FROM pm GROUP BY pk),
+      |px AS (
+      |  SELECT pk, rev,
+      |    CASE WHEN 4 * (mm * q2 - s * s) < s * s THEN 'X'
+      |         WHEN mm * q2 - s * s < s * s THEN 'Y' ELSE 'Z' END AS xyz
+      |  FROM parts CROSS JOIN mm),
+      |cen AS (
+      |  SELECT rev AS v, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(rev AS HUGEINT) * count(*) AS wt
+      |  FROM parts GROUP BY rev),
+      |rk AS (
+      |  SELECT v, wt, sum(wt) OVER (ORDER BY v) - wt AS ltw FROM cen),
+      |tw AS (SELECT sum(wt) AS totw FROM cen),
+      |abc AS (
+      |  SELECT v AS rev,
+      |    CASE WHEN 5 * (totw - ltw - wt) < 4 * totw THEN 'A'
+      |         WHEN 20 * (totw - ltw - wt) < 19 * totw THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM rk CROSS JOIN tw)
+      |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev) AS BIGINT) AS revenue_cents,
+      |  CAST(CAST(sum(rev) AS HUGEINT) * 1000000
+      |       // (SELECT totw FROM tw) AS BIGINT) AS revenue_ppm
+      |FROM px JOIN abc USING (rev)
+      |GROUP BY abc, xyz
+      |ORDER BY abc, xyz""".stripMargin
+
   private def runWithTables(spark: SparkSession, dir: String, sql: String,
                             names: Seq[String]): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")

@@ -70,6 +70,32 @@ object Ranks {
       .select(col("g"), col("v"), col("cnt"), col("lt"), col("dr"))
   }
 
+  /** Weighted exclusive prefix over a value census: like
+    * [[doubledRanks]] but scanning an arbitrary integral weight column
+    * — `ltw(v)` = Σ wt over values strictly below v within g. The
+    * count scan ranks; the weight scan powers cumulative-share
+    * statistics (Pareto / ABC cuts, Lorenz curves) with the same
+    * two-level shape.
+    */
+  def weightedPrefix(census: DataFrame, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = census.withColumn("bk",
+      expr(s"CAST((v - pmod(v, $bucketWidth)) / $bucketWidth AS BIGINT)"))
+    val coarse = b.groupBy(col("g"), col("bk"))
+      .agg(sum(col("wt")).as("bw"))
+      .withColumn("cw",
+        sum(col("bw")).over(Window.partitionBy(col("g")).orderBy(col("bk")))
+          - col("bw"))
+      .select(col("g"), col("bk"), col("cw"))
+    b.join(coarse, Seq("g", "bk"))
+      .withColumn("fw",
+        sum(col("wt")).over(
+          Window.partitionBy(col("g"), col("bk")).orderBy(col("v")))
+          - col("wt"))
+      .withColumn("ltw", col("cw") + col("fw"))
+      .drop("bk", "cw", "fw")
+  }
+
   /** Census width for order-price cents: the price DOMAIN is a fixed
     * range (it does not grow with SF), ~9e4..6e7 cents, so 2^16 keeps
     * ~1k coarse buckets and ≤65536-value fine sorts.
@@ -179,6 +205,75 @@ object Ranks {
       |                            - CAST(sy AS DOUBLE) * sy)), 6)
       |  END AS rho
       |FROM m ORDER BY segment""".stripMargin
+
+  /** Bin count for [[quantileBins]]. */
+  private val NBins = 10
+
+  /** Equal-frequency (decile) binning of order prices per market
+    * segment — the feature-bucketization pass an ML pipeline runs
+    * before hashing continuous features, and the exact distributed
+    * answer to the `ntile()` window nobody should run over a fact
+    * table. A row's bin is its empirical-CDF decile computed at the
+    * VALUE level, `bin = (lt·B) DIV n + 1`: tie groups land whole in
+    * one bin (ntile's row-position splits are engine-dependent on
+    * ties; CDF binning is deterministic by construction), so bins are
+    * only approximately equal-frequency in the presence of ties — the
+    * honest version. Emits per (segment, bin): row count and the
+    * exact [lo, hi] cent boundaries, everything integer.
+    *
+    * Scale posture: census aggregate + the [[doubledRanks]] two-level
+    * scan + one bounded aggregate. No row ever meets a window.
+    */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    quantileBins(rows, "segment", "v", NBins, PriceBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, value) frame. */
+  def quantileBins(df: DataFrame, groupCol: String, vCol: String,
+                   nBins: Int, bucketWidth: Long): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val census = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val n = census.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    doubledRanks(census, bucketWidth)
+      .join(n, Seq("g"))
+      .withColumn("bin", (expr(s"lt * $nBins DIV n") + 1L).cast("int"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(col("cnt")).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .select(col("g").as("segment"), col("bin"), col("n_rows"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"))
+      .orderBy(col("segment"), col("bin"))
+  }
+
+  /** DuckDB twin of [[quantileBins]] — value-level CDF binning via a
+    * census window.
+    */
+  val quantileBinsSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cen AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY g, v),
+      |rk AS (
+      |  SELECT g, v, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - cnt
+      |      AS lt
+      |  FROM cen),
+      |n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM cen GROUP BY g)
+      |SELECT g AS segment, CAST(lt * 10 // n + 1 AS INT) AS bin,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(min(v) AS BIGINT) AS lo_cents, CAST(max(v) AS BIGINT) AS hi_cents
+      |FROM rk JOIN n USING (g)
+      |GROUP BY g, lt * 10 // n + 1
+      |ORDER BY segment, bin""".stripMargin
 
   /** Census width for customer lifetime spend in cents: spend per
     * customer is bounded by orders-per-customer (constant in SF) times

@@ -410,4 +410,42 @@ class AnalyticsSpec extends AnyFunSuite {
         r.getAs[Long]("level_cents") + r.getAs[Int]("h") * r.getAs[Long]("trend_cents"))
     }
   }
+
+  test("abcXyz: planted parts hit the exact class grid incl. both threshold edges") {
+    import spark.implicits._
+    import java.sql.Date
+    val (m1, m2) = (Date.valueOf("2024-01-15"), Date.valueOf("2024-02-15"))
+    // p1: steady 10+10, rev 800 → A/X (higher=0); p2: 3 once, rev 150 →
+    // exactly ON the 80% boundary (5·800 = 4·1000 — NOT A) → B, and
+    // CV = 1 exactly (V = S² — NOT Y) → Z; p3: 2+1, rev 50 → exactly ON
+    // the 95% boundary (20·950 = 19·1000 — NOT B) → C, CV < 0.5 → X
+    val li = Seq(
+      (1L, 10.0, 4.00, m1), (1L, 10.0, 4.00, m2),
+      (2L, 3.0, 1.50, m1),
+      (3L, 2.0, 0.30, m1), (3L, 1.0, 0.20, m2))
+      .toDF("pk", "qty", "price", "ship")
+    val got = ops.Analytics.abcXyz(li, "pk", "qty", "price", "ship")
+      .collect()
+      .map(r => (r.getAs[String]("abc"), r.getAs[String]("xyz"),
+        r.getAs[Long]("n_parts"), r.getAs[Long]("revenue_cents"),
+        r.getAs[Long]("revenue_ppm")))
+    assert(got.toSeq == Seq(("A", "X", 1L, 800L, 800000L),
+      ("B", "Z", 1L, 150L, 150000L), ("C", "X", 1L, 50L, 50000L)))
+  }
+
+  test("q_abc_xyz: grid bounded at 9, ppm closes to one million") {
+    val rows = ops.Analytics.abcXyz(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    assert(rows.map(r => (r.getAs[String]("abc"), r.getAs[String]("xyz")))
+      .forall { case (a, x) => Set("A", "B", "C")(a) && Set("X", "Y", "Z")(x) })
+    // truncating per-class ppm can only lose dust, never overshoot
+    val ppm = rows.map(_.getAs[Long]("revenue_ppm")).sum
+    assert(ppm <= 1000000L && ppm >= 1000000L - rows.length)
+    // the A head out-earns the C tail per part by construction
+    val byClass = rows.groupBy(_.getAs[String]("abc"))
+      .map { case (k, rs) => k -> (rs.map(_.getAs[Long]("revenue_cents")).sum,
+        rs.map(_.getAs[Long]("n_parts")).sum) }
+    for (a <- byClass.get("A"); c <- byClass.get("C"))
+      assert(a._1 * c._2 > c._1 * a._2, "A parts must out-earn C parts")
+  }
 }

@@ -78,6 +78,45 @@ class RanksSpec extends AnyFunSuite {
     assert(got("S").isEmpty)
   }
 
+  test("quantileBins: uniform distinct values cut into exact deciles") {
+    import spark.implicits._
+    val df = (1L to 20L).map(v => ("A", v)).toDF("g", "v")
+    val got = ops.Ranks.quantileBins(df, "g", "v", 10, 8L).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents")))
+    assert(got.toSeq ==
+      (1 to 10).map(b => (b, 2L, 2L * b - 1, 2L * b)).toSeq)
+  }
+
+  test("quantileBins: tie groups land whole in one bin") {
+    import spark.implicits._
+    // five 7s (lt=0 → bin 1) and five 9s (lt=5 → bin 6): no ntile-style
+    // row-position split of a tie group
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(5)(9L)).map(("A", _)).toDF("g", "v")
+    val got = ops.Ranks.quantileBins(df, "g", "v", 10, 8L).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("lo_cents")))
+    assert(got.toSeq == Seq((1, 5L, 7L), (6, 5L, 9L)))
+  }
+
+  test("q_quantile_bins: per-segment bins partition the rows, boundaries nest") {
+    val rows = ops.Ranks.quantileBins(spark, sfDir).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("segment"))
+    assert(bySeg.size == 5)
+    bySeg.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bin"))
+      // bins ascend with non-overlapping [lo, hi] ranges
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Int]("bin") < b.getAs[Int]("bin"))
+          assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"))
+        case _ =>
+      }
+      sorted.foreach(r =>
+        assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents")))
+    }
+  }
+
   test("q_spearman: per-segment rows with rho in range") {
     val rows = ops.Ranks.spearman(spark, sfDir).collect()
     assert(rows.length == 5)
