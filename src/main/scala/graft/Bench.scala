@@ -44,6 +44,10 @@ object Bench {
       // warm checkpoint read
       graft.ops.Dedup.clearPairsMemo()
       graft.ops.Similarity.clearSignedMemo()
+      // same discipline for the shared purchase-graph frames: within a
+      // round the seven structural queries legitimately share one edge
+      // frame and one pair census; across rounds each round re-pays them
+      graft.ops.Graph.clearGraphMemo()
       names.foreach { case (name, fn) =>
         if (!errs.contains(name)) {
           val t0 = System.nanoTime()

@@ -51,12 +51,7 @@ object Graph {
     * (node_type, entity_id, rank_scaled), tie-broken by type then id.
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    pageRank(edges, Iterations)
+    pageRank(purchaseEdges(spark, dir), Iterations)
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
@@ -144,15 +139,12 @@ object Graph {
     * division of exact BIGINTs — deterministic ordering, so the
     * top-20 cut is cross-engine stable (ties broken by the pair key).
     */
-  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
-    // no .distinct() here: the census counts DISTINCT items and
-    // collect_set dedups — pre-distincting would add a full extra
-    // shuffle of the fact join for nothing
-    val e = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-    coPurchase(e, "c", "s")
-  }
+  def coPurchase(spark: SparkSession, dir: String): DataFrame =
+    scoreCoPurchase(cappedBaskets(spark, dir),
+      pairCensus(spark, dir)
+        .filter(col("n") >= CoPurchaseMinShared)
+        .select(col("s_a"), col("s_b"), col("n").as("shared_cust")),
+      20)
 
   /** DataFrame-first form over any (customer, item) incidence frame. */
   def coPurchase(edges: DataFrame, custCol: String, itemCol: String,
@@ -186,25 +178,35 @@ object Graph {
         .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
         .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("shared_cust"))
         .filter(col("shared_cust") >= minShared)
-      val deg = baskets
-        .select(explode(col("items")).as("s"))
-        .groupBy(col("s")).agg(count(lit(1)).as("d"))
-      val dd = col("shared_cust").cast("double")
-      val scored = shared
-        .join(broadcast(deg.select(col("s").as("s_a"), col("d").as("deg_a"))),
-          Seq("s_a"))
-        .join(broadcast(deg.select(col("s").as("s_b"), col("d").as("deg_b"))),
-          Seq("s_b"))
-        .withColumn("jacc",
-          dd / (col("deg_a") + col("deg_b") - col("shared_cust")).cast("double"))
-        .withColumn("cos", dd / sqrt((col("deg_a") * col("deg_b")).cast("double")))
-        .orderBy(col("jacc").desc, col("s_a"), col("s_b"))
-        .limit(k)
-        .localCheckpoint(true) // ≤ k rows; frees the basket cache safely
-      scored.select(col("s_a"), col("s_b"), col("shared_cust"),
-        col("deg_a"), col("deg_b"),
-        round(col("jacc"), 6).as("jaccard"), round(col("cos"), 6).as("cosine"))
+      scoreCoPurchase(baskets, shared, k)
     } finally { baskets.unpersist(); ecols.unpersist() }
+  }
+
+  /** The Jaccard/cosine scoring stage over capped baskets and the
+    * shared-customer pair frame — shared by both [[coPurchase]] forms.
+    * Ends in a ≤ k-row localCheckpoint, so callers may release their
+    * upstream caches immediately.
+    */
+  private def scoreCoPurchase(baskets: DataFrame, shared: DataFrame,
+                              k: Int): DataFrame = {
+    val deg = baskets
+      .select(explode(col("items")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val dd = col("shared_cust").cast("double")
+    val scored = shared
+      .join(broadcast(deg.select(col("s").as("s_a"), col("d").as("deg_a"))),
+        Seq("s_a"))
+      .join(broadcast(deg.select(col("s").as("s_b"), col("d").as("deg_b"))),
+        Seq("s_b"))
+      .withColumn("jacc",
+        dd / (col("deg_a") + col("deg_b") - col("shared_cust")).cast("double"))
+      .withColumn("cos", dd / sqrt((col("deg_a") * col("deg_b")).cast("double")))
+      .orderBy(col("jacc").desc, col("s_a"), col("s_b"))
+      .limit(k)
+      .localCheckpoint(true) // ≤ k rows; frees the basket cache safely
+    scored.select(col("s_a"), col("s_b"), col("shared_cust"),
+      col("deg_a"), col("deg_b"),
+      round(col("jacc"), 6).as("jaccard"), round(col("cos"), 6).as("cosine"))
   }
 
   /** Power-of-two degree-distribution histogram of the purchase graph,
@@ -221,11 +223,7 @@ object Graph {
     * leaves the first shuffle.
     */
   def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val edges = purchaseEdges(spark, dir)
     val und = edges
       .select(explode(array(
         struct(col("src"), col("dst")),
@@ -542,14 +540,8 @@ object Graph {
     * size each round's shuffle from the true frontier cardinality.
     * Output is ≤ hops+1 rows.
     */
-  def bfsReach(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    bfsReach(edges, BfsHops)
-  }
+  def bfsReach(spark: SparkSession, dir: String): DataFrame =
+    bfsReach(purchaseEdges(spark, dir), BfsHops)
 
   /** DataFrame-first form over any directed (src, dst) edge frame;
     * symmetrized before walking (BFS on the undirected graph).
@@ -674,12 +666,13 @@ object Graph {
     * oracle hash-matches; nodes with degree &lt; 2 have no defined
     * coefficient and carry NULL in both engines.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-    triangles(e, "c", "s")
-  }
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOverBackbone(
+      pairCensus(spark, dir)
+        .filter(col("n") >= CoPurchaseMinShared)
+        .orderBy(col("n").desc, col("s_a"), col("s_b"))
+        .limit(TriangleEdgeCap)
+        .select(col("s_a"), col("s_b")), 20)
 
   /** Edge budget for [[triangles]]' backbone: the wedge join touches
     * at most cap^{3/2} rows no matter how dense the co-purchase
@@ -750,9 +743,16 @@ object Graph {
                 maxBasket: Int = CoPurchaseMaxBasket,
                 minShared: Int = CoPurchaseMinShared,
                 edgeCap: Int = TriangleEdgeCap,
-                k: Int = 20): DataFrame = {
-    val und = copurchaseBackbone(edges, custCol, itemCol,
-      maxBasket, minShared, edgeCap)
+                k: Int = 20): DataFrame =
+    trianglesOverBackbone(copurchaseBackbone(edges, custCol, itemCol,
+      maxBasket, minShared, edgeCap), k)
+
+  /** The counting stage over an already-derived canonical
+    * (s_a &lt; s_b) backbone edge list — shared by both [[triangles]]
+    * forms (the dir form feeds the memoized [[pairCensus]] cut).
+    */
+  private def trianglesOverBackbone(backbone: DataFrame, k: Int): DataFrame = {
+    val und = backbone
       .persist() // canonical (s_a < s_b) edge list — read 3× below
     val deg = und
       .select(explode(array(col("s_a"), col("s_b"))).as("s"))
@@ -868,13 +868,10 @@ object Graph {
     * broadcast back. Score frames are `localCheckpoint`ed once per
     * full iteration so the lazy plan never re-embeds earlier rounds.
     */
-  def hits(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    hits(edges, HitsIterations)
-  }
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    hits(purchaseEdges(spark, dir)
+      .select(expr("src DIV 2").as("c"), expr("dst DIV 2").as("s")),
+      HitsIterations)
 
   /** L1-rescale a (key, raw) frame to sum ≈ [[Scale]]: one decimal
     * integral divide per row against the broadcast 1-row total.
@@ -905,11 +902,19 @@ object Graph {
         // authority half-step: raw(s) = Σ h over inlinks ≤ Σ all h ≈ Scale
         val araw = e.join(hubs, Seq("c"))
           .groupBy(col("s")).agg(sum(col("h")).as("raw"))
-        auths = l1Rescale(araw, "s", "a")
-        if (i == iterations) auths = auths.localCheckpoint(true)
+        // cut BOTH half-steps: left lazy, the authority half is
+        // recomputed up to 4× inside the hub half's job (each rescale
+        // reads its input twice — normalizer + main frame)
+        auths = l1Rescale(araw, "s", "a").localCheckpoint(true)
         // hub half-step: raw(c) = Σ a over outlinks ≤ Σ all a ≈ Scale
         val hraw = e.join(auths, Seq("s"))
           .groupBy(col("c")).agg(sum(col("a")).as("raw"))
+        // cut EVERY iteration: each l1Rescale references its own input
+        // twice (the 1-row normalizer is an aggregate OF the frame it
+        // rescales), so a lazily-chained round recomputes its upstream
+        // 2× — compounding to 2^rounds without a per-round
+        // materialization (measured: 3 lazy rounds cost 3.6× the
+        // per-round-cut form at sf0.1)
         hubs = l1Rescale(hraw, "c", "h").localCheckpoint(true)
       }
       auths.orderBy(col("a").desc, col("s")).limit(10)
@@ -986,14 +991,8 @@ object Graph {
     * cardinality and the plan never re-embeds earlier peels. Output
     * is rounds+1 rows.
     */
-  def kCore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    kCore(edges, KCoreK, KCoreRounds)
-  }
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(purchaseEdges(spark, dir), KCoreK, KCoreRounds)
 
   /** DataFrame-first form over a canonical one-row-per-edge frame
     * (src even = customer, dst odd = supplier under the shared node
@@ -1001,32 +1000,35 @@ object Graph {
     */
   def kCore(undirectedEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
-    def census(edges: DataFrame, r: Int): DataFrame = {
-      val nodes = edges
-        .select(explode(array(col("src"), col("dst"))).as("n")).distinct()
-        .agg(count(lit(1)).as("n_nodes"),
-          coalesce(sum((col("n") % 2 === 0).cast("long")), lit(0L))
-            .as("n_customers"),
-          coalesce(sum((col("n") % 2 === 1).cast("long")), lit(0L))
-            .as("n_suppliers"))
-      val ne = edges.agg(count(lit(1)).as("n_edges"))
-      nodes.crossJoin(ne).select(lit(r).as("round"), col("n_nodes"),
-        col("n_customers"), col("n_suppliers"), col("n_edges"))
-    }
+    // every round's DEGREE frame powers both the peel decision and the
+    // round's census (n_edges = Σdeg DIV 2 — each edge counted at both
+    // endpoints), so each round is ONE pass over the edge frame plus a
+    // |V|-row fold, not separate node- and edge-census scans
+    def degOf(edges: DataFrame): DataFrame = edges
+      .select(explode(array(col("src"), col("dst"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    def census(deg: DataFrame, r: Int): DataFrame =
+      deg.agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum((col("n") % 2 === 0).cast("long")), lit(0L))
+          .as("n_customers"),
+        coalesce(sum((col("n") % 2 === 1).cast("long")), lit(0L))
+          .as("n_suppliers"),
+        coalesce(expr("CAST(sum(d) DIV 2 AS BIGINT)"), lit(0L)).as("n_edges"))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_customers"),
+          col("n_suppliers"), col("n_edges"))
     var edges = undirectedEdges.select(col("src"), col("dst"))
       .localCheckpoint(true)
-    var out = census(edges, 0)
+    var deg = degOf(edges).localCheckpoint(true) // |V| rows — read twice
+    var out = census(deg, 0)
     for (r <- 1 to rounds) {
-      val deg = edges
-        .select(explode(array(col("src"), col("dst"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
       edges = edges
         .join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true) // shrinking frame; cuts the round's lineage
-      out = out.unionByName(census(edges, r))
+      deg = degOf(edges).localCheckpoint(true)
+      out = out.unionByName(census(deg, r))
     }
     out.orderBy(col("round"))
   }
@@ -1097,12 +1099,13 @@ object Graph {
     * keyed by the pair itself, and the [[CoPurchaseMinShared]] floor
     * plus top-k TakeOrdered bound the output.
     */
-  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-    adamicAdar(e, "c", "s")
-  }
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    pairCensus(spark, dir)
+      .filter(col("n") >= CoPurchaseMinShared)
+      .select(col("s_a"), col("s_b"), col("n").as("common_customers"),
+        col("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("s_a"), col("s_b"))
+      .limit(20)
 
   /** DataFrame-first form over any (customer, item) incidence frame. */
   def adamicAdar(edges: DataFrame, custCol: String, itemCol: String,
@@ -1160,4 +1163,91 @@ object Graph {
        |HAVING count(*) >= $CoPurchaseMinShared
        |ORDER BY aa_micro DESC, s_a, s_b
        |LIMIT 20""".stripMargin
+
+  // ── Shared memoized purchase-graph frames ───────────────────────
+  // Every (spark, dir) graph query derives from the same three frames;
+  // before the memo each of the seven structural queries re-ran the
+  // lineitem⨝orders join (+ distinct) and three of them re-ran the
+  // full capped-basket pair aggregation — the round-7 bench's entire
+  // tail. Same design as [[Similarity.signedCorpus]]: eagerly
+  // localCheckpointed ONCE per (session, dir, data-version),
+  // auto-invalidated on data rewrite, released via
+  // [[releaseGraphMemo]]/[[clearGraphMemo]] (the bench clears per
+  // round so medians still time the real work).
+
+  private val edgeMemo = new DatasetMemo("lineitem.parquet")
+  private val basketMemo = new DatasetMemo("lineitem.parquet")
+  private val pairMemo = new DatasetMemo("lineitem.parquet")
+
+  /** Distinct encoded purchase edges (src = 2·custkey even,
+    * dst = 2·suppkey+1 odd) — the input of [[pageRank]], [[bfsReach]],
+    * [[kCore]], [[degreeProfile]] and (decoded) [[hits]].
+    */
+  private[ops] def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeMemo.getOrCompute(spark, dir)(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct().localCheckpoint(true))
+
+  /** Capped sorted baskets (c, items) over the distinct edge frame —
+    * identical to each op's inline derivation (collect_set dedups, so
+    * distinct input changes nothing) with the census+semi-join cap.
+    */
+  private[ops] def cappedBaskets(spark: SparkSession, dir: String): DataFrame =
+    basketMemo.getOrCompute(spark, dir) {
+      val e = purchaseEdges(spark, dir)
+        .select(expr("src DIV 2").as("c"), expr("dst DIV 2").as("s"))
+      val keep = e.groupBy(col("c")).agg(count(lit(1)).as("k"))
+        .filter(col("k") <= CoPurchaseMaxBasket).select(col("c"))
+      e.join(keep, Seq("c"), "left_semi")
+        .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
+        .localCheckpoint(true)
+    }
+
+  /** The capped-basket pair census (s_a &lt; s_b, n = shared
+    * customers, aa_micro = Σ round(1e6/ln basket-size)) — ONE row-local
+    * expansion + ONE pair aggregation serving [[coPurchase]] (n),
+    * [[adamicAdar]] (n + aa_micro) and [[triangles]]' backbone cut.
+    */
+  private[ops] def pairCensus(spark: SparkSession, dir: String): DataFrame =
+    pairMemo.getOrCompute(spark, dir)(
+      cappedBaskets(spark, dir)
+        .filter(size(col("items")) >= 2)
+        // pairs ride as ONE packed BIGINT (items are sorted, ids fit
+        // 32 bits by the key-domain contract) — ~20% off the hot
+        // aggregate vs a 2-field struct key (no per-pair struct
+        // allocation, cheaper hash), unpacked after the shuffle
+        .select(
+          expr("CAST(round(1e6 / ln(CAST(size(items) AS DOUBLE))) AS BIGINT)")
+            .as("w_micro"),
+          explode(expr(
+            """flatten(transform(sequence(0, size(items) - 2),
+              |  i -> transform(sequence(i + 1, size(items) - 1),
+              |    j -> items[i] * 4294967296L + items[j])))""".stripMargin))
+            .as("pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("w_micro")).as("aa_micro"))
+        .select(expr("pk DIV 4294967296").as("s_a"),
+          expr("pmod(pk, 4294967296)").as("s_b"), col("n"), col("aa_micro"))
+        .localCheckpoint(true))
+
+  /** Release the memoized purchase-graph frames for (session, dir). */
+  def releaseGraphMemo(spark: SparkSession, dir: String): Unit = {
+    pairMemo.release(spark, dir)
+    basketMemo.release(spark, dir)
+    edgeMemo.release(spark, dir)
+  }
+
+  /** Drop every memoized purchase-graph frame across sessions/dirs. */
+  def clearGraphMemo(): Unit = {
+    pairMemo.clear(); basketMemo.clear(); edgeMemo.clear()
+  }
+
+  /** Retained RDD ids — for the cache-lifecycle contract tests. */
+  private[graft] def graphMemoRddIds(spark: SparkSession,
+                                     dir: String): Set[Int] =
+    edgeMemo.rddIds(spark, dir) ++ basketMemo.rddIds(spark, dir) ++
+      pairMemo.rddIds(spark, dir)
 }

@@ -127,4 +127,24 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "stale memoized pairs served after the data changed")
     ops.Dedup.releasePairs(spark, dir)
   }
+
+  test("releaseGraphMemo frees the shared purchase-graph checkpoint blocks") {
+    // one structural query materializes all three memo layers
+    // (edges → baskets → pair census); a second query must reuse them
+    ops.Graph.adamicAdar(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val ids = ops.Graph.graphMemoRddIds(spark, sfDir)
+    assert(ids.nonEmpty, "graph memo recorded no checkpointed RDDs")
+    ops.Graph.coPurchase(spark, sfDir).write.format("noop").mode("overwrite").save()
+    assert(ops.Graph.graphMemoRddIds(spark, sfDir) == ids,
+      "coPurchase did not reuse the memoized purchase-graph frames")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(persisted).nonEmpty,
+      s"no graph-memo id among persisted RDDs $persisted — memo holds nothing")
+    ops.Graph.releaseGraphMemo(spark, sfDir)
+    assert(ops.Graph.graphMemoRddIds(spark, sfDir).isEmpty,
+      "graph memo entries not evicted")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(after).isEmpty,
+      s"released graph-memo blocks still retained: ${ids.intersect(after)}")
+  }
 }
