@@ -423,4 +423,165 @@ object Multimodal {
       |                CAST(least(greatest(n_chars // k, 1), 256) AS INT))) AS frame_md5
       |FROM f
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ── Perceptual (gradient) hashing ─────────────────────────────────
+
+  /** Grid geometry for the 64-bit gradient hash: 8 rows × 9 columns of
+    * content cells → 8 horizontal comparisons per row = 64 bits, the
+    * classic dHash layout (Krawetz 2013).
+    */
+  private[ops] val PhashCols = 9
+  private[ops] val PhashRows = 8
+  /** Minimum content length for a defined hash (≥ 1 unit per cell). */
+  private[ops] val PhashMinUnits: Int = PhashCols * PhashRows
+  /** 16-bit LSH bands over the 64-bit hash: hamming ≤ 3 guarantees a
+    * shared band (pigeonhole); the default pairing radius below leaves
+    * a documented recall gap beyond that, same trade as MinHash-LSH.
+    */
+  private[ops] val PhashBands = 4
+  private[ops] val PhashMaxBucket = 64
+  private[ops] val PhashMaxHamming = 6
+
+  /** Near-duplicate detection by GRADIENT perceptual hash over the
+    * media payloads — dHash transplanted from pixels to any 1-D
+    * content stream: the payload's code points are averaged into
+    * [[PhashRows]]×[[PhashCols]] grid cells and bit i records whether
+    * cell (r,c) out-weighs its right neighbor. Small local edits move
+    * a few cell means slightly and flip at most a few bits, so
+    * NEAR-duplicates land at small hamming distance — the property
+    * [[Curation.docFingerprint]]'s rolling hash (exact-window match)
+    * doesn't have. Pairing is banded LSH over 16-bit hash quarters
+    * with the [[Dedup.lshCandidates]] bucket-cap discipline; the k
+    * most-similar candidate pairs are emitted with their exact
+    * `bit_count(xor)` hamming distance and an `is_near` verdict at
+    * radius [[PhashMaxHamming]] (no hard cut — a clean corpus still
+    * shows its top candidates rather than an empty frame).
+    *
+    * Determinism — everything is exact integer arithmetic: cell
+    * bounds are `k·n DIV 72`, the cell comparison is cross-multiplied
+    * (`sm_l·ct_r > sm_r·ct_l` — no division, no float mean), bits
+    * accumulate by OR (no 2⁶³ overflow semantics to disagree on), so
+    * the DuckDB twin hash-matches bit for bit. Supplementary-plane
+    * code points are stripped first — Spark indexes UTF-16 units where
+    * DuckDB indexes code points, and the strip (plus the cross-engine
+    * `ascii`/`ord` agreement on the BMP) closes the one divergence.
+    * Payloads shorter than [[PhashMinUnits]] have no defined grid and
+    * are excluded (the documented contract).
+    *
+    * Scale posture: hashing is one row-local pass (split + fold, no
+    * shuffle); pairing shuffles only (band, bucket) keys with capped
+    * buckets; the hamming join touches candidate pairs, never the
+    * corpus square. Output is a bounded TakeOrdered.
+    */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    mediaPhash(Tables.documents(spark, dir), "doc_id", "text", 50)
+
+  /** DataFrame-first form over any (id, content) frame. */
+  def mediaPhash(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    val g = PhashMinUnits
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(col(textCol), "[\\x{10000}-\\x{10FFFF}]", "").as("t"))
+      .filter(length(col("t")) >= g)
+      .withColumn("cp", expr("transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("n", size(col("cp")).cast("long"))
+      .withColumn("cells", expr(
+        s"""transform(sequence(0, ${g - 1}), k -> named_struct(
+           |  'sm', aggregate(slice(cp, CAST(k * n DIV $g AS INT) + 1,
+           |          CAST((k + 1) * n DIV $g AS INT) - CAST(k * n DIV $g AS INT)),
+           |        CAST(0 AS BIGINT), (acc, x) -> acc + x),
+           |  'ct', CAST((k + 1) * n DIV $g - k * n DIV $g AS BIGINT)))""".stripMargin))
+      // NB: Spark's arr[i] is 0-based where DuckDB's is 1-based — the
+      // twin SQL uses +1/+2 for the same two cells
+      .withColumn("phash", expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+           |  CASE WHEN cells[CAST(i DIV 8 AS INT) * $PhashCols + CAST(pmod(i, 8) AS INT)].sm
+           |            * cells[CAST(i DIV 8 AS INT) * $PhashCols + CAST(pmod(i, 8) AS INT) + 1].ct
+           |          > cells[CAST(i DIV 8 AS INT) * $PhashCols + CAST(pmod(i, 8) AS INT) + 1].sm
+           |            * cells[CAST(i DIV 8 AS INT) * $PhashCols + CAST(pmod(i, 8) AS INT)].ct
+           |       THEN acc | shiftleft(CAST(1 AS BIGINT), i) ELSE acc END)""".stripMargin))
+      .select(col("doc_id"), col("phash"))
+      .persist()
+    try {
+      val buckets = hashed
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, ${PhashBands - 1}), b -> (phash >> (16 * b)) & 65535)")))
+        .select(col("pos").as("bucket_id"), col("col").as("bucket_hash"),
+          col("doc_id"))
+      val pairs = Dedup.lshCandidates(buckets, PhashMaxBucket)
+      pairs
+        .join(hashed.select(col("doc_id").as("doc_a"), col("phash").as("ha")),
+          Seq("doc_a"))
+        .join(hashed.select(col("doc_id").as("doc_b"), col("phash").as("hb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        // no hard radius cut on the OUTPUT: a clean corpus would then
+        // return zero rows and hide that the pipeline ran at all — the
+        // k most-similar candidates always show, with the radius
+        // verdict as a flag
+        .withColumn("is_near", col("hamming") <= PhashMaxHamming)
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(k)
+        .localCheckpoint(true) // ≤ k rows; frees the hash cache safely
+    } finally hashed.unpersist()
+  }
+
+  /** DuckDB twin of [[mediaPhash]] — identical strip, grid, cross-
+    * multiplied bits (bit_or fold — a plain sum would widen 1&lt;&lt;63
+    * to HUGEINT where Spark's OR wraps), banding, cap and hamming cut.
+    */
+  val mediaPhashSql: String = {
+    val g = PhashMinUnits
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '[\\x{10000}-\\x{10FFFF}]', '', 'g') AS t
+       |  FROM documents),
+       |ok AS (
+       |  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n
+       |  FROM base WHERE length(t) >= $g),
+       |cp AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(1, CAST(n AS INT) + 1),
+       |      i -> CAST(ord(t[i]) AS BIGINT)) AS cp
+       |  FROM ok),
+       |cells AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $g), k -> struct_pack(
+       |      sm := list_sum(cp[CAST(k * n // $g AS INT) + 1 :
+       |                        CAST((k + 1) * n // $g AS INT)]),
+       |      ct := (k + 1) * n // $g - k * n // $g)) AS cells
+       |  FROM cp),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(list_aggregate(list_transform(range(0, 64), i ->
+       |      CASE WHEN cells[(i // 8) * $PhashCols + (i % 8) + 1].sm
+       |                * cells[(i // 8) * $PhashCols + (i % 8) + 2].ct
+       |              > cells[(i // 8) * $PhashCols + (i % 8) + 2].sm
+       |                * cells[(i // 8) * $PhashCols + (i % 8) + 1].ct
+       |           THEN CASE WHEN i = 63
+       |                     THEN CAST(-9223372036854775808 AS BIGINT)
+       |                     ELSE CAST(1 AS BIGINT) << i END
+       |           ELSE CAST(0 AS BIGINT) END),
+       |      'bit_or') AS BIGINT) AS phash
+       |  FROM cells),
+       |bk AS (
+       |  SELECT doc_id, b AS bucket_id, (phash >> (16 * CAST(b AS INT))) & 65535 AS bh
+       |  FROM h, range(0, $PhashBands) t(b)),
+       |sz AS (SELECT bucket_id, bh, count(*) AS c FROM bk GROUP BY 1, 2),
+       |keep AS (SELECT bucket_id, bh FROM sz WHERE c <= $PhashMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bk x JOIN keep USING (bucket_id, bh)
+       |  JOIN bk y ON x.bucket_id = y.bucket_id AND x.bh = y.bh
+       |            AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming,
+       |  bit_count(xor(ha.phash, hb.phash)) <= $PhashMaxHamming AS is_near
+       |FROM cand JOIN h ha ON cand.doc_a = ha.doc_id
+       |JOIN h hb ON cand.doc_b = hb.doc_id
+       |ORDER BY hamming, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+  }
 }

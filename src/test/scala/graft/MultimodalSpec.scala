@@ -279,4 +279,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("off") < 1).count() == 0)
     assert(df.filter(length(col("frame_md5")) =!= 32).count() == 0)
   }
+
+  /** Independent driver-side model of the 64-bit gradient hash: same
+    * astral strip, integer cell bounds, cross-multiplied comparisons.
+    */
+  private def phashModel(text: String): Option[Long] = {
+    val cp = text.codePoints().toArray.filter(_ < 0x10000).map(_.toLong)
+    val g = 72
+    if (cp.length < g) return None
+    val n = cp.length.toLong
+    val sums = (0 until g).map { k =>
+      val lo = (k * n / g).toInt; val hi = ((k + 1) * n / g).toInt
+      (cp.slice(lo, hi).sum, (hi - lo).toLong)
+    }
+    var h = 0L
+    for (i <- 0 until 64) {
+      val base = (i / 8) * 9 + i % 8
+      val (sl, cl) = sums(base); val (sr, cr) = sums(base + 1)
+      if (sl * cr > sr * cl) h |= 1L << i
+    }
+    Some(h)
+  }
+
+  test("mediaPhash: exact dup at hamming 0; local edit flips the modeled bits") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString * 6 // 156 chars, well over the grid floor
+    val edited = base.updated(10, 'Z').updated(11, 'Z') // one region bumped
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, "short"))
+      .toDF("doc_id", "text")
+    val rows = ops.Multimodal.mediaPhash(docs, "doc_id", "text", 50).collect()
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      (r.getAs[Int]("hamming"), r.getAs[Boolean]("is_near"))).toMap
+    assert(got((1L, 2L)) == (0, true))
+    // the edit's exact bit damage, from the independent model
+    val wantH = java.lang.Long.bitCount(
+      phashModel(base).get ^ phashModel(edited).get)
+    assert(wantH > 0 && wantH <= 6, s"edit should flip a few bits, got $wantH")
+    assert(got((1L, 3L)) == (wantH, true))
+    assert(got((2L, 3L)) == (wantH, true))
+    // sub-grid docs have no defined hash and never pair
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("mediaPhash: astral code points are stripped before hashing") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString * 6
+    val withEmoji = new StringBuilder(base).insert(40, "😀").toString
+    val docs = Seq((1L, base), (2L, withEmoji)).toDF("doc_id", "text")
+    val rows = ops.Multimodal.mediaPhash(docs, "doc_id", "text", 10).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("hamming") == 0) // strip makes them equal
+  }
+
+  test("q_media_phash: bounded, ascending hamming, is_near consistent") {
+    val rows = ops.Multimodal.mediaPhash(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val hs = rows.map(_.getAs[Int]("hamming"))
+    assert(hs.toSeq == hs.sorted.toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Boolean]("is_near") == (r.getAs[Int]("hamming") <= 6))
+    }
+  }
 }
