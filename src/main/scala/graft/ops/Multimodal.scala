@@ -36,7 +36,8 @@ case class MediaFeatures(
     mean_g: Option[Double], mean_b: Option[Double],
     edge_density: Option[Double],
     audio_rms: Option[Double], audio_peak: Option[Double],
-    audio_zcr: Option[Double])
+    audio_zcr: Option[Double],
+    pixel_dhash: Option[Long])
 
 /** Multimodal-column operators (driver north star: image/audio/video
   * as opaque `binary` columns with typed metadata).
@@ -267,11 +268,12 @@ object Multimodal {
     * never throws.
     */
   private[graft] def imageStats(b: Array[Byte], fmt: String)
+      : Option[(Double, Double, Double, Double, Double)] =
+    decodeImage(b, fmt).flatMap(imageStatsOf)
+
+  private def imageStatsOf(img: java.awt.image.BufferedImage)
       : Option[(Double, Double, Double, Double, Double)] = {
-    if (fmt != "png" && fmt != "gif" && fmt != "bmp" && fmt != "jpeg") return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
       val w = img.getWidth; val h = img.getHeight
       val sx = math.max(1, (w + 255) / 256); val sy = math.max(1, (h + 255) / 256)
       val gw = (w + sx - 1) / sx; val gh = (h + sy - 1) / sy
@@ -309,6 +311,66 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** The 64-bit pixel dHash of a decodable image (Krawetz 2013) —
+    * the standard perceptual fingerprint: the image is cell-averaged
+    * into a [[PhashRows]]×[[PhashCols]] luminance grid (EVERY pixel
+    * contributes to its cell — true area averaging, not the stride
+    * sampling [[imageStats]] uses, because hash bits must not depend
+    * on which pixels a stride happens to hit) and bit r·8+c records
+    * whether cell (r,c) is brighter than its right neighbor.
+    * Luminance is the exact integer sum 299R+587G+114B per cell and
+    * the comparison is cross-multiplied by pixel counts — no float
+    * anywhere, so the hash is bit-stable across JVMs. None when no
+    * JDK codec accepts the payload, or the image is smaller than the
+    * grid.
+    */
+  private[graft] def pixelDHash(b: Array[Byte], fmt: String): Option[Long] =
+    decodeImage(b, fmt).flatMap(pixelDHashOf)
+
+  /** One decode, shared by [[imageStats]] and [[pixelDHash]] — the
+    * decode is the expensive step and must run once per payload.
+    */
+  private def decodeImage(b: Array[Byte],
+                          fmt: String): Option[java.awt.image.BufferedImage] = {
+    if (fmt != "png" && fmt != "gif" && fmt != "bmp" && fmt != "jpeg") return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      .filter(i => i.getWidth > 0 && i.getHeight > 0)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def pixelDHashOf(img: java.awt.image.BufferedImage): Option[Long] = {
+    try {
+      if (img.getWidth < PhashCols || img.getHeight < PhashRows) return None
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](PhashRows * PhashCols)
+      val cnts = new Array[Long](PhashRows * PhashCols)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * PhashRows / h).toInt
+        var x = 0
+        while (x < w) {
+          val gx = (x.toLong * PhashCols / w).toInt
+          val rgb = img.getRGB(x, y)
+          val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          sums(gy * PhashCols + gx) += lum
+          cnts(gy * PhashCols + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        val base = (i / 8) * PhashCols + i % 8
+        if (sums(base) * cnts(base + 1) > sums(base + 1) * cnts(base))
+          hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decoder front-end. Container sniffing and header dimensions are
     * REAL byte parsing ([[sniffFormat]]/[[headerDims]]); pixel
     * statistics are REAL JDK decodes ([[imageStats]]) for
@@ -337,7 +399,8 @@ object Multimodal {
     val fmt = sniffFormat(bytes)
     val (dw, dh) = headerDims(bytes, fmt)
     val (rate, ch, _, ms) = wavInfo(bytes)
-    val px = imageStats(bytes, fmt)
+    val img = decodeImage(bytes, fmt) // ONE decode feeds stats + dhash
+    val px = img.flatMap(imageStatsOf)
     val au = wavSampleStats(bytes)
     MediaFeatures(
       r.doc_id, r.media_type, bytes.length.toLong,
@@ -352,7 +415,8 @@ object Multimodal {
       mean_g = px.map(_._3), mean_b = px.map(_._4),
       edge_density = px.map(_._5),
       audio_rms = au.map(_._1), audio_peak = au.map(_._2),
-      audio_zcr = au.map(_._3))
+      audio_zcr = au.map(_._3),
+      pixel_dhash = img.flatMap(pixelDHashOf))
   }
 
   /** Decode + feature-extract over the catalog. Typed `mapPartitions`

@@ -331,6 +331,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getAs[Int]("hamming") == 0) // strip makes them equal
   }
 
+  test("pixelDHash: planted gradients hit the exact all-ones/all-zeros hashes") {
+    import ops.Multimodal.pixelDHash
+    def png(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 18) {
+        val v = f(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // strictly darkening left→right: every left cell out-shines its
+    // right neighbor → all 64 bits set (hash -1); brightening → none
+    assert(pixelDHash(png(x => 255 - x * 14), "png").contains(-1L))
+    assert(pixelDHash(png(x => x * 14), "png").contains(0L))
+    // identical content → identical hash through a real encode cycle
+    assert(pixelDHash(png(x => (x * 37) % 256), "png") ==
+      pixelDHash(png(x => (x * 37) % 256), "png"))
+    // sub-grid images and non-images have no hash
+    val tiny = new java.awt.image.BufferedImage(5, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    assert(pixelDHash(bos.toByteArray, "png").isEmpty)
+    assert(pixelDHash("not an image".getBytes, "unknown").isEmpty)
+  }
+
   test("q_media_phash: bounded, ascending hamming, is_near consistent") {
     val rows = ops.Multimodal.mediaPhash(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)
