@@ -256,6 +256,164 @@ object TextAnalysis {
        |ORDER BY lang, pred_lang""".stripMargin
   }
 
+  /** Per-class evaluation of the [[langId]] heuristic against the gold
+    * `lang` labels — the confusion matrix distilled to the metrics an
+    * ML pipeline actually gates on: per label (union of observed true
+    * and predicted classes) the true/predicted totals, true positives,
+    * and precision / recall / F1. All counts are exact BIGINTs off the
+    * confusion frame; each ratio is ONE shared double division
+    * (F1 via the identity 2·tp/(n_true+n_pred) — no compounding of
+    * two rounded ratios), NULL where its denominator is empty.
+    *
+    * Scale posture: the corpus pass is [[langId]]'s single aggregate;
+    * everything here folds the |classes|²-bounded confusion frame
+    * through broadcast joins.
+    */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame =
+    classifierEval(langId(spark, dir), "lang", "pred_lang", "n")
+
+  /** DataFrame-first form over any (true, predicted, count) confusion
+    * frame.
+    */
+  def classifierEval(conf: DataFrame, trueCol: String, predCol: String,
+                     nCol: String): DataFrame = {
+    val c = conf.select(col(trueCol).as("t"), col(predCol).as("p"),
+      col(nCol).cast("long").as("n"))
+    val tt = c.groupBy(col("t")).agg(sum(col("n")).as("n_true"))
+    val pt = c.groupBy(col("p")).agg(sum(col("n")).as("n_pred"))
+    val cls = tt.select(col("t").as("label"))
+      .unionByName(pt.select(col("p").as("label"))).distinct()
+    val tp = c.filter(col("t") === col("p"))
+      .select(col("t").as("label"), col("n").as("tp"))
+    cls
+      .join(broadcast(tt.withColumnRenamed("t", "label")), Seq("label"), "left")
+      .join(broadcast(pt.withColumnRenamed("p", "label")), Seq("label"), "left")
+      .join(broadcast(tp), Seq("label"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / col("n_pred"), 6))
+          .as("precision"),
+        when(col("n_true") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / col("n_true"), 6))
+          .as("recall"),
+        round(lit(2d) * col("tp") / (col("n_true") + col("n_pred")), 6)
+          .as("f1"))
+      .orderBy(col("label"))
+  }
+
+  /** Cohen's κ chance-corrected agreement between the gold labels and
+    * the [[langId]] prediction — one row: κ = (po − pe)/(1 − pe)
+    * computed as the single exact-integer ratio
+    * (agree·N − Σ_c true_c·pred_c) / (N² − Σ_c true_c·pred_c), so the
+    * only float op is the final division + round. NULL when chance
+    * agreement is total (pe = 1).
+    */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame =
+    cohenKappa(langId(spark, dir), "lang", "pred_lang", "n")
+
+  /** DataFrame-first form over a confusion frame. */
+  def cohenKappa(conf: DataFrame, trueCol: String, predCol: String,
+                 nCol: String): DataFrame = {
+    val c = conf.select(col(trueCol).as("t"), col(predCol).as("p"),
+      col(nCol).cast("long").as("n"))
+    val tt = c.groupBy(col("t")).agg(sum(col("n")).as("n_true"))
+    val pt = c.groupBy(col("p")).agg(sum(col("n")).as("n_pred"))
+    val margins = tt
+      .join(pt, col("t") === col("p"), "full_outer")
+      .select(coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .agg(sum(col("n_true") * col("n_pred")).as("pe_num"))
+    val totals = c.agg(sum(col("n")).as("n_docs"),
+      coalesce(sum(when(col("t") === col("p"), col("n"))), lit(0L))
+        .as("n_agree"))
+    totals.crossJoin(broadcast(margins))
+      .select(col("n_docs"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_docs"), 6).as("po"),
+        round(col("pe_num").cast("double") /
+          (col("n_docs") * col("n_docs")), 6).as("pe"),
+        when(col("n_docs") * col("n_docs") === col("pe_num"), lit(null))
+          .otherwise(round(
+            (col("n_agree") * col("n_docs") - col("pe_num")).cast("double") /
+              (col("n_docs") * col("n_docs") - col("pe_num")), 6))
+          .as("kappa"))
+  }
+
+  /** The confusion CTE chain shared by the two eval oracles below —
+    * [[langIdSql]]'s scoring verbatim, aggregated to (t, p, n).
+    */
+  private def confusionCtes: String = {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    val en = arr(Seq("the", "a", "of", "and", "to", "in", "is"))
+    val de = arr(Seq("der", "die", "das", "und", "ist", "nicht", "ein"))
+    val es = arr(Seq("el", "la", "de", "los", "que", "y", "un"))
+    val fr = arr(Seq("le", "la", "les", "et", "des", "une", "est"))
+    s"""s AS (
+       |  SELECT lang,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($en, t))) AS s_en,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($de, t))) AS s_de,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($es, t))) AS s_es,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($fr, t))) AS s_fr,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+       |  FROM documents),
+       |pp AS (
+       |  SELECT lang,
+       |    CASE WHEN has_cjk THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM s),
+       |conf AS (
+       |  SELECT lang AS t, pred_lang AS p, CAST(count(*) AS BIGINT) AS n
+       |  FROM pp GROUP BY 1, 2)""".stripMargin
+  }
+
+  val classifierEvalSql: String =
+    s"""WITH $confusionCtes,
+       |tt AS (SELECT t, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY t),
+       |pt AS (SELECT p, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY p),
+       |cls AS (SELECT t AS label FROM tt UNION SELECT p FROM pt),
+       |tp AS (SELECT t AS label, n AS tp FROM conf WHERE t = p)
+       |SELECT label, COALESCE(n_true, 0) AS n_true,
+       |  COALESCE(n_pred, 0) AS n_pred, COALESCE(tp, 0) AS tp,
+       |  CASE WHEN COALESCE(n_pred, 0) = 0 THEN NULL
+       |       ELSE round(CAST(COALESCE(tp, 0) AS DOUBLE) / n_pred, 6)
+       |  END AS precision,
+       |  CASE WHEN COALESCE(n_true, 0) = 0 THEN NULL
+       |       ELSE round(CAST(COALESCE(tp, 0) AS DOUBLE) / n_true, 6)
+       |  END AS recall,
+       |  round(2.0 * COALESCE(tp, 0)
+       |        / (COALESCE(n_true, 0) + COALESCE(n_pred, 0)), 6) AS f1
+       |FROM cls
+       |LEFT JOIN tt ON cls.label = tt.t
+       |LEFT JOIN pt ON cls.label = pt.p
+       |LEFT JOIN tp USING (label)
+       |ORDER BY label""".stripMargin
+
+  val cohenKappaSql: String =
+    s"""WITH $confusionCtes,
+       |tt AS (SELECT t, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY t),
+       |pt AS (SELECT p, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY p),
+       |pe AS (
+       |  SELECT CAST(sum(COALESCE(n_true, 0) * COALESCE(n_pred, 0)) AS BIGINT)
+       |    AS pe_num
+       |  FROM tt FULL OUTER JOIN pt ON tt.t = pt.p),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(sum(CASE WHEN t = p THEN n END), 0) AS BIGINT)
+       |      AS n_agree
+       |  FROM conf)
+       |SELECT n_docs, n_agree,
+       |  round(CAST(n_agree AS DOUBLE) / n_docs, 6) AS po,
+       |  round(CAST(pe_num AS DOUBLE) / (n_docs * n_docs), 6) AS pe,
+       |  CASE WHEN n_docs * n_docs = pe_num THEN NULL
+       |       ELSE round(CAST(n_agree * n_docs - pe_num AS DOUBLE)
+       |                  / (n_docs * n_docs - pe_num), 6)
+       |  END AS kappa
+       |FROM tot CROSS JOIN pe""".stripMargin
+
   /** Corpus TF-IDF: top-5 terms per language by tf·idf, where
     * tf(lang, term) = occurrences of term in that language's documents
     * and idf(term) = ln(N / df) over document frequency. Three keyed

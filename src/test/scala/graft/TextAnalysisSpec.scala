@@ -582,6 +582,66 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierEval: planted confusion hits exact P/R/F1 with NULL guards") {
+    import spark.implicits._
+    val conf = Seq(("a", "a", 8L), ("a", "b", 2L), ("b", "b", 5L),
+      ("b", "a", 1L), ("c", "a", 2L), ("b", "d", 1L))
+    // margins: true a=10 b=7 c=2; pred a=11 b=7 d=1; tp a=8 b=5
+    val got = ops.TextAnalysis.classifierEval(conf.toDF("t", "p", "n"),
+      "t", "p", "n").collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"), r.getAs[Long]("tp"),
+          Option(r.getAs[java.lang.Double]("precision")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("recall")).map(_.toDouble),
+          r.getAs[Double]("f1"))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("a") == ((10L, 11L, 8L, Some(r6(8.0 / 11)), Some(0.8),
+      r6(16.0 / 21))))
+    assert(got("b") == ((7L, 7L, 5L, Some(r6(5.0 / 7)), Some(r6(5.0 / 7)),
+      r6(10.0 / 14))))
+    assert(got("c") == ((2L, 0L, 0L, None, Some(0.0), 0.0))) // never predicted
+    assert(got("d") == ((0L, 1L, 0L, Some(0.0), None, 0.0))) // never true
+  }
+
+  test("cohenKappa: planted agreement exact; perfect and degenerate cases") {
+    import spark.implicits._
+    val conf = Seq(("a", "a", 8L), ("a", "b", 2L), ("b", "b", 5L),
+      ("b", "a", 1L), ("c", "a", 2L), ("b", "d", 1L))
+    // N=19, agree=13, pe_num = 10·11 + 7·7 = 159 →
+    // κ = (13·19 − 159)/(361 − 159) = 88/202
+    val got = ops.TextAnalysis.cohenKappa(conf.toDF("t", "p", "n"),
+      "t", "p", "n").collect().head
+    assert(got.getAs[Long]("n_docs") == 19L)
+    assert(got.getAs[Long]("n_agree") == 13L)
+    assert(got.getAs[Double]("kappa") == math.rint(88.0 / 202 * 1e6) / 1e6)
+    // two balanced classes in perfect agreement → κ = 1 exactly
+    val perfect = ops.TextAnalysis.cohenKappa(
+      Seq(("x", "x", 2L), ("y", "y", 2L)).toDF("t", "p", "n"),
+      "t", "p", "n").collect().head
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    // one class only: chance agreement is total → κ undefined (NULL)
+    val degen = ops.TextAnalysis.cohenKappa(
+      Seq(("x", "x", 4L)).toDF("t", "p", "n"), "t", "p", "n").collect().head
+    assert(degen.isNullAt(degen.fieldIndex("kappa")))
+  }
+
+  test("q_classifier_eval + q_cohen_kappa: corpus metrics are coherent") {
+    val eval = ops.TextAnalysis.classifierEval(spark, sfDir).collect()
+    assert(eval.nonEmpty)
+    eval.foreach { r =>
+      val f1 = r.getAs[Double]("f1")
+      assert(f1 >= 0.0 && f1 <= 1.0)
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_pred"))
+    }
+    val k = ops.TextAnalysis.cohenKappa(spark, sfDir).collect().head
+    val (po, pe) = (k.getAs[Double]("po"), k.getAs[Double]("pe"))
+    assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0)
+    assert(k.getAs[Double]("kappa") <= 1.0)
+    // Σ tp across classes = agreeing docs
+    assert(eval.map(_.getAs[Long]("tp")).sum == k.getAs[Long]("n_agree"))
+  }
+
   test("q_kn_bigram: bounded cut, probabilities inside (0, 1e6]") {
     val rows = ops.TextAnalysis.knBigram(spark, sfDir).collect()
     assert(rows.length == 500)
