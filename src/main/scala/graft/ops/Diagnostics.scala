@@ -730,6 +730,133 @@ object Diagnostics {
       .orderBy(col("segment"))
   }
 
+  /** Partial correlation of order price and line count CONTROLLING for
+    * total ordered quantity, per market segment — the "is the raw
+    * correlation just the confounder?" diagnostic: ρ(x,y|z) =
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). Price correlates with
+    * item count mostly BECAUSE both ride total quantity; the partial
+    * coefficient is what's left once z is held fixed.
+    *
+    * Determinism: one corpus aggregate accumulates all ten moments in
+    * DECIMAL(38,0) ([[linReg]]'s exact-moment discipline — x² sums
+    * pass the BIGINT ceiling near SF1000); the three pairwise r's and
+    * the partial tail are ONE fixed IEEE expression tree both engines
+    * evaluate on identical integers. NULL when any margin is
+    * degenerate or a control correlation is ±1 (the partial is
+    * undefined, not infinite).
+    *
+    * Scale posture: one per-order lineitem aggregate (count + quantity
+    * in the same pass), one orders equi-join, one broadcast dim, one
+    * k-row moment fold. Nothing else.
+    */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("y"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("z"))
+    val rows = Tables.orders(spark, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
+        col("y"), col("z"))
+    partialCorr(rows, "segment", "x", "y", "z")
+  }
+
+  /** DataFrame-first form over any (group, x, y, z) integral frame. */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, zCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val (x, y, z) = (col(xCol).cast("long"), col(yCol).cast("long"),
+      col(zCol).cast("long"))
+    val m = df.groupBy(col(groupCol).as("segment")).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+      sum(dec(x) * dec(x)).as("sxx"), sum(dec(y) * dec(y)).as("syy"),
+      sum(dec(z) * dec(z)).as("szz"), sum(dec(x) * dec(y)).as("sxy"),
+      sum(dec(x) * dec(z)).as("sxz"), sum(dec(y) * dec(z)).as("syz"))
+    def d(name: String) = col(name).cast("double")
+    def cov(sab: String, sa: String, sb: String) =
+      d("n") * d(sab) - d(sa) * d(sb)
+    val (vx, vy, vz) = (cov("sxx", "sx", "sx"), cov("syy", "sy", "sy"),
+      cov("szz", "sz", "sz"))
+    val rxy = cov("sxy", "sx", "sy") / sqrt(vx * vy)
+    val rxz = cov("sxz", "sx", "sz") / sqrt(vx * vz)
+    val ryz = cov("syz", "sy", "sz") / sqrt(vy * vz)
+    val denom = (lit(1d) - rxz * rxz) * (lit(1d) - ryz * ryz)
+    m.select(col("segment"), col("n").as("n_orders"),
+        when(vx <= 0d || vy <= 0d || vz <= 0d, lit(null))
+          .otherwise(round(rxy, 6)).as("r_xy"),
+        when(vx <= 0d || vy <= 0d || vz <= 0d, lit(null))
+          .otherwise(round(rxz, 6)).as("r_xz"),
+        when(vx <= 0d || vy <= 0d || vz <= 0d, lit(null))
+          .otherwise(round(ryz, 6)).as("r_yz"),
+        // nested guards: the OUTER margin check must decide before the
+        // inner condition ever computes a correlation — under ANSI a
+        // zero-variance division in the condition itself would throw
+        when(vx <= 0d || vy <= 0d || vz <= 0d, lit(null))
+          .otherwise(when(denom <= 0d, lit(null))
+            .otherwise(round((rxy - rxz * ryz) / sqrt(denom), 6)))
+          .as("partial_r"))
+      .orderBy(col("segment"))
+  }
+
+  val partialCorrSql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS z
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, y, z
+      |  FROM orders JOIN po ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |m AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(z AS HUGEINT) * z) AS szz, sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * z) AS sxz, sum(CAST(y AS HUGEINT) * z) AS syz
+      |  FROM r GROUP BY segment),
+      |c AS (
+      |  SELECT segment, n,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |    CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+      |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS vz,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+      |    CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS cxz,
+      |    CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) AS cyz
+      |  FROM m),
+      |rr AS (
+      |  SELECT segment, n, vx, vy, vz,
+      |    cxy / sqrt(vx * vy) AS rxy,
+      |    cxz / sqrt(vx * vz) AS rxz,
+      |    cyz / sqrt(vy * vz) AS ryz
+      |  FROM c)
+      |SELECT segment, n AS n_orders,
+      |  CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0 THEN NULL
+      |       ELSE round(rxy, 6) END AS r_xy,
+      |  CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0 THEN NULL
+      |       ELSE round(rxz, 6) END AS r_xz,
+      |  CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0 THEN NULL
+      |       ELSE round(ryz, 6) END AS r_yz,
+      |  CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0
+      |         OR (1 - rxz * rxz) * (1 - ryz * ryz) <= 0 THEN NULL
+      |       ELSE round((rxy - rxz * ryz)
+      |                  / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+      |  END AS partial_r
+      |FROM rr ORDER BY segment""".stripMargin
+
   val theilSenSql: String =
     s"""WITH $segmentMonthlySql,
        |p AS (

@@ -264,6 +264,61 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("partialCorr: planted triples match the exact shared expression tree") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 1L), (2L, 3L, 2L), (3L, 8L, 3L),
+      (4L, 6L, 4L), (6L, 10L, 5L))
+    val got = ops.Diagnostics.partialCorr(
+      pts.map { case (x, y, z) => ("A", x, y, z) }.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    // independent driver replication of the identical double tail
+    val n = pts.length.toDouble
+    def s(f: ((Long, Long, Long)) => Long) = pts.map(f).sum.toDouble
+    val (sx, sy, sz) = (s(_._1), s(_._2), s(_._3))
+    val vx = n * s(t => t._1 * t._1) - sx * sx
+    val vy = n * s(t => t._2 * t._2) - sy * sy
+    val vz = n * s(t => t._3 * t._3) - sz * sz
+    val rxy = (n * s(t => t._1 * t._2) - sx * sy) / math.sqrt(vx * vy)
+    val rxz = (n * s(t => t._1 * t._3) - sx * sz) / math.sqrt(vx * vz)
+    val ryz = (n * s(t => t._2 * t._3) - sy * sz) / math.sqrt(vy * vz)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(got.getAs[Double]("r_xy") == r6(rxy))
+    assert(got.getAs[Double]("partial_r") ==
+      r6((rxy - rxz * ryz) /
+        math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))))
+  }
+
+  test("partialCorr: perfect confounding and degenerate margins yield NULL") {
+    import spark.implicits._
+    // x and y are exact multiples of z: every r is 1, the partial is
+    // 0/0 — must be NULL, not NaN or Infinity
+    val conf = (1L to 4L).map(z => ("A", 2 * z, 3 * z, z))
+    val g1 = ops.Diagnostics.partialCorr(conf.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    assert(!g1.isNullAt(g1.fieldIndex("r_xy")) &&
+      g1.getAs[Double]("r_xy") == 1.0)
+    assert(g1.isNullAt(g1.fieldIndex("partial_r")))
+    // constant z: control variance is zero → everything NULL
+    val flat = Seq(("B", 1L, 2L, 7L), ("B", 3L, 5L, 7L), ("B", 4L, 9L, 7L))
+    val g2 = ops.Diagnostics.partialCorr(flat.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    assert(g2.isNullAt(g2.fieldIndex("r_xy")))
+    assert(g2.isNullAt(g2.fieldIndex("partial_r")))
+  }
+
+  test("q_partial_corr: per-segment rows, coefficients in range") {
+    val rows = ops.Diagnostics.partialCorr(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      Seq("r_xy", "r_xz", "r_yz", "partial_r").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) {
+          val v = r.getAs[Double](c)
+          assert(v >= -1.0 && v <= 1.0, s"$c out of range: $v")
+        }
+      }
+    }
+  }
+
   test("kendallTau: hand-counted concordance with every tie class") {
     import spark.implicits._
     // pairs of (1,1),(2,2),(2,3),(3,0),(2,3): C=3, D=4, x-only ties 2,
