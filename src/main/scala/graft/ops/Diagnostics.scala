@@ -575,10 +575,16 @@ object Diagnostics {
     kaplanMeier(Tables.orders(spark, dir), "o_custkey", "o_orderdate",
       ChurnCensorDays)
 
-  /** DataFrame-first form over any (subject, event date) frame. */
-  def kaplanMeier(events: DataFrame, subjCol: String, dateCol: String,
-                  censorDays: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The churn risk-set grid shared by [[kaplanMeier]] and
+    * [[nelsonAalen]]: per subject lifetime (first→last event days,
+    * right-censored `censorDays` before dataset end), then per
+    * distinct duration the at-risk count (descending cumulative sum
+    * over the BOUNDED duration grid — the one place an unpartitioned
+    * window is correct here) and the event count. Returns
+    * (t, n_risk, d_t) for event durations only.
+    */
+  private def churnRiskGrid(events: DataFrame, subjCol: String,
+                            dateCol: String, censorDays: Int): DataFrame = {
     val per = events.groupBy(col(subjCol).as("k"))
       .agg(min(col(dateCol).cast("date")).as("f"),
         max(col(dateCol).cast("date")).as("l"))
@@ -590,10 +596,16 @@ object Diagnostics {
       .agg(count(lit(1)).as("m_t"), sum(col("ev")).as("d_t"))
     val riskW = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ev = grid
+    grid
       .withColumn("n_risk", sum(col("m_t")).over(riskW))
       .filter(col("d_t") > 0)
       .select(col("t"), col("n_risk"), col("d_t"))
+  }
+
+  /** DataFrame-first form over any (subject, event date) frame. */
+  def kaplanMeier(events: DataFrame, subjCol: String, dateCol: String,
+                  censorDays: Int): DataFrame = {
+    val ev = churnRiskGrid(events, subjCol, dateCol, censorDays)
     val fold =
       """aggregate(a,
         |  named_struct('s', CAST(1000000 AS BIGINT),
@@ -650,6 +662,71 @@ object Diagnostics {
        |)
        |SELECT t AS t_days, n_risk, d_t AS n_event, s AS surv_micro
        |FROM km ORDER BY t_days""".stripMargin
+
+  /** Nelson–Aalen cumulative hazard over the same churn risk grid as
+    * [[kaplanMeier]] — the additive estimator Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    * (Nelson 1972, Aalen 1978): where the product-limit curve answers
+    * "what fraction survives past t", the cumulative hazard reads as
+    * accumulated churn EXPOSURE and is the quantity hazard-ratio
+    * models difference. Each step is quantized ONCE
+    * (`d·1e6 DIV n_risk`, truncating — the engines' shared division)
+    * and the cumulative sum of exact BIGINT steps needs no recursion
+    * at all, so unlike [[kaplanMeier]]'s fold the oracle is a plain
+    * window. Emits (t_days, n_risk, n_event, hazard_step_micro,
+    * cum_hazard_micro) per event duration.
+    *
+    * Scale posture: identical to [[kaplanMeier]] — one subject
+    * aggregate, bounded duration grid, bounded windows.
+    */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalen(Tables.orders(spark, dir), "o_custkey", "o_orderdate",
+      ChurnCensorDays)
+
+  /** DataFrame-first form over any (subject, event date) frame. */
+  def nelsonAalen(events: DataFrame, subjCol: String, dateCol: String,
+                  censorDays: Int): DataFrame = {
+    val cumW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    churnRiskGrid(events, subjCol, dateCol, censorDays)
+      .withColumn("h", expr("d_t * 1000000 DIV n_risk"))
+      .withColumn("cum_hazard_micro", sum(col("h")).over(cumW))
+      .select(col("t").as("t_days"), col("n_risk"), col("d_t").as("n_event"),
+        col("h").as("hazard_step_micro"), col("cum_hazard_micro"))
+      .orderBy(col("t_days"))
+  }
+
+  /** DuckDB twin of [[nelsonAalen]] — same grid CTEs, plain cumulative
+    * window over the quantized steps.
+    */
+  val nelsonAalenSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+       |         CAST(max(o_orderdate) AS DATE) AS l
+       |  FROM orders GROUP BY 1),
+       |mx AS (SELECT max(l) AS m FROM per),
+       |pc AS (
+       |  SELECT CAST(l - f AS BIGINT) AS t,
+       |         CASE WHEN l <= (SELECT m FROM mx) - $ChurnCensorDays
+       |              THEN 1 ELSE 0 END AS ev
+       |  FROM per),
+       |grid AS (
+       |  SELECT t, count(*) AS m_t, CAST(sum(ev) AS BIGINT) AS d_t
+       |  FROM pc GROUP BY t),
+       |g2 AS (
+       |  SELECT t, d_t,
+       |    CAST(sum(m_t) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM grid),
+       |ev AS (
+       |  SELECT t, d_t, n_risk, d_t * 1000000 // n_risk AS h
+       |  FROM g2 WHERE d_t > 0)
+       |SELECT t AS t_days, n_risk, d_t AS n_event,
+       |  CAST(h AS BIGINT) AS hazard_step_micro,
+       |  CAST(sum(h) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_hazard_micro
+       |FROM ev ORDER BY t_days""".stripMargin
 
   /** Per-segment monthly series (segment, xi = months-since-epoch
     * index, n_orders, revenue cents) — the bounded frame behind

@@ -336,6 +336,99 @@ object Ranks {
       .orderBy(col("nation"))
   }
 
+  /** Lorenz curve of customer lifetime spend per nation — the decile
+    * view behind [[gini]]'s single number: customers are CDF-binned
+    * into spend deciles ([[quantileBins]]' value-level rule, tie
+    * groups whole) and each decile reports its exact customer count,
+    * spend, and ppm share plus the cumulative ppm running up the
+    * curve ("the bottom 80% of customers hold X% of spend"). Shares
+    * are single truncating divisions of exact integers — the
+    * CUMULATIVE share divides the cumulative spend directly rather
+    * than summing rounded per-bin shares, so it carries no
+    * accumulated quantization dust and ends at exactly 1e6.
+    *
+    * Scale posture: census + two-level scan as [[gini]]; the decile
+    * aggregate is value-keyed; the cumulative window sees ≤ nBins
+    * rows per group.
+    */
+  def lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val byNation = spend
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("g"), col("v"))
+    lorenz(byNation, "g", "v", 10, SpendBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, value) frame. */
+  def lorenz(df: DataFrame, groupCol: String, vCol: String, nBins: Int,
+             bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val census = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val n = census.groupBy(col("g")).agg(sum(col("cnt")).as("n"),
+      sum(col("cnt").cast(DecimalType(38, 0)) * col("v")).as("tot"))
+    val bins = doubledRanks(census, bucketWidth)
+      .join(n, Seq("g"))
+      .withColumn("bin", (expr(s"lt * $nBins DIV n") + 1L).cast("int"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(col("cnt")).as("n_customers"),
+        sum(col("cnt").cast(DecimalType(38, 0)) * col("v")).as("spend"),
+        max(col("tot")).as("tot"))
+    val cumW = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum", sum(col("spend")).over(cumW))
+      .select(col("g").as("nation"), col("bin"), col("n_customers"),
+        col("spend").cast("long").as("spend_cents"),
+        expr("CAST(spend * 1000000 DIV tot AS BIGINT)").as("share_ppm"),
+        expr("CAST(cum * 1000000 DIV tot AS BIGINT)").as("cum_share_ppm"))
+      .orderBy(col("nation"), col("bin"))
+  }
+
+  /** DuckDB twin of [[lorenz]] — census CDF bins, HUGEINT shares. */
+  val lorenzSql: String =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT n_name AS g, v
+      |  FROM sp JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |cen AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY g, v),
+      |n AS (
+      |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * v) AS HUGEINT) AS tot
+      |  FROM cen GROUP BY g),
+      |rk AS (
+      |  SELECT g, v, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - cnt
+      |      AS lt
+      |  FROM cen),
+      |bins AS (
+      |  SELECT rk.g, CAST(lt * 10 // n + 1 AS INT) AS bin,
+      |    CAST(sum(cnt) AS BIGINT) AS n_customers,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * v) AS HUGEINT) AS spend,
+      |    max(tot) AS tot
+      |  FROM rk JOIN n USING (g)
+      |  GROUP BY rk.g, lt * 10 // n + 1)
+      |SELECT g AS nation, bin, n_customers,
+      |  CAST(spend AS BIGINT) AS spend_cents,
+      |  CAST(spend * 1000000 // tot AS BIGINT) AS share_ppm,
+      |  CAST(sum(spend) OVER (PARTITION BY g ORDER BY bin
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       * 1000000 // tot AS BIGINT) AS cum_share_ppm
+      |FROM bins
+      |ORDER BY nation, bin""".stripMargin
+
   /** DuckDB twin of [[gini]]: same census, rank-window doubled ranks,
     * HUGEINT numerator, same tail.
     */

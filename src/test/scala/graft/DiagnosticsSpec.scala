@@ -191,6 +191,34 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(sv.forall(s => s >= 0 && s <= 1000000L))
   }
 
+  test("nelsonAalen: planted cohort steps exactly; grid agrees with KM") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(day).atStartOfDay())
+    val ev = Seq(
+      ("A", d(0)), ("A", d(10)), ("B", d(0)), ("B", d(10)),
+      ("C", d(0)), ("C", d(100)), ("D", d(100)), ("D", d(200)))
+      .toDF("k", "dt")
+    val got = ops.Diagnostics.nelsonAalen(ev, "k", "dt", censorDays = 90)
+      .collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"), r.getAs[Long]("hazard_step_micro"),
+        r.getAs[Long]("cum_hazard_micro")))
+    // t=10: 2/4 → 500000; t=100: 1/2 → +500000 = 1000000
+    assert(got.toSeq == Seq((10L, 4L, 2L, 500000L, 500000L),
+      (100L, 2L, 1L, 500000L, 1000000L)))
+    // corpus: same risk grid as Kaplan–Meier, hazard strictly accumulates
+    val na = ops.Diagnostics.nelsonAalen(spark, sfDir).collect()
+    val km = ops.Diagnostics.kaplanMeier(spark, sfDir).collect()
+    assert(na.map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"))).toSeq ==
+      km.map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"))).toSeq)
+    val cum = na.map(_.getAs[Long]("cum_hazard_micro"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+    assert(na.map(_.getAs[Long]("hazard_step_micro")).sum == cum.last)
+  }
+
   test("welchTTest: planted two-sample t and Welch df match hand computation") {
     import spark.implicits._
     // A: 1,2,3 (milli 1000,2000,3000); B: 2,4 → t=-0.8660, df=1.68

@@ -117,6 +117,37 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("lorenz: planted deciles carry exact shares; curve closes at 1e6") {
+    import spark.implicits._
+    val df = (1L to 20L).map(v => ("A", v)).toDF("g", "v")
+    val got = ops.Ranks.lorenz(df, "g", "v", 10, 8L).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("spend_cents"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("cum_share_ppm")))
+    val want = (1 to 10).map { k =>
+      val spend = 4L * k - 1 // (2k-1) + 2k
+      val cum = k.toLong * (2 * k + 1)
+      (k, 2L, spend, spend * 1000000L / 210L, cum * 1000000L / 210L)
+    }
+    assert(got.toSeq == want)
+    assert(got.last._5 == 1000000L) // exact closure, no quantization dust
+  }
+
+  test("q_lorenz: curves close at exactly 1e6 and rise monotonically") {
+    val rows = ops.Ranks.lorenz(spark, sfDir).collect()
+    val byNation = rows.groupBy(_.getAs[String]("nation"))
+    assert(byNation.size == 25)
+    byNation.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bin"))
+      val cums = sorted.map(_.getAs[Long]("cum_share_ppm"))
+      assert(cums.last == 1000000L)
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      // the top decile out-earns the bottom one
+      assert(sorted.last.getAs[Long]("share_ppm") >
+        sorted.head.getAs[Long]("share_ppm"))
+    }
+  }
+
   test("q_spearman: per-segment rows with rho in range") {
     val rows = ops.Ranks.spearman(spark, sfDir).collect()
     assert(rows.length == 5)
