@@ -446,6 +446,17 @@ object GraftFunctions {
       })
     }),
     "top_token_count" -> (es => TopTokenCount(es(0))),
+    "bloom_might_contain" -> (es => {
+      if (es.length != 2 || !es(1).foldable)
+        throw new IllegalArgumentException(
+          "bloom_might_contain(key, filterBytes) requires exactly 2 arguments " +
+            "with a literal binary filter")
+      BloomMightContain(es(0), es(1).eval(null) match {
+        case b: Array[Byte] => b
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain: filterBytes must be a binary literal, got $other")
+      })
+    }),
     "set_intersect_count" -> (es => SetIntersectCount(es(0), es(1))),
     "deflate_len" -> (es => DeflateLen(es(0))),
     "ngram_distinct_count" -> (es => {

@@ -1,0 +1,610 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-evaluation and distribution-comparison statistics — the
+  * measurements a training-data pipeline runs to decide whether a
+  * filter model, a mixing policy, or a drifted source is fit for the
+  * next crawl round. The reference engine
+  * (`/root/reference/batch_processor.go:1-194`) carries records
+  * opaquely and has none of these; they are part of the north-star
+  * analytics surface.
+  *
+  * Numeric discipline (shared with [[Diagnostics]] / [[Ranks]]):
+  * every corpus-sized pass accumulates EXACT integer moments (cents /
+  * permille units, DECIMAL(38,0) where products can pass the BIGINT
+  * ceiling); doubles appear only in the final bounded frame, through
+  * expression trees mirrored verbatim in the DuckDB oracle SQL.
+  * Where a statistic sums a transcendental term across cells/bins
+  * (PSI's `(p−q)·ln(p/q)`, chi-square's `(o−e)²/e`), the term is
+  * micro-rounded to an integer FIRST and the integers are summed —
+  * integer addition is order-free, so the result cannot depend on
+  * which engine (or which partitioning) adds the cells in which
+  * order. The micro quantum is documented per op and is far below
+  * each statistic's decision resolution.
+  */
+object Evaluation {
+
+  private def d(c: Column): Column = c.cast("double")
+  private def d(name: String): Column = col(name).cast("double")
+  private val Dec = DecimalType(38, 0)
+
+  // ---------------------------------------------------------------- AUC
+
+  /** Discount values are permille-scaled to 0..100; 16 covers the
+    * domain with one coarse bucket per [[Ranks.doubledRanks]] level.
+    */
+  private val AucBucketWidth = 16L
+
+  /** ROC AUC of a monotone score against a binary outcome, per group
+    * — computed as the tie-corrected Mann-Whitney statistic:
+    * `AUC = (R⁺ − P(P+1)/2) / (P·(N−P))` with `R⁺` the sum of
+    * tie-AVERAGED ranks of the positives. Heavy ties are the normal
+    * case for a quantized score (the default scores are permille
+    * discounts with 11 distinct values), so the tie-averaged form is
+    * the only correct one — `rank()`/`row_number()` would both be
+    * wrong AND unscalable.
+    *
+    * Shape: one keyed census aggregation (group, score) → bounded
+    * two-level rank scan ([[Ranks.doubledRanks]] — windows only over
+    * the score-domain-bounded census, never rows), one value-keyed
+    * join, one per-group fold in DECIMAL(38,0) (`Σ np·dr` passes
+    * 2⁶³ near corpus scale). No per-row window, no collect.
+    */
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_linestatus").as("g"),
+      round(col("l_discount") * 1000).cast("long").as("v"),
+      (col("l_returnflag") === "R").as("y"))
+    auc(l, "g", "v", "y", AucBucketWidth)
+  }
+
+  /** DataFrame-first form over any (group, integral score, boolean
+    * outcome) frame. `bucketWidth` follows [[Ranks.doubledRanks]]:
+    * √(score domain) balances the two scan levels.
+    */
+  def auc(df: DataFrame, groupCol: String, scoreCol: String,
+          labelCol: String, bucketWidth: Long): DataFrame = {
+    val census = df.select(
+        col(groupCol).as("g"), col(scoreCol).cast("long").as("v"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"), count_if(col("y")).as("np"))
+    val ranked = Ranks.doubledRanks(
+        census.select(col("g"), col("v"), col("cnt")), bucketWidth)
+      .join(census.select(col("g"), col("v"), col("np")), Seq("g", "v"))
+    ranked.groupBy(col("g"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("np")).as("n_pos"),
+        sum(col("np").cast(Dec) * col("dr").cast(Dec)).as("rp2"))
+      .select(col("g"), col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        // 2U = Σ np·dr − P(P+1);  AUC = 2U / (2·P·(N−P))
+        (col("rp2") - col("n_pos").cast(Dec) * (col("n_pos") + 1).cast(Dec))
+          .as("u2"),
+        (col("n_pos").cast(Dec) * (col("n") - col("n_pos")).cast(Dec) * 2)
+          .as("den2"))
+      .select(col("g"), col("n"), col("n_pos"), col("n_neg"),
+        when(col("den2") === 0, lit(null))
+          .otherwise(round(d(col("u2")) / d(col("den2")), 6)).as("auc"))
+      .orderBy(col("g"))
+  }
+
+  val aucSql: String =
+    """WITH q AS (
+      |  SELECT l_linestatus AS g,
+      |    CAST(round(l_discount * 1000) AS BIGINT) AS v,
+      |    (l_returnflag = 'R') AS y
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT g, v, count(*) AS cnt,
+      |    count(*) FILTER (y) AS np
+      |  FROM q GROUP BY g, v),
+      |r AS (
+      |  SELECT g, v, cnt, np,
+      |    2 * (sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt)
+      |      + cnt + 1 AS dr
+      |  FROM c),
+      |a AS (
+      |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(np) AS BIGINT) AS n_pos,
+      |    sum(CAST(np AS HUGEINT) * dr) AS rp2
+      |  FROM r GROUP BY g)
+      |SELECT g, n, n_pos, n - n_pos AS n_neg,
+      |  CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+      |    ELSE round(
+      |      CAST(rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+      |      / CAST(CAST(n_pos AS HUGEINT) * (n - n_pos) * 2 AS DOUBLE), 6)
+      |  END AS auc
+      |FROM a ORDER BY g""".stripMargin
+
+  // -------------------------------------------------------- calibration
+
+  /** Reliability table + Brier decomposition input for a [0,1]
+    * probability score against a binary outcome: fixed decile bins
+    * (NEVER `ntile` — rank ties at bin edges make ntile
+    * engine-dependent; a fixed bin edge is reproducible everywhere),
+    * per-bin mean predicted probability, observed positive rate, and
+    * mean squared error (the bin's Brier contribution).
+    *
+    * Scores are taken in permille (0..1000); per-row squared errors
+    * `(p − 1000·y)²` are exact integers folded in DECIMAL(38,0), so
+    * the whole table is one keyed aggregation with no doubles until
+    * the final 10-row frame.
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      // discount stretched ×10 into [0,1] as the toy probability
+      round(col("l_discount") * 10000).cast("long").as("p"),
+      (col("l_returnflag") === "R").as("y"))
+    calibration(l, "p", "y")
+  }
+
+  /** DataFrame-first form: `probCol` is an integral permille score in
+    * 0..1000, `labelCol` boolean.
+    */
+  def calibration(df: DataFrame, probCol: String, labelCol: String): DataFrame = {
+    val q = df.select(col(probCol).cast("long").as("p"),
+      col(labelCol).cast("boolean").as("y"))
+    q.select(
+        least(expr("p div 100"), lit(9L)).as("bin"),
+        col("p"), col("y"),
+        (col("p") - when(col("y"), 1000L).otherwise(0L)).cast(Dec).as("e"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), count_if(col("y")).as("n_pos"),
+        sum(col("p")).as("sp"), sum(col("e") * col("e")).as("sse"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(d("sp") / d("n") / 1000.0, 6).as("mean_pred"),
+        round(d("n_pos") / d("n"), 6).as("pos_rate"),
+        round(d(col("sse")) / d("n") / 1.0e6, 6).as("brier"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationSql: String =
+    """WITH q AS (
+      |  SELECT CAST(round(l_discount * 10000) AS BIGINT) AS p,
+      |    (l_returnflag = 'R') AS y
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT least(p // 100, 9) AS bin, p, y,
+      |    CAST(p - CASE WHEN y THEN 1000 ELSE 0 END AS HUGEINT) AS e
+      |  FROM q),
+      |a AS (
+      |  SELECT bin, count(*) AS n,
+      |    CAST(count(*) FILTER (y) AS BIGINT) AS n_pos,
+      |    sum(p) AS sp, sum(e * e) AS sse
+      |  FROM b GROUP BY bin)
+      |SELECT bin, n, n_pos,
+      |  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) AS mean_pred,
+      |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+      |  round(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6, 6) AS brier
+      |FROM a ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- PSI
+
+  private val PsiBinWidth = 50000.0 // order-price dollars per bin
+  private val PsiSplitDate = "1998-07-01"
+
+  /** Population stability index between a baseline and a comparison
+    * population over fixed value bins:
+    * `PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)` with Laplace +1
+    * smoothing so a bin empty on one side contributes a finite term
+    * instead of ±∞. Emits one row per observed bin (counts, smoothed
+    * shares, contribution) plus the total on every row.
+    *
+    * Determinism: each bin's contribution is micro-rounded
+    * (`round(c·10⁶)` → BIGINT) and the TOTAL is the integer sum of
+    * those micro terms — so the published `psi` is bit-stable no
+    * matter the add order, at a quantum (10⁻⁶) three orders below
+    * the smallest conventional decision threshold (0.1 = "unstable").
+    *
+    * Shape: one keyed census (bin × side) over the corpus, then a
+    * ≤-bins-sized frame; totals reach the bins via a broadcast 1-row
+    * cross join.
+    */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      least(floor(col("o_totalprice") / PsiBinWidth), lit(9L)).cast("long")
+        .as("bin"),
+      (col("o_orderdate") < lit(PsiSplitDate).cast("timestamp")).as("base"))
+    psi(o, "bin", "base")
+  }
+
+  /** DataFrame-first form over any (integral bin, boolean is-baseline)
+    * frame.
+    */
+  def psi(df: DataFrame, binCol: String, baseCol: String): DataFrame = {
+    val cells = df.select(col(binCol).cast("long").as("bin"),
+        col(baseCol).cast("boolean").as("base"))
+      .groupBy(col("bin"))
+      .agg(count_if(col("base")).as("c_base"),
+        count_if(!col("base")).as("c_cmp"))
+    val totals = cells.agg(
+      sum(col("c_base")).as("n_base"), sum(col("c_cmp")).as("n_cmp"),
+      count(lit(1)).as("n_bins"))
+    val t = cells.crossJoin(broadcast(totals))
+      .select(col("bin"), col("c_base"), col("c_cmp"),
+        col("n_base"), col("n_cmp"),
+        (d(col("c_base") + 1) / d(col("n_base") + col("n_bins"))).as("p"),
+        (d(col("c_cmp") + 1) / d(col("n_cmp") + col("n_bins"))).as("q"))
+      .select(col("bin"), col("c_base"), col("c_cmp"),
+        col("n_base"), col("n_cmp"),
+        round(col("p"), 6).as("p_base"), round(col("q"), 6).as("p_cmp"),
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+          .cast("long").as("contrib_micro"))
+    val total = t.agg(sum(col("contrib_micro")).as("psi_micro"))
+    t.crossJoin(broadcast(total))
+      .select(col("bin"), col("c_base"), col("c_cmp"),
+        col("p_base"), col("p_cmp"),
+        round(d("contrib_micro") / 1e6, 6).as("contrib"),
+        round(d("psi_micro") / 1e6, 6).as("psi"))
+      .orderBy(col("bin"))
+  }
+
+  val psiSql: String =
+    s"""WITH o AS (
+       |  SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+       |    (o_orderdate < TIMESTAMP '1998-07-01') AS base
+       |  FROM orders),
+       |c AS (
+       |  SELECT bin,
+       |    CAST(count(*) FILTER (base) AS BIGINT) AS c_base,
+       |    CAST(count(*) FILTER (NOT base) AS BIGINT) AS c_cmp
+       |  FROM o GROUP BY bin),
+       |t AS (
+       |  SELECT CAST(sum(c_base) AS BIGINT) AS n_base,
+       |    CAST(sum(c_cmp) AS BIGINT) AS n_cmp, count(*) AS n_bins
+       |  FROM c),
+       |m AS (
+       |  SELECT bin, c_base, c_cmp,
+       |    round(CAST(c_base + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE), 6)
+       |      AS p_base,
+       |    round(CAST(c_cmp + 1 AS DOUBLE) / CAST(n_cmp + n_bins AS DOUBLE), 6)
+       |      AS p_cmp,
+       |    CAST(round(
+       |      (CAST(c_base + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE)
+       |       - CAST(c_cmp + 1 AS DOUBLE) / CAST(n_cmp + n_bins AS DOUBLE))
+       |      * ln((CAST(c_base + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE))
+       |         / (CAST(c_cmp + 1 AS DOUBLE) / CAST(n_cmp + n_bins AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS contrib_micro
+       |  FROM c, t)
+       |SELECT bin, c_base, c_cmp, p_base, p_cmp,
+       |  round(CAST(contrib_micro AS DOUBLE) / 1e6, 6) AS contrib,
+       |  round(CAST((SELECT sum(contrib_micro) FROM m) AS DOUBLE) / 1e6, 6)
+       |    AS psi
+       |FROM m ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------- ANOVA
+
+  /** One-way ANOVA F over (group, integral value): between/within
+    * sum-of-squares from exact per-group integer moments. Per-group
+    * terms `s²/n` are evaluated as doubles (exact inputs → identical
+    * bits everywhere), then rounded to integer units of 10⁴ value² —
+    * the 10⁻⁴-quantum makes the cross-group SUM order-free while
+    * leaving F and η² resolution far finer than any test decision.
+    * Emits one row: k, n, f_stat, eta_sq.
+    *
+    * Shape: one keyed aggregation (corpus-sized), one k-row fold.
+    */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("g"),
+      round(col("c_acctbal") * 100).cast("long").as("v"))
+    anovaF(c, "g", "v")
+  }
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def anovaF(df: DataFrame, groupCol: String, vCol: String): DataFrame = {
+    val v = col(vCol).cast("long")
+    val stats = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"),
+        sum(v.cast(Dec) * v.cast(Dec)).as("ss"))
+      // the F statistic needs a within-group variance: 1-row groups
+      // contribute none and only bend the dfs — excluded, documented
+      .filter(col("n") >= 2)
+      .select(col("g"), col("n"), col("s"), col("ss"),
+        // s²/n in units of 1e4 value², micro-rounded for order-free Σ
+        round(d(col("s").cast(Dec) * col("s").cast(Dec)) / d("n") / 1.0e4)
+          .cast("long").as("t4"))
+    stats
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("s")).as("stot"), sum(col("ss")).as("sstot"),
+        sum(col("t4")).as("sum_t4"))
+      .select(col("k"), col("n"),
+        (d("sum_t4") -
+          round(d(col("stot").cast(Dec) * col("stot").cast(Dec)) / d("n")
+            / 1.0e4)).as("ssb4"),
+        (round(d(col("sstot")) / 1.0e4) - d("sum_t4")).as("ssw4"))
+      .select(col("k"), col("n"),
+        when(col("k") <= 1 || col("ssw4") <= 0, lit(null))
+          .otherwise(round((col("ssb4") / (d("k") - 1.0)) /
+            (col("ssw4") / (d("n") - d("k"))), 4)).as("f_stat"),
+        when(col("ssb4") + col("ssw4") <= 0, lit(null))
+          .otherwise(round(col("ssb4") / (col("ssb4") + col("ssw4")), 6))
+          .as("eta_sq"))
+  }
+
+  val anovaFSql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      |  FROM customer),
+      |m AS (
+      |  SELECT g, count(*) AS n, sum(v) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS ss,
+      |    CAST(round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) / 1.0e4) AS BIGINT) AS t4
+      |  FROM q GROUP BY g HAVING count(*) >= 2),
+      |a AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |    sum(s) AS stot, sum(ss) AS sstot,
+      |    CAST(sum(t4) AS BIGINT) AS sum_t4
+      |  FROM m),
+      |f AS (
+      |  SELECT k, n,
+      |    CAST(sum_t4 AS DOUBLE)
+      |      - round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+      |          / CAST(n AS DOUBLE) / 1.0e4) AS ssb4,
+      |    round(CAST(sstot AS DOUBLE) / 1.0e4) - CAST(sum_t4 AS DOUBLE)
+      |      AS ssw4
+      |  FROM a)
+      |SELECT k, n,
+      |  CASE WHEN k <= 1 OR ssw4 <= 0 THEN NULL
+      |    ELSE round((ssb4 / (CAST(k AS DOUBLE) - 1.0))
+      |      / (ssw4 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+      |  END AS f_stat,
+      |  CASE WHEN ssb4 + ssw4 <= 0 THEN NULL
+      |    ELSE round(ssb4 / (ssb4 + ssw4), 6)
+      |  END AS eta_sq
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------- Brown–Forsythe
+
+  /** Brown–Forsythe test (the median-anchored Levene variant) for
+    * variance homogeneity across groups: the one-way ANOVA F computed
+    * on `z = |v − median_g|`. Doubling keeps z exactly integral when
+    * an even-sized group's median lands on a half (`z2 = |2v − med2|`,
+    * `med2 = 2·median` is always a whole number of half-units).
+    * Emits one row: k, n, w_stat.
+    *
+    * Shape: one keyed exact-percentile aggregation (k rows, broadcast
+    * back), one corpus map, then [[anovaF]]'s integer machinery.
+    */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("g"),
+      round(col("c_acctbal") * 100).cast("long").as("v"))
+    brownForsythe(c, "g", "v")
+  }
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def brownForsythe(df: DataFrame, groupCol: String, vCol: String): DataFrame = {
+    val v = col(vCol).cast("long")
+    val base = df.select(col(groupCol).as("g"), v.as("v"))
+    val med = base.groupBy(col("g"))
+      .agg(round(percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"))
+    val z = base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(lit(2L) * col("v") - col("med2")).as("z2"))
+    anovaF(z, "g", "z2")
+      .select(col("k"), col("n"), col("f_stat").as("w_stat"))
+  }
+
+  val brownForsytheSql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      |  FROM customer),
+      |md AS (
+      |  SELECT g, CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM q GROUP BY g),
+      |z AS (
+      |  SELECT q.g, abs(2 * v - med2) AS v
+      |  FROM q JOIN md ON q.g = md.g),
+      |m AS (
+      |  SELECT g, count(*) AS n, sum(v) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS ss,
+      |    CAST(round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) / 1.0e4) AS BIGINT) AS t4
+      |  FROM z GROUP BY g HAVING count(*) >= 2),
+      |a AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |    sum(s) AS stot, sum(ss) AS sstot,
+      |    CAST(sum(t4) AS BIGINT) AS sum_t4
+      |  FROM m),
+      |f AS (
+      |  SELECT k, n,
+      |    CAST(sum_t4 AS DOUBLE)
+      |      - round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+      |          / CAST(n AS DOUBLE) / 1.0e4) AS ssb4,
+      |    round(CAST(sstot AS DOUBLE) / 1.0e4) - CAST(sum_t4 AS DOUBLE)
+      |      AS ssw4
+      |  FROM a)
+      |SELECT k, n,
+      |  CASE WHEN k <= 1 OR ssw4 <= 0 THEN NULL
+      |    ELSE round((ssb4 / (CAST(k AS DOUBLE) - 1.0))
+      |      / (ssw4 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+      |  END AS w_stat
+      |FROM f""".stripMargin
+
+  // ---------------------------------------------------------- Cramér V
+
+  /** Cramér's V association between two categorical columns: the
+    * chi-square statistic over the contingency table, normalized to
+    * [0,1] by `√(χ² / (N·min(r−1, c−1)))`. χ² is computed through
+    * the margin identity `χ² = N·(Σ_cells o²/(rowTot·colTot) − 1)`,
+    * which needs only the OBSERVED cells — a naive `Σ (o−e)²/e`
+    * over a grouped cell frame silently drops the zero cells the
+    * group-by never materializes and under-counts χ². Cell terms are
+    * pico-rounded (10⁻¹²) before the cross-cell integer sum — see
+    * the module doc. Emits one row: n, r, c, chi2, cramers_v.
+    *
+    * Shape: one keyed cell census (the only corpus shuffle), then
+    * margins and totals re-aggregated from the ≤ r·c cell frame and
+    * broadcast back.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+    cramersV(o, "a", "b")
+  }
+
+  /** DataFrame-first form over any two categorical columns. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cm = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    val contrib = cells
+      .join(broadcast(rm), Seq("a")).join(broadcast(cm), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        round(d("o") * d("o") / (d("ra") * d("cb")) * 1e12)
+          .cast("long").as("t_pico"))
+    contrib.groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("t_pico")).as("s_pico"))
+      .select(col("n"), col("r"), col("c"),
+        (d("n") * (d("s_pico") / 1e12 - 1.0)).as("chi2d"))
+      .select(col("n"), col("r"), col("c"),
+        round(col("chi2d"), 4).as("chi2"),
+        when(least(col("r"), col("c")) <= 1, lit(null))
+          .otherwise(round(
+            sqrt(greatest(col("chi2d"), lit(0.0)) /
+              (d("n") * (d(least(col("r"), col("c"))) - 1.0))), 6))
+          .as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+      |cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+      |tot2 AS (
+      |  SELECT (SELECT CAST(sum(o) AS BIGINT) FROM cells) AS n,
+      |    (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM cells) AS r,
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM cells) AS c),
+      |m AS (
+      |  SELECT n, r, c,
+      |    CAST(round(
+      |      CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+      |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+      |      * 1e12) AS BIGINT) AS t_pico
+      |  FROM cells
+      |  JOIN rm USING (a) JOIN cm USING (b), tot2),
+      |s AS (
+      |  SELECT n, r, c,
+      |    CAST(n AS DOUBLE)
+      |      * (CAST(sum(t_pico) AS DOUBLE) / 1e12 - 1.0) AS chi2d
+      |  FROM m GROUP BY n, r, c)
+      |SELECT n, r, c,
+      |  round(chi2d, 4) AS chi2,
+      |  CASE WHEN least(r, c) <= 1 THEN NULL
+      |    ELSE round(sqrt(greatest(chi2d, 0.0)
+      |      / (CAST(n AS DOUBLE) * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
+      |  END AS cramers_v
+      |FROM s""".stripMargin
+
+  // ----------------------------------------------------- runs test
+
+  /** Wald–Wolfowitz runs test for serial randomness, per series: each
+    * value is dichotomized against its series median (exact-to-median
+    * rows dropped, the standard convention), the run count R is
+    * 1 + the number of adjacent sign flips in time order, and the
+    * z-statistic compares R with its null mean
+    * `μ = 2·n₁·n₂/n + 1` and variance
+    * `σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))`. A significantly low R means
+    * clustering (trend/regime), high R means oscillation.
+    *
+    * Shape: the sign sequence needs time adjacency, so this op uses a
+    * per-series ordered window (`lag`) — inherently sequential per
+    * key, the same posture as the streak/transition ops; partitions
+    * scale with series count, and the post-window fold is exact
+    * integers into a k-row frame.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type").as("g"),
+      col("ts"), col("event_id"),
+      round(col("value") * 1000).cast("long").as("v"))
+    runsTest(e, "g", "v", Seq("ts", "event_id"))
+  }
+
+  /** DataFrame-first form: `orderCols` must totally order each series
+    * (ties broken by a unique id) or the run count is undefined.
+    */
+  def runsTest(df: DataFrame, groupCol: String, vCol: String,
+               orderCols: Seq[String]): DataFrame = {
+    val med = df.groupBy(col(groupCol).as("g"))
+      .agg(round(percentile(col(vCol).cast("long"), lit(0.5)) * 2)
+        .cast("long").as("med2"))
+    val signed = df
+      .select(col(groupCol).as("g") +: col(vCol).cast("long").as("v") +:
+        orderCols.map(col): _*)
+      .join(broadcast(med), Seq("g"))
+      .filter(lit(2L) * col("v") =!= col("med2"))
+      .select(col("g") +: (lit(2L) * col("v") > col("med2")).as("up") +:
+        orderCols.map(col): _*)
+    val w = Window.partitionBy(col("g")).orderBy(orderCols.map(col): _*)
+    signed
+      .select(col("g"), col("up"),
+        (lag(col("up"), 1).over(w) =!= col("up")).as("flip"))
+      .groupBy(col("g"))
+      .agg(count_if(col("up")).as("n1"), count_if(!col("up")).as("n2"),
+        (count_if(col("flip")) + 1).as("runs"))
+      .select(col("g"), col("n1"), col("n2"), col("runs"),
+        (d("n1") + d("n2")).as("nn"),
+        (lit(2.0) * d("n1") * d("n2")).as("p2"))
+      .select(col("g"), col("n1"), col("n2"), col("runs"),
+        when(col("n1") === 0 || col("n2") === 0 || col("nn") <= 1 ||
+            col("p2") * (col("p2") - col("nn")) <= 0, lit(null))
+          .otherwise(round(
+            (d("runs") - (col("p2") / col("nn") + 1.0)) /
+              sqrt(col("p2") * (col("p2") - col("nn")) /
+                (col("nn") * col("nn") * (col("nn") - 1.0))), 4))
+          .as("z"))
+      .orderBy(col("g"))
+  }
+
+  val runsTestSql: String =
+    """WITH q AS (
+      |  SELECT event_type AS g, ts, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |md AS (
+      |  SELECT g, CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM q GROUP BY g),
+      |s AS (
+      |  SELECT q.g, (2 * v > med2) AS up, ts, event_id
+      |  FROM q JOIN md ON q.g = md.g
+      |  WHERE 2 * v <> med2),
+      |f AS (
+      |  SELECT g, up,
+      |    (lag(up) OVER (PARTITION BY g ORDER BY ts, event_id) <> up)
+      |      AS flip
+      |  FROM s),
+      |a AS (
+      |  SELECT g,
+      |    CAST(count(*) FILTER (up) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (NOT up) AS BIGINT) AS n2,
+      |    CAST(count(*) FILTER (flip) + 1 AS BIGINT) AS runs
+      |  FROM f GROUP BY g),
+      |z AS (
+      |  SELECT g, n1, n2, runs,
+      |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+      |    2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS p2
+      |  FROM a)
+      |SELECT g, n1, n2, runs,
+      |  CASE WHEN n1 = 0 OR n2 = 0 OR nn <= 1 OR p2 * (p2 - nn) <= 0
+      |    THEN NULL
+      |    ELSE round((CAST(runs AS DOUBLE) - (p2 / nn + 1.0))
+      |      / sqrt(p2 * (p2 - nn) / (nn * nn * (nn - 1.0))), 4)
+      |  END AS z
+      |FROM z ORDER BY g""".stripMargin
+}

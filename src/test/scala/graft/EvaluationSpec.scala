@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-data exactness for [[graft.ops.Evaluation]] — every
+  * statistic is checked against a hand-computed closed form on inputs
+  * small enough to verify on paper, then smoke-checked on the corpus.
+  */
+class EvaluationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("auc: separation, tie-averaging, and degenerate margins") {
+    import spark.implicits._
+    // perfect separation: every positive outscores every negative
+    val perfect = Seq(("a", 1L, false), ("a", 2L, false),
+      ("a", 3L, true), ("a", 4L, true)).toDF("g", "v", "y")
+    val p = ops.Evaluation.auc(perfect, "g", "v", "y", 4L).collect()
+    assert(p.length == 1 && p(0).getAs[Double]("auc") == 1.0)
+    assert(p(0).getAs[Long]("n_pos") == 2 && p(0).getAs[Long]("n_neg") == 2)
+    // hand case with a tie: neg@1, pos@2, neg@2, pos@3
+    // ranks: 1, {2,3}→2.5 each, 4; R+ = 2.5 + 4 = 6.5; U = 3.5; AUC = 0.875
+    val tied = Seq(("a", 1L, false), ("a", 2L, true),
+      ("a", 2L, false), ("a", 3L, true)).toDF("g", "v", "y")
+    val t = ops.Evaluation.auc(tied, "g", "v", "y", 4L).collect()
+    assert(t(0).getAs[Double]("auc") == 0.875)
+    // all scores identical → AUC exactly 1/2 by tie-averaging
+    val flat = Seq(("a", 5L, true), ("a", 5L, false),
+      ("a", 5L, true)).toDF("g", "v", "y")
+    assert(ops.Evaluation.auc(flat, "g", "v", "y", 4L)
+      .collect()(0).getAs[Double]("auc") == 0.5)
+    // a single-class group has no ranking to score → NULL, not NaN
+    val mono = Seq(("a", 1L, true), ("a", 2L, true)).toDF("g", "v", "y")
+    assert(ops.Evaluation.auc(mono, "g", "v", "y", 4L)
+      .collect()(0).isNullAt(4))
+    // corpus smoke: one row per linestatus, AUC in [0,1]
+    val corpus = ops.Evaluation.auc(spark, sfDir).collect()
+    assert(corpus.length == 2)
+    assert(corpus.forall { r =>
+      val a = r.getAs[Double]("auc"); a >= 0.0 && a <= 1.0 })
+  }
+
+  test("calibration: fixed bins, exact rates and Brier terms") {
+    import spark.implicits._
+    val planted = Seq((50L, false), (150L, true), (950L, true),
+      (1000L, true)).toDF("p", "y")
+    val got = ops.Evaluation.calibration(planted, "p", "y")
+      .collect().map(r => (r.getAs[Long]("bin"), r)).toMap
+    assert(got.keySet == Set(0L, 1L, 9L)) // p=1000 capped into bin 9
+    assert(got(0L).getAs[Double]("pos_rate") == 0.0)
+    assert(got(0L).getAs[Double]("brier") == 0.0025) // (50/1000)²
+    assert(got(1L).getAs[Double]("mean_pred") == 0.15)
+    assert(got(1L).getAs[Double]("brier") == 0.7225) // (0.15−1)²
+    assert(got(9L).getAs[Long]("n") == 2 &&
+      got(9L).getAs[Long]("n_pos") == 2)
+    assert(got(9L).getAs[Double]("brier") == 0.00125) // (2500+0)/2/1e6
+    // corpus smoke: bins ordered, rates within [0,1]
+    val corpus = ops.Evaluation.calibration(spark, sfDir).collect()
+    assert(corpus.nonEmpty && corpus.length <= 10)
+    assert(corpus.forall { r =>
+      val pr = r.getAs[Double]("pos_rate"); pr >= 0 && pr <= 1 })
+  }
+
+  test("psi: identical populations score zero; total is the contrib sum") {
+    import spark.implicits._
+    val same = (Seq.tabulate(10)(i => (i.toLong % 2, true)) ++
+      Seq.tabulate(10)(i => (i.toLong % 2, false))).toDF("bin", "base")
+    val s = ops.Evaluation.psi(same, "bin", "base").collect()
+    assert(s.forall(_.getAs[Double]("contrib") == 0.0))
+    assert(s.forall(_.getAs[Double]("psi") == 0.0))
+    // a bin present on one side only stays finite through +1 smoothing
+    val skew = (Seq.fill(8)((0L, true)) ++ Seq.fill(8)((1L, false)))
+      .toDF("bin", "base")
+    val k = ops.Evaluation.psi(skew, "bin", "base").collect()
+    assert(k.length == 2 && k.forall(r =>
+      !r.getAs[Double]("contrib").isInfinite))
+    assert(k.forall(_.getAs[Double]("psi") > 1.0)) // grossly shifted
+    // total equals the sum of per-bin contributions (shared micro grid)
+    val corpus = ops.Evaluation.psi(spark, sfDir).collect()
+    val total = corpus.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(corpus.head.getAs[Double]("psi") - total) < 1e-9)
+  }
+
+  test("anovaF: hand-computed two-group F and eta squared") {
+    import spark.implicits._
+    // g1 = {100,300}, g2 = {500,700}: SSB=160000, SSW=40000 → F=8, η²=0.8
+    val planted = Seq(("g1", 100L), ("g1", 300L), ("g2", 500L),
+      ("g2", 700L)).toDF("g", "v")
+    val r = ops.Evaluation.anovaF(planted, "g", "v").collect()(0)
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("f_stat") == 8.0)
+    assert(r.getAs[Double]("eta_sq") == 0.8)
+    // zero within-group variance → NULL F, not Infinity
+    val flat = Seq(("g1", 5L), ("g1", 5L), ("g2", 9L), ("g2", 9L))
+      .toDF("g", "v")
+    assert(ops.Evaluation.anovaF(flat, "g", "v").collect()(0).isNullAt(2))
+    // singleton groups are excluded from the dfs
+    val single = Seq(("g1", 1L), ("g1", 3L), ("lone", 9L)).toDF("g", "v")
+    val s = ops.Evaluation.anovaF(single, "g", "v").collect()(0)
+    assert(s.getAs[Long]("k") == 1 && s.getAs[Long]("n") == 2)
+    val corpus = ops.Evaluation.anovaF(spark, sfDir).collect()(0)
+    assert(corpus.getAs[Long]("k") == 5 && corpus.getAs[Double]("f_stat") >= 0)
+  }
+
+  test("brownForsythe: hand case on doubled median deviations") {
+    import spark.implicits._
+    // g1 = {0, 20000, 100000}: med2=40000 → z2 = {40000, 0, 160000}
+    // g2 = {0,0,0}: z2 = {0,0,0}; W = 666666/346666.75 → 1.9231
+    val planted = Seq(("g1", 0L), ("g1", 20000L), ("g1", 100000L),
+      ("g2", 0L), ("g2", 0L), ("g2", 0L)).toDF("g", "v")
+    val r = ops.Evaluation.brownForsythe(planted, "g", "v").collect()(0)
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("w_stat") == 1.9231)
+    val corpus = ops.Evaluation.brownForsythe(spark, sfDir).collect()(0)
+    assert(corpus.getAs[Long]("k") == 5 &&
+      corpus.getAs[Double]("w_stat") >= 0)
+  }
+
+  test("cramersV: perfect association is 1, independence is 0") {
+    import spark.implicits._
+    val perfect = (Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y")))
+      .toDF("a", "b")
+    val p = ops.Evaluation.cramersV(perfect, "a", "b").collect()(0)
+    assert(p.getAs[Long]("n") == 20 && p.getAs[Double]("cramers_v") == 1.0)
+    assert(p.getAs[Double]("chi2") == 20.0)
+    val indep = (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("x", "w")) ++
+      Seq.fill(5)(("y", "u")) ++ Seq.fill(5)(("y", "w"))).toDF("a", "b")
+    val i = ops.Evaluation.cramersV(indep, "a", "b").collect()(0)
+    assert(i.getAs[Double]("chi2") == 0.0 &&
+      i.getAs[Double]("cramers_v") == 0.0)
+    // a 1×k table has no association dimension → NULL, not divide-by-0
+    val oneRow = Seq(("x", "u"), ("x", "w")).toDF("a", "b")
+    assert(ops.Evaluation.cramersV(oneRow, "a", "b").collect()(0).isNullAt(4))
+    val corpus = ops.Evaluation.cramersV(spark, sfDir).collect()(0)
+    assert(corpus.getAs[Long]("r") == 3 && corpus.getAs[Long]("c") == 5)
+    val v = corpus.getAs[Double]("cramers_v")
+    assert(v >= 0 && v <= 1)
+  }
+
+  test("runsTest: alternation and clustering are symmetric hand cases") {
+    import spark.implicits._
+    // median of {1,9}×3 = 5; alternating signs → 6 runs, z = +1.8257
+    val alt = Seq.tabulate(6)(i =>
+      ("a", if (i % 2 == 0) 1L else 9L, i.toLong)).toDF("g", "v", "seq")
+    val a = ops.Evaluation.runsTest(alt, "g", "v", Seq("seq")).collect()(0)
+    assert(a.getAs[Long]("n1") == 3 && a.getAs[Long]("n2") == 3 &&
+      a.getAs[Long]("runs") == 6)
+    assert(a.getAs[Double]("z") == 1.8257)
+    // fully clustered: 2 runs, z = −1.8257 (same magnitude by symmetry)
+    val clu = Seq.tabulate(6)(i =>
+      ("a", if (i < 3) 1L else 9L, i.toLong)).toDF("g", "v", "seq")
+    val c = ops.Evaluation.runsTest(clu, "g", "v", Seq("seq")).collect()(0)
+    assert(c.getAs[Long]("runs") == 2 && c.getAs[Double]("z") == -1.8257)
+    // exact-to-median rows (odd n) drop: {1,5,9} keeps one of each sign
+    val odd = Seq(("a", 1L, 0L), ("a", 5L, 1L), ("a", 9L, 2L))
+      .toDF("g", "v", "seq")
+    val o = ops.Evaluation.runsTest(odd, "g", "v", Seq("seq")).collect()(0)
+    assert(o.getAs[Long]("n1") == 1 && o.getAs[Long]("n2") == 1)
+    // one-sided series → NULL z
+    val mono = Seq(("a", 1L, 0L), ("a", 1L, 1L), ("a", 9L, 2L))
+      .toDF("g", "v", "seq")
+    val m = ops.Evaluation.runsTest(mono, "g", "v", Seq("seq")).collect()(0)
+    assert(m.getAs[Long]("runs") >= 1) // defined even when z is null
+    val corpus = ops.Evaluation.runsTest(spark, sfDir).collect()
+    assert(corpus.length == 5 && corpus.forall(r => !r.isNullAt(4)))
+  }
+}
