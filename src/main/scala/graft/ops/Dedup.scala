@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table (driver north
@@ -875,4 +876,114 @@ object Dedup {
         .orderBy(col("doc_id"))
     } finally if (materialize) sets.unpersist()
   }
+
+  private val SnmWindow = 4      // each doc vs its 3 sort predecessors
+  private val SnmKeyLen = 16     // sort-key prefix of the normalized text
+  private val SnmBlockLen = 2    // rank-stitching block prefix
+
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995):
+    * sort the corpus by a normalized-prefix key and compare each
+    * document only against its `window−1` sort predecessors — the
+    * classic deterministic alternative to hash-banded LSH blocking,
+    * and the only near-dup family member with an EXACT relational
+    * definition (so this one is DuckDB-oracle-checked, where the
+    * minhash/simhash entries are rows-only by sketch nature). A pair
+    * is a duplicate when token-set Jaccard ≥ 1/2, tested in exact
+    * integer arithmetic (`3·|∩| ≥ |A|+|B|` ⟺ J ≥ 1/2 — no doubles).
+    *
+    * Scale shape: the global sort rank is TWO-LEVEL — a bounded
+    * block census (prefix of the sort key, ≤ ~1.3k blocks) carries
+    * cumulative offsets, and `row_number` runs only WITHIN blocks, so
+    * no single-partition global window ever materializes (the
+    * documented ban — see `canonicalize`). Candidate generation is an
+    * EQUI-join on rank (each doc explodes into `window−1` probe
+    * ranks); pair volume is exactly `(window−1)·n`, independent of
+    * skew. Lexicographic consistency: ordering by (block, key, id)
+    * equals ordering by (key, id) because the block is a key prefix.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhood(Tables.documents(spark, dir), "doc_id", "text",
+      SnmWindow, SnmKeyLen, SnmBlockLen, 1, 2)
+
+  /** DataFrame-first form; `thrNum/thrDen` is the exact rational
+    * Jaccard threshold.
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int, keyLen: Int, blockLen: Int,
+                         thrNum: Int, thrDen: Int): DataFrame = {
+    require(window >= 2, s"sortedNeighborhood: window=$window")
+    require(blockLen >= 1 && blockLen <= keyLen,
+      s"sortedNeighborhood: blockLen=$blockLen vs keyLen=$keyLen")
+    require(thrNum >= 0 && thrDen >= 1,
+      s"sortedNeighborhood: threshold $thrNum/$thrDen")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .select(col("doc_id"),
+        substring(col("norm"), 1, keyLen).as("key"),
+        substring(col("norm"), 1, blockLen).as("blk"),
+        array_distinct(filter(split(col("norm"), " "),
+          t => length(t) > 0)).as("toks"))
+    // two-level global rank: bounded block-offset frame + in-block
+    // row_number (the window's partition key is the block)
+    val offsets = base.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        sum(col("bc")).over(Window.orderBy(col("blk"))) - col("bc"))
+      .select(col("blk"), col("off"))
+    val ranked = base.join(broadcast(offsets), Seq("blk"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id")))
+          .cast("long") + col("off"))
+      .select(col("doc_id"), col("rk"), col("toks"))
+    val probes = ranked.select(
+      col("doc_id").as("a_id"), col("toks").as("a_toks"),
+      explode(sequence(col("rk") + 1, col("rk") + (window - 1))).as("nr"))
+    val pairs = probes.join(
+        ranked.select(col("rk").as("nr"), col("doc_id").as("b_id"),
+          col("toks").as("b_toks")), Seq("nr"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).as("inter"),
+        (size(col("a_toks")) + size(col("b_toks"))).as("stot"))
+    val perDoc = pairs.groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        min(when(col("inter") * (thrNum + thrDen) >= col("stot") * thrNum,
+          col("a_id"))).as("dup_of"))
+    base.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("b_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, substring(norm, 1, 16) AS key,
+      |    list_distinct(list_filter(string_split(norm, ' '),
+      |      x -> x <> '')) AS toks
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, toks,
+      |    row_number() OVER (ORDER BY key, doc_id) AS rk
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |    len(list_intersect(a.toks, bb.toks)) AS inter,
+      |    len(a.toks) + len(bb.toks) AS stot
+      |  FROM r a JOIN r bb ON bb.rk - a.rk BETWEEN 1 AND 3),
+      |g AS (
+      |  SELECT b_id, count(*) AS n_cand,
+      |    min(CASE WHEN 3 * inter >= stot THEN a_id END) AS dup_of
+      |  FROM p GROUP BY b_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+      |  dup_of, (dup_of IS NULL) AS kept
+      |FROM t LEFT JOIN g ON t.doc_id = g.b_id
+      |ORDER BY t.doc_id""".stripMargin
 }

@@ -1045,4 +1045,77 @@ object Diagnostics {
        |                         * CAST(n0 - (ty + nboth) AS DOUBLE)), 6)
        |  END AS tau_b
        |FROM t ORDER BY segment""".stripMargin
+
+  /** Winsorized + trimmed statistics per group — the robust-mean pair
+    * every outlier-contaminated metric column needs: values are
+    * clamped (winsorized) or dropped (trimmed) at the group's
+    * p05/p95. Boundaries are exact-percentile doubles rounded to
+    * integer units, so the downstream means fold EXACT integers and
+    * both engines agree bit-for-bit; only the final per-group means
+    * divide. One keyed percentile pass (k rows, broadcast back) and
+    * one keyed fold — no window, no sort of the raw rows.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("g"),
+      round(col("c_acctbal") * 100).cast("long").as("v"))
+    winsorize(c, "g", "v", 0.05, 0.95)
+  }
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def winsorize(df: DataFrame, groupCol: String, vCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: bad percentile pair ($pLo, $pHi)")
+    val base = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+    val bounds = base.groupBy(col("g")).agg(
+      round(percentile(col("v"), lit(pLo))).cast("long").as("lo"),
+      round(percentile(col("v"), lit(pHi))).cast("long").as("hi"))
+    base.join(broadcast(bounds), Seq("g"))
+      .groupBy(col("g"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("v") < col("lo")).as("n_lo"),
+        count_if(col("v") > col("hi")).as("n_hi"),
+        sum(greatest(col("lo"), least(col("hi"), col("v")))).as("ws"),
+        sum(when(col("v").between(col("lo"), col("hi")), col("v")))
+          .as("ts"),
+        count_if(col("v").between(col("lo"), col("hi"))).as("tn"))
+      .select(col("g"), col("n"), col("lo"), col("hi"),
+        col("n_lo"), col("n_hi"),
+        round(col("ws").cast("double") / col("n").cast("double") / 100.0, 4)
+          .as("winsor_mean"),
+        when(col("tn") === 0, lit(null))
+          .otherwise(round(
+            col("ts").cast("double") / col("tn").cast("double") / 100.0, 4))
+          .as("trim_mean"))
+      .orderBy(col("g"))
+  }
+
+  val winsorizeSql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      |  FROM customer),
+      |b AS (
+      |  SELECT g,
+      |    CAST(round(quantile_cont(v, 0.05)) AS BIGINT) AS lo,
+      |    CAST(round(quantile_cont(v, 0.95)) AS BIGINT) AS hi
+      |  FROM q GROUP BY g),
+      |j AS (
+      |  SELECT q.g, v, lo, hi FROM q JOIN b ON q.g = b.g),
+      |a AS (
+      |  SELECT g, lo, hi, count(*) AS n,
+      |    CAST(count(*) FILTER (v < lo) AS BIGINT) AS n_lo,
+      |    CAST(count(*) FILTER (v > hi) AS BIGINT) AS n_hi,
+      |    CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS ws,
+      |    CAST(sum(v) FILTER (v BETWEEN lo AND hi) AS BIGINT) AS ts,
+      |    CAST(count(*) FILTER (v BETWEEN lo AND hi) AS BIGINT) AS tn
+      |  FROM j GROUP BY g, lo, hi)
+      |SELECT g, n, lo, hi, n_lo, n_hi,
+      |  round(CAST(ws AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+      |    AS winsor_mean,
+      |  CASE WHEN tn = 0 THEN NULL
+      |    ELSE round(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0, 4)
+      |  END AS trim_mean
+      |FROM a ORDER BY g""".stripMargin
 }

@@ -314,4 +314,45 @@ class DedupSpec extends AnyFunSuite {
       .select("text").distinct().count()
     assert(eff <= distinctTexts * 1000000L)
   }
+
+  test("sortedNeighborhood: adjacent near-dups caught, window bound pinned") {
+    import spark.implicits._
+    // ids chosen so sort order (by normalized 16-char prefix, then id)
+    // equals id order — makes dup_of assertions readable
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA beta gamma DELTA!!"),    // normalizes near-identical → dup of 1
+      (3L, "alpha beta XXXX YYYY ZZZZ QQQQ"), // same key prefix, J < 1/2 → kept
+      (4L, "omega psi chi"),
+      (5L, "zzz totally different words here")).toDF("doc_id", "text")
+    val got = ops.Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        4, 16, 2, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got.find(_._1 == 2L).get._3 == 1L, s"near-dup missed: $got")
+    assert(got.find(_._1 == 3L).get._4, s"sub-threshold pair flagged: $got")
+    assert(got.find(_._1 == 1L).get._4 && got.find(_._1 == 4L).get._4)
+    // window semantics: a duplicate w ranks away is NOT seen (the
+    // documented SNM trade — blocking recall comes from the sort key)
+    val far = Seq(
+      (1L, "match me twin"),
+      (2L, "aaaa one"), (3L, "bbbb two"), (4L, "cccc three"),
+      (5L, "dddd four"),
+      (6L, "match me twin")).toDF("doc_id", "text")
+    // sort keys: "aaaa…","bbbb…","cccc…","dddd…","match me twin"×2
+    // → the twins ARE adjacent in sort order and caught even though
+    // 5 ids apart; with window=2 a twin 2 ranks away would be missed
+    val f = ops.Dedup.sortedNeighborhood(far, "doc_id", "text",
+        4, 16, 2, 1, 2).collect()
+    assert(f.find(_.getLong(0) == 6L).get.getLong(2) == 1L,
+      "sort-adjacent twin missed")
+    // every doc emits exactly one row; n_cand ≤ window−1
+    val corpus = ops.Dedup.sortedNeighborhood(spark, sfDir).cache()
+    assert(corpus.count() ==
+      Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(col("n_cand") > 3).count() == 0)
+    // kept ⟺ dup_of is null, bit-for-bit
+    assert(corpus.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
+    corpus.unpersist()
+  }
 }

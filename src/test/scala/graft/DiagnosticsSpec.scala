@@ -389,4 +389,30 @@ class DiagnosticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winsorize: exact clamp bounds on 0..100; outlier-immune mean") {
+    import spark.implicits._
+    // 0..100 cents: p05=5, p95=95 land exactly on elements
+    val flat = (0L to 100L).map(("g", _)).toDF("seg", "cents")
+    val r = ops.Diagnostics.winsorize(flat, "seg", "cents", 0.05, 0.95)
+      .collect()(0)
+    assert(r.getAs[Long]("lo") == 5L && r.getAs[Long]("hi") == 95L)
+    assert(r.getAs[Long]("n_lo") == 5L && r.getAs[Long]("n_hi") == 5L)
+    // winsorized sum = 5·5 + Σ(5..95) + 5·95 = 5050 → mean 50¢ = $0.5
+    assert(r.getAs[Double]("winsor_mean") == 0.5)
+    assert(r.getAs[Double]("trim_mean") == 0.5)
+    // a catastrophic outlier moves the winsorized mean barely at all
+    val dirty = flat.union(Seq(("g", 1000000000L)).toDF("seg", "cents"))
+    val d = ops.Diagnostics.winsorize(dirty, "seg", "cents", 0.05, 0.95)
+      .collect()(0)
+    assert(d.getAs[Double]("winsor_mean") < 2.0,
+      s"winsorized mean not robust: ${d.getAs[Double]("winsor_mean")}")
+    assert(d.getAs[Long]("n_hi") >= 1)
+    // corpus: one row per segment, ordered, lo < hi, means finite
+    val corpus = ops.Diagnostics.winsorize(spark, sfDir).collect()
+    assert(corpus.length == 5)
+    assert(corpus.forall(r => r.getAs[Long]("lo") < r.getAs[Long]("hi")))
+    assert(corpus.map(_.getAs[String]("g")).toSeq ==
+      corpus.map(_.getAs[String]("g")).sorted.toSeq)
+  }
 }
