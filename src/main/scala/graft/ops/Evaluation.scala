@@ -572,6 +572,143 @@ object Evaluation {
       .orderBy(col("g"))
   }
 
+  // ------------------------------------------------------- log loss
+
+  /** Logistic log loss (cross-entropy) of a permille probability
+    * against a binary outcome, per group:
+    * `LL = −mean( y·ln(p̂) + (1−y)·ln(1−p̂) )`. Probabilities clamp
+    * to [1, 999]‰ first — the standard ε-clip that keeps a confident
+    * wrong prediction finite. Each row's term is quantized to
+    * integer MICRO-NATS before the fold (the unigram/bigram-LM
+    * discipline): the corpus-sized sum is then exact integer
+    * arithmetic, order-free, and the only double work left is one
+    * division per group.
+    */
+  def logLoss(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_linestatus").as("g"),
+      round(col("l_discount") * 10000).cast("long").as("p"),
+      (col("l_returnflag") === "R").as("y"))
+    logLoss(l, "g", "p", "y")
+  }
+
+  /** DataFrame-first form: `probCol` integral permille in 0..1000. */
+  def logLoss(df: DataFrame, groupCol: String, probCol: String,
+              labelCol: String): DataFrame = {
+    val p = greatest(lit(1L), least(lit(999L), col(probCol).cast("long")))
+    df.select(col(groupCol).as("g"), p.as("p"),
+        col(labelCol).cast("boolean").as("y"))
+      .select(col("g"), col("y"),
+        round(log(when(col("y"), d("p")).otherwise(lit(1000.0) - d("p"))
+          / 1000.0) * -1e6).cast("long").as("nll_micro"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), count_if(col("y")).as("n_pos"),
+        sum(col("nll_micro")).as("s"))
+      .select(col("g"), col("n"), col("n_pos"),
+        round(d("s") / 1e6 / d("n"), 6).as("log_loss"))
+      .orderBy(col("g"))
+  }
+
+  val logLossSql: String =
+    """WITH q AS (
+      |  SELECT l_linestatus AS g,
+      |    greatest(1, least(999, CAST(round(l_discount * 10000) AS BIGINT)))
+      |      AS p,
+      |    (l_returnflag = 'R') AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT g, y,
+      |    CAST(round(ln(
+      |      (CASE WHEN y THEN CAST(p AS DOUBLE)
+      |            ELSE 1000.0 - CAST(p AS DOUBLE) END) / 1000.0)
+      |      * -1e6) AS BIGINT) AS nll_micro
+      |  FROM q),
+      |a AS (
+      |  SELECT g, count(*) AS n,
+      |    CAST(count(*) FILTER (y) AS BIGINT) AS n_pos,
+      |    CAST(sum(nll_micro) AS BIGINT) AS s
+      |  FROM m GROUP BY g)
+      |SELECT g, n, n_pos,
+      |  round(CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS log_loss
+      |FROM a ORDER BY g""".stripMargin
+
+  // -------------------------------------------- Jensen–Shannon
+
+  /** Jensen–Shannon divergence of each source's category distribution
+    * from the corpus-wide distribution — the bounded, symmetric
+    * drift measure (0 = identical mix, ln 2 ≈ 0.693 = disjoint).
+    * `JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M)`, `M = ½(P+Q)`; a category the
+    * source never emits contributes only through the Q side
+    * (0·ln 0 ≡ 0). Per-category terms micro-round to integers before
+    * the per-source sum — see the module doc.
+    *
+    * Shape: one (source × category) census, margins re-aggregated
+    * from it and broadcast back; everything after the census is
+    * bounded by |sources|·|categories|.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source").as("src"), col("lang").as("cat"))
+    jsDivergence(docs, "src", "cat")
+  }
+
+  /** DataFrame-first form over any (population, category) frame. */
+  def jsDivergence(df: DataFrame, srcCol: String, catCol: String): DataFrame = {
+    val cells = df.select(col(srcCol).as("src"), col(catCol).as("cat"))
+      .groupBy(col("src"), col("cat")).agg(count(lit(1)).as("c"))
+    val bySrc = cells.groupBy(col("src")).agg(sum(col("c")).as("ns"))
+    val byCat = cells.groupBy(col("cat")).agg(sum(col("c")).as("nc"))
+    val tot = cells.agg(sum(col("c")).as("nt"))
+    // P = in-source share, Q = corpus share; both over the corpus's
+    // category list (a source-absent category has c = 0 via the
+    // right join against the bounded source × category grid)
+    val grid = bySrc.crossJoin(broadcast(byCat)).crossJoin(broadcast(tot))
+    val terms = grid.join(cells, Seq("src", "cat"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("src"), col("ns"),
+        (d("c") / d("ns")).as("p"), (d("nc") / d("nt")).as("q"))
+      .select(col("src"), col("ns"),
+        round((
+          when(col("p") > 0,
+            col("p") * log(col("p") / ((col("p") + col("q")) / 2)))
+            .otherwise(lit(0.0)) +
+          col("q") * log(col("q") / ((col("p") + col("q")) / 2))
+        ) / 2 * 1e6).cast("long").as("t_micro"))
+    terms.groupBy(col("src"), col("ns"))
+      .agg(sum(col("t_micro")).as("s_micro"))
+      .select(col("src"), col("ns").as("n_docs"),
+        round(d("s_micro") / 1e6, 6).as("jsd"))
+      .orderBy(col("src"))
+  }
+
+  val jsDivergenceSql: String =
+    """WITH cells AS (
+      |  SELECT source AS src, lang AS cat, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bs AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM cells GROUP BY src),
+      |bc AS (SELECT cat, CAST(sum(c) AS BIGINT) AS nc FROM cells GROUP BY cat),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM cells),
+      |grid AS (SELECT src, ns, cat, nc, nt FROM bs, bc, tt),
+      |terms AS (
+      |  SELECT g.src, g.ns,
+      |    CAST(round((
+      |      CASE WHEN coalesce(c, 0) > 0 THEN
+      |        (CAST(coalesce(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE))
+      |        * ln((CAST(coalesce(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE))
+      |          / (((CAST(coalesce(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE))
+      |              + CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)) / 2))
+      |      ELSE 0.0 END
+      |      + (CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+      |        * ln((CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+      |          / (((CAST(coalesce(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE))
+      |              + CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)) / 2))
+      |    ) / 2 * 1e6) AS BIGINT) AS t_micro
+      |  FROM grid g LEFT JOIN cells ON g.src = cells.src AND g.cat = cells.cat)
+      |SELECT src, ns AS n_docs,
+      |  round(CAST(sum(t_micro) AS DOUBLE) / 1e6, 6) AS jsd
+      |FROM terms GROUP BY src, ns
+      |ORDER BY src""".stripMargin
+
   val runsTestSql: String =
     """WITH q AS (
       |  SELECT event_type AS g, ts, event_id,

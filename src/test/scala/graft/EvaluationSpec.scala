@@ -137,6 +137,51 @@ class EvaluationSpec extends AnyFunSuite {
     assert(v >= 0 && v <= 1)
   }
 
+  test("logLoss: perfect, uninformative and clipped predictions") {
+    import spark.implicits._
+    // p = 500‰ on every row → LL = ln 2 regardless of labels
+    val coin = Seq(("a", 500L, true), ("a", 500L, false)).toDF("g", "p", "y")
+    val c = ops.Evaluation.logLoss(coin, "g", "p", "y").collect()(0)
+    assert(c.getAs[Double]("log_loss") == math.rint(math.log(2) * 1e6) / 1e6)
+    // confident-right is near-free; confident-wrong clamps at 999/1
+    val sure = Seq(("a", 999L, true)).toDF("g", "p", "y")
+    val s = ops.Evaluation.logLoss(sure, "g", "p", "y").collect()(0)
+    assert(s.getAs[Double]("log_loss") ==
+      math.rint(-math.log(0.999) * 1e6) / 1e6)
+    val wrong = Seq(("a", 0L, true)).toDF("g", "p", "y") // clips to 1‰
+    val w = ops.Evaluation.logLoss(wrong, "g", "p", "y").collect()(0)
+    assert(w.getAs[Double]("log_loss") ==
+      math.rint(-math.log(0.001) * 1e6) / 1e6)
+    val corpus = ops.Evaluation.logLoss(spark, sfDir).collect()
+    assert(corpus.length == 2 &&
+      corpus.forall(_.getAs[Double]("log_loss") > 0))
+  }
+
+  test("jsDivergence: identical mix scores 0; disjoint approaches ln 2") {
+    import spark.implicits._
+    // two sources with the same category mix → JSD 0 for both
+    val same = (Seq.fill(6)(("s1", "en")) ++ Seq.fill(3)(("s1", "de")) ++
+      Seq.fill(4)(("s2", "en")) ++ Seq.fill(2)(("s2", "de")))
+      .toDF("src", "cat")
+    val s = ops.Evaluation.jsDivergence(same, "src", "cat").collect()
+    assert(s.forall(_.getAs[Double]("jsd") == 0.0))
+    // a source fully disjoint from the rest of the corpus: its JSD
+    // vs the corpus mix is large but below the ln 2 ceiling (the
+    // corpus mix still contains the source's own mass)
+    val disjoint = (Seq.fill(10)(("loner", "zz")) ++
+      Seq.fill(990)(("rest", "en"))).toDF("src", "cat")
+    val d = ops.Evaluation.jsDivergence(disjoint, "src", "cat")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("jsd"))
+      .toMap
+    assert(d("loner") > 0.5 && d("loner") < math.log(2) + 1e-9)
+    assert(d("rest") > 0 && d("rest") < 0.05)
+    // corpus: one row per source, all within [0, ln 2]
+    val corpus = ops.Evaluation.jsDivergence(spark, sfDir).collect()
+    assert(corpus.length == 20)
+    assert(corpus.forall { r =>
+      val j = r.getAs[Double]("jsd"); j >= 0 && j <= math.log(2) + 1e-9 })
+  }
+
   test("runsTest: alternation and clustering are symmetric hand cases") {
     import spark.implicits._
     // median of {1,9}×3 = 5; alternating signs → 6 runs, z = +1.8257

@@ -200,4 +200,20 @@ object GraftLaws extends Properties("graft") {
       }
       residOk && orthoOk
     }
+
+  // bloom_might_contain: the sketch's defining one-sided guarantee —
+  // a key that was inserted can NEVER probe false, whatever the
+  // sizing. (False positives are allowed and bounded by fpp; the
+  // exact join above the probe removes them.)
+  property("bloom filter has no false negatives") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.chooseNum(1, 64)) { (ks, slack) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        ks.size.toLong + slack, 0.03)
+      ks.foreach(bf.putLong)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      val probe = graft.functions.BloomMightContain(
+        Literal(1L), out.toByteArray)
+      ks.forall(k => probe.nullSafeEval(k).asInstanceOf[Boolean])
+    }
 }
