@@ -50,6 +50,29 @@ case class HHState(counts: Map[String, Long], dec: Long, n: Long)
 case class HeavyOut(w_start_ms: Long, term: String, cnt_lb: Long,
                     err_ub: Long, n_tokens: Long)
 
+/** One timed categorical observation for
+  * [[EventTime.mixDriftWithState]] (a document's source/language tag
+  * on an ingest stream).
+  */
+case class TimedCat(ts: java.sql.Timestamp, cat: String)
+
+/** [[TimedCat]] with its tumbling window pre-resolved. */
+case class WindowedCat(ts: java.sql.Timestamp, w_start_ms: Long,
+                       cat: String)
+
+/** Per-window category census for [[EventTime.mixDriftWithState]];
+  * bounded by `maxCats` (+1 for the `__other` overflow bucket).
+  */
+case class DriftState(counts: Map[String, Long], n: Long)
+
+/** Closed-window drift verdict: the window's Jensen–Shannon
+  * divergence (micro-nats) from the reference mix, with the overflow
+  * mass `n_other` alongside so a capped census is never mistaken for
+  * a faithful one.
+  */
+case class DriftOut(w_start_ms: Long, n_docs: Long, n_cats: Long,
+                    n_other: Long, jsd_micro: Long)
+
 /** Event-time streaming operators: watermarked tumbling/sliding/session
   * windows and a custom `flatMapGroupsWithState` sessionizer.
   *
@@ -347,6 +370,81 @@ object EventTime {
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming twin of the batch mix-drift scorer
+    * ([[graft.ops.Evaluation.jsDivergence]]): per event-time tumbling
+    * window, a category census is maintained in
+    * `flatMapGroupsWithState` and — when the watermark closes the
+    * window — scored as the Jensen–Shannon divergence of the window's
+    * mix against a fixed REFERENCE mix (the historical corpus counts,
+    * passed as a parameter: a stream cannot re-read itself to compute
+    * the corpus side the way the batch op does). The per-category
+    * term is the batch op's exact expression — micro-rounded with the
+    * same away-from-zero rule Spark's `round` applies — so a window's
+    * `jsd_micro` is BIT-IDENTICAL to the batch op run on that
+    * window's slice with the same reference (EventTimeSpec pins this
+    * across a micro-batch split, plus the late-data contract).
+    *
+    * Scale shape: state is one bounded counter map per OPEN window —
+    * `maxCats` caps it against adversarial category cardinality
+    * (overflow mass folds into `__other`, visible in `n_other`) —
+    * and event-time timeout evicts it at watermark passage. The only
+    * shuffle is the keyed exchange to the state store.
+    */
+  def mixDriftWithState(docs: Dataset[TimedCat], windowMs: Long,
+                        watermark: String, refMix: Map[String, Long],
+                        maxCats: Int = 1000): Dataset[DriftOut] = {
+    require(refMix.nonEmpty && refMix.values.forall(_ > 0),
+      "mixDriftWithState: reference mix must have positive counts")
+    require(maxCats >= 1, s"mixDriftWithState: maxCats=$maxCats")
+    val refTotal = refMix.values.sum
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (floor(unix_millis(col("ts")) / windowMs) * windowMs).cast("long")
+          .as("w_start_ms"),
+        col("cat"))
+      .as[WindowedCat]
+      .groupByKey(_.w_start_ms)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wStart: Long, rows: Iterator[WindowedCat], state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // Spark round() semantics on doubles: half away from zero
+            def halfAway(x: Double): Long =
+              (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+            val ns = s.n.toDouble
+            val cats = (refMix.keySet ++ s.counts.keySet).toSeq.sorted
+            val jsdMicro = cats.map { c =>
+              val p = s.counts.getOrElse(c, 0L).toDouble / ns
+              val q = refMix.getOrElse(c, 0L).toDouble / refTotal.toDouble
+              val m = (p + q) / 2
+              val term = (if (p > 0) p * math.log(p / m) else 0.0) +
+                (if (q > 0) q * math.log(q / m) else 0.0)
+              halfAway(term / 2 * 1e6)
+            }.sum
+            Iterator.single(DriftOut(wStart, s.n,
+              s.counts.size.toLong, s.counts.getOrElse("__other", 0L),
+              jsdMicro))
+          } else {
+            var s = state.getOption.getOrElse(DriftState(Map.empty, 0L))
+            rows.foreach { r =>
+              val key =
+                if (s.counts.contains(r.cat) || s.counts.size < maxCats) r.cat
+                else "__other" // bounded state: overflow mass stays visible
+              s = DriftState(
+                s.counts.updated(key, s.counts.getOrElse(key, 0L) + 1L),
+                s.n + 1L)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(wStart + windowMs)
+            Iterator.empty
           }
       }
   }

