@@ -572,6 +572,164 @@ object Evaluation {
       .orderBy(col("g"))
   }
 
+  // ------------------------------------------------ split conformal
+
+  /** Residual domain is order-price-like cents; 2¹² keeps both rank
+    * levels bounded (see [[Ranks.doubledRanks]]).
+    */
+  private val ConformalBucketWidth = 1L << 12
+
+  /** Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    * 2018) for a per-group linear model — the distribution-free
+    * answer to "how wide must the error band be to cover 1−α of
+    * unseen data": fit OLS on the TRAIN split, take `q̂` = the
+    * `⌈(n_cal+1)(1−α)⌉`-th smallest absolute residual on the
+    * CALIBRATION split, and report the guaranteed-coverage band plus
+    * its ACTUAL coverage on the held-out TEST split. All three splits
+    * derive from the engine's portable multiplicative hash (the
+    * [[Sampling.trainSplit]] discipline — no RNG, both engines agree
+    * row-for-row).
+    *
+    * Numeric discipline: OLS comes from DECIMAL(38,0) moments;
+    * residuals quantize to integer cents through ONE shared double
+    * expression; the rank `k` is exact integer ceiling arithmetic
+    * (`(p + q − 1) div q`, never float `ceil`); and the k-th order
+    * statistic is selected by the two-level census scan
+    * ([[Ranks.doubledRanks]]: the value where `lt < k ≤ lt + cnt`) —
+    * never a per-row sort. Coverage is an exact basis-point integer.
+    *
+    * Shape: one keyed moment aggregation, two broadcast joins of
+    * k-row frames, one residual census + bounded rank scan, one test
+    * fold. A group whose train split has zero x-variance cannot fit
+    * a slope and is excluded (documented).
+    */
+  def splitConformal(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      (col("l_orderkey") * 16 + col("l_linenumber")).as("key"))
+    splitConformal(l, "g", "x", "y", "key", alphaBp = 1000)
+  }
+
+  /** DataFrame-first form; `alphaBp` is the miscoverage budget in
+    * basis points (1000 = 10% → a 90% interval).
+    */
+  def splitConformal(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String, keyCol: String, alphaBp: Int): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, s"splitConformal: alphaBp=$alphaBp")
+    val base = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
+        (((col(keyCol) % 1000000007L) * 2654435761L) % 10L).as("b"))
+      .select(col("g"), col("x"), col("y"),
+        when(col("b") < 6, "train").when(col("b") < 8, "cal")
+          .otherwise("test").as("part"))
+    val xd = col("x").cast(Dec); val yd = col("y").cast(Dec)
+    val fit = base.filter(col("part") === "train")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_train"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(xd * yd).as("sxy"),
+        sum(xd * xd).as("sxx"))
+      .select(col("g"), col("n_train"),
+        (d(col("n_train")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          .as("num"),
+        (d(col("n_train")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+          .as("den"),
+        d(col("sy")).as("syd"), d(col("sx")).as("sxd"))
+      .filter(col("den") =!= 0.0) // zero x-variance: no slope to fit
+      .select(col("g"), col("n_train"), (col("num") / col("den")).as("slope"),
+        ((col("syd") - col("num") / col("den") * col("sxd"))
+          / d(col("n_train"))).as("icept"))
+    val scored = base.filter(col("part") =!= "train")
+      .join(broadcast(fit), Seq("g"))
+      .select(col("g"), col("part"), col("n_train"), col("slope"), col("icept"),
+        round(abs(d(col("y")) - col("icept") - col("slope") * d(col("x"))))
+          .cast("long").as("r"))
+    val calCensus = scored.filter(col("part") === "cal")
+      .groupBy(col("g").as("g"), col("r").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val kOf = calCensus.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_cal"))
+      .select(col("g"), col("n_cal"),
+        // k = ⌈(n_cal+1)·(1−α)⌉ in exact integer arithmetic
+        least(
+          expr(s"((n_cal + 1) * ${10000 - alphaBp} + 9999) div 10000"),
+          col("n_cal")).as("k"))
+    val qhat = Ranks.doubledRanks(calCensus, ConformalBucketWidth)
+      .join(broadcast(kOf), Seq("g"))
+      .filter(col("lt") < col("k") && col("k") <= col("lt") + col("cnt"))
+      .select(col("g"), col("n_cal"), col("v").as("qhat_cents"))
+    scored.filter(col("part") === "test")
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy(col("g"), col("n_train"), col("n_cal"), col("qhat_cents"),
+        col("slope"), col("icept"))
+      .agg(count(lit(1)).as("n_test"),
+        count_if(col("r") <= col("qhat_cents")).as("covered"))
+      .select(col("g"), col("n_train"), col("n_cal"), col("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("icept"), 2).as("intercept_cents"),
+        col("qhat_cents"),
+        expr("covered * 10000 div n_test").as("coverage_bp"))
+      .orderBy(col("g"))
+  }
+
+  val splitConformalSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |    (((l_orderkey * 16 + l_linenumber) % 1000000007) * 2654435761)
+      |      % 10 AS b
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT g, x, y,
+      |    CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'cal'
+      |      ELSE 'test' END AS part
+      |  FROM q),
+      |f AS (
+      |  SELECT g, count(*) AS n_train,
+      |    CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE) AS num,
+      |    CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) AS den,
+      |    CAST(sum(y) AS DOUBLE) AS syd, CAST(sum(x) AS DOUBLE) AS sxd
+      |  FROM p WHERE part = 'train' GROUP BY g),
+      |ab AS (
+      |  SELECT g, n_train, num / den AS slope,
+      |    (syd - num / den * sxd) / CAST(n_train AS DOUBLE) AS icept
+      |  FROM f WHERE den <> 0),
+      |s AS (
+      |  SELECT p.g, part, n_train, slope, icept,
+      |    CAST(round(abs(CAST(y AS DOUBLE) - icept
+      |      - slope * CAST(x AS DOUBLE))) AS BIGINT) AS r
+      |  FROM p JOIN ab ON p.g = ab.g WHERE part <> 'train'),
+      |cc AS (
+      |  SELECT g, r AS v, count(*) AS cnt
+      |  FROM s WHERE part = 'cal' GROUP BY g, r),
+      |ko AS (
+      |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n_cal,
+      |    least(((sum(cnt) + 1) * 9000 + 9999) // 10000,
+      |      sum(cnt)) AS k
+      |  FROM cc GROUP BY g),
+      |rk AS (
+      |  SELECT g, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS lt
+      |  FROM cc),
+      |qh AS (
+      |  SELECT rk.g, n_cal, v AS qhat_cents
+      |  FROM rk JOIN ko ON rk.g = ko.g
+      |  WHERE lt < k AND k <= lt + cnt)
+      |SELECT s.g, n_train, n_cal, count(*) AS n_test,
+      |  round(slope, 6) AS slope,
+      |  round(icept, 2) AS intercept_cents,
+      |  qhat_cents,
+      |  CAST((count(*) FILTER (r <= qhat_cents)) * 10000 // count(*)
+      |    AS BIGINT) AS coverage_bp
+      |FROM s JOIN qh ON s.g = qh.g
+      |WHERE part = 'test'
+      |GROUP BY s.g, n_train, n_cal, qhat_cents, slope, icept
+      |ORDER BY s.g""".stripMargin
+
   // ------------------------------------------------------- log loss
 
   /** Logistic log loss (cross-entropy) of a permille probability

@@ -182,6 +182,57 @@ class EvaluationSpec extends AnyFunSuite {
       val j = r.getAs[Double]("jsd"); j >= 0 && j <= math.log(2) + 1e-9 })
   }
 
+  test("splitConformal: perfect fit collapses the band; driver-model law agrees exactly") {
+    import spark.implicits._
+    def bucket(key: Long): Long = ((key % 1000000007L) * 2654435761L) % 10L
+    // perfectly linear group: every residual is 0 → qhat 0, full coverage
+    val exact = (0L until 400L).map(i =>
+      ("a", (i % 40) + 1, 500L * ((i % 40) + 1) + 700L, i))
+      .toDF("g", "x", "y", "key")
+    val e = ops.Evaluation.splitConformal(exact, "g", "x", "y", "key", 1000)
+      .collect()(0)
+    assert(e.getAs[Long]("qhat_cents") == 0L &&
+      e.getAs[Long]("coverage_bp") == 10000L)
+    assert(e.getAs[Double]("slope") == 500.0 &&
+      e.getAs[Double]("intercept_cents") == 700.0)
+    // noisy group: independent driver-side recomputation (same staged
+    // arithmetic) of fit, k-th-smallest residual and coverage
+    val rows = (0L until 1000L).map { i =>
+      val x = (i % 37) + 1
+      val y = 200L * x + 5000L + ((i * 2654435761L) % 997L) - 498L
+      ("b", x, y, i)
+    }
+    val got = ops.Evaluation.splitConformal(rows.toDF("g", "x", "y", "key"),
+      "g", "x", "y", "key", 1000).collect()(0)
+    val train = rows.filter(r => bucket(r._4) < 6)
+    val cal = rows.filter(r => { val b = bucket(r._4); b >= 6 && b < 8 })
+    val test = rows.filter(r => bucket(r._4) >= 8)
+    val n = train.size.toDouble
+    val (sx, sy) = (train.map(_._2).sum.toDouble, train.map(_._3).sum.toDouble)
+    val sxy = train.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble
+    val sxx = train.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    def resid(x: Long, y: Long): Long =
+      BigDecimal(math.abs(y.toDouble - icept - slope * x.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val calR = cal.map(r => resid(r._2, r._3)).sorted
+    val k = (((cal.size + 1) * 9000 + 9999) / 10000).min(cal.size)
+    val qhat = calR(k - 1)
+    assert(got.getAs[Long]("n_train") == train.size &&
+      got.getAs[Long]("n_cal") == cal.size &&
+      got.getAs[Long]("n_test") == test.size)
+    assert(got.getAs[Long]("qhat_cents") == qhat,
+      s"qhat ${got.getAs[Long]("qhat_cents")} vs model $qhat")
+    val covered = test.count(r => resid(r._2, r._3) <= qhat)
+    assert(got.getAs[Long]("coverage_bp") == covered * 10000L / test.size)
+    // corpus: 3 groups, coverage honors the 90% target within slack
+    val corpus = ops.Evaluation.splitConformal(spark, sfDir).collect()
+    assert(corpus.length == 3)
+    assert(corpus.forall { r =>
+      val c = r.getAs[Long]("coverage_bp"); c >= 8500 && c <= 10000 })
+  }
+
   test("runsTest: alternation and clustering are symmetric hand cases") {
     import spark.implicits._
     // median of {1,9}×3 = 5; alternating signs → 6 runs, z = +1.8257
