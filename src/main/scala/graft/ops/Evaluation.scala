@@ -572,6 +572,144 @@ object Evaluation {
       .orderBy(col("g"))
   }
 
+  // -------------------------------------------------- effect sizes
+
+  /** Pairwise effect sizes between groups — the "is the difference
+    * big, not just significant" companion to [[anovaF]] and the Welch
+    * t: Cohen's d (pooled-SD standardized mean gap), Hedges' g (the
+    * small-sample-corrected d), and Cliff's δ (the ordinal,
+    * outlier-proof `P(x>y) − P(x<y)`).
+    *
+    * Everything derives from ONE value census (group × value):
+    * moments for d/g as `Σ cnt·v` in DECIMAL(38,0), and δ's
+    * greater/equal pair counts from per-group cumulative counts on
+    * the dense (value × group) grid — the census discipline of
+    * [[Ranks]]/[[Mixing.mannWhitney]], windows only over the
+    * domain-bounded grid, never rows. δ is one exact-integer rational
+    * (`#gt − #lt` over `n_a·n_b`, with `#lt` recovered from the
+    * `n_a·n_b − #gt − #eq` identity); d and g are one shared staged
+    * double tail. Pairs with a sub-2 sample are excluded (no sample
+    * variance — the [[Diagnostics.welchTTest]] convention).
+    */
+  def effectSizes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type").as("g"),
+      round(col("value") * 1000).cast("long").as("v"))
+    effectSizes(e, "g", "v")
+  }
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def effectSizes(df: DataFrame, groupCol: String, vCol: String): DataFrame = {
+    val census = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val mom = census.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt").cast(Dec) * col("v").cast(Dec)).as("s"),
+        sum(col("cnt").cast(Dec) * col("v").cast(Dec) * col("v").cast(Dec))
+          .as("ss"))
+      .filter(col("n") >= 2)
+    val dense = census.select(col("v")).distinct()
+      .crossJoin(broadcast(mom.select(col("g"))))
+      .join(census, Seq("g", "v"), "left").na.fill(0L, Seq("cnt"))
+      .withColumn("lt",
+        sum(col("cnt")).over(
+          Window.partitionBy(col("g")).orderBy(col("v"))) - col("cnt"))
+    def side(sfx: String) = dense.select(col("v"),
+      col("g").as(s"t_$sfx"), col("cnt").as(s"cnt_$sfx"),
+      col("lt").as(s"lt_$sfx"))
+    val pairCounts = side("a")
+      .join(side("b"), Seq("v"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy(col("t_a"), col("t_b"))
+      .agg(
+        sum(col("cnt_a").cast(Dec) * col("lt_b").cast(Dec)).as("gt"),
+        sum(col("cnt_a").cast(Dec) * col("cnt_b").cast(Dec)).as("eq"))
+    def m(sfx: String) = mom.select(col("g").as(s"t_$sfx"),
+      col("n").as(s"n_$sfx"), col("s").as(s"s_$sfx"), col("ss").as(s"ss_$sfx"))
+    pairCounts
+      .join(broadcast(m("a")), Seq("t_a")).join(broadcast(m("b")), Seq("t_b"))
+      .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"),
+        (d(col("s_a")) / d("n_a")).as("ma"), (d(col("s_b")) / d("n_b")).as("mb"),
+        ((d(col("ss_a")) - d(col("s_a")) * d(col("s_a")) / d("n_a"))
+          / (d("n_a") - lit(1.0))).as("va"),
+        ((d(col("ss_b")) - d(col("s_b")) * d(col("s_b")) / d("n_b"))
+          / (d("n_b") - lit(1.0))).as("vb"),
+        col("gt"), col("eq"))
+      .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"),
+        col("ma"), col("mb"), col("gt"), col("eq"),
+        sqrt(((d("n_a") - 1.0) * col("va") + (d("n_b") - 1.0) * col("vb"))
+          / (d("n_a") + d("n_b") - 2.0)).as("sp"))
+      .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"),
+        when(col("sp") === 0.0, lit(null))
+          .otherwise(round((col("ma") - col("mb")) / col("sp"), 4))
+          .as("cohen_d"),
+        when(col("sp") === 0.0, lit(null))
+          .otherwise(round((col("ma") - col("mb")) / col("sp") *
+            (lit(1.0) - lit(3.0) /
+              (lit(4.0) * (d("n_a") + d("n_b")) - 9.0)), 4))
+          .as("hedges_g"),
+        // δ = (#gt − #lt)/(na·nb); #lt = na·nb − #gt − #eq
+        round((d(col("gt")) * 2 + d(col("eq"))
+          - d("n_a") * d("n_b")) / (d("n_a") * d("n_b")), 6)
+          .as("cliffs_delta"))
+      .orderBy(col("t_a"), col("t_b"))
+  }
+
+  val effectSizesSql: String =
+    """WITH q AS (
+      |  SELECT event_type AS g,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |c AS (SELECT g, v, count(*) AS cnt FROM q GROUP BY g, v),
+      |mo AS (
+      |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+      |    sum(CAST(cnt AS HUGEINT) * v) AS s,
+      |    sum(CAST(cnt AS HUGEINT) * v * v) AS ss
+      |  FROM c GROUP BY g HAVING sum(cnt) >= 2),
+      |dense AS (
+      |  SELECT vv.v, mo.g, coalesce(c.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT v FROM c) vv
+      |  CROSS JOIN (SELECT g FROM mo) mo
+      |  LEFT JOIN c ON c.g = mo.g AND c.v = vv.v),
+      |cdf AS (
+      |  SELECT v, g, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS lt
+      |  FROM dense),
+      |pc AS (
+      |  SELECT a.g AS t_a, b.g AS t_b,
+      |    sum(CAST(a.cnt AS HUGEINT) * b.lt) AS gt,
+      |    sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS eq
+      |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+      |  GROUP BY a.g, b.g),
+      |j AS (
+      |  SELECT t_a, t_b, ma.n AS n_a, mb.n AS n_b,
+      |    CAST(ma.s AS DOUBLE) / CAST(ma.n AS DOUBLE) AS mma,
+      |    CAST(mb.s AS DOUBLE) / CAST(mb.n AS DOUBLE) AS mmb,
+      |    (CAST(ma.ss AS DOUBLE)
+      |      - CAST(ma.s AS DOUBLE) * CAST(ma.s AS DOUBLE) / CAST(ma.n AS DOUBLE))
+      |      / (CAST(ma.n AS DOUBLE) - 1.0) AS va,
+      |    (CAST(mb.ss AS DOUBLE)
+      |      - CAST(mb.s AS DOUBLE) * CAST(mb.s AS DOUBLE) / CAST(mb.n AS DOUBLE))
+      |      / (CAST(mb.n AS DOUBLE) - 1.0) AS vb,
+      |    gt, eq
+      |  FROM pc JOIN mo ma ON pc.t_a = ma.g JOIN mo mb ON pc.t_b = mb.g),
+      |sp AS (
+      |  SELECT t_a, t_b, n_a, n_b, mma, mmb, gt, eq,
+      |    sqrt(((CAST(n_a AS DOUBLE) - 1.0) * va
+      |      + (CAST(n_b AS DOUBLE) - 1.0) * vb)
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)) AS spd
+      |  FROM j)
+      |SELECT t_a, t_b, n_a, n_b,
+      |  CASE WHEN spd = 0.0 THEN NULL
+      |    ELSE round((mma - mmb) / spd, 4) END AS cohen_d,
+      |  CASE WHEN spd = 0.0 THEN NULL
+      |    ELSE round((mma - mmb) / spd
+      |      * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |          - 9.0)), 4) END AS hedges_g,
+      |  round((CAST(gt AS DOUBLE) * 2 + CAST(eq AS DOUBLE)
+      |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS cliffs_delta
+      |FROM sp ORDER BY t_a, t_b""".stripMargin
+
   // ------------------------------------------------ split conformal
 
   /** Residual domain is order-price-like cents; 2¹² keeps both rank

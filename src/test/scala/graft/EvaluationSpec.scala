@@ -182,6 +182,39 @@ class EvaluationSpec extends AnyFunSuite {
       val j = r.getAs[Double]("jsd"); j >= 0 && j <= math.log(2) + 1e-9 })
   }
 
+  test("effectSizes: hand-computed d, g and delta; disjoint groups saturate delta") {
+    import spark.implicits._
+    // a = {0,2}, b = {1,3}: means 1 vs 2, va = vb = 2 → sp = √2
+    // d = −1/√2 = −0.7071; g = d·(1 − 3/(4·4−9)) = d·4/7 = −0.4041
+    // pairs: (0<1),(0<3),(2>1),(2<3) → gt=1, lt=3, eq=0 → δ = −0.5
+    val planted = Seq(("a", 0L), ("a", 2L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    val r = ops.Evaluation.effectSizes(planted, "g", "v").collect()(0)
+    assert(r.getAs[String]("t_a") == "a" && r.getAs[String]("t_b") == "b")
+    assert(r.getAs[Double]("cohen_d") ==
+      BigDecimal(-1.0 / math.sqrt(2.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("hedges_g") ==
+      BigDecimal(-1.0 / math.sqrt(2.0) * (1.0 - 3.0 / 7.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("cliffs_delta") == -0.5)
+    // fully separated groups: δ = ±1 regardless of the gap size
+    val sep = Seq(("lo", 1L), ("lo", 2L), ("hi", 100L), ("hi", 200L))
+      .toDF("g", "v")
+    val s = ops.Evaluation.effectSizes(sep, "g", "v").collect()(0)
+    assert(s.getAs[Double]("cliffs_delta") == 1.0) // t_a="hi" > t_b="lo"
+    // zero pooled variance → NULL d/g, δ still defined (all ties → 0)
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val f = ops.Evaluation.effectSizes(flat, "g", "v").collect()(0)
+    assert(f.isNullAt(4) && f.isNullAt(5) &&
+      f.getAs[Double]("cliffs_delta") == 0.0)
+    // corpus: all C(5,2)=10 pairs, δ within [−1,1]
+    val corpus = ops.Evaluation.effectSizes(spark, sfDir).collect()
+    assert(corpus.length == 10)
+    assert(corpus.forall { r =>
+      val dd = r.getAs[Double]("cliffs_delta"); dd >= -1 && dd <= 1 })
+  }
+
   test("splitConformal: perfect fit collapses the band; driver-model law agrees exactly") {
     import spark.implicits._
     def bucket(key: Long): Long = ((key % 1000000007L) * 2654435761L) % 10L
