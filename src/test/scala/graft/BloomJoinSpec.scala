@@ -59,4 +59,29 @@ class BloomJoinSpec extends AnyFunSuite {
     val corpus = ops.BloomJoin.bloomSemiJoin(spark, sfDir).collect()
     assert(corpus.length == 5 && corpus.map(_.getAs[Long]("n_orders")).sum > 0)
   }
+
+  test("bloomSemiJoin: probe survives in shuffle-join mode — the shape it exists for") {
+    // with broadcast off (the over-the-ceiling dim scenario), the plan
+    // must keep the codegen probe on the fact side AND fall back to a
+    // shuffled semi join — the bloom cuts the exchange, the join keeps
+    // exactness
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = ops.BloomJoin.bloomSemiJoin(spark, sfDir)
+      val plan = q.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("bloom_might_contain"),
+        s"probe lost in shuffle mode:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled semi join with broadcast disabled:\n$plan")
+      // and the result is unchanged from the broadcast-mode run
+      val rows = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val bc = ops.BloomJoin.bloomSemiJoin(spark, sfDir).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == bc, "join strategy changed the answer")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

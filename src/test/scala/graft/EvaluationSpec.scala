@@ -182,6 +182,45 @@ class EvaluationSpec extends AnyFunSuite {
       val j = r.getAs[Double]("jsd"); j >= 0 && j <= math.log(2) + 1e-9 })
   }
 
+  test("laws: AUC monotone-invariance and label-flip complement; PSI swap symmetry") {
+    import spark.implicits._
+    // AUC depends only on the score ORDER: any strictly increasing
+    // transform leaves it bit-identical (ranks are unchanged)
+    val rows = (0L until 200L).map(i =>
+      ("a", (i * 2654435761L) % 97L, i % 3 == 0)).toDF("g", "v", "y")
+    val a1 = ops.Evaluation.auc(rows, "g", "v", "y", 16L)
+      .collect()(0).getAs[Double]("auc")
+    val mono = rows.select(col("g"), (col("v") * 3 + 7).as("v"), col("y"))
+    val a2 = ops.Evaluation.auc(mono, "g", "v", "y", 16L)
+      .collect()(0).getAs[Double]("auc")
+    assert(a1 == a2, s"monotone transform moved AUC: $a1 vs $a2")
+    // flipping the labels complements the AUC exactly (U-identity)
+    val flipped = rows.select(col("g"), col("v"), (!col("y")).as("y"))
+    val a3 = ops.Evaluation.auc(flipped, "g", "v", "y", 16L)
+      .collect()(0).getAs[Double]("auc")
+    assert(math.abs(a1 + a3 - 1.0) < 2e-6, s"complement broken: $a1 + $a3")
+    // PSI is swap-symmetric: each term (p−q)·ln(p/q) is invariant
+    // under exchanging the populations
+    val pop = (0L until 300L).map(i =>
+      ((i * 31L) % 7L, i % 2 == 0)).toDF("bin", "base")
+    val p1 = ops.Evaluation.psi(pop, "bin", "base").collect()
+      .head.getAs[Double]("psi")
+    val swapped = pop.select(col("bin"), (!col("base")).as("base"))
+    val p2 = ops.Evaluation.psi(swapped, "bin", "base").collect()
+      .head.getAs[Double]("psi")
+    assert(p1 == p2, s"PSI swap symmetry broken: $p1 vs $p2")
+    // Cliff's delta is antisymmetric under group exchange: relabel so
+    // the pair order flips and the sign must flip with it
+    val ab = Seq(("a", 1L), ("a", 5L), ("b", 2L), ("b", 9L)).toDF("g", "v")
+    val ba = ab.select(when(col("g") === "a", "z").otherwise("b").as("g"),
+      col("v"))
+    val d1 = ops.Evaluation.effectSizes(ab, "g", "v")
+      .collect()(0).getAs[Double]("cliffs_delta")
+    val d2 = ops.Evaluation.effectSizes(ba, "g", "v")
+      .collect()(0).getAs[Double]("cliffs_delta")
+    assert(d1 == -d2, s"delta antisymmetry broken: $d1 vs $d2")
+  }
+
   test("effectSizes: hand-computed d, g and delta; disjoint groups saturate delta") {
     import spark.implicits._
     // a = {0,2}, b = {1,3}: means 1 vs 2, va = vb = 2 → sp = √2
