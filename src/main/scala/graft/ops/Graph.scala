@@ -1218,14 +1218,19 @@ object Graph {
         // pairs ride as ONE packed BIGINT (items are sorted, ids fit
         // 32 bits by the key-domain contract) — ~20% off the hot
         // aggregate vs a 2-field struct key (no per-pair struct
-        // allocation, cheaper hash), unpacked after the shuffle
+        // allocation, cheaper hash), unpacked after the shuffle.
+        // TWO-STAGE explode: materializing the full n²/2 pair array
+        // per basket (flatten-of-nested-transform) allocates the
+        // whole quadratic buffer at once; exploding the anchor index
+        // first keeps each allocation to one i-suffix slice
         .select(
           expr("CAST(round(1e6 / ln(CAST(size(items) AS DOUBLE))) AS BIGINT)")
             .as("w_micro"),
+          col("items"),
+          explode(expr("sequence(0, size(items) - 2)")).as("i"))
+        .select(col("w_micro"),
           explode(expr(
-            """flatten(transform(sequence(0, size(items) - 2),
-              |  i -> transform(sequence(i + 1, size(items) - 1),
-              |    j -> items[i] * 4294967296L + items[j])))""".stripMargin))
+            "transform(sequence(i + 1, size(items) - 1), j -> items[i] * 4294967296L + items[j])"))
             .as("pk"))
         .groupBy(col("pk"))
         .agg(count(lit(1)).as("n"), sum(col("w_micro")).as("aa_micro"))
