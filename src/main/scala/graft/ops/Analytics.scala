@@ -648,10 +648,12 @@ object Analytics {
     val pairs = b.groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("tk"))
       .filter(size(col("tk")) >= 2)
+      // two-stage explode: anchor index first, then only the i-suffix
+      // slice — never the full n²/2 pair array in one buffer
+      .select(col("tk"), explode(expr("sequence(0, size(tk) - 2)")).as("i"))
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(tk) - 2),
-          |  i -> transform(sequence(i + 1, size(tk) - 1),
-          |    j -> named_struct('a', tk[i], 'b', tk[j]))))""".stripMargin)).as("p"))
+        "transform(sequence(i + 1, size(tk) - 1), j -> named_struct('a', tk[i], 'b', tk[j]))"))
+        .as("p"))
       .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
     val pc = pairs.groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("pair_cnt"))

@@ -170,10 +170,10 @@ object Graph {
     try {
       val shared = baskets
         .filter(size(col("items")) >= 2)
+        .select(col("items"),
+          explode(expr("sequence(0, size(items) - 2)")).as("i"))
         .select(explode(expr(
-          """flatten(transform(sequence(0, size(items) - 2),
-            |  i -> transform(sequence(i + 1, size(items) - 1),
-            |    j -> named_struct('a', items[i], 'b', items[j]))))""".stripMargin))
+          "transform(sequence(i + 1, size(items) - 1), j -> named_struct('a', items[i], 'b', items[j]))"))
           .as("p"))
         .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
         .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("shared_cust"))
@@ -701,10 +701,10 @@ object Graph {
     ecols.join(keep, Seq("c"), "left_semi")
       .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
       .filter(size(col("items")) >= 2)
+      .select(col("items"),
+        explode(expr("sequence(0, size(items) - 2)")).as("i"))
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(items) - 2),
-          |  i -> transform(sequence(i + 1, size(items) - 1),
-          |    j -> named_struct('a', items[i], 'b', items[j]))))""".stripMargin))
+        "transform(sequence(i + 1, size(items) - 1), j -> named_struct('a', items[i], 'b', items[j]))"))
         .as("p"))
       .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
       .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("n"))
@@ -1123,11 +1123,11 @@ object Graph {
       // the weight is row-local: deg(c) IS this basket's size
       .select(expr("CAST(round(1e6 / ln(CAST(size(items) AS DOUBLE))) AS BIGINT)")
           .as("w_micro"),
-        explode(expr(
-          """flatten(transform(sequence(0, size(items) - 2),
-            |  i -> transform(sequence(i + 1, size(items) - 1),
-            |    j -> named_struct('a', items[i], 'b', items[j]))))""".stripMargin))
-          .as("p"))
+        col("items"),
+        explode(expr("sequence(0, size(items) - 2)")).as("i"))
+      .select(col("w_micro"), explode(expr(
+        "transform(sequence(i + 1, size(items) - 1), j -> named_struct('a', items[i], 'b', items[j]))"))
+        .as("p"))
       .select(col("p.a").as("s_a"), col("p.b").as("s_b"), col("w_micro"))
       .groupBy(col("s_a"), col("s_b"))
       .agg(count(lit(1)).as("common_customers"),
