@@ -766,4 +766,88 @@ object Curation {
       |JOIN sq ON d.source = sq.source AND d.bin = sq.bin
       |JOIN gq ON d.bin = gq.bin
       |ORDER BY doc_id""".stripMargin
+
+  /** k-anonymity / l-diversity audit — the release-safety companion
+    * to [[graft.ops.TextAnalysis.piiRedact]]: group the table by its
+    * quasi-identifier columns, measure each equivalence class's size
+    * `k` (how many records are indistinguishable) and its sensitive-
+    * attribute diversity `l` (how many distinct sensitive values hide
+    * inside), and report the CLASS-SIZE BANDS a privacy review reads:
+    * classes and rows at k=1 (unique — re-identifiable outright),
+    * 2–4, 5–9, 10–49, 50+, each with the band's worst and average
+    * diversity. `pct_rows_bp` makes "what fraction of the table sits
+    * below k=5" a one-glance number.
+    *
+    * Everything is exact integers (average l in milli-units via
+    * truncating division). Shape: ONE keyed aggregation to the
+    * class frame (the only corpus shuffle — map-side combinable),
+    * then band folds on the |classes|-bounded frame; totals reach the
+    * bands via a broadcast 1-row cross join.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("qi1"),
+      col("c_nationkey").cast("long").as("qi2"),
+      // sensitive attribute: the balance band a release would leak
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("sens"))
+    kAnonymity(c, Seq("qi1", "qi2"), "sens")
+  }
+
+  /** DataFrame-first form over any (quasi-identifiers…, sensitive)
+    * frame.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String],
+                 sensCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity: need at least one quasi-identifier")
+    val classes = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("k"), countDistinct(col(sensCol)).as("l"))
+    val banded = classes.select(
+      when(col("k") === 1, 0).when(col("k") < 5, 1).when(col("k") < 10, 2)
+        .when(col("k") < 50, 3).otherwise(4).as("band_id"),
+      col("k"), col("l"))
+    val tot = banded.agg(sum(col("k")).as("n_total"))
+    banded
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        min(col("l")).as("min_l"),
+        expr("sum(l) * 1000 div count(1)").as("avg_l_milli"))
+      .crossJoin(broadcast(tot))
+      .select(col("band_id"),
+        element_at(lit(Array("k=1", "k=2-4", "k=5-9", "k=10-49", "k=50+")),
+          col("band_id") + 1).as("k_band"),
+        col("n_classes"), col("n_rows"), col("min_k"), col("max_k"),
+        col("min_l"), col("avg_l_milli"),
+        expr("n_rows * 10000 div n_total").as("pct_rows_bp"))
+      .orderBy(col("band_id"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS qi1, CAST(c_nationkey AS BIGINT) AS qi2,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |         WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+      |  FROM customer),
+      |cls AS (
+      |  SELECT qi1, qi2, count(*) AS k, count(DISTINCT sens) AS l
+      |  FROM c GROUP BY qi1, qi2),
+      |b AS (
+      |  SELECT CASE WHEN k = 1 THEN 0 WHEN k < 5 THEN 1 WHEN k < 10 THEN 2
+      |    WHEN k < 50 THEN 3 ELSE 4 END AS band_id, k, l
+      |  FROM cls),
+      |t AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM b),
+      |a AS (
+      |  SELECT band_id, count(*) AS n_classes,
+      |    CAST(sum(k) AS BIGINT) AS n_rows,
+      |    CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+      |    CAST(min(l) AS BIGINT) AS min_l,
+      |    CAST(sum(l) * 1000 // count(*) AS BIGINT) AS avg_l_milli
+      |  FROM b GROUP BY band_id)
+      |SELECT band_id,
+      |  ['k=1', 'k=2-4', 'k=5-9', 'k=10-49', 'k=50+'][band_id + 1] AS k_band,
+      |  n_classes, n_rows, min_k, max_k, min_l, avg_l_milli,
+      |  CAST(n_rows * 10000 // n_total AS BIGINT) AS pct_rows_bp
+      |FROM a, t ORDER BY band_id""".stripMargin
 }

@@ -212,4 +212,37 @@ class CurationSpec extends AnyFunSuite {
       .filter((col("n_hits") > 0) =!= (col("contaminated") === 1)).count()
     assert(mismatch == 0, "span report disagrees with the contamination flags")
   }
+
+  test("kAnonymity: planted classes land in their bands with exact k and l") {
+    import spark.implicits._
+    // classes: a→k=1, b→k=3 (l=2), c→k=7, d→k=20, e→k=60 — one per band
+    val rows =
+      Seq(("a", "s1")) ++
+      Seq(("b", "x"), ("b", "x"), ("b", "y")) ++
+      (1 to 7).map(i => ("c", s"v${i % 3}")) ++
+      (1 to 20).map(_ => ("d", "same")) ++
+      (1 to 60).map(i => ("e", s"w${i % 5}"))
+    val got = ops.Curation.kAnonymity(rows.toDF("qi", "sens"),
+        Seq("qi"), "sens").collect()
+      .map(r => r.getAs[Int]("band_id") -> r).toMap
+    assert(got.keySet == Set(0, 1, 2, 3, 4))
+    assert(got(0).getAs[Long]("n_rows") == 1L &&
+      got(0).getAs[Long]("min_l") == 1L)
+    assert(got(1).getAs[Long]("n_rows") == 3L &&
+      got(1).getAs[Long]("min_l") == 2L &&
+      got(1).getAs[Long]("avg_l_milli") == 2000L)
+    assert(got(2).getAs[Long]("min_k") == 7L &&
+      got(2).getAs[Long]("min_l") == 3L)
+    assert(got(3).getAs[Long]("n_rows") == 20L &&
+      got(3).getAs[Long]("min_l") == 1L) // 20 identical sensitives: l=1
+    assert(got(4).getAs[Long]("max_k") == 60L &&
+      got(4).getAs[Long]("min_l") == 5L)
+    // pct closes over the table: 1+3+7+20+60 = 91 rows
+    assert(got(0).getAs[Long]("pct_rows_bp") == 10000L * 1 / 91)
+    assert(got(4).getAs[Long]("pct_rows_bp") == 10000L * 60 / 91)
+    // corpus smoke: bands ordered, rows partition the table
+    val corpus = ops.Curation.kAnonymity(spark, sfDir).collect()
+    val total = corpus.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.customer(spark, sfDir).count())
+  }
 }
