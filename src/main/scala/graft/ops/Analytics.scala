@@ -840,21 +840,27 @@ object Analytics {
   def holtForecast(spark: SparkSession, dir: String): DataFrame =
     holtForecast(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
 
-  /** DataFrame-first form; series must have ≥ 2 observed months. */
-  def holtForecast(orders: DataFrame, dateCol: String,
-                   priceCol: String): DataFrame = {
+  /** The Holt double-exponential state fold over the sorted month
+    * array `a` — shared by [[holtForecast]] and [[forecastEval]].
+    */
+  private[ops] val HoltStateFold: String = {
     def fdiv10(x: String) = s"(($x) DIV 10)"
     val lt = fdiv10("2 * x.c + 8 * (acc.lp + acc.bp)")
     val bt = fdiv10(s"3 * ($lt - acc.lp) + 7 * acc.bp")
-    val fold =
-      s"""aggregate(
-         |  slice(a, 3, greatest(size(a) - 2, 0)),
-         |  named_struct('lp', a[1].c, 'bp', a[1].c - a[0].c,
-         |               'sae', CAST(0 AS BIGINT)),
-         |  (acc, x) -> named_struct(
-         |    'lp', $lt,
-         |    'bp', $bt,
-         |    'sae', acc.sae + abs(x.c - (acc.lp + acc.bp))))""".stripMargin
+    s"""aggregate(
+       |  slice(a, 3, greatest(size(a) - 2, 0)),
+       |  named_struct('lp', a[1].c, 'bp', a[1].c - a[0].c,
+       |               'sae', CAST(0 AS BIGINT)),
+       |  (acc, x) -> named_struct(
+       |    'lp', $lt,
+       |    'bp', $bt,
+       |    'sae', acc.sae + abs(x.c - (acc.lp + acc.bp))))""".stripMargin
+  }
+
+  /** DataFrame-first form; series must have ≥ 2 observed months. */
+  def holtForecast(orders: DataFrame, dateCol: String,
+                   priceCol: String): DataFrame = {
+    val fold = HoltStateFold
     orders
       .select(date_trunc("month", col(dateCol)).cast("date").as("m"),
         cents(col(priceCol)).as("pc"))
@@ -877,6 +883,107 @@ object Analytics {
     * nested subquery computes l_t once so b_t can reference it; `//`
     * floors negatives exactly like the Spark pmod form).
     */
+  /** Forecast-accuracy report for the Holt model: MASE against the
+    * one-step naive (the Hyndman–Koehler 2006 denominator — MASE < 1
+    * means the model beats "tomorrow equals today") and against the
+    * seasonal-12 naive, from EXACT integer error sums: the Holt
+    * in-sample absolute-error sum falls out of the same state fold
+    * the forecaster runs ([[HoltStateFold]]), the naive sums are
+    * row-local folds over the sorted month array, and each MASE is
+    * ONE division of exact integer cross-products. Seasonal columns
+    * are NULL when the series is shorter than a season (never a
+    * divide-by-zero).
+    *
+    * Scale posture: identical to [[holtForecast]] — one keyed month
+    * aggregate, then a single-row bounded frame.
+    */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame =
+    forecastEval(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** DataFrame-first form; series must have ≥ 3 observed months. */
+  def forecastEval(orders: DataFrame, dateCol: String,
+                   priceCol: String): DataFrame =
+    orders
+      .select(date_trunc("month", col(dateCol)).cast("date").as("m"),
+        cents(col(priceCol)).as("pc"))
+      .groupBy(col("m")).agg(sum(col("pc")).as("c"))
+      .agg(sort_array(collect_list(struct(col("m"), col("c")))).as("a"))
+      .select(expr(HoltStateFold).as("st"),
+        expr("CAST(size(a) AS BIGINT)").as("n_months"),
+        expr("CAST(greatest(size(a) - 2, 0) AS BIGINT)").as("n_fit"),
+        expr("""aggregate(sequence(1, size(a) - 1), CAST(0 AS BIGINT),
+                (acc, i) -> acc + abs(a[i].c - a[i-1].c))""").as("nae1"),
+        expr("""CASE WHEN size(a) > 12 THEN
+                  aggregate(sequence(12, size(a) - 1), CAST(0 AS BIGINT),
+                    (acc, i) -> acc + abs(a[i].c - a[i-12].c))
+                ELSE NULL END""").as("nae12"))
+      .select(col("n_months"), col("n_fit"),
+        col("st.sae").as("sae_cents"),
+        expr("st.sae div greatest(n_fit, 1)").as("mae_holt_cents"),
+        expr("nae1 div (n_months - 1)").as("mae_naive_cents"),
+        when(col("nae1") === 0, lit(null)).otherwise(
+          round(col("st.sae").cast("double") * (col("n_months") - 1)
+            / (col("nae1").cast("double") * greatest(col("n_fit"), lit(1L))),
+            4)).as("mase"),
+        expr("CASE WHEN nae12 IS NULL THEN NULL " +
+          "ELSE nae12 div (n_months - 12) END").as("mae_snaive_cents"),
+        when(col("nae12").isNull || col("nae12") === 0, lit(null)).otherwise(
+          round(col("st.sae").cast("double") * (col("n_months") - 12)
+            / (col("nae12").cast("double") * greatest(col("n_fit"), lit(1L))),
+            4)).as("mase_seasonal"))
+
+  val forecastEvalSql: String =
+    """WITH RECURSIVE mo AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS c
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT m, c, row_number() OVER (ORDER BY m) AS i FROM mo),
+      |nn AS (SELECT count(*) AS n FROM idx),
+      |hw AS (
+      |  SELECT 2 AS i,
+      |         (SELECT c FROM idx WHERE i = 2) AS lp,
+      |         (SELECT c FROM idx WHERE i = 2)
+      |           - (SELECT c FROM idx WHERE i = 1) AS bp,
+      |         CAST(0 AS BIGINT) AS sae
+      |  UNION ALL
+      |  SELECT s.i, s.lt, (3 * (s.lt - s.lp) + 7 * s.bp) // 10,
+      |         s.sae + abs(s.c - (s.lp + s.bp))
+      |  FROM (
+      |    SELECT hw.i + 1 AS i, idx.c AS c, hw.lp AS lp, hw.bp AS bp,
+      |           hw.sae AS sae,
+      |           (2 * idx.c + 8 * (hw.lp + hw.bp)) // 10 AS lt
+      |    FROM hw JOIN idx ON idx.i = hw.i + 1
+      |  ) s
+      |),
+      |fin AS (SELECT sae FROM hw WHERE i = (SELECT n FROM nn)),
+      |nv AS (
+      |  SELECT
+      |    CAST(sum(abs(c - prev)) FILTER (prev IS NOT NULL) AS BIGINT)
+      |      AS nae1,
+      |    CAST(sum(abs(c - prev12)) FILTER (prev12 IS NOT NULL) AS BIGINT)
+      |      AS nae12,
+      |    CAST(count(*) FILTER (prev12 IS NOT NULL) AS BIGINT) AS n12
+      |  FROM (
+      |    SELECT c, lag(c) OVER (ORDER BY i) AS prev,
+      |           lag(c, 12) OVER (ORDER BY i) AS prev12
+      |    FROM idx))
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CAST(greatest(n - 2, 0) AS BIGINT) AS n_fit,
+      |  CAST(sae AS BIGINT) AS sae_cents,
+      |  CAST(sae // greatest(n - 2, 1) AS BIGINT) AS mae_holt_cents,
+      |  CAST(nae1 // (n - 1) AS BIGINT) AS mae_naive_cents,
+      |  CASE WHEN nae1 = 0 THEN NULL
+      |    ELSE round(CAST(sae AS DOUBLE) * (n - 1)
+      |      / (CAST(nae1 AS DOUBLE) * greatest(n - 2, 1)), 4) END AS mase,
+      |  CASE WHEN n12 = 0 THEN NULL
+      |    ELSE CAST(nae12 // n12 AS BIGINT) END AS mae_snaive_cents,
+      |  CASE WHEN n12 = 0 OR nae12 = 0 THEN NULL
+      |    ELSE round(CAST(sae AS DOUBLE) * n12
+      |      / (CAST(nae12 AS DOUBLE) * greatest(n - 2, 1)), 4)
+      |  END AS mase_seasonal
+      |FROM fin, nn, nv""".stripMargin
+
   val holtForecastSql: String =
     """WITH RECURSIVE mo AS (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,

@@ -411,6 +411,35 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("forecastEval: zero-error trend scores MASE 0; naive denominators exact") {
+    import spark.implicits._
+    def dm(y: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"$y-$m%02d-15 00:00:00")
+    // 20 months of a perfect +100-cent trend: Holt tracks it exactly
+    val months = (0 until 20).map(t => dm(2020 + t / 12, t % 12 + 1) ->
+      (1.0 * (t + 1)))
+    val got = ops.Analytics.forecastEval(months.toDF("dt", "price"),
+      "dt", "price").collect()(0)
+    assert(got.getAs[Long]("n_months") == 20L &&
+      got.getAs[Long]("n_fit") == 18L)
+    assert(got.getAs[Long]("sae_cents") == 0L)
+    assert(got.getAs[Double]("mase") == 0.0)
+    assert(got.getAs[Long]("mae_naive_cents") == 100L)  // |Δ| = 100 always
+    assert(got.getAs[Long]("mae_snaive_cents") == 1200L) // 12-month gap
+    assert(got.getAs[Double]("mase_seasonal") == 0.0)
+    // a short series (≤ 12 months) nulls the seasonal columns
+    val short = months.take(6)
+    val s = ops.Analytics.forecastEval(short.toDF("dt", "price"),
+      "dt", "price").collect()(0)
+    assert(s.isNullAt(s.fieldIndex("mae_snaive_cents")) &&
+      s.isNullAt(s.fieldIndex("mase_seasonal")))
+    // corpus: MASE well-defined and the integer identities close
+    val corpus = ops.Analytics.forecastEval(spark, sfDir).collect()(0)
+    assert(corpus.getAs[Long]("mae_holt_cents") ==
+      corpus.getAs[Long]("sae_cents") / corpus.getAs[Long]("n_fit"))
+    assert(corpus.getAs[Double]("mase") > 0)
+  }
+
   test("abcXyz: planted parts hit the exact class grid incl. both threshold edges") {
     import spark.implicits._
     import java.sql.Date
