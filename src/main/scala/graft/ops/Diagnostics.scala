@@ -1091,6 +1091,127 @@ object Diagnostics {
       .orderBy(col("g"))
   }
 
+  /** Difference-in-differences — the 2×2 panel estimator
+    * `(T_post − T_pre) − (C_post − C_pre)`, with the classic
+    * unpooled standard error `√(Σ_cells v/n)` and a t statistic.
+    * The four cells' moments are exact integers (cents,
+    * DECIMAL(38,0) squares); one keyed aggregation, then a 4-row
+    * frame pivots row-locally — no joins at all after the fold.
+    * NULL t when any cell has n < 2 (no sample variance).
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).join(
+        Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        (col("o_orderdate") >= lit("1998-07-01").cast("timestamp"))
+          .as("post"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    diffInDiff(o, "treated", "post", "v")
+  }
+
+  /** DataFrame-first form over (boolean treated, boolean post,
+    * integral outcome).
+    */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+                 vCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(vCol).cast("long")
+    val vd = v.cast(DecimalType(38, 0))
+    val cells = df.select(col(treatCol).cast("boolean").as("t"),
+        col(postCol).cast("boolean").as("p"), v.as("v"),
+        (vd * vd).as("v2"))
+      .groupBy(col("t"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v2")).as("ss"))
+    def cell(t: Boolean, p: Boolean, sfx: String) =
+      Seq(sum(when(col("t") === t && col("p") === p, col("n"))).as(s"n_$sfx"),
+        sum(when(col("t") === t && col("p") === p, col("s"))).as(s"s_$sfx"),
+        sum(when(col("t") === t && col("p") === p, col("ss"))).as(s"ss_$sfx"))
+    val aggs = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    val wide = cells.agg(aggs.head, aggs.tail: _*)
+    def m(sfx: String) = d(s"s_$sfx") / d(s"n_$sfx")
+    def va(sfx: String) =
+      (d(s"ss_$sfx") - d(s"s_$sfx") * d(s"s_$sfx") / d(s"n_$sfx")) /
+        (d(s"n_$sfx") - lit(1.0)) / d(s"n_$sfx")
+    val minN = least(col("n_tpre"), col("n_tpost"), col("n_cpre"),
+      col("n_cpost"))
+    wide.select(
+      col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+      round((m("tpost") - m("tpre")) / 100.0, 4).as("delta_treated"),
+      round((m("cpost") - m("cpre")) / 100.0, 4).as("delta_control"),
+      round(((m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))) / 100.0, 4)
+        .as("did"),
+      when(minN.isNull || minN < 2, lit(null)).otherwise(
+        round(((m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))) /
+          sqrt(va("tpre") + va("tpost") + va("cpre") + va("cpost")), 4))
+        .as("t_stat"))
+  }
+
+  private def d(name: String): org.apache.spark.sql.Column =
+    col(name).cast("double")
+
+  val diffInDiffSql: String =
+    """WITH j AS (
+      |  SELECT (c_mktsegment = 'BUILDING') AS t,
+      |    (o_orderdate >= TIMESTAMP '1998-07-01') AS p,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |c AS (
+      |  SELECT t, p, count(*) AS n, sum(v) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS ss
+      |  FROM j GROUP BY t, p),
+      |w AS (
+      |  SELECT
+      |    CAST(sum(n) FILTER (t AND NOT p) AS BIGINT) AS n_tpre,
+      |    CAST(sum(s) FILTER (t AND NOT p) AS BIGINT) AS s_tpre,
+      |    sum(ss) FILTER (t AND NOT p) AS ss_tpre,
+      |    CAST(sum(n) FILTER (t AND p) AS BIGINT) AS n_tpost,
+      |    CAST(sum(s) FILTER (t AND p) AS BIGINT) AS s_tpost,
+      |    sum(ss) FILTER (t AND p) AS ss_tpost,
+      |    CAST(sum(n) FILTER (NOT t AND NOT p) AS BIGINT) AS n_cpre,
+      |    CAST(sum(s) FILTER (NOT t AND NOT p) AS BIGINT) AS s_cpre,
+      |    sum(ss) FILTER (NOT t AND NOT p) AS ss_cpre,
+      |    CAST(sum(n) FILTER (NOT t AND p) AS BIGINT) AS n_cpost,
+      |    CAST(sum(s) FILTER (NOT t AND p) AS BIGINT) AS s_cpost,
+      |    sum(ss) FILTER (NOT t AND p) AS ss_cpost
+      |  FROM c)
+      |SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+      |  round((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+      |    - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)) / 100.0, 4)
+      |    AS delta_treated,
+      |  round((CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+      |    - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)) / 100.0, 4)
+      |    AS delta_control,
+      |  round(((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+      |    - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+      |    - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+      |      - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE))) / 100.0, 4)
+      |    AS did,
+      |  CASE WHEN least(n_tpre, n_tpost, n_cpre, n_cpost) < 2 THEN NULL
+      |    ELSE round(((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+      |      - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+      |      - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+      |        - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)))
+      |      / sqrt(
+      |        (CAST(ss_tpre AS DOUBLE) - CAST(s_tpre AS DOUBLE)
+      |          * CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+      |          / (CAST(n_tpre AS DOUBLE) - 1.0) / CAST(n_tpre AS DOUBLE)
+      |        + (CAST(ss_tpost AS DOUBLE) - CAST(s_tpost AS DOUBLE)
+      |          * CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE))
+      |          / (CAST(n_tpost AS DOUBLE) - 1.0) / CAST(n_tpost AS DOUBLE)
+      |        + (CAST(ss_cpre AS DOUBLE) - CAST(s_cpre AS DOUBLE)
+      |          * CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE))
+      |          / (CAST(n_cpre AS DOUBLE) - 1.0) / CAST(n_cpre AS DOUBLE)
+      |        + (CAST(ss_cpost AS DOUBLE) - CAST(s_cpost AS DOUBLE)
+      |          * CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE))
+      |          / (CAST(n_cpost AS DOUBLE) - 1.0) / CAST(n_cpost AS DOUBLE)),
+      |      4)
+      |  END AS t_stat
+      |FROM w""".stripMargin
+
   val winsorizeSql: String =
     """WITH q AS (
       |  SELECT c_mktsegment AS g,

@@ -390,6 +390,33 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("diffInDiff: hand-computed 2x2 estimate and t; degenerate cells go NULL") {
+    import spark.implicits._
+    // Δtreated = 45−15 = 30, Δcontrol = 25−15 = 10 → DiD 20¢ = $0.2
+    // each cell var 50, va = 25 → SE = 10 → t = 2.0
+    val planted = Seq(
+      (true, false, 10L), (true, false, 20L),
+      (true, true, 40L), (true, true, 50L),
+      (false, false, 10L), (false, false, 20L),
+      (false, true, 20L), (false, true, 30L)).toDF("t", "p", "v")
+    val r = ops.Diagnostics.diffInDiff(planted, "t", "p", "v").collect()(0)
+    assert(r.getAs[Double]("delta_treated") == 0.3)
+    assert(r.getAs[Double]("delta_control") == 0.1)
+    assert(r.getAs[Double]("did") == 0.2)
+    assert(r.getAs[Double]("t_stat") == 2.0)
+    // a 1-row cell has no variance: estimate survives, t goes NULL
+    val thin = Seq((true, false, 10L), (true, true, 40L),
+      (false, false, 10L), (false, true, 20L)).toDF("t", "p", "v")
+    val s = ops.Diagnostics.diffInDiff(thin, "t", "p", "v").collect()(0)
+    assert(s.getAs[Double]("did") == 0.2 &&
+      s.isNullAt(s.fieldIndex("t_stat")))
+    // corpus: all four cells populated, estimate finite
+    val corpus = ops.Diagnostics.diffInDiff(spark, sfDir).collect()(0)
+    assert(Seq("n_tpre", "n_tpost", "n_cpre", "n_cpost")
+      .forall(c => corpus.getAs[Long](c) > 0))
+    assert(!corpus.isNullAt(corpus.fieldIndex("t_stat")))
+  }
+
   test("winsorize: exact clamp bounds on 0..100; outlier-immune mean") {
     import spark.implicits._
     // 0..100 cents: p05=5, p95=95 land exactly on elements
