@@ -460,4 +460,84 @@ object Ranks {
       |                  / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6)
       |  END AS gini
       |FROM m ORDER BY nation""".stripMargin
+
+  /** Exact weighted median per group — the order statistic that
+    * `percentile_approx` only approximates and no built-in computes
+    * weighted: the smallest value whose CUMULATIVE WEIGHT reaches
+    * half the group total (`2·(ltw + wt) ≥ W`, exact integers, lower
+    * weighted median convention). Rides [[weightedPrefix]]'s
+    * two-level scan over the value census, so no per-row sort or
+    * window exists at any scale; the unweighted median comes from the
+    * same frame with cnt as the weight for contrast.
+    *
+    * Default: quantity-weighted median line price per return flag —
+    * "the price of the median shipped UNIT, not the median line".
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+      col("l_quantity").cast("long").as("w"))
+    weightedMedian(l, "g", "v", "w", PriceBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, value, integral weight)
+    * frame; rows with non-positive weight are excluded (a zero-weight
+    * observation cannot move a weighted order statistic).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, vCol: String,
+                     wCol: String, bucketWidth: Long): DataFrame = {
+    val census = df
+      .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("w")).as("wt"), count(lit(1)).as("cnt"))
+    val tot = census.groupBy(col("g"))
+      .agg(sum(col("wt")).as("tw"), sum(col("cnt")).as("n"))
+    val wm = weightedPrefix(census.select(col("g"), col("v"), col("wt")),
+        bucketWidth)
+      .join(tot, Seq("g"))
+      .filter(lit(2L) * (col("ltw") + col("wt")) >= col("tw"))
+      .groupBy(col("g")).agg(min(col("v")).as("wmedian_cents"))
+    val um = weightedPrefix(census.select(col("g"), col("v"),
+        col("cnt").as("wt")), bucketWidth)
+      .join(tot, Seq("g"))
+      .filter(lit(2L) * (col("ltw") + col("wt")) >= col("n"))
+      .groupBy(col("g")).agg(min(col("v")).as("median_cents"))
+    tot.join(wm, Seq("g")).join(um, Seq("g"))
+      .select(col("g"), col("n"), col("tw").as("total_weight"),
+        col("wmedian_cents"), col("median_cents"))
+      .orderBy(col("g"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem WHERE l_quantity > 0),
+      |c AS (
+      |  SELECT g, v, CAST(sum(w) AS BIGINT) AS wt, count(*) AS cnt
+      |  FROM q GROUP BY g, v),
+      |t AS (
+      |  SELECT g, CAST(sum(wt) AS BIGINT) AS tw,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM c GROUP BY g),
+      |pf AS (
+      |  SELECT g, v, wt, cnt,
+      |    sum(wt) OVER (PARTITION BY g ORDER BY v) - wt AS ltw,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS ltc
+      |  FROM c),
+      |wm AS (
+      |  SELECT pf.g, min(v) AS wmedian_cents
+      |  FROM pf JOIN t ON pf.g = t.g
+      |  WHERE 2 * (ltw + wt) >= tw GROUP BY pf.g),
+      |um AS (
+      |  SELECT pf.g, min(v) AS median_cents
+      |  FROM pf JOIN t ON pf.g = t.g
+      |  WHERE 2 * (ltc + cnt) >= n GROUP BY pf.g)
+      |SELECT t.g, n, tw AS total_weight, wmedian_cents, median_cents
+      |FROM t JOIN wm ON t.g = wm.g JOIN um ON t.g = um.g
+      |ORDER BY t.g""".stripMargin
 }

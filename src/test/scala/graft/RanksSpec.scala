@@ -167,4 +167,36 @@ class RanksSpec extends AnyFunSuite {
       assert(g >= 0.0 && g < 1.0)
     }
   }
+
+  test("weightedMedian: weight mass moves the statistic where counts cannot") {
+    import spark.implicits._
+    // values 10,20,30 with weights 1,1,8: half of W=10 is reached at
+    // v=30 (cum 2 < 5 before it) — but the UNWEIGHTED median is 20
+    val planted = Seq(("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 8L))
+      .toDF("g", "v", "w")
+    val r = ops.Ranks.weightedMedian(planted, "g", "v", "w", 16L)
+      .collect()(0)
+    assert(r.getAs[Long]("wmedian_cents") == 30L)
+    assert(r.getAs[Long]("median_cents") == 20L)
+    assert(r.getAs[Long]("total_weight") == 10L)
+    // exact half-crossing uses the LOWER convention: weights 1,1 on
+    // {10,20} → 2·(0+1) ≥ 2 already at v=10
+    val even = Seq(("a", 10L, 1L), ("a", 20L, 1L)).toDF("g", "v", "w")
+    val e = ops.Ranks.weightedMedian(even, "g", "v", "w", 16L).collect()(0)
+    assert(e.getAs[Long]("wmedian_cents") == 10L)
+    // zero/negative weights are excluded, not poison
+    val zw = Seq(("a", 10L, 0L), ("a", 20L, 3L), ("a", 5L, -1L))
+      .toDF("g", "v", "w")
+    val z = ops.Ranks.weightedMedian(zw, "g", "v", "w", 16L).collect()(0)
+    assert(z.getAs[Long]("wmedian_cents") == 20L &&
+      z.getAs[Long]("n") == 1L)
+    // corpus: per-flag rows; weighted and unweighted both inside the
+    // observed price range
+    val corpus = ops.Ranks.weightedMedian(spark, sfDir).collect()
+    assert(corpus.length == 3)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("wmedian_cents") > 0 &&
+        r.getAs[Long]("median_cents") > 0)
+    }
+  }
 }
