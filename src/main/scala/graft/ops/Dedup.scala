@@ -905,6 +905,49 @@ object Dedup {
     sortedNeighborhood(Tables.documents(spark, dir), "doc_id", "text",
       SnmWindow, SnmKeyLen, SnmBlockLen, 1, 2)
 
+  /** Normalized (doc_id, norm, toks) projection shared by the SNM
+    * passes.
+    */
+  private def snmBase(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        array_distinct(filter(split(col("norm"), " "),
+          t => length(t) > 0)).as("toks"))
+
+  /** One SNM pass: rank by `key` (two-level — bounded block-offset
+    * frame + in-block row_number, the window's partition key is the
+    * key's `blockLen` prefix), then emit each window candidate pair
+    * with its exact token-intersection counts. Returns
+    * (a_id, b_id, inter, stot) with a ranked strictly before b.
+    */
+  private def snmPairs(base: DataFrame, key: Column, window: Int,
+                       blockLen: Int): DataFrame = {
+    val keyed = base.select(col("doc_id"), col("toks"), key.as("key"))
+      .withColumn("blk", substring(col("key"), 1, blockLen))
+    val offsets = keyed.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        sum(col("bc")).over(Window.orderBy(col("blk"))) - col("bc"))
+      .select(col("blk"), col("off"))
+    val ranked = keyed.join(broadcast(offsets), Seq("blk"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id")))
+          .cast("long") + col("off"))
+      .select(col("doc_id"), col("rk"), col("toks"))
+    val probes = ranked.select(
+      col("doc_id").as("a_id"), col("toks").as("a_toks"),
+      explode(sequence(col("rk") + 1, col("rk") + (window - 1))).as("nr"))
+    probes.join(
+        ranked.select(col("rk").as("nr"), col("doc_id").as("b_id"),
+          col("toks").as("b_toks")), Seq("nr"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).as("inter"),
+        (size(col("a_toks")) + size(col("b_toks"))).as("stot"))
+  }
+
   /** DataFrame-first form; `thrNum/thrDen` is the exact rational
     * Jaccard threshold.
     */
@@ -916,35 +959,9 @@ object Dedup {
       s"sortedNeighborhood: blockLen=$blockLen vs keyLen=$keyLen")
     require(thrNum >= 0 && thrDen >= 1,
       s"sortedNeighborhood: threshold $thrNum/$thrDen")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        trim(regexp_replace(regexp_replace(lower(col(textCol)),
-          "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
-      .select(col("doc_id"),
-        substring(col("norm"), 1, keyLen).as("key"),
-        substring(col("norm"), 1, blockLen).as("blk"),
-        array_distinct(filter(split(col("norm"), " "),
-          t => length(t) > 0)).as("toks"))
-    // two-level global rank: bounded block-offset frame + in-block
-    // row_number (the window's partition key is the block)
-    val offsets = base.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
-      .withColumn("off",
-        sum(col("bc")).over(Window.orderBy(col("blk"))) - col("bc"))
-      .select(col("blk"), col("off"))
-    val ranked = base.join(broadcast(offsets), Seq("blk"))
-      .withColumn("rk",
-        row_number().over(
-          Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id")))
-          .cast("long") + col("off"))
-      .select(col("doc_id"), col("rk"), col("toks"))
-    val probes = ranked.select(
-      col("doc_id").as("a_id"), col("toks").as("a_toks"),
-      explode(sequence(col("rk") + 1, col("rk") + (window - 1))).as("nr"))
-    val pairs = probes.join(
-        ranked.select(col("rk").as("nr"), col("doc_id").as("b_id"),
-          col("toks").as("b_toks")), Seq("nr"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_toks"), col("b_toks"))).as("inter"),
-        (size(col("a_toks")) + size(col("b_toks"))).as("stot"))
+    val base = snmBase(docs, idCol, textCol)
+    val pairs = snmPairs(base, substring(col("norm"), 1, keyLen),
+      window, blockLen)
     val perDoc = pairs.groupBy(col("b_id"))
       .agg(count(lit(1)).as("n_cand"),
         min(when(col("inter") * (thrNum + thrDen) >= col("stot") * thrNum,
@@ -985,5 +1002,96 @@ object Dedup {
       |  CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
       |  dup_of, (dup_of IS NULL) AS kept
       |FROM t LEFT JOIN g ON t.doc_id = g.b_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** MULTI-PASS sorted-neighborhood — the production form (Hernández
+    * & Stolfo run several passes with different sort keys precisely
+    * because one key's sort can separate a true duplicate pair): a
+    * second pass keyed on the NEXT `keyLen` characters catches pairs
+    * whose prefixes diverge (a prepended header, a corrupted first
+    * line) but whose bodies agree. Candidate pairs from all passes
+    * are oriented by doc id (keeper = smaller id — pass-independent,
+    * so the verdict cannot depend on which pass found the pair),
+    * deduplicated exactly, and judged by the same integer Jaccard
+    * test. Still fully oracle-checked; pair volume stays ≤
+    * `passes·(window−1)·n` at any skew.
+    */
+  def snmMultipass(spark: SparkSession, dir: String): DataFrame =
+    snmMultipass(Tables.documents(spark, dir), "doc_id", "text",
+      SnmWindow, SnmKeyLen, SnmBlockLen, 1, 2)
+
+  /** DataFrame-first form; pass 1 keys on `norm[1..keyLen]`, pass 2
+    * on `norm[keyLen+1..2·keyLen]`.
+    */
+  def snmMultipass(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, keyLen: Int, blockLen: Int,
+                   thrNum: Int, thrDen: Int): DataFrame = {
+    require(window >= 2, s"snmMultipass: window=$window")
+    require(thrNum >= 0 && thrDen >= 1,
+      s"snmMultipass: threshold $thrNum/$thrDen")
+    val base = snmBase(docs, idCol, textCol)
+    val p1 = snmPairs(base, substring(col("norm"), 1, keyLen),
+      window, blockLen)
+    val p2 = snmPairs(base, substring(col("norm"), keyLen + 1, keyLen),
+      window, blockLen)
+    val cand = p1.union(p2)
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"),
+        col("inter"), col("stot"))
+      .distinct()
+    val perDoc = cand.groupBy(col("hi"))
+      .agg(count(lit(1)).as("n_cand"),
+        min(when(col("inter") * (thrNum + thrDen) >= col("stot") * thrNum,
+          col("lo"))).as("dup_of"))
+    base.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("hi"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val snmMultipassSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, substring(norm, 1, 16) AS k1,
+      |    substring(norm, 17, 16) AS k2,
+      |    list_distinct(list_filter(string_split(norm, ' '),
+      |      x -> x <> '')) AS toks
+      |  FROM b),
+      |r1 AS (
+      |  SELECT doc_id, toks,
+      |    row_number() OVER (ORDER BY k1, doc_id) AS rk
+      |  FROM t),
+      |p1 AS (
+      |  SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |    len(list_intersect(a.toks, bb.toks)) AS inter,
+      |    len(a.toks) + len(bb.toks) AS stot
+      |  FROM r1 a JOIN r1 bb ON bb.rk - a.rk BETWEEN 1 AND 3),
+      |r2 AS (
+      |  SELECT doc_id, toks,
+      |    row_number() OVER (ORDER BY k2, doc_id) AS rk
+      |  FROM t),
+      |p2 AS (
+      |  SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |    len(list_intersect(a.toks, bb.toks)) AS inter,
+      |    len(a.toks) + len(bb.toks) AS stot
+      |  FROM r2 a JOIN r2 bb ON bb.rk - a.rk BETWEEN 1 AND 3),
+      |u AS (
+      |  SELECT DISTINCT least(a_id, b_id) AS lo,
+      |    greatest(a_id, b_id) AS hi, inter, stot
+      |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+      |g AS (
+      |  SELECT hi, count(*) AS n_cand,
+      |    min(CASE WHEN 3 * inter >= stot THEN lo END) AS dup_of
+      |  FROM u GROUP BY hi)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+      |  dup_of, (dup_of IS NULL) AS kept
+      |FROM t LEFT JOIN g ON t.doc_id = g.hi
       |ORDER BY t.doc_id""".stripMargin
 }

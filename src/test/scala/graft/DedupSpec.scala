@@ -355,4 +355,36 @@ class DedupSpec extends AnyFunSuite {
     assert(corpus.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
     corpus.unpersist()
   }
+
+  test("snmMultipass: the second key catches a prefix-corrupted twin pass 1 misses") {
+    import spark.implicits._
+    // twins share chars 17+ but diverge in the first 16: pass 1 sorts
+    // them apart (separated by the spacer docs), pass 2 pairs them
+    val body = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"aaaaaaaaaaaaaaaa $body"),
+      (2L, s"cccc interleaved spacer one with totally other words"),
+      (3L, s"gggg another spacer document full of different tokens"),
+      (4L, s"mmmm third spacer text keeping the twins distant apart"),
+      (5L, s"zzzzzzzzzzzzzzzz $body")).toDF("doc_id", "text")
+    val single = ops.Dedup.sortedNeighborhood(docs, "doc_id", "text",
+      2, 16, 2, 1, 2).collect()
+    assert(single.forall(_.getBoolean(3)),
+      s"window-2 single pass should miss the distant twin")
+    val multi = ops.Dedup.snmMultipass(docs, "doc_id", "text",
+      2, 16, 2, 1, 2).collect()
+    val twin = multi.find(_.getLong(0) == 5L).get
+    assert(!twin.getBoolean(3) && twin.getLong(2) == 1L,
+      s"pass 2 should pair the twins: ${multi.toSeq}")
+    // keeper is the smaller id and never marked dup
+    assert(multi.find(_.getLong(0) == 1L).get.getBoolean(3))
+    // corpus: one row per doc; candidate degree bounded by
+    // 2·passes·(window−1) (each pass sees a doc in ≤ 2(w−1) pairs);
+    // dup_of always points at a smaller id (the id orientation)
+    val m = ops.Dedup.snmMultipass(spark, sfDir).cache()
+    assert(m.count() == Tables.documents(spark, sfDir).count())
+    assert(m.filter(col("n_cand") > 12).count() == 0)
+    assert(m.filter(col("dup_of") >= col("doc_id")).count() == 0)
+    m.unpersist()
+  }
 }
