@@ -778,6 +778,11 @@ object Evaluation {
       .select(col("g"), col("n_train"), (col("num") / col("den")).as("slope"),
         ((col("syd") - col("num") / col("den") * col("sxd"))
           / d(col("n_train"))).as("icept"))
+    // the residual frame appears twice in the final plan (calibration
+    // census, then the test fold) — deliberately NOT persisted:
+    // both references share one subplan, so the single collecting job
+    // reuses the exchange; an eager persist was measured SLOWER
+    // (extra materialization job + cache write for zero saved work)
     val scored = base.filter(col("part") =!= "train")
       .join(broadcast(fit), Seq("g"))
       .select(col("g"), col("part"), col("n_train"), col("slope"), col("icept"),

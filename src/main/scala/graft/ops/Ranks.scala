@@ -484,28 +484,45 @@ object Ranks {
   /** DataFrame-first form over a (group, value, integral weight)
     * frame; rows with non-positive weight are excluded (a zero-weight
     * observation cannot move a weighted order statistic).
+    *
+    * ONE two-level scan carries BOTH running sums (weight and count)
+    * — a high-cardinality value column (near-unique prices) makes the
+    * census corpus-sized, so scanning it twice through
+    * [[weightedPrefix]] would double the dominant cost; both medians
+    * then fall out of a single conditional-min aggregation.
     */
   def weightedMedian(df: DataFrame, groupCol: String, vCol: String,
                      wCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val census = df
       .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"),
         col(wCol).cast("long").as("w"))
       .filter(col("w") > 0)
       .groupBy(col("g"), col("v"))
       .agg(sum(col("w")).as("wt"), count(lit(1)).as("cnt"))
+    val b = census.withColumn("bk",
+      expr(s"CAST((v - pmod(v, $bucketWidth)) / $bucketWidth AS BIGINT)"))
+    val coarse = b.groupBy(col("g"), col("bk"))
+      .agg(sum(col("wt")).as("bw"), sum(col("cnt")).as("bc"))
+      .select(col("g"), col("bk"),
+        (sum(col("bw")).over(Window.partitionBy(col("g")).orderBy(col("bk")))
+          - col("bw")).as("cw"),
+        (sum(col("bc")).over(Window.partitionBy(col("g")).orderBy(col("bk")))
+          - col("bc")).as("cc"))
+    val fine = Window.partitionBy(col("g"), col("bk")).orderBy(col("v"))
     val tot = census.groupBy(col("g"))
       .agg(sum(col("wt")).as("tw"), sum(col("cnt")).as("n"))
-    val wm = weightedPrefix(census.select(col("g"), col("v"), col("wt")),
-        bucketWidth)
-      .join(tot, Seq("g"))
-      .filter(lit(2L) * (col("ltw") + col("wt")) >= col("tw"))
-      .groupBy(col("g")).agg(min(col("v")).as("wmedian_cents"))
-    val um = weightedPrefix(census.select(col("g"), col("v"),
-        col("cnt").as("wt")), bucketWidth)
-      .join(tot, Seq("g"))
-      .filter(lit(2L) * (col("ltw") + col("wt")) >= col("n"))
-      .groupBy(col("g")).agg(min(col("v")).as("median_cents"))
-    tot.join(wm, Seq("g")).join(um, Seq("g"))
+    b.join(coarse, Seq("g", "bk"))
+      .select(col("g"), col("v"), col("wt"), col("cnt"),
+        (col("cw") + sum(col("wt")).over(fine) - col("wt")).as("ltw"),
+        (col("cc") + sum(col("cnt")).over(fine) - col("cnt")).as("ltc"))
+      .join(broadcast(tot), Seq("g"))
+      .groupBy(col("g"), col("n"), col("tw"))
+      .agg(
+        min(when(lit(2L) * (col("ltw") + col("wt")) >= col("tw"), col("v")))
+          .as("wmedian_cents"),
+        min(when(lit(2L) * (col("ltc") + col("cnt")) >= col("n"), col("v")))
+          .as("median_cents"))
       .select(col("g"), col("n"), col("tw").as("total_weight"),
         col("wmedian_cents"), col("median_cents"))
       .orderBy(col("g"))
