@@ -172,6 +172,94 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** LCM of ranks 1..[[K]]: P@r denominators clear exactly, so AP@K
+    * accumulates as ONE integer per query.
+    */
+  private val ApLcm: Long = (1 to K).foldLeft(1L)((a, r) =>
+    a * r / BigInt(a).gcd(BigInt(r)).toLong)
+
+  /** The retrieval-metrics battery beside [[ndcgReport]]: per query,
+    * MRR (reciprocal rank of the first same-label neighbor), AP@K
+    * (mean of precision@r at each relevant rank — the exact-rational
+    * form: Σ cum·(LCM/r) folds as integers, one division at the
+    * end), and recall@K against the corpus-wide relevant count
+    * (label size − 1, capped at K — the best any K-list can do).
+    * Zero-relevant queries report NULL MRR/AP (undefined, not zero).
+    *
+    * Scale shape: [[knnBrute]]'s ranking + two broadcast label
+    * joins, a per-query K-row window (bounded by construction), and
+    * a |queries|-bounded aggregate.
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val labelCounts = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("label_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    knnBrute(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("ql"), col("rank"),
+        when(col("ql") === col("nl"), 1L).otherwise(0L).as("rel"))
+      .withColumn("cum", sum(col("rel")).over(w))
+      .groupBy(col("query_id"), col("ql"))
+      .agg(sum(col("rel")).as("n_relevant"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rank"),
+        sum(when(col("rel") === 1,
+          col("cum") * (lit(ApLcm) / col("rank")).cast("long"))
+          .otherwise(0L)).as("ap_num"))
+      .join(broadcast(labelCounts), col("ql") === col("label"))
+      .select(col("query_id"), col("n_relevant"),
+        col("first_rank").cast("int").as("first_rank"),
+        when(col("first_rank").isNull, lit(null))
+          .otherwise(round(lit(1.0) / col("first_rank"), 6)).as("rr"),
+        when(col("n_relevant") === 0, lit(null))
+          .otherwise(round(col("ap_num").cast("double") / ApLcm
+            / col("n_relevant"), 6)).as("ap_at_k"),
+        when(col("label_n") <= 1, lit(null)).otherwise(
+          round(col("n_relevant").cast("double") /
+            least(col("label_n") - 1, lit(K.toLong)).cast("double"), 6))
+          .as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val retrievalEvalSql: String =
+    s"""WITH $knnCtesSql,
+       |t AS (
+       |  SELECT r.qid, r.rank,
+       |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel,
+       |    ql.label AS qlabel
+       |  FROM r
+       |  JOIN embeddings ql ON ql.vec_id = r.qid
+       |  JOIN embeddings nl ON nl.vec_id = r.nid
+       |  WHERE r.rank <= $K),
+       |cm AS (
+       |  SELECT qid, rank, rel, qlabel,
+       |    sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum
+       |  FROM t),
+       |lc AS (SELECT label, count(*) AS label_n FROM embeddings GROUP BY label),
+       |a AS (
+       |  SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS n_relevant,
+       |    min(CASE WHEN rel = 1 THEN rank END) AS first_rank,
+       |    CAST(sum(CASE WHEN rel = 1 THEN cum * ($ApLcm // rank)
+       |      ELSE 0 END) AS BIGINT) AS ap_num
+       |  FROM cm GROUP BY qid, qlabel)
+       |SELECT qid AS query_id, n_relevant,
+       |  CAST(first_rank AS INT) AS first_rank,
+       |  CASE WHEN first_rank IS NULL THEN NULL
+       |    ELSE round(CAST(1.0 AS DOUBLE) / first_rank, 6) END AS rr,
+       |  CASE WHEN n_relevant = 0 THEN NULL
+       |    ELSE round(CAST(ap_num AS DOUBLE) / $ApLcm
+       |      / CAST(n_relevant AS DOUBLE), 6) END AS ap_at_k,
+       |  CASE WHEN label_n <= 1 THEN NULL
+       |    ELSE round(CAST(n_relevant AS DOUBLE)
+       |      / CAST(least(label_n - 1, $K) AS DOUBLE), 6) END AS recall_at_k
+       |FROM a JOIN lc ON a.qlabel = lc.label
+       |ORDER BY query_id""".stripMargin
+
   val ndcgReportSql: String = {
     val wList = NdcgW.mkString("[", ", ", "]")
     val cumList = NdcgCum.mkString("[", ", ", "]")

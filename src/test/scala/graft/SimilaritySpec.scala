@@ -382,6 +382,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("retrievalEval: MRR/AP/recall re-derived on the driver agree exactly") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labelN = labels.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    val byQuery = ops.Similarity.knnBrute(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val got = ops.Similarity.retrievalEval(spark, sfDir).collect()
+    assert(got.length == byQuery.size)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val rels = byQuery(q).sortBy(_.getAs[Int]("rank"))
+        .map(x => labels(x.getAs[Long]("neighbor_id")) == labels(q))
+      val nRel = rels.count(identity)
+      assert(r.getAs[Long]("n_relevant") == nRel)
+      val first = rels.indexOf(true) + 1 // 0-based → rank, 0 if none
+      if (first == 0) {
+        assert(r.isNullAt(r.fieldIndex("first_rank")))
+        assert(r.isNullAt(r.fieldIndex("rr")))
+        assert(r.isNullAt(r.fieldIndex("ap_at_k")))
+      } else {
+        assert(r.getAs[Int]("first_rank") == first)
+        assert(r.getAs[Double]("rr") == r6(1.0 / first))
+        // AP@K via the exact 60ths: Σ_(rel r) cum(r)·(60/r), /60/nRel
+        val cums = rels.scanLeft(0)((a, b) => a + (if (b) 1 else 0)).tail
+        val apNum = rels.zipWithIndex.collect {
+          case (true, i) => cums(i).toLong * (60L / (i + 1)) }.sum
+        assert(r.getAs[Double]("ap_at_k") == r6(apNum / 60.0 / nRel),
+          s"q$q ap")
+      }
+      val denom = math.min(labelN(labels(q)) - 1, 5)
+      assert(r.getAs[Double]("recall_at_k") == r6(nRel.toDouble / denom))
+      // MRR ≥ AP is a theorem when the first hit dominates… not in
+      // general; instead: AP ≤ 1, recall ≤ 1, and a perfect list
+      // (all 5 relevant) has AP exactly 1
+      if (nRel == 5) assert(r.getAs[Double]("ap_at_k") == 1.0)
+    }
+  }
+
   /** Independent driver-side greedy k-center: same seed rule, same
     * round-6 HALF_UP quantization, same (smax, id) tie-break.
     */
