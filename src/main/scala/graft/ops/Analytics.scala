@@ -883,6 +883,80 @@ object Analytics {
     * nested subquery computes l_t once so b_t can reference it; `//`
     * floors negatives exactly like the Spark pmod form).
     */
+  /** Classical additive seasonal decomposition of the monthly revenue
+    * series: trend = the centered 2×12 moving average (half-weight
+    * end months — the textbook even-window form), seasonal = the
+    * month-of-year mean of the detrended series, residual = the
+    * rest. Everything stays EXACT integers in milli-cents: the
+    * 24-denominator trend and the per-month seasonal means are
+    * quantized by single truncating divisions, so both engines emit
+    * identical rows. Months without a full ±6 window carry no trend
+    * and are excluded (the standard edge loss — 6 months each end).
+    *
+    * Scale posture: one keyed month aggregate (the only corpus
+    * shuffle); all windows act on the |months|-bounded frame.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** DataFrame-first form; needs ≥ 13 observed months for any output
+    * and assumes a gap-free monthly calendar (document: the test
+    * series is gap-free; for gappy series gap-fill first).
+    */
+  def seasonalDecompose(orders: DataFrame, dateCol: String,
+                        priceCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+    val mo = orders
+      .select(date_trunc("month", col(dateCol)).cast("date").as("m"),
+        cents(col(priceCol)).as("pc"))
+      .groupBy(col("m")).agg(sum(col("pc")).as("c"))
+    val trended = mo
+      // 2×12 MA ×24: ends half-weighted → c₋₆ + 2·Σ₋₅..₊₅ + c₊₆
+      .withColumn("t24",
+        lag(col("c"), 6).over(w) + lead(col("c"), 6).over(w) +
+          lit(2L) * sum(col("c")).over(w.rowsBetween(-5, 5)))
+      .filter(col("t24").isNotNull) // full-window months only
+      .withColumn("trend_milli", expr("t24 * 1000 div 24"))
+      .withColumn("detr_milli", col("c") * 1000L - col("trend_milli"))
+      .withColumn("moy", month(col("m")))
+    val seasonal = trended.groupBy(col("moy"))
+      .agg(expr("sum(detr_milli) div count(1)").as("seasonal_milli"))
+    trended.join(broadcast(seasonal), Seq("moy"))
+      .select(col("m"), col("c").as("revenue_cents"),
+        col("trend_milli"), col("seasonal_milli"),
+        (col("c") * 1000L - col("trend_milli") - col("seasonal_milli"))
+          .as("resid_milli"))
+      .orderBy(col("m"))
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH mo AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT m, c,
+      |    lag(c, 6) OVER (ORDER BY m) + lead(c, 6) OVER (ORDER BY m)
+      |      + 2 * sum(c) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING
+      |                         AND 5 FOLLOWING) AS t24
+      |  FROM mo),
+      |d AS (
+      |  SELECT m, c, (t24 * 1000) // 24 AS trend_milli,
+      |    c * 1000 - (t24 * 1000) // 24 AS detr_milli,
+      |    month(m) AS moy
+      |  FROM t WHERE t24 IS NOT NULL),
+      |s AS (
+      |  SELECT moy,
+      |    CAST(sum(detr_milli) // count(*) AS BIGINT) AS seasonal_milli
+      |  FROM d GROUP BY moy)
+      |SELECT m, c AS revenue_cents,
+      |  CAST(trend_milli AS BIGINT) AS trend_milli, seasonal_milli,
+      |  CAST(c * 1000 - trend_milli - seasonal_milli AS BIGINT)
+      |    AS resid_milli
+      |FROM d JOIN s USING (moy)
+      |ORDER BY m""".stripMargin
+
   /** Forecast-accuracy report for the Holt model: MASE against the
     * one-step naive (the Hyndman–Koehler 2006 denominator — MASE < 1
     * means the model beats "tomorrow equals today") and against the

@@ -411,6 +411,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalDecompose: planted trend+seasonal separates exactly, residual zero") {
+    import spark.implicits._
+    // c_t = 1000·t + p(moy), p = +120 Jan / −120 Jul / 0 else (zero-sum
+    // annual pattern): the 2×12 MA kills p exactly and reproduces the
+    // line, so seasonal recovers p and the residual is exactly 0
+    def p(moy: Int) = if (moy == 1) 120L else if (moy == 7) -120L else 0L
+    val months = (1 to 36).map { t =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"${2020 + (t - 1) / 12}-${(t - 1) % 12 + 1}%02d-10 00:00:00")
+      (ts, (1000L * t + p((t - 1) % 12 + 1)) / 100.0)
+    }
+    val got = ops.Analytics.seasonalDecompose(
+      months.toDF("dt", "price"), "dt", "price").collect()
+    assert(got.length == 24, s"expected 36−12 full-window months: ${got.length}")
+    got.foreach { r =>
+      val m = r.getAs[java.sql.Date]("m").toLocalDate
+      val t = (m.getYear - 2020) * 12 + m.getMonthValue
+      assert(r.getAs[Long]("trend_milli") == 1000000L * t, s"trend at $m")
+      assert(r.getAs[Long]("seasonal_milli") == 1000L * p(m.getMonthValue),
+        s"seasonal at $m")
+      assert(r.getAs[Long]("resid_milli") == 0L, s"residual at $m")
+    }
+    // corpus: components reassemble the series exactly by construction
+    val corpus = ops.Analytics.seasonalDecompose(spark, sfDir).collect()
+    assert(corpus.length >= 12)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("revenue_cents") * 1000L ==
+        r.getAs[Long]("trend_milli") + r.getAs[Long]("seasonal_milli") +
+          r.getAs[Long]("resid_milli"))
+    }
+  }
+
   test("forecastEval: zero-error trend scores MASE 0; naive denominators exact") {
     import spark.implicits._
     def dm(y: Int, m: Int) =
