@@ -557,4 +557,103 @@ object Ranks {
       |SELECT t.g, n, tw AS total_weight, wmedian_cents, median_cents
       |FROM t JOIN wm ON t.g = wm.g JOIN um ON t.g = um.g
       |ORDER BY t.g""".stripMargin
+
+  /** Top-order-statistics count for [[hillTail]]. */
+  private val HillK = 50L
+
+  /** Hill tail-index estimator per group (Hill 1975) — the standard
+    * "how heavy is the spending tail" diagnostic pairing the
+    * frequency-side [[graft.ops.TextAnalysis]] Zipf fit:
+    * `α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₎)` over the k largest values. Small α̂
+    * (≈1–2) = whale-dominated, large = thin tail.
+    *
+    * Order statistics come from the census, not a sort: `gt(v)` =
+    * count strictly above v falls out of [[doubledRanks]]
+    * (`n − lt − cnt`), the k-th largest value is the smallest v with
+    * `gt < k`, and each tied value contributes `min(cnt, k − gt)`
+    * top-k slots — so ties at the boundary are handled exactly and
+    * deterministically. Each value's `occ·ln(v/x₍ₖ₎)` term is
+    * micro-rounded before the per-group integer sum (the module's
+    * order-free-summation rule). Groups smaller than k use all
+    * their values (k_eff < k); an all-tied top block (zero sum)
+    * reports NULL.
+    */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val bySeg = spend
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("g"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("g"), col("v"))
+    hillTail(bySeg, "g", "v", HillK, SpendBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, positive integral value)
+    * frame.
+    */
+  def hillTail(df: DataFrame, groupCol: String, vCol: String, k: Long,
+               bucketWidth: Long): DataFrame = {
+    require(k >= 2, s"hillTail: k=$k")
+    val census = df
+      .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .filter(col("v") > 0) // ln needs positive support
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val n = census.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val ranked = doubledRanks(census, bucketWidth)
+      .join(n, Seq("g"))
+      .withColumn("gt", col("n") - col("lt") - col("cnt"))
+      .filter(col("gt") < k)
+      .withColumn("occ", least(col("cnt"), lit(k) - col("gt")))
+    val xmin = ranked.groupBy(col("g"))
+      .agg(min(col("v")).as("xmin_cents"))
+    ranked.join(broadcast(xmin), Seq("g"))
+      .select(col("g"), col("n"), col("xmin_cents"), col("occ"),
+        round(col("occ") * log(d(col("v")) / d(col("xmin_cents"))) * 1e6)
+          .cast("long").as("t_micro"))
+      .groupBy(col("g"), col("n"), col("xmin_cents"))
+      .agg(sum(col("occ")).as("k_eff"), sum(col("t_micro")).as("s_micro"))
+      .select(col("g"), col("n"), col("k_eff"), col("xmin_cents"),
+        when(col("s_micro") <= 0, lit(null))
+          .otherwise(round(d(col("k_eff")) / (d(col("s_micro")) / 1e6), 4))
+          .as("alpha_hill"))
+      .orderBy(col("g"))
+  }
+
+  private def d(c: Column): Column = c.cast("double")
+
+  val hillTailSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY o_custkey),
+      |q AS (
+      |  SELECT c_mktsegment AS g, v
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |  WHERE v > 0),
+      |c AS (SELECT g, v, count(*) AS cnt FROM q GROUP BY g, v),
+      |r AS (
+      |  SELECT g, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS lt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM c),
+      |t AS (
+      |  SELECT g, v, n, n - lt - cnt AS gt,
+      |    least(cnt, 50 - (n - lt - cnt)) AS occ
+      |  FROM r WHERE n - lt - cnt < 50),
+      |x AS (SELECT g, min(v) AS xmin_cents FROM t GROUP BY g),
+      |m AS (
+      |  SELECT t.g, n, xmin_cents,
+      |    CAST(sum(occ) AS BIGINT) AS k_eff,
+      |    CAST(sum(CAST(round(occ * ln(CAST(v AS DOUBLE)
+      |      / CAST(xmin_cents AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+      |      AS s_micro
+      |  FROM t JOIN x ON t.g = x.g
+      |  GROUP BY t.g, n, xmin_cents)
+      |SELECT g, n, k_eff, xmin_cents,
+      |  CASE WHEN s_micro <= 0 THEN NULL
+      |    ELSE round(CAST(k_eff AS DOUBLE)
+      |      / (CAST(s_micro AS DOUBLE) / 1e6), 4) END AS alpha_hill
+      |FROM m ORDER BY g""".stripMargin
 }

@@ -199,4 +199,40 @@ class RanksSpec extends AnyFunSuite {
         r.getAs[Long]("median_cents") > 0)
     }
   }
+
+  test("hillTail: hand-computed alpha with boundary ties; all-tied top is NULL") {
+    import spark.implicits._
+    def alpha(k: Long, lnSum: Double) =
+      BigDecimal(k / (math.rint(lnSum * 1e6) / 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // top-2 of {1,2,4,8}: x(k)=4, Σ = ln(8/4) → α = 2/ln2
+    val planted = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("a", 8L))
+      .toDF("g", "v")
+    val r = ops.Ranks.hillTail(planted, "g", "v", 2L, 16L).collect()(0)
+    assert(r.getAs[Long]("xmin_cents") == 4L && r.getAs[Long]("k_eff") == 2L)
+    assert(r.getAs[Double]("alpha_hill") == alpha(2, math.log(2)))
+    // 3-way tie at the boundary occupies exactly one remaining slot
+    val tied = Seq(("a", 10L), ("a", 5L), ("a", 5L), ("a", 5L))
+      .toDF("g", "v")
+    val t = ops.Ranks.hillTail(tied, "g", "v", 2L, 16L).collect()(0)
+    assert(t.getAs[Long]("xmin_cents") == 5L && t.getAs[Long]("k_eff") == 2L)
+    assert(t.getAs[Double]("alpha_hill") == alpha(2, math.log(2)))
+    // all-tied top block: zero log-sum → NULL, not Infinity
+    val flat = Seq(("a", 7L), ("a", 7L), ("a", 7L)).toDF("g", "v")
+    val f = ops.Ranks.hillTail(flat, "g", "v", 2L, 16L).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("alpha_hill")))
+    // a group smaller than k uses everything it has
+    val small = Seq(("a", 4L), ("a", 2L)).toDF("g", "v")
+    val s = ops.Ranks.hillTail(small, "g", "v", 50L, 16L).collect()(0)
+    assert(s.getAs[Long]("k_eff") == 2L)
+    // corpus: one row per segment; k_eff = min(k, segment spenders)
+    // (the spec SF has < 50 spenders per segment), index positive
+    val corpus = ops.Ranks.hillTail(spark, sfDir).collect()
+    assert(corpus.length == 5)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("k_eff") ==
+        math.min(50L, r.getAs[Long]("n")))
+      assert(r.getAs[Double]("alpha_hill") > 0)
+    }
+  }
 }
