@@ -417,6 +417,67 @@ object Diagnostics {
       .orderBy(col("segment"))
   }
 
+  /** Log-log price elasticity of demand per brand: the OLS slope of
+    * `ln(quantity)` on `ln(unit price)` — the economist's standard
+    * constant-elasticity estimate (slope −2 ⇒ a 1% price rise cuts
+    * demand 2%). Both logs quantize to integer MICRO-LNS per row, so
+    * the whole fit rides [[linReg]]'s exact integer moments and the
+    * elasticity is scale-free (the 10⁶ factors cancel in the slope).
+    * One broadcast dim join + one keyed aggregation.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(log(col("l_extendedprice") / col("l_quantity")) * 1e6)
+          .cast("long").as("x"),
+        round(log(col("l_quantity")) * 1e6).cast("long").as("y"))
+    linReg(xy, "brand", "x", "y")
+      .select(col("segment").as("brand"), col("n_orders").as("n_lines"),
+        col("slope").as("elasticity"), col("r2"))
+      .orderBy(col("brand"))
+  }
+
+  val priceElasticitySql: String =
+    """WITH xy AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(round(ln(l_extendedprice / l_quantity) * 1e6) AS BIGINT) AS x,
+      |    CAST(round(ln(l_quantity) * 1e6) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+      |m AS (
+      |  SELECT brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM xy GROUP BY brand)
+      |SELECT brand, CAST(n AS BIGINT) AS n_lines,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+      |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |  END AS elasticity,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+      |    OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0 THEN NULL
+      |    ELSE round(
+      |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS r2
+      |FROM m ORDER BY brand""".stripMargin
+
   val linRegSql: String =
     """WITH po AS (
       |  SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY 1),

@@ -390,6 +390,34 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("priceElasticity: a planted constant-elasticity curve recovers its exponent") {
+    import spark.implicits._
+    // q = 1000 · p^(−2): ln q = ln 1000 − 2·ln p exactly; plant a few
+    // (price, qty) points on the curve via a synthetic lineitem+part
+    val pts = Seq(1.0 -> 1000.0, 2.0 -> 250.0, 4.0 -> 62.5, 5.0 -> 40.0)
+    val li = pts.zipWithIndex.map { case ((p, q), i) =>
+      (i.toLong, q, p * q) }.toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = (0L until 4L).map((_, "B1")).toDF("p_partkey", "p_brand")
+    val xy = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(log(col("l_extendedprice") / col("l_quantity")) * 1e6)
+          .cast("long").as("x"),
+        round(log(col("l_quantity")) * 1e6).cast("long").as("y"))
+    val r = ops.Diagnostics.linReg(xy, "brand", "x", "y").collect()(0)
+    // micro-ln quantization perturbs the fit below the rounded scale
+    assert(math.abs(r.getAs[Double]("slope") - (-2.0)) < 1e-4,
+      s"elasticity ${r.getAs[Double]("slope")}")
+    assert(r.getAs[Double]("r2") > 0.999999)
+    // corpus: one row per brand, finite estimates
+    val corpus = ops.Diagnostics.priceElasticity(spark, sfDir).collect()
+    assert(corpus.length == 25)
+    corpus.foreach { row =>
+      assert(!row.isNullAt(row.fieldIndex("elasticity")))
+      val r2 = row.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1)
+    }
+  }
+
   test("diffInDiff: hand-computed 2x2 estimate and t; degenerate cells go NULL") {
     import spark.implicits._
     // Δtreated = 45−15 = 30, Δcontrol = 25−15 = 10 → DiD 20¢ = $0.2
