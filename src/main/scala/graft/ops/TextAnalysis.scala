@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -1964,4 +1965,86 @@ object TextAnalysis {
        |FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
        |ORDER BY c12 DESC, w1, w2
        |LIMIT $KnTopBigrams""".stripMargin
+
+  private val CoverageKs = Seq(10L, 100L, 1000L)
+
+  /** Vocabulary coverage curve — "what fraction of all token
+    * occurrences do the k most frequent terms capture" for a ladder
+    * of k: the tokenizer-budget / stopword-mass diagnostic behind
+    * [[vocabCoverage]]'s fixed list and [[zipfFit]]'s slope. Exact
+    * under count ties via the census-occupancy rule ([[Ranks]] /
+    * hillTail discipline): over the COUNT census (one row per
+    * distinct term-count), `gt` = terms strictly more frequent, and
+    * a tied count contributes `min(#terms, k − gt)` of its terms —
+    * every tied term has the same mass, so coverage is well-defined
+    * even though "the top k" is not. Integers end to end.
+    *
+    * Shape: one token census (the corpus shuffle), one count census
+    * (bounded by distinct COUNT VALUES — hundreds), a bounded window
+    * + a |ks|-row broadcast cross join.
+    */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame =
+    coverageCurve(Tables.documents(spark, dir), "text", CoverageKs)
+
+  /** DataFrame-first form over any text column and k ladder. */
+  def coverageCurve(docs: DataFrame, textCol: String,
+                    ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"coverageCurve: ks=$ks")
+    val d = canon(docs, textCol -> "text")
+    val termCounts = d.select(explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val census = termCounts.groupBy(col("c").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v").desc)
+    val ranked = census
+      .withColumn("gt", coalesce(
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val tot = census.agg(sum(col("cnt")).as("n_terms"),
+      sum(col("cnt") * col("v")).as("total_tokens"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val kFrame = ks.toDF("k")
+    ranked.crossJoin(broadcast(kFrame))
+      .filter(col("gt") < col("k"))
+      .select(col("k"),
+        least(col("cnt"), col("k") - col("gt")).as("occ"), col("v"))
+      .groupBy(col("k"))
+      .agg(sum(col("occ")).as("top_terms"),
+        sum(col("occ") * col("v")).as("top_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_terms"), col("total_tokens"),
+        col("top_terms"), col("top_tokens"),
+        expr("top_tokens * 10000 div total_tokens").as("coverage_bp"))
+      .orderBy(col("k"))
+  }
+
+  val coverageCurveSql: String =
+    """WITH tc AS (
+      |  SELECT t AS term, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY t),
+      |cen AS (SELECT c AS v, count(*) AS cnt FROM tc GROUP BY c),
+      |r AS (
+      |  SELECT v, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS gt
+      |  FROM cen),
+      |tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n_terms,
+      |    CAST(sum(cnt * v) AS BIGINT) AS total_tokens
+      |  FROM cen),
+      |kk AS (SELECT unnest([10, 100, 1000]) AS k),
+      |m AS (
+      |  SELECT k, least(cnt, k - gt) AS occ, v
+      |  FROM r CROSS JOIN kk WHERE gt < k)
+      |SELECT CAST(k AS BIGINT) AS k, n_terms, total_tokens,
+      |  CAST(sum(occ) AS BIGINT) AS top_terms,
+      |  CAST(sum(occ * v) AS BIGINT) AS top_tokens,
+      |  CAST(sum(occ * v) * 10000 // total_tokens AS BIGINT) AS coverage_bp
+      |FROM m CROSS JOIN tot
+      |GROUP BY k, n_terms, total_tokens
+      |ORDER BY k""".stripMargin
 }

@@ -654,4 +654,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[Long]("c12") <= r.getAs[Long]("c1"))
     }
   }
+
+  test("coverageCurve: planted tie occupancy exact; curve monotone, closes at vocab") {
+    import spark.implicits._
+    // counts: a×5, b×3, c×3, d×1 → 12 tokens, 4 terms
+    val docs = Seq((1L, "a a a a a b b b c c c d")).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.coverageCurve(docs, "text", Seq(1L, 2L, 4L))
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(got(1L).getAs[Long]("top_tokens") == 5L)
+    assert(got(1L).getAs[Long]("coverage_bp") == 5L * 10000 / 12)
+    // k=2: after a (gt=1), the b/c tie (cnt=2 terms) fills ONE slot
+    // worth exactly count 3 — tie occupancy, not an arbitrary pick
+    assert(got(2L).getAs[Long]("top_terms") == 2L)
+    assert(got(2L).getAs[Long]("top_tokens") == 8L)
+    // k ≥ vocab: the curve closes at the full token mass
+    assert(got(4L).getAs[Long]("top_terms") == 4L)
+    assert(got(4L).getAs[Long]("coverage_bp") == 10000L)
+    // corpus: monotone non-decreasing coverage in k, total consistent
+    val corpus = ops.TextAnalysis.coverageCurve(spark, sfDir).collect()
+    assert(corpus.length == 3)
+    val cov = corpus.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("coverage_bp"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(corpus.forall(r =>
+      r.getAs[Long]("top_tokens") <= r.getAs[Long]("total_tokens")))
+  }
 }
