@@ -511,6 +511,89 @@ object Evaluation {
       |  END AS cramers_v
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------- burstiness
+
+  /** Goh–Barabási burstiness of inter-arrival times per series:
+    * `B = (σ − μ)/(σ + μ)` over the gaps between consecutive events
+    * — −1 for a metronome, ≈0 for a Poisson stream, →1 for extreme
+    * bursts. The memorylessness diagnostic that tells an ingest
+    * monitor whether rate-based alerting assumptions hold. Gaps are
+    * exact epoch-millis integers; moments fold in DECIMAL(38,0); σ
+    * and the final B are one shared staged double tail (population
+    * σ — the gap list is the complete population of the observed
+    * window). Series with < 2 gaps, or all-equal gaps summing to
+    * zero spread AND zero mean, report NULL.
+    *
+    * Shape: one per-series ordered `lag` window (inherently
+    * sequential per key — the [[runsTest]] posture), then a k-row
+    * exact fold.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type").as("g"), col("ts"), col("event_id"))
+    burstiness(e, "g", "ts", Seq("ts", "event_id"))
+  }
+
+  /** DataFrame-first form; `orderCols` must totally order each
+    * series.
+    */
+  def burstiness(df: DataFrame, groupCol: String, tsCol: String,
+                 orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(orderCols.map(col): _*)
+    val gaps = df
+      .select(col(groupCol).as("g") +: unix_millis(col(tsCol)).as("tms") +:
+        orderCols.map(col): _*)
+      .select(col("g"), (col("tms") - lag(col("tms"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("s"),
+        sum(col("gap").cast(Dec) * col("gap").cast(Dec)).as("ss"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("g"), col("n_gaps"),
+        (d(col("s")) / d("n_gaps")).as("mu"),
+        sqrt(greatest(
+          d(col("ss")) / d("n_gaps")
+            - (d(col("s")) / d("n_gaps")) * (d(col("s")) / d("n_gaps")),
+          lit(0.0))).as("sigma"))
+      .select(col("g"), col("n_gaps"),
+        round(col("mu"), 2).as("mean_gap_ms"),
+        round(col("sigma"), 2).as("sd_gap_ms"),
+        when(col("sigma") + col("mu") === 0.0, lit(null))
+          .otherwise(round((col("sigma") - col("mu"))
+            / (col("sigma") + col("mu")), 6)).as("burstiness"))
+      .orderBy(col("g"))
+  }
+
+  val burstinessSql: String =
+    """WITH q AS (
+      |  SELECT event_type AS g,
+      |    CAST(epoch_ms(ts) AS BIGINT) AS tms, ts, event_id
+      |  FROM events),
+      |gp AS (
+      |  SELECT g,
+      |    tms - lag(tms) OVER (PARTITION BY g ORDER BY ts, event_id)
+      |      AS gap
+      |  FROM q),
+      |m AS (
+      |  SELECT g, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS s,
+      |    sum(CAST(gap AS HUGEINT) * gap) AS ss
+      |  FROM gp WHERE gap IS NOT NULL GROUP BY g HAVING count(*) >= 2),
+      |t AS (
+      |  SELECT g, n_gaps,
+      |    CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+      |    sqrt(greatest(
+      |      CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |        - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |          * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+      |      0.0)) AS sigma
+      |  FROM m)
+      |SELECT g, n_gaps,
+      |  round(mu, 2) AS mean_gap_ms,
+      |  round(sigma, 2) AS sd_gap_ms,
+      |  CASE WHEN sigma + mu = 0.0 THEN NULL
+      |    ELSE round((sigma - mu) / (sigma + mu), 6) END AS burstiness
+      |FROM t ORDER BY g""".stripMargin
+
   // ----------------------------------------------------- runs test
 
   /** Wald–Wolfowitz runs test for serial randomness, per series: each

@@ -305,6 +305,38 @@ class EvaluationSpec extends AnyFunSuite {
       val c = r.getAs[Long]("coverage_bp"); c >= 8500 && c <= 10000 })
   }
 
+  test("burstiness: metronome scores exactly -1; bursty gaps match the model") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // equal gaps → σ = 0 → B = −1 exactly
+    val metro = (0L to 5L).map(i => ("a", t(i * 1000), i)).toDF("g", "ts", "id")
+    val m = ops.Evaluation.burstiness(metro, "g", "ts", Seq("ts", "id"))
+      .collect()(0)
+    assert(m.getAs[Long]("n_gaps") == 5L)
+    assert(m.getAs[Double]("burstiness") == -1.0)
+    // gaps {1,1,1,97}: μ=25, σ=√1728 — same staged math on the driver
+    val times = Seq(0L, 1L, 2L, 3L, 100L)
+    val bursty = times.zipWithIndex.map { case (ms, i) => ("a", t(ms), i.toLong) }
+      .toDF("g", "ts", "id")
+    val b = ops.Evaluation.burstiness(bursty, "g", "ts", Seq("ts", "id"))
+      .collect()(0)
+    val mu = 100.0 / 4; val sigma = math.sqrt((1.0 + 1 + 1 + 9409) / 4 - mu * mu)
+    assert(b.getAs[Double]("burstiness") ==
+      BigDecimal((sigma - mu) / (sigma + mu))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a single gap has no dispersion to measure → filtered out
+    val thin = Seq(("a", t(0), 0L), ("a", t(5), 1L)).toDF("g", "ts", "id")
+    assert(ops.Evaluation.burstiness(thin, "g", "ts", Seq("ts", "id"))
+      .collect().isEmpty)
+    // corpus: one row per event type, B strictly inside (−1, 1)
+    val corpus = ops.Evaluation.burstiness(spark, sfDir).collect()
+    assert(corpus.length == 5)
+    corpus.foreach { r =>
+      val x = r.getAs[Double]("burstiness")
+      assert(x > -1 && x < 1)
+    }
+  }
+
   test("runsTest: alternation and clustering are symmetric hand cases") {
     import spark.implicits._
     // median of {1,9}×3 = 5; alternating signs → 6 runs, z = +1.8257
