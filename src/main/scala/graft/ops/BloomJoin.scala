@@ -66,6 +66,17 @@ object BloomJoin {
     * once and reuse the returned frame; at scale the job is a key-only
     * scan of the dim, orders of magnitude cheaper than the fact
     * exchange it saves.
+    *
+    * STATIC-DIM ASSUMPTION: the bloom filter is embedded in the plan
+    * as a literal at build time, while the exact semi join re-reads
+    * `dim` at action time. The bit-identical-to-plain-semi-join
+    * guarantee therefore holds only when the dim frame is a stable
+    * snapshot between this call and the action — a dim whose
+    * underlying data changes (or recomputes non-deterministically,
+    * e.g. an unseeded sample) can gain keys the frozen filter never
+    * saw, and fact rows matching those keys are dropped at the probe.
+    * For a mutating dim, snapshot it first (`localCheckpoint()` or a
+    * written copy) and pass the snapshot to both roles.
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
                     dimKey: String, expectedItems: Long,

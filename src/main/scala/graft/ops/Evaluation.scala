@@ -146,10 +146,15 @@ object Evaluation {
   }
 
   /** DataFrame-first form: `probCol` is an integral permille score in
-    * 0..1000, `labelCol` boolean.
+    * 0..1000, `labelCol` boolean. The domain is ENFORCED by an
+    * explicit clamp to [0, 1000] (the data-level analogue of
+    * [[splitConformal]]'s `require`): an out-of-range score lands on
+    * the nearest boundary instead of silently inflating bin 9's
+    * `mean_pred` past 1.0.
     */
   def calibration(df: DataFrame, probCol: String, labelCol: String): DataFrame = {
-    val q = df.select(col(probCol).cast("long").as("p"),
+    val q = df.select(
+      greatest(lit(0L), least(lit(1000L), col(probCol).cast("long"))).as("p"),
       col(labelCol).cast("boolean").as("y"))
     q.select(
         least(expr("p div 100"), lit(9L)).as("bin"),
@@ -288,6 +293,16 @@ object Evaluation {
     * the 10⁻⁴-quantum makes the cross-group SUM order-free while
     * leaving F and η² resolution far finer than any test decision.
     * Emits one row: k, n, f_stat, eta_sq.
+    *
+    * Numeric-discipline note (the [[linReg]] BIGINT-ceiling caveat
+    * applied to the s² path): Spark forms each group's s² as an exact
+    * DECIMAL(38,0) product cast ONCE to double, while the DuckDB twin
+    * squares an already-rounded double (`CAST(sum(v) AS DOUBLE) *
+    * CAST(sum(v) AS DOUBLE)`). The two agree bit-for-bit exactly while
+    * every per-group sum stays below 2^53 — cent-scale sums hold that
+    * to roughly SF1000; beyond it the exact product can differ from
+    * the double square by an ulp, which the 10⁻⁴ micro-rounding can
+    * amplify to a 1-unit `t4` step.
     *
     * Shape: one keyed aggregation (corpus-sized), one k-row fold.
     */
@@ -521,8 +536,10 @@ object Evaluation {
     * exact epoch-millis integers; moments fold in DECIMAL(38,0); σ
     * and the final B are one shared staged double tail (population
     * σ — the gap list is the complete population of the observed
-    * window). Series with < 2 gaps, or all-equal gaps summing to
-    * zero spread AND zero mean, report NULL.
+    * window). Series with < 2 gaps are EXCLUDED from the output
+    * entirely (both engines filter them, matching the SQL twin's
+    * HAVING); a surviving series whose gaps show zero spread AND zero
+    * mean reports NULL.
     *
     * Shape: one per-series ordered `lag` window (inherently
     * sequential per key — the [[runsTest]] posture), then a k-row
@@ -976,7 +993,12 @@ object Evaluation {
     logLoss(l, "g", "p", "y")
   }
 
-  /** DataFrame-first form: `probCol` integral permille in 0..1000. */
+  /** DataFrame-first form: `probCol` integral permille in 0..1000.
+    * Domain enforcement IS the ε-clip: any value outside [1, 999]‰ —
+    * including out-of-domain scores below 0 or above 1000 — is
+    * clamped to the boundary, i.e. treated as a maximally confident
+    * prediction at the clip edge. No input can reach `ln(0)`.
+    */
   def logLoss(df: DataFrame, groupCol: String, probCol: String,
               labelCol: String): DataFrame = {
     val p = greatest(lit(1L), least(lit(999L), col(probCol).cast("long")))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relationship graphs derived from the
@@ -144,13 +145,21 @@ object Graph {
       pairCensus(spark, dir)
         .filter(col("n") >= CoPurchaseMinShared)
         .select(col("s_a"), col("s_b"), col("n").as("shared_cust")),
-      20)
+      20,
+      // the supplier catalog is a bounded dimension — broadcast is safe
+      broadcastDegrees = true)
 
-  /** DataFrame-first form over any (customer, item) incidence frame. */
+  /** DataFrame-first form over any (customer, item) incidence frame.
+    * `broadcastDegrees` defaults to false — the item catalog's size is
+    * the caller's knowledge; AQE decides unless the caller vouches the
+    * degree frame fits a broadcast.
+    */
   def coPurchase(edges: DataFrame, custCol: String, itemCol: String,
                  maxBasket: Int = CoPurchaseMaxBasket,
                  minShared: Int = CoPurchaseMinShared,
-                 k: Int = 20): DataFrame = {
+                 k: Int = 20,
+                 broadcastDegrees: Boolean = false,
+                 materialize: Boolean = true): DataFrame = {
     val ecols = edges.select(col(custCol).as("c"), col(itemCol).as("s")).persist()
     // cap BEFORE collecting: filtering on size(collect_set(...)) would
     // still materialize a whale's full item array in the aggregation
@@ -178,7 +187,7 @@ object Graph {
         .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
         .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("shared_cust"))
         .filter(col("shared_cust") >= minShared)
-      scoreCoPurchase(baskets, shared, k)
+      scoreCoPurchase(baskets, shared, k, broadcastDegrees, materialize)
     } finally { baskets.unpersist(); ecols.unpersist() }
   }
 
@@ -186,25 +195,37 @@ object Graph {
     * shared-customer pair frame — shared by both [[coPurchase]] forms.
     * Ends in a ≤ k-row localCheckpoint, so callers may release their
     * upstream caches immediately.
+    *
+    * `broadcastDegrees` gates the broadcast hint on the item-degree
+    * frame: the shipped supplier-dimension query passes true (the
+    * catalog is a bounded dim — |suppliers| rows), but the generic
+    * DataFrame-first form defaults to FALSE and lets AQE pick the
+    * strategy — an LLM-pipeline caller with a 100M-item catalog must
+    * not have a driver-OOM broadcast forced on it by a hint.
     */
   private def scoreCoPurchase(baskets: DataFrame, shared: DataFrame,
-                              k: Int): DataFrame = {
+                              k: Int, broadcastDegrees: Boolean,
+                              materialize: Boolean = true): DataFrame = {
     val deg = baskets
       .select(explode(col("items")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("d"))
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastDegrees) broadcast(df) else df
     val dd = col("shared_cust").cast("double")
-    val scored = shared
-      .join(broadcast(deg.select(col("s").as("s_a"), col("d").as("deg_a"))),
+    val scored0 = shared
+      .join(hint(deg.select(col("s").as("s_a"), col("d").as("deg_a"))),
         Seq("s_a"))
-      .join(broadcast(deg.select(col("s").as("s_b"), col("d").as("deg_b"))),
+      .join(hint(deg.select(col("s").as("s_b"), col("d").as("deg_b"))),
         Seq("s_b"))
       .withColumn("jacc",
         dd / (col("deg_a") + col("deg_b") - col("shared_cust")).cast("double"))
       .withColumn("cos", dd / sqrt((col("deg_a") * col("deg_b")).cast("double")))
       .orderBy(col("jacc").desc, col("s_a"), col("s_b"))
       .limit(k)
-      .localCheckpoint(true) // ≤ k rows; frees the basket cache safely
-    scored.select(col("s_a"), col("s_b"), col("shared_cust"),
+    // ≤ k rows; frees the basket cache safely. materialize=false is the
+    // PlanSpec variant — a localCheckpoint would hide the join plan.
+    val cut = if (materialize) scored0.localCheckpoint(true) else scored0
+    cut.select(col("s_a"), col("s_b"), col("shared_cust"),
       col("deg_a"), col("deg_b"),
       round(col("jacc"), 6).as("jaccard"), round(col("cos"), 6).as("cosine"))
   }
@@ -395,6 +416,25 @@ object Graph {
           .select(col("x").as("name"), col("lbl"))
         if (i == rounds) labels = labels.localCheckpoint(true)
       }
+      // CONVERGENCE GUARD (Spark-side only — output unchanged): run ONE
+      // extra propagation round and assert it changes nothing. The fixed
+      // round count exists so DuckDB can unroll the recurrence, but it
+      // is an assumption about component diameter: a duplicate chain
+      // longer than the round budget would otherwise SILENTLY split one
+      // entity into several. One extra join + aggregate on the
+      // |names|-row label frame turns that silent wrong answer into a
+      // loud failure naming the fix (raise `rounds`).
+      val nUnconverged = adj
+        .join(labels.select(col("name").as("y"), col("lbl")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("lbl")).as("lbl2"))
+        .join(labels.select(col("name").as("x"), col("lbl")), Seq("x"))
+        .filter(col("lbl2") =!= col("lbl"))
+        .count()
+      require(nUnconverged == 0L,
+        s"entityComponents: min-label propagation not converged after " +
+          s"$rounds rounds ($nUnconverged labels still changing) — a " +
+          s"component's diameter exceeds the round budget; raise `rounds` " +
+          s"(and the oracle's unroll) or split the input")
       labels
         .select(col("name"), col("lbl").as("entity"),
           (col("name") === col("lbl")).as("is_canonical"))
@@ -891,32 +931,48 @@ object Graph {
     * (role, entity_id, score_scaled).
     */
   def hits(bipartiteEdges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val e = bipartiteEdges.select(col("c"), col("s")).persist()
     try {
-      val custs = e.select(col("c")).distinct()
-      val nc = custs.count()
+      // per-customer out-degree, materialized once: the authority
+      // normalizer below is derived from it, which is what lets a whole
+      // iteration run as ONE job (see loop comment)
+      val degC = e.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+        .localCheckpoint(true)
+      val nc = degC.count()
       require(nc > 0, "hits: empty edge frame")
-      var hubs = custs.select(col("c"), lit(Scale / nc).as("h"))
+      var hubs = degC.select(col("c"), lit(Scale / nc).as("h"))
       var auths = e.sparkSession.emptyDataFrame
       for (i <- 1 to iterations) {
-        // authority half-step: raw(s) = Σ h over inlinks ≤ Σ all h ≈ Scale
+        // authority half-step: raw(s) = Σ h over inlinks. Its L1
+        // normalizer needs NO edge pass: Σ_s araw(s) = Σ_(c,s)∈E h(c)
+        // = Σ_c h(c)·deg(c) — a |V|-row join against the degree
+        // checkpoint. That identity is what collapses each iteration
+        // to ONE materialization job with exactly two edge joins
+        // inside (the naive per-half-step checkpoint form pays two
+        // jobs; checkpointing rescaled frames pays four edge joins —
+        // l1Rescale reads its input twice. Measured across all three
+        // shapes at sf0.1, this one wins).
+        val atot = hubs.join(degC, Seq("c"))
+          .agg(sum(col("h").cast(DecimalType(38, 0)) * col("dc")).as("tot"))
         val araw = e.join(hubs, Seq("c"))
           .groupBy(col("s")).agg(sum(col("h")).as("raw"))
-        // cut BOTH half-steps: left lazy, the authority half is
-        // recomputed up to 4× inside the hub half's job (each rescale
-        // reads its input twice — normalizer + main frame)
-        auths = l1Rescale(araw, "s", "a").localCheckpoint(true)
-        // hub half-step: raw(c) = Σ a over outlinks ≤ Σ all a ≈ Scale
+        auths = araw.crossJoin(broadcast(atot))
+          .select(col("s"),
+            expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $Scale DIV tot AS BIGINT)")
+              .as("a"))
+        // hub half-step: raw(c) = Σ a over outlinks — the one
+        // materialization of the iteration; both edge joins (araw's
+        // and this one) run inside this job, lineage cuts here
         val hraw = e.join(auths, Seq("s"))
           .groupBy(col("c")).agg(sum(col("a")).as("raw"))
-        // cut EVERY iteration: each l1Rescale references its own input
-        // twice (the 1-row normalizer is an aggregate OF the frame it
-        // rescales), so a lazily-chained round recomputes its upstream
-        // 2× — compounding to 2^rounds without a per-round
-        // materialization (measured: 3 lazy rounds cost 3.6× the
-        // per-round-cut form at sf0.1)
-        hubs = l1Rescale(hraw, "c", "h").localCheckpoint(true)
+          .localCheckpoint(true)
+        // hub normalizer reads only the ≤|V|-row checkpoint
+        hubs = l1Rescale(hraw, "c", "h")
       }
+      // the final auths chain re-runs one edge join at output time —
+      // its hubs input is a cheap rescale over the last-but-one hraw
+      // checkpoint, nothing compounds
       auths.orderBy(col("a").desc, col("s")).limit(10)
         .select(lit("authority").as("role"), col("s").as("entity_id"),
           col("a").as("score_scaled"))
@@ -981,7 +1037,12 @@ object Graph {
     * well-defined R-round peel whether or not it has converged, and
     * the DuckDB oracle unrolls the identical recurrence. Emits one
     * row per round (round 0 = the input graph): surviving node/edge
-    * census split by side.
+    * census split by side, plus a `converged` flag — true once a
+    * round's peel removed nothing (census identical to the previous
+    * round), so a truncated peel can never be silently read as the
+    * true k-core. Both engines derive the flag from the same census
+    * rows (one lag over the rounds+1-row frame), so it stays
+    * oracle-checked.
     *
     * Scale posture: each round is one degree aggregate over the
     * current edge frame plus two semi-joins against the (≤|V|-row)
@@ -1018,7 +1079,13 @@ object Graph {
           col("n_suppliers"), col("n_edges"))
     var edges = undirectedEdges.select(col("src"), col("dst"))
       .localCheckpoint(true)
-    var deg = degOf(edges).localCheckpoint(true) // |V| rows — read twice
+    // deg stays LAZY on top of the checkpointed edge frame: each reader
+    // (keep filter, census) re-derives it with one explode+agg pass over
+    // the checkpoint — cheaper than a second per-round materialization
+    // job, and the round's lineage still cuts at the edge checkpoint
+    // (measured: dropping the deg checkpoint saves one job per round
+    // with no recompute blow-up, since nothing chains through deg)
+    var deg = degOf(edges)
     var out = census(deg, 0)
     for (r <- 1 to rounds) {
       val keep = deg.filter(col("d") >= k).select(col("n"))
@@ -1027,10 +1094,19 @@ object Graph {
         .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true) // shrinking frame; cuts the round's lineage
-      deg = degOf(edges).localCheckpoint(true)
+      deg = degOf(edges)
       out = out.unionByName(census(deg, r))
     }
-    out.orderBy(col("round"))
+    // converged ⇔ this round's peel removed nothing: node AND edge
+    // census identical to the previous round (round 0 is the input —
+    // false by definition). One lag window over the rounds+1-row frame.
+    val w = Window.orderBy(col("round"))
+    out
+      .withColumn("converged",
+        col("round") > 0 &&
+          col("n_nodes") === lag(col("n_nodes"), 1).over(w) &&
+          col("n_edges") === lag(col("n_edges"), 1).over(w))
+      .orderBy(col("round"))
   }
 
   /** DuckDB twin of [[kCore]] — the same degree/keep/contract
@@ -1069,7 +1145,10 @@ object Graph {
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |),
        |${(1 to KCoreRounds).map(round).mkString(",\n")}
-       |SELECT * FROM (
+       |SELECT *,
+       |  round > 0 AND n_nodes = lag(n_nodes) OVER (ORDER BY round)
+       |    AND n_edges = lag(n_edges) OVER (ORDER BY round) AS converged
+       |FROM (
        |${(0 to KCoreRounds).map(census).mkString("UNION ALL\n")})
        |ORDER BY round""".stripMargin
   }

@@ -755,9 +755,13 @@ object Relational {
     */
   def variantExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // parse ONCE into the variant encoding, then both path reads hit
+      // the same variant column — two parse_json calls per row would
+      // re-tokenize the string for each path, defeating the whole point
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
       .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
-        expr("try_variant_get(parse_json(props), '$.missing', 'long')").as("m"))
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("m"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
         round(avg(col("k")), 4).as("avg_k"),

@@ -164,6 +164,25 @@ class GraphSpec extends AnyFunSuite {
     byEnt.foreach { case (e, ms) => assert(ms.map(_._1).min == e) }
   }
 
+  test("entityComponents: a chain longer than the round budget fails LOUDLY") {
+    import spark.implicits._
+    // diameter-2 chain (aaaa—aabb—bbbb) with rounds = 1: after one
+    // round bbbb carries aabb's label, and the guard's extra round
+    // still changes it to aaaa — a silent entity split at scale. The
+    // convergence guard must turn that into an exception naming the
+    // round budget, not return a split labeling.
+    val names = Seq("zz aaaa", "zz aabb", "zz bbbb").toDF("nm")
+    val e = intercept[IllegalArgumentException] {
+      ops.Graph.entityComponents(names, "nm", maxDist = 3,
+        maxBlock = 1000, rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // same chain with enough rounds passes the guard and unifies
+    val ok = ops.Graph.entityComponents(names, "nm", maxDist = 3,
+      maxBlock = 1000, rounds = 3).collect()
+    assert(ok.map(_.getAs[String]("entity")).distinct.toSeq == Seq("zz aaaa"))
+  }
+
   test("q_copurchase: bounded output, consistent degrees, descending similarity") {
     val rows = ops.Graph.coPurchase(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
@@ -369,9 +388,12 @@ class GraphSpec extends AnyFunSuite {
     val rows = ops.Graph.kCore(edges, 3, 2).collect()
       .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_nodes"),
         r.getAs[Long]("n_customers"), r.getAs[Long]("n_suppliers"),
-        r.getAs[Long]("n_edges")))
-    assert(rows.toSeq == Seq((0, 7L, 4L, 3L, 10L),
-      (1, 6L, 3L, 3L, 9L), (2, 6L, 3L, 3L, 9L)))
+        r.getAs[Long]("n_edges"), r.getAs[Boolean]("converged")))
+    // converged flags: round 0 is the input (false by definition),
+    // round 1's peel removed the pendant (false), round 2 removed
+    // nothing — the flag that says "this IS the true 3-core"
+    assert(rows.toSeq == Seq((0, 7L, 4L, 3L, 10L, false),
+      (1, 6L, 3L, 3L, 9L, false), (2, 6L, 3L, 3L, 9L, true)))
   }
 
   test("kCore: a star collapses to the empty graph and stays empty") {
@@ -381,8 +403,9 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L), (0L, 3L), (0L, 5L)).toDF("src", "dst")
     val rows = ops.Graph.kCore(edges, 2, 2).collect()
       .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_nodes"),
-        r.getAs[Long]("n_edges")))
-    assert(rows.toSeq == Seq((0, 4L, 3L), (1, 0L, 0L), (2, 0L, 0L)))
+        r.getAs[Long]("n_edges"), r.getAs[Boolean]("converged")))
+    assert(rows.toSeq == Seq((0, 4L, 3L, false), (1, 0L, 0L, false),
+      (2, 0L, 0L, true)))
   }
 
   test("q_kcore: rounds+1 rows, monotone shrink, side split adds up") {
@@ -395,6 +418,16 @@ class GraphSpec extends AnyFunSuite {
     // peeling only removes: both censuses are non-increasing
     assert(census.map(_._1).toSeq == census.map(_._1).sortBy(-(_: Long)).toSeq)
     assert(census.map(_._4).toSeq == census.map(_._4).sortBy(-(_: Long)).toSeq)
+    // the converged flag is exactly "census equals the previous round":
+    // recompute it independently from the census rows and compare —
+    // and at test scale the 6-round budget suffices, so the final row
+    // must carry converged=true (the truncated-peel visibility guard)
+    val conv = rows.map(_.getAs[Boolean]("converged"))
+    val expect = census.indices.map(i =>
+      i > 0 && census(i)._1 == census(i - 1)._1 &&
+        census(i)._4 == census(i - 1)._4)
+    assert(conv.toSeq == expect)
+    assert(conv.last, "corpus peel did not converge within KCoreRounds")
   }
 
   test("adamicAdar: planted baskets score the exact micro-unit sum") {

@@ -605,4 +605,34 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"),
       s"V did not broadcast:\n$plan")
   }
+
+  test("coPurchase degree joins: broadcast only when the caller vouches for the catalog") {
+    // the shipped supplier-dimension query passes broadcastDegrees=true
+    // (bounded catalog); the generic DataFrame-first form must NOT force
+    // a broadcast — a 100M-item catalog would OOM the driver. With
+    // size-estimate broadcasts killed, any BroadcastExchange left is
+    // hint-driven, so the flag is directly observable in the plan.
+    import spark.implicits._
+    val edges = (for (c <- 1L to 40L; s <- 1L to 6L if (c + s) % 2 == 0)
+      yield (c, s)).toDF("c", "s")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = formatted(ops.Graph.coPurchase(edges, "c", "s",
+        maxBasket = 128, minShared = 1, k = 10, broadcastDegrees = true,
+        materialize = false))
+      val nHinted = "BroadcastExchange \\(\\d".r.findAllIn(hinted).size
+      assert(nHinted == 2,
+        s"vouched catalog: expected both degree-frame broadcasts, got $nHinted:\n$hinted")
+      val generic = formatted(ops.Graph.coPurchase(edges, "c", "s",
+        maxBasket = 128, minShared = 1, k = 10, broadcastDegrees = false,
+        materialize = false))
+      val nGeneric = "BroadcastExchange \\(\\d".r.findAllIn(generic).size
+      assert(nGeneric == 0,
+        s"generic form forced a degree broadcast (AQE must decide):\n$generic")
+      assert(generic.contains("SortMergeJoin") ||
+        generic.contains("ShuffledHashJoin"),
+        s"generic form lost the shuffle-join path:\n$generic")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
