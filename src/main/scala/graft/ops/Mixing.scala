@@ -450,6 +450,36 @@ object Mixing {
       .orderBy(col("source"))
   }
 
+  /** Reference grid + ECDF for
+    * [[graft.streaming.EventTime.ksDriftWithState]]: the
+    * [[sourceDrift]] threshold grid ([[DriftBins]]+1 points spanning
+    * the reference corpus's [min, max]) and the corpus's exact ECDF at
+    * each point — the fixed "historical" side a stream cannot
+    * recompute per window. Grid arithmetic and the `len ≤ t` double
+    * comparison replicate [[sourceDrift]] bit-for-bit, so a stream
+    * scored against a reference built from a window's own slice equals
+    * the batch op on that slice (the EventTimeSpec parity law).
+    *
+    * Driver-bounded: one 2-scalar aggregate (endpoints) + one
+    * ([[DriftBins]]+2)-scalar aggregate (cumulative counts) — the IVF
+    * centroid-matrix pattern, scale-independent.
+    */
+  def ksReference(docs: DataFrame, lenCol: String): (Array[Double], Array[Double]) = {
+    val d = docs.select(col(lenCol).cast("long").as("len"))
+    val mm = d.agg(min(col("len")), max(col("len"))).head()
+    require(!mm.isNullAt(0), "ksReference: empty reference frame")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // same evaluation order as sourceDrift's t(i): Long (hi−lo)·i, one
+    // double divide, one double add
+    val grid = (0 to DriftBins)
+      .map(i => lo + (hi - lo) * i / DriftBins.toDouble).toArray
+    val aggs = count(lit(1)).as("n") +: grid.indices.map(i =>
+      sum((col("len").cast("double") <= lit(grid(i))).cast("long")).as(s"g_$i"))
+    val g = d.agg(aggs.head, aggs.tail: _*).head()
+    val n = g.getLong(0).toDouble
+    (grid, grid.indices.map(i => g.getLong(i + 1) / n).toArray)
+  }
+
   val sourceDriftSql: String =
     s"""WITH mm AS (
       |  SELECT CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi

@@ -288,28 +288,43 @@ object Similarity {
   private val NBands = 8
   private val RowsPerBand = 4
 
-  /** The fixed hyperplane family: component (p, d) is an XXH64-derived
-    * pseudo-random value in [-500, 500] — deterministic, computed ONCE
-    * on the driver and shipped as literals (the previous formulation
-    * recomputed 32×64 hashes per row in interpreted lambdas).
+  /** The fixed hyperplane family for dimension `dim`: component (p, d)
+    * is an XXH64-derived pseudo-random value in [-500, 500] —
+    * deterministic, computed ONCE on the driver and shipped as literals
+    * (the previous formulation recomputed 32×dim hashes per row in
+    * interpreted lambdas). For the driver-contract 64-dim corpus the
+    * values equal the original fixed family (index formula p·dim + d).
     */
-  private lazy val planes: IndexedSeq[Seq[Double]] =
-    (0 until NPlanes).map { p =>
-      (0 until 64).map { d =>
+  private val planesCache =
+    scala.collection.concurrent.TrieMap.empty[Int, IndexedSeq[Seq[Double]]]
+  private def planesFor(dim: Int): IndexedSeq[Seq[Double]] =
+    planesCache.getOrElseUpdate(dim, (0 until NPlanes).map { p =>
+      (0 until dim).map { d =>
         (org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashInt(p * 64 + d, 42L) % 1001).toDouble
+          .hashInt(p * dim + d, 42L) % 1001).toDouble
       }
-    }
+    })
+
+  /** Vector dimension of a normed corpus, sniffed with a bounded 1-row
+    * driver fetch (the plane literals are plan-time constants, so the
+    * dim must be known before the plan is built). Empty corpus → 1
+    * (any plane family works over zero rows).
+    */
+  private def sniffDim(e: DataFrame): Int =
+    e.select(size(col("emb"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Sign-random-projection signatures: bit p = sign(v · h_p), each
     * projection a codegen'd `vec_dot` against a literal plane. Pure
     * projection — computed at scan speed, no shuffle.
     */
-  private def withSig(e: DataFrame): DataFrame =
+  private def withSig(e: DataFrame, dim: Int = 64): DataFrame = {
+    val planes = planesFor(dim)
     e.withColumn("sig", array(
       (0 until NPlanes).map { p =>
         when(call_function("vec_dot", col("emb"), typedlit(planes(p))) > 0, 1).otherwise(0)
       }: _*))
+  }
 
   private val signedMemo = new DatasetMemo("embeddings.parquet")
 
@@ -554,7 +569,8 @@ object Similarity {
     */
   def cosineCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                            materialize: Boolean): DataFrame = {
-    val e0 = withSig(withNorm(corpus, idCol, vecCol))
+    val normed = withNorm(corpus, idCol, vecCol)
+    val e0 = withSig(normed, sniffDim(normed))
     val e = if (materialize) e0.persist() else e0
     try cosinePairsOn(e, materialize)
     finally if (materialize) e.unpersist()
@@ -640,7 +656,8 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, materialize: Boolean): DataFrame = {
-    val e0 = withSig(withNorm(corpus, idCol, vecCol))
+    val normed = withNorm(corpus, idCol, vecCol)
+    val e0 = withSig(normed, sniffDim(normed))
     val e = if (materialize) e0.persist() else e0
     try annLshOn(e, queryPred, k, materialize)
     finally if (materialize) e.unpersist()

@@ -73,6 +73,27 @@ case class DriftState(counts: Map[String, Long], n: Long)
 case class DriftOut(w_start_ms: Long, n_docs: Long, n_cats: Long,
                     n_other: Long, jsd_micro: Long)
 
+/** One timed measured observation for [[EventTime.ksDriftWithState]]
+  * (a document's source tag and length measure on an ingest stream).
+  */
+case class TimedMeasure(ts: java.sql.Timestamp, source: String, len: Long)
+
+/** [[TimedMeasure]] with its tumbling window pre-resolved. */
+case class WindowedMeasure(ts: java.sql.Timestamp, w_start_ms: Long,
+                           source: String, len: Long)
+
+/** Per-(window, source) grid census for [[EventTime.ksDriftWithState]]:
+  * `cum(i)` counts observations with `len ≤ grid(i)`, `n` the total —
+  * fixed |grid|+1 longs per open key regardless of window volume.
+  */
+case class KsState(cum: Array[Long], n: Long)
+
+/** Closed-window KS verdict against the reference ECDF — the
+  * [[graft.ops.Mixing.sourceDrift]] row shape keyed by window start.
+  */
+case class KsOut(w_start_ms: Long, source: String, n_docs: Long,
+                 ks_stat: Double, ks_bin: Int)
+
 /** Event-time streaming operators: watermarked tumbling/sliding/session
   * windows and a custom `flatMapGroupsWithState` sessionizer.
   *
@@ -444,6 +465,94 @@ object EventTime {
             }
             state.update(s)
             state.setTimeoutTimestamp(wStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming twin of the continuous drift monitor
+    * ([[graft.ops.Mixing.sourceDrift]]'s ECDF-grid KS — the sibling of
+    * [[mixDriftWithState]]'s categorical JSD): per (event-time tumbling
+    * window, source), a bounded grid census counts observations at or
+    * below each reference threshold in `flatMapGroupsWithState`; when
+    * the watermark closes the window, the source's window ECDF is
+    * scored against the fixed REFERENCE ECDF (the historical corpus,
+    * passed as `grid`/`refCdf` — [[graft.ops.Mixing.ksReference]]
+    * derives both; a stream cannot re-read the corpus the way the
+    * batch op derives its global side). The max-|diff| statistic, its
+    * argmax bin (ties toward the HIGHER bin) and the final
+    * `round(·, 4)` replicate the batch op's exact double arithmetic,
+    * so a window's row is BIT-IDENTICAL to
+    * [[graft.ops.Mixing.sourceDrift]] run on that window's slice with
+    * the reference derived from the same slice (EventTimeSpec pins
+    * this across a micro-batch split, plus the late-drop contract).
+    *
+    * Scale shape: state is one (|grid|+1)-long census per OPEN
+    * (window, source) pair — fixed-size regardless of window volume —
+    * evicted by event-time timeout at watermark passage; the only
+    * shuffle is the keyed exchange to the state store. Key cardinality
+    * is open-windows × |sources|: the source column is assumed
+    * bounded-cardinality (the monitoring contract `sourceDrift` itself
+    * carries); an unbounded tag column needs [[mixDriftWithState]]'s
+    * capped-census discipline instead.
+    */
+  def ksDriftWithState(docs: Dataset[TimedMeasure], windowMs: Long,
+                       watermark: String, grid: Array[Double],
+                       refCdf: Array[Double]): Dataset[KsOut] = {
+    require(grid.nonEmpty && grid.length == refCdf.length,
+      s"ksDriftWithState: grid (${grid.length}) and refCdf " +
+        s"(${refCdf.length}) must be non-empty and aligned")
+    require(grid.length < 2 || grid.zip(grid.tail).forall { case (a, b) => a <= b },
+      "ksDriftWithState: grid must be non-decreasing")
+    require(refCdf.forall(c => c >= 0.0 && c <= 1.0),
+      "ksDriftWithState: refCdf values must lie in [0,1]")
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (floor(unix_millis(col("ts")) / windowMs) * windowMs).cast("long")
+          .as("w_start_ms"),
+        col("source"), col("len"))
+      .as[WindowedMeasure]
+      .groupByKey(m => (m.w_start_ms, m.source))
+      .flatMapGroupsWithState[KsState, KsOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[WindowedMeasure],
+         state: GroupState[KsState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // batch-exact scoring: the batch op's greatest(struct(diff,
+            // bin)) takes the max diff with ties toward the HIGHER bin
+            // — an ascending scan with >= reproduces it; round(·, 4)
+            // on a double is BigDecimal.valueOf + HALF_UP in Spark's
+            // Round, replicated literally
+            var bestDiff = -1.0
+            var bestBin = -1
+            var i = 0
+            while (i < grid.length) {
+              val diff = math.abs(s.cum(i).toDouble / s.n - refCdf(i))
+              if (diff >= bestDiff) { bestDiff = diff; bestBin = i }
+              i += 1
+            }
+            val ks = java.math.BigDecimal.valueOf(bestDiff)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            Iterator.single(KsOut(key._1, key._2, s.n, ks, bestBin))
+          } else {
+            val s = state.getOption
+              .getOrElse(KsState(new Array[Long](grid.length), 0L))
+            var n = s.n
+            rows.foreach { r =>
+              val d = r.len.toDouble
+              var i = 0
+              while (i < grid.length) {
+                if (d <= grid(i)) s.cum(i) += 1
+                i += 1
+              }
+              n += 1
+            }
+            state.update(KsState(s.cum, n))
+            state.setTimeoutTimestamp(key._1 + windowMs)
             Iterator.empty
           }
       }

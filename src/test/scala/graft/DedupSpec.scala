@@ -291,6 +291,50 @@ class DedupSpec extends AnyFunSuite {
       "sketch estimate drifted wildly from exact Jaccard")
   }
 
+  test("law: nearDupEval exact_bp equals a driver-side shingle-set Jaccard model on a partial-overlap pair") {
+    import spark.implicits._
+    // w1..w20 vs w1..w19+zz: 3-gram shingle sets share 17 of 19 distinct
+    // shingles → J = 17/19, a NON-degenerate decile (the identical-pair
+    // calibration above only exercises J = 1)
+    val t1 = (1 to 20).map(i => s"w$i")
+    val t2 = (1 to 19).map(i => s"w$i") :+ "zz"
+    val docs = Seq((1L, t1.mkString(" ")), (2L, t2.mkString(" ")))
+      .toDF("doc_id", "text")
+    def shingles(ws: Seq[String]): Set[Seq[String]] =
+      ws.sliding(3).map(_.toSeq).toSet
+    val (sa, sb) = (shingles(t1), shingles(t2))
+    val wantExact =
+      math.floor(sa.intersect(sb).size.toDouble / sa.union(sb).size * 10000).toLong
+    val got = ops.Dedup.nearDupEval(docs, "doc_id", "text").collect()
+    assert(got.length == 1, s"exactly one candidate pair expected: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("decile") == wantExact / 1000, s"decile wrong: $r")
+    assert(r.getAs[Long]("n_pairs") == 1L, s"pair count wrong: $r")
+    assert(r.getAs[Long]("avg_exact_bp") == wantExact,
+      s"op exact_bp ${r.getAs[Long]("avg_exact_bp")} vs model $wantExact")
+    // the recorded error is literally |est − exact| of the same row
+    assert(r.getAs[Long]("avg_abs_err_bp") ==
+      math.abs(r.getAs[Long]("avg_est_bp") - wantExact), s"err ledger wrong: $r")
+  }
+
+  test("law: dedupEmbedding planted geometry — copies pair at sim 1, sub-threshold neighbors never count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact copy of 1 → cos 1
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)), // cos 0.6 with 1/2 — below 0.95
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))  // orthogonal to everything
+    ).toDF("doc_id", "embedding")
+    val got = ops.Dedup.dedupEmbedding(docs, "doc_id", "embedding").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dups"), r.getAs[Double]("max_sim")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"coverage wrong: $got")
+    assert(got(1L) == ((1L, 1.0)) && got(2L) == ((1L, 1.0)),
+      s"identical vectors must pair at cosine 1: $got")
+    assert(got(3L)._1 == 0L && got(4L)._1 == 0L,
+      s"sub-threshold/orthogonal vectors flagged as dups: $got")
+  }
+
   test("dedupWeight: cluster weights floor at 1e6/n and nearly conserve unit mass per cluster") {
     import spark.implicits._
     val docs = Seq(

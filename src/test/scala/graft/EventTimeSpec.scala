@@ -403,4 +403,49 @@ class EventTimeSpec extends AnyFunSuite {
     assert(capped.length == 1 && capped(0).n_other == 2L,
       s"overflow mass invisible: ${capped.toSeq}")
   }
+
+  test("streaming KS drift: bit-parity with batch sourceDrift across micro-batches; late rows drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{KsOut, TimedMeasure}
+    // window [10:00,10:10): two sources with visibly different length
+    // mixes, split across micro-batches to prove the census merges
+    val b1 = Seq(("web", 10L), ("web", 200L), ("book", 950L), ("web", 40L))
+    val b2 = Seq(("book", 800L), ("book", 1000L), ("web", 30L), ("web", 60L))
+    val sliceDf = (b1 ++ b2).toDF("source", "len")
+    // reference derived FROM the slice: the streaming scorer against it
+    // must then equal batch sourceDrift on the slice (whose global side
+    // is that same frame) — the strongest cross-form law available
+    val (grid, refCdf) = ops.Mixing.ksReference(sliceDf, "len")
+    val in = MemoryStream[TimedMeasure]
+    val q = EventTime.ksDriftWithState(in.toDS(), windowMs = 10 * 60 * 1000,
+        watermark = "5 minutes", grid = grid, refCdf = refCdf)
+      .writeStream.format("memory").queryName("ksdrift")
+      .outputMode("append").start()
+    in.addData(b1.map { case (s, l) => TimedMeasure(ts(1), s, l) }: _*)
+    q.processAllAvailable()
+    in.addData(b2.map { case (s, l) => TimedMeasure(ts(4), s, l) }: _*)
+    q.processAllAvailable()
+    assert(spark.table("ksdrift").isEmpty,
+      "window must not emit before the watermark closes it")
+    in.addData(TimedMeasure(ts(21), "web", 50L)) // watermark → 10:16
+    q.processAllAvailable()
+    val got = spark.table("ksdrift").as[KsOut].collect()
+      .filter(_.w_start_ms == ts(0).getTime)
+      .map(o => o.source -> ((o.n_docs, o.ks_stat, o.ks_bin))).toMap
+    val batch = ops.Mixing.sourceDrift(sliceDf, "source", "len").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got("web")._2 > 0.0, "planted drift must score nonzero")
+    // late row behind the watermark must not resurrect the closed window
+    in.addData(TimedMeasure(ts(2), "web", 999L))
+    q.processAllAvailable()
+    in.addData(TimedMeasure(ts(31), "web", 50L))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("ksdrift").as[KsOut].collect()
+      .count(_.w_start_ms == ts(0).getTime)
+    assert(after == 2, "late row resurrected the closed window")
+  }
 }

@@ -143,6 +143,36 @@ class MixingSpec extends AnyFunSuite {
       "exact overlap exceeded near-dup overlap somewhere")
   }
 
+  test("law: sourceOverlapNear matrix equals a driver-side recount from the verified pairs") {
+    // independent recomputation over the WHOLE corpus: collect the
+    // verified pair list and the doc→source map, fold the symmetric
+    // cross-source matrix by hand, compare every cell exactly (the
+    // q_span_dedup driver-model discipline for a rows-only query)
+    val pairs = ops.Dedup
+      .minhashVerifiedPairs(spark, sfDir, materialize = false)
+      .filter(col("jacc") >= 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val model = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa != sb) { model((sa, sb)) += 1L; model((sb, sa)) += 1L }
+    }
+    val got = ops.Mixing
+      .sourceOverlapNear(Tables.documents(spark, sfDir),
+        ops.Dedup.minhashVerifiedPairs(spark, sfDir, materialize = false),
+        "doc_id", "source", 0.7)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.forall { case (k, v) => v == model(k) },
+      s"matrix diverged from the driver recount: op $got vs model $model")
+    assert(model.keySet.subsetOf(got.keySet), "model cell missing from the op matrix")
+  }
+
   test("sourceOverlap: full matrix with exact planted counts and zero-filled cells") {
     import spark.implicits._
     // t2 in all three sources, t1 in A and B, t3 only in A; C shares

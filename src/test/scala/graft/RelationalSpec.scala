@@ -17,6 +17,63 @@ object SparkTestSession {
   val sfDir = "/root/testdata/sf0.001"
 }
 
+/* Second-derivation law inventory for the 24 rows-only queries (no
+ * DuckDB oracle — xxhash64-family sketches, DataSketches HLL, or
+ * float-iterative trainers DuckDB cannot twin). Every one carries at
+ * least one INDEPENDENT derivation agreeing with the Spark result:
+ *
+ *   q_ann_ivf             SimilaritySpec "annIvf": no sim above the exact
+ *                         brute-force best; recall floor vs knnBrute
+ *   q_ann_lsh             SimilaritySpec "annLsh": same brute-force bound
+ *   q_ann_recall          SimilaritySpec "annRecall": recall floors, exact
+ *                         1.0 on planted geometry
+ *   q_approx_distinct     RelationalSpec: within 15% of spec-side exact
+ *                         countDistinct per group
+ *   q_approx_percentiles  RelationalSpec: within 5% of spec-side exact
+ *                         percentile() per group
+ *   q_bpe_apply           TextAnalysisSpec: classic low/lower/lowest
+ *                         hand-trace; merge-monotonicity law
+ *   q_bpe_train           TextAnalysisSpec: hand-traced merge table with
+ *                         lexicographic tie rule
+ *   q_compress_ratio      ExpressionsSpec "deflate_len": redundancy
+ *                         ordering + determinism + corpus rails
+ *   q_containment         DedupSpec "containmentPairs": planted excerpt at
+ *                         C = 1.0 that Jaccard provably misses
+ *   q_dedup_clusters      DedupSpec "nearDupClusters": total coverage,
+ *                         labels are cluster minima, exact dups co-cluster
+ *   q_dedup_embedding     DedupSpec "law: dedupEmbedding planted geometry"
+ *                         (copies at cos 1, sub-threshold never count)
+ *   q_dedup_incremental_near  DedupSpec: index/within-increment
+ *                         classification by hand + fixed-point law
+ *   q_dedup_minhash       DedupSpec: planted exact dups found; GraftLaws
+ *                         minhash_sig permutation-invariance
+ *   q_dedup_ngram_jaccard DedupSpec: planted over-cap bucket flagged
+ *                         EXACTLY; dropped-bucket loss < 1% at sf0.1
+ *   q_dedup_simhash       DedupSpec: identical texts collide; GraftLaws
+ *                         simhash64 order-invariance (multiset law)
+ *   q_doc_fingerprint     TextAnalysisSpec "law: docFingerprint
+ *                         re-derives" (builtin-composition recomputation,
+ *                         corpus-wide bit-for-bit)
+ *   q_hll_sketch          RelationalSpec "hllSketch": union row vs
+ *                         one-pass sketch-of-union; per-source exact side
+ *                         anchored to spec-side countDistinct
+ *   q_kmeans              SimilaritySpec "law: kmeans report equals a
+ *                         driver-side refold of the raw assignments"
+ *   q_media_features      MultimodalSpec: planted 2x2-PNG channel means /
+ *                         PCM square-wave RMS-peak-ZCR computed by hand
+ *   q_near_dup_eval       DedupSpec "law: nearDupEval exact_bp" (driver
+ *                         shingle-set Jaccard model, non-degenerate J) +
+ *                         identical-pair calibration
+ *   q_pca                 SimilaritySpec "pcaReport": planted spectrum
+ *                         exact, rotation-invariance
+ *   q_pca_project         SimilaritySpec "law: pcaProject re-derives by
+ *                         direct centered matrix math"
+ *   q_semantic_dedup      SimilaritySpec "law: semanticDedup flags equal a
+ *                         brute-force within-cell cosine recount"
+ *   q_source_overlap_near MixingSpec "law: sourceOverlapNear matrix equals
+ *                         a driver-side recount from the verified pairs"
+ */
+
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -236,6 +293,17 @@ class RelationalSpec extends AnyFunSuite {
     // lgK=12 keeps relative error ~1.6%; allow 400 bp headroom
     assert(rows.values.forall(_._3 <= 400),
       s"sketch error exceeded 400 bp: $rows")
+    // independent exact side: the op's own exact_distinct column (which
+    // err_bp is measured against) must equal a spec-side countDistinct
+    // per source — so the ≤400 bp rail above is anchored to an exact
+    // count derived OUTSIDE the op, not to its internal ledger
+    val specExact = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(countDistinct(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    specExact.foreach { case (src, n) =>
+      assert(rows(src)._2 == n,
+        s"source $src: op exact ${rows(src)._2} vs spec countDistinct $n")
+    }
     // layout invariance holds for the PER-SOURCE rows (sparse-mode
     // sketches are functions of the value set); the union row may move
     // in its low digits with merge order, so it is excluded here and

@@ -91,6 +91,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       "identical texts produced different fingerprints")
   }
 
+  test("law: docFingerprint re-derives corpus-wide through the builtin shingle composition") {
+    // independent recomputation: the 5-gram shingling via the BUILTIN
+    // transform/concat_ws/xxhash64 composition (ExpressionsSpec pins
+    // native shingle_hash == this composition for the short-doc edge
+    // too), then the same bottom-4 → xxhash64 fold — every corpus row
+    // must agree bit-for-bit with the op
+    val model = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(t) >= 5 THEN
+          |  transform(sequence(0, size(t)-5),
+          |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
+          |ELSE array(xxhash64(concat_ws(' ', t))) END)""".stripMargin).as("sh"))
+      .select(col("doc_id"), expr("slice(array_sort(sh), 1, 4)").as("bk"))
+      .select(col("doc_id"),
+        expr("xxhash64(bk[0], bk[1], bk[2], bk[3])").as("m_fp"),
+        array_join(col("bk"), ",").as("m_csv"))
+    val diff = ops.TextAnalysis.docFingerprint(spark, sfDir)
+      .join(model, Seq("doc_id"))
+      .filter(col("fingerprint") =!= col("m_fp") ||
+        col("bottomk_csv") =!= col("m_csv"))
+    assert(diff.count() == 0, "fingerprint diverged from the builtin model")
+  }
+
   test("tokenEntropy: constant doc scores 0 / uniform doc scores ln(n); ttr bounds") {
     import spark.implicits._
     val docs = Seq(
