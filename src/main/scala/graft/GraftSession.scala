@@ -41,6 +41,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", s"${256L * 1024 * 1024}")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Static conf: the generated-class cache defaults to 100 entries,
+      // sized for a handful of hot queries. An analytics service running
+      // hundreds of distinct query shapes (this library registers 230+)
+      // thrashes it and pays Janino recompilation on every re-run; a
+      // 10k-entry cache keeps every compiled projection/predicate/
+      // WholeStageCodegen unit resident for the life of the session at
+      // a bounded metaspace cost (classes are small; eviction is LRU).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
   }
 
   /** Single-process variant for tools and tests: same posture, local

@@ -824,6 +824,143 @@ object Curation {
       .orderBy(col("band_id"))
   }
 
+  /** l-diversity audit — the sensitive-attribute complement of
+    * [[kAnonymity]]: a k-anonymous class is still unsafe when all its
+    * rows share one sensitive value (the homogeneity attack), so this
+    * reports, PER distinct-sensitive-count l, how many equivalence
+    * classes sit at that diversity level, the rows they cover, and
+    * their worst (minimum) entropy diversity. Class entropy
+    * H = Σ_v (c_v/k)·ln(k/c_v) is quantized to integer micro-nats
+    * per sensitive value FIRST (`round(ln(k/c_v)·1e6)·c_v`, one ln +
+    * one round per cell — the [[graft.ops.Mixing.mutualInfo]]
+    * discipline) and the BIGINT terms are summed and divided once by
+    * k, so both engines emit identical integers. l = 1 rows are the
+    * leak headline: every row in those classes discloses its
+    * sensitive value exactly.
+    *
+    * Scale shape: one corpus aggregation to the (class, sensitive)
+    * cell frame, one to the class frame, one |l|-bounded rollup; the
+    * cells-to-class join is keyed by the class (AQE broadcasts the
+    * bounded side).
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("qi1"),
+      col("c_nationkey").cast("long").as("qi2"),
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("sens"))
+    lDiversity(c, Seq("qi1", "qi2"), "sens")
+  }
+
+  /** DataFrame-first form over any (quasi-identifiers…, sensitive)
+    * frame.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+                 sensCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity: need at least one quasi-identifier")
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensCol).as("sens"): _*)
+      .agg(count(lit(1)).as("c"))
+    val cls = cells.groupBy(qi: _*)
+      .agg(sum(col("c")).as("k"), count(lit(1)).as("l"))
+    val scored = cells.join(cls, qiCols)
+      .withColumn("term",
+        expr("CAST(round(ln(CAST(k AS DOUBLE) / c) * 1e6) AS BIGINT) * c"))
+      .groupBy((qi :+ col("k") :+ col("l")): _*)
+      .agg(expr("sum(term) DIV k").as("h_micro"))
+    val tot = scored.agg(sum(col("k")).as("n_total"))
+    scored.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        min(col("h_micro")).as("min_h_micro"))
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("n_classes"), col("n_rows"),
+        col("min_k"), col("max_k"), col("min_h_micro"),
+        expr("n_rows * 10000 DIV n_total").as("pct_rows_bp"))
+      .orderBy(col("l"))
+  }
+
+  val lDiversitySql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS qi1, CAST(c_nationkey AS BIGINT) AS qi2,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |         WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+      |  FROM customer),
+      |cells AS (
+      |  SELECT qi1, qi2, sens, CAST(count(*) AS BIGINT) AS c
+      |  FROM c GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT qi1, qi2, CAST(sum(c) AS BIGINT) AS k,
+      |    CAST(count(*) AS BIGINT) AS l
+      |  FROM cells GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qi1, qi2, k, l,
+      |    CAST(sum(CAST(round(ln(CAST(k AS DOUBLE) / c) * 1e6) AS BIGINT)
+      |             * c) // k AS BIGINT) AS h_micro
+      |  FROM cells JOIN cls USING (qi1, qi2)
+      |  GROUP BY qi1, qi2, k, l),
+      |tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM scored)
+      |SELECT l, count(*) AS n_classes, CAST(sum(k) AS BIGINT) AS n_rows,
+      |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+      |  CAST(min(h_micro) AS BIGINT) AS min_h_micro,
+      |  CAST(sum(k) * 10000 // n_total AS BIGINT) AS pct_rows_bp
+      |FROM scored CROSS JOIN tot
+      |GROUP BY l, n_total ORDER BY l""".stripMargin
+
+  /** Training-example context windows — the tokenizer-side windowing
+    * pass that turns variable-length documents into fixed-size model
+    * inputs: per document, whitespace-token windows of size 512 with
+    * stride 384 (128-token overlap carries context across the cut).
+    * Emits (doc_id, win_idx, tok_start, tok_len, n_tokens); the last
+    * window keeps the tail (length in [129, 512] — a pure-integer
+    * window count `1 + (n − 129) DIV 384` for n > 512, identical in
+    * both engines; short docs emit exactly one window of their full
+    * length).
+    *
+    * Scale shape: perfectly row-local — one `sequence` explode per
+    * document, no shuffle at all until the output sort; at 100 TB
+    * this runs at scan speed and the output is ~n_tokens/384 rows per
+    * doc. The downstream packer is [[packChunks]]'s greedy pass.
+    */
+  def contextWindows(spark: SparkSession, dir: String): DataFrame =
+    contextWindows(Tables.documents(spark, dir), "doc_id", "text", 512, 384)
+
+  /** DataFrame-first form; `winTok` is the window size in tokens,
+    * `stride` the start-to-start distance (overlap = winTok − stride).
+    */
+  def contextWindows(docs: DataFrame, idCol: String, textCol: String,
+                     winTok: Int, stride: Int): DataFrame = {
+    require(winTok > 0 && stride > 0 && stride <= winTok,
+      s"contextWindows: need 0 < stride <= winTok, got ($winTok, $stride)")
+    val minTail = winTok - stride + 1 // shortest possible last window
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        s"sequence(0L, CASE WHEN n <= $winTok THEN 0L ELSE (n - $minTail) DIV $stride END)"))
+        .as("i"))
+      .select(col("doc_id"), col("i").as("win_idx"),
+        (col("i") * stride).as("tok_start"),
+        least(lit(winTok.toLong), col("n") - col("i") * stride).as("tok_len"),
+        col("n").as("n_tokens"))
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  val contextWindowsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0,
+      |      CASE WHEN n <= 512 THEN 0 ELSE (n - 129) // 384 END)) AS i
+      |  FROM d)
+      |SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
+      |  CAST(i * 384 AS BIGINT) AS tok_start,
+      |  CAST(least(512, n - i * 384) AS BIGINT) AS tok_len,
+      |  n AS n_tokens
+      |FROM w ORDER BY doc_id, win_idx""".stripMargin
+
   val kAnonymitySql: String =
     """WITH c AS (
       |  SELECT c_mktsegment AS qi1, CAST(c_nationkey AS BIGINT) AS qi2,

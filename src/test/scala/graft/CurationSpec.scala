@@ -245,4 +245,83 @@ class CurationSpec extends AnyFunSuite {
     val total = corpus.map(_.getAs[Long]("n_rows")).sum
     assert(total == graft.Tables.customer(spark, sfDir).count())
   }
+
+  test("lDiversity: planted classes — homogeneous l=1, balanced l=2 at exact entropy, skewed below it") {
+    import spark.implicits._
+    // class A: 4 rows all 's1'           → l=1, H = 0
+    // class B: 2×'s1' + 2×'s2' (k=4)     → l=2, H = ln 2 exactly:
+    //   per value: round(ln(4/2)·1e6)=693147, ·2 → term; sum=2772588,
+    //   DIV 4 = 693147
+    // class C: 3×'s1' + 1×'s2' (k=4)     → l=2, H < ln 2:
+    //   round(ln(4/3)·1e6)=287682·3 + round(ln 4·1e6)=1386294·1
+    //   = 863046+1386294=2249340, DIV 4 = 562335
+    val rows = Seq.fill(4)(("A", "s1")) ++
+      Seq(("B", "s1"), ("B", "s1"), ("B", "s2"), ("B", "s2")) ++
+      Seq(("C", "s1"), ("C", "s1"), ("C", "s1"), ("C", "s2"))
+    val got = ops.Curation.lDiversity(rows.toDF("qi", "sens"),
+        Seq("qi"), "sens").collect()
+      .map(r => r.getAs[Long]("l") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_h_micro")))).toMap
+    assert(got(1L) == ((1L, 4L, 0L)), s"homogeneous class wrong: $got")
+    // both l=2 classes aggregate into one row; min entropy is C's
+    assert(got(2L) == ((2L, 8L, 562335L)), s"l=2 rollup wrong: $got")
+  }
+
+  test("lDiversity on the corpus: rows close to the customer count and k-anonymity's l ledger") {
+    val got = ops.Curation.lDiversity(spark, sfDir).collect()
+    val total = got.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.customer(spark, sfDir).count(),
+      "every customer row must land in exactly one l bucket")
+    // kAnonymity reports min_l over all classes — the smallest l here
+    // must agree with the smallest min_l there (same classes, same
+    // sensitive attribute)
+    val minLHere = got.map(_.getAs[Long]("l")).min
+    val minLThere = ops.Curation.kAnonymity(spark, sfDir).collect()
+      .map(_.getAs[Long]("min_l")).min
+    assert(minLHere == minLThere, s"l ledgers disagree: $minLHere vs $minLThere")
+  }
+
+  test("contextWindows: exact window layout for short, boundary and long docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 5).map(_ => "w").mkString(" ")),    // 5 toks → 1 win len 5
+      (2L, (1 to 512).map(_ => "w").mkString(" ")),  // exactly 512 → 1 win
+      (3L, (1 to 513).map(_ => "w").mkString(" ")),  // 513 → wins at 0 (512) and 384 (129)
+      (4L, (1 to 1200).map(_ => "w").mkString(" "))  // 1200 → 0:512, 384:512, 768:432
+    ).toDF("doc_id", "text")
+    val got = ops.Curation.contextWindows(docs, "doc_id", "text", 512, 384)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 5L),
+      (2L, 0L, 0L, 512L),
+      (3L, 0L, 0L, 512L), (3L, 1L, 384L, 129L),
+      (4L, 0L, 0L, 512L), (4L, 1L, 384L, 512L), (4L, 2L, 768L, 432L)),
+      s"window layout wrong: ${got.toSeq}")
+  }
+
+  test("contextWindows coverage law: windows tile every token with stride overlap, corpus-wide") {
+    // for every doc: first window starts at 0, consecutive starts are
+    // exactly stride apart, the last window ends at n_tokens, and every
+    // non-final window is full-size — checked over the whole corpus
+    val rows = ops.Curation.contextWindows(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (docId, ws) =>
+      val sorted = ws.sortBy(_.getLong(1))
+      val n = sorted.head.getLong(4)
+      assert(sorted.head.getLong(2) == 0L, s"doc $docId: first window not at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) == 384L,
+            s"doc $docId: stride broken")
+          assert(a.getLong(3) == 512L,
+            s"doc $docId: non-final window not full")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == n,
+        s"doc $docId: last window does not close the doc")
+    }
+  }
 }
