@@ -102,6 +102,107 @@ object Sequence {
        |ORDER BY n_sessions DESC, path
        |LIMIT 20""".stripMargin
 
+  /** Length-2 sequential-pattern support (the GSP/SPADE base case):
+    * for every ordered event-type pair (a, b), the number of sessions
+    * containing a and, STRICTLY LATER in the same session, b — at any
+    * distance, which is what separates it from
+    * [[Advanced.transitions]]' adjacent-pair matrix. Support is
+    * reported in exact basis points of all sessions (`n · 10000 DIV
+    * total`), top-30 by (support, a, b) so the cut is reproducible.
+    *
+    * Scale shape: sessions are capped at their first [[GspMaxEvents]]
+    * events (one keyed row_number — a runaway bot session cannot emit
+    * quadratic pairs), the ordered-pair expansion is ROW-LOCAL over
+    * the per-session prefix array with `array_distinct` applied
+    * BEFORE the explode (per-session dedup never shuffles), and the
+    * count runs on the |types|²-bounded pair frame.
+    */
+  def gspPatterns(spark: SparkSession, dir: String): DataFrame =
+    gspPatterns(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", "event_id")
+
+  /** Per-session event cap for [[gspPatterns]] — bounds the row-local
+    * pair expansion at cap·(cap−1)/2 regardless of session length.
+    */
+  val GspMaxEvents = 50
+
+  /** DataFrame-first form over any (actor, label, timestamp, tiebreak)
+    * frame.
+    */
+  def gspPatterns(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String): DataFrame = {
+    val wu = Window.partitionBy(col("u")).orderBy(col("es"), col("eid"))
+    val ws = Window.partitionBy(col("u"), col("sess"))
+      .orderBy(col("es"), col("eid"))
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_timestamp(col(tsCol)).as("es"), col(idCol).as("eid"))
+    val sessions = e
+      .withColumn("prev", lag(col("es"), 1).over(wu))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("es") - col("prev") > SessionGapSec, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(wu))
+      .withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= GspMaxEvents)
+      .groupBy(col("u"), col("sess"))
+      .agg(expr("transform(sort_array(collect_list(struct(rk, t))), s -> s.t)")
+        .as("arr"))
+    val tot = sessions.agg(count(lit(1)).as("total"))
+    sessions
+      // size-1 sessions carry no pair but STAY in the support
+      // denominator (tot is computed above this filter); the guard
+      // also keeps sequence() ascending — sequence(0, -1) descends
+      .filter(size(col("arr")) >= 2)
+      // i<j ordered pairs, deduped row-locally before the explode
+      .select(explode(expr(
+        """array_distinct(flatten(transform(
+          |  sequence(0, size(arr) - 2),
+          |  i -> transform(slice(arr, i + 2, size(arr) - i - 1),
+          |       x -> named_struct('a', arr[i], 'b', x)))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a_type"), col("p.b").as("b_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("a_type"), col("b_type"), col("n_sessions"),
+        expr("n_sessions * 10000 DIV total").as("support_bp"))
+      .orderBy(col("n_sessions").desc, col("a_type"), col("b_type"))
+      .limit(30)
+  }
+
+  val gspPatternsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id AS u, event_type AS t,
+       |    epoch_us(ts) // 1000000 AS es, event_id AS eid
+       |  FROM events),
+       |g AS (
+       |  SELECT u, t, es, eid,
+       |    CASE WHEN lag(es) OVER w IS NULL
+       |           OR es - lag(es) OVER w > $SessionGapSec
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY u ORDER BY es, eid)),
+       |s AS (
+       |  SELECT u, t, es, eid,
+       |    sum(new_s) OVER (PARTITION BY u ORDER BY es, eid
+       |                     ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM g),
+       |r AS (
+       |  SELECT u, sess, t,
+       |    row_number() OVER (PARTITION BY u, sess ORDER BY es, eid) AS rk
+       |  FROM s QUALIFY rk <= $GspMaxEvents),
+       |p AS (
+       |  SELECT DISTINCT r1.u, r1.sess, r1.t AS a_type, r2.t AS b_type
+       |  FROM r r1 JOIN r r2
+       |    ON r1.u = r2.u AND r1.sess = r2.sess AND r1.rk < r2.rk),
+       |tot AS (
+       |  SELECT count(*) AS total
+       |  FROM (SELECT DISTINCT u, sess FROM r))
+       |SELECT a_type, b_type, count(*) AS n_sessions,
+       |  CAST(count(*) * 10000 // any_value(total) AS BIGINT) AS support_bp
+       |FROM p CROSS JOIN tot
+       |GROUP BY a_type, b_type
+       |ORDER BY n_sessions DESC, a_type, b_type
+       |LIMIT 30""".stripMargin
+
   /** EWMA control chart over the daily order-revenue series, ENTIRELY
     * in integer cents: z_t = ⌊(2·x_t + 8·z_{t−1}) / 10⌋ (α = 0.2,
     * truncating division — Spark `DIV` and DuckDB `//` agree), init

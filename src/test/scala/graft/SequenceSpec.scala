@@ -48,6 +48,32 @@ class SequenceSpec extends AnyFunSuite {
       s"boundary-gap handling wrong: $got")
   }
 
+  test("gspPatterns: non-adjacent pairs count, per-session dedup, singletons only dilute support") {
+    import spark.implicits._
+    // user 1 session: view, click, view, purchase
+    //   ordered pairs (distinct): view>click, view>view, view>purchase,
+    //   click>view, click>purchase — view>purchase holds even though
+    //   never adjacent (the GSP semantics transitions cannot see);
+    //   duplicate (view, purchase) from both views counts ONCE
+    // user 2: singleton session — no pairs, but total = 2 sessions
+    val events = Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 1100L),
+      (3L, 1L, "view", 1200L), (4L, 1L, "purchase", 1300L),
+      (5L, 2L, "view", 1000L))
+      .map { case (eid, u, t, s) => (eid, u, t, ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = ops.Sequence
+      .gspPatterns(events, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(("view", "click"), ("view", "view"),
+      ("view", "purchase"), ("click", "view"), ("click", "purchase")),
+      s"pair set wrong: $got")
+    // every pattern appears in 1 of 2 sessions → 5000 bp
+    assert(got.values.forall(_ == ((1L, 5000L))), s"support wrong: $got")
+  }
+
   test("ewmaChart: hand-traced integer recurrence with truncation and the exact alarm boundary") {
     import spark.implicits._
     // days with cents 1000, 1247, 600, 2000:
