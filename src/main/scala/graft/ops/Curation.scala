@@ -907,6 +907,123 @@ object Curation {
       |FROM scored CROSS JOIN tot
       |GROUP BY l, n_total ORDER BY l""".stripMargin
 
+  /** t-closeness audit — the third privacy gate after [[kAnonymity]]
+    * (class sizes) and [[lDiversity]] (sensitive variety): a class can
+    * be large AND diverse yet still leak when its sensitive
+    * DISTRIBUTION differs sharply from the global one (skewness
+    * attack). For an ORDERED sensitive attribute the distance is the
+    * 1-D earth-mover's distance — the sum of absolute cumulative-
+    * distribution gaps over the value order, normalized by (m−1).
+    * Computed EXACTLY: per ordered position, |cumc·N − cumg·k| is an
+    * exact integer on the common denominator k·N (DECIMAL(38,0) /
+    * HUGEINT — the product passes 2^63 once classes and corpora reach
+    * ~10^8 rows each), summed and divided ONCE into ppm by truncating
+    * division. Missing (class, value) cells are grid-filled with zero
+    * — dropping them would silently shrink a cumulative gap (the
+    * [[graft.ops.Diagnostics]] chi-square full-grid rule). Emits the
+    * 20 worst classes by (t_ppm, qi) — the rows a release reviewer
+    * reads first.
+    *
+    * Scale shape: one corpus aggregation to the (class, value) cells;
+    * the m-row ordered-value frame and the 1-row N broadcast; the cum
+    * window partitions by class over exactly m rows. The global cum
+    * runs on the m-row bounded frame (unpartitioned window over a
+    * post-aggregate frame bounded by the attribute's cardinality).
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("qi1"),
+      col("c_nationkey").cast("long").as("qi2"),
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("sens"))
+    tCloseness(c, Seq("qi1", "qi2"), "sens", Seq("debt", "mid", "high"))
+  }
+
+  /** DataFrame-first form; `sensOrder` fixes the attribute's value
+    * order (the EMD ground metric — unit spacing between neighbors).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensCol: String,
+                 sensOrder: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness: need at least one quasi-identifier")
+    require(sensOrder.size >= 2, "tCloseness: need an ordered domain of >= 2")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.DecimalType
+    val qi = qiCols.map(col)
+    val m = sensOrder.size
+    val cells = df.groupBy(qi :+ col(sensCol).as("sens"): _*)
+      .agg(count(lit(1)).as("c"))
+    val cls = cells.groupBy(qi: _*).agg(sum(col("c")).as("k"))
+    val glob = cells.groupBy(col("sens")).agg(sum(col("c")).as("g"))
+    // ordered domain with global cumulative counts — an m-row frame
+    val vals = spark.createDataFrame(
+      sensOrder.zipWithIndex.map { case (v, i) => (v, i + 1) })
+      .toDF("sens", "idx")
+    val gc = vals.join(glob, Seq("sens"), "left")
+      .na.fill(0L, Seq("g"))
+      .withColumn("cumg", sum(col("g"))
+        .over(Window.orderBy(col("idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("sens"), col("idx"), col("cumg"))
+    val nTot = glob.agg(sum(col("g")).as("n_tot"))
+    val wCls = Window.partitionBy(qi: _*).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cls.crossJoin(broadcast(gc))
+      .join(cells, qiCols :+ "sens", "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cumc", sum(col("c")).over(wCls))
+      .crossJoin(broadcast(nTot))
+      .groupBy((qi :+ col("k") :+ col("n_tot")): _*)
+      .agg(sum(abs(col("cumc").cast(DecimalType(38, 0)) * col("n_tot")
+        - col("cumg").cast(DecimalType(38, 0)) * col("k"))).as("d"))
+      .select((qi :+ col("k") :+
+        expr(s"CAST(CAST(d AS DECIMAL(38,0)) * 1000000 DIV (k * n_tot * ${m - 1}) AS BIGINT)")
+          .as("t_ppm")): _*)
+      .orderBy(col("t_ppm").desc +: qi: _*)
+      .limit(20)
+  }
+
+  val tClosenessSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS qi1, CAST(c_nationkey AS BIGINT) AS qi2,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |         WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+      |  FROM customer),
+      |cells AS (
+      |  SELECT qi1, qi2, sens, CAST(count(*) AS BIGINT) AS cv
+      |  FROM c GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT qi1, qi2, CAST(sum(cv) AS BIGINT) AS k
+      |  FROM cells GROUP BY 1, 2),
+      |vals(sens, idx) AS (VALUES ('debt', 1), ('mid', 2), ('high', 3)),
+      |gsum AS (SELECT sens, CAST(sum(cv) AS BIGINT) AS g
+      |         FROM cells GROUP BY 1),
+      |gc AS (
+      |  SELECT v.sens, v.idx,
+      |    CAST(sum(coalesce(g, 0)) OVER (ORDER BY v.idx) AS BIGINT) AS cumg
+      |  FROM vals v LEFT JOIN gsum USING (sens)),
+      |nt AS (SELECT CAST(sum(g) AS BIGINT) AS n_tot FROM gsum),
+      |grid AS (
+      |  SELECT cls.qi1, cls.qi2, cls.k, gc.idx, gc.cumg,
+      |    coalesce(cells.cv, 0) AS cv, gc.sens
+      |  FROM cls CROSS JOIN gc
+      |  LEFT JOIN cells USING (qi1, qi2, sens)),
+      |cum AS (
+      |  SELECT qi1, qi2, k, idx, cumg,
+      |    CAST(sum(cv) OVER (PARTITION BY qi1, qi2 ORDER BY idx) AS BIGINT)
+      |      AS cumc
+      |  FROM grid),
+      |d AS (
+      |  SELECT qi1, qi2, k,
+      |    sum(abs(CAST(cumc AS HUGEINT) * n_tot
+      |            - CAST(cumg AS HUGEINT) * k)) AS dd,
+      |    any_value(n_tot) AS n_tot
+      |  FROM cum CROSS JOIN nt GROUP BY qi1, qi2, k)
+      |SELECT qi1, qi2, k,
+      |  CAST(dd * 1000000 // (k * n_tot * 2) AS BIGINT) AS t_ppm
+      |FROM d
+      |ORDER BY t_ppm DESC, qi1, qi2
+      |LIMIT 20""".stripMargin
+
   /** Training-example context windows — the tokenizer-side windowing
     * pass that turns variable-length documents into fixed-size model
     * inputs: per document, whitespace-token windows of size 512 with

@@ -282,6 +282,46 @@ class CurationSpec extends AnyFunSuite {
     assert(minLHere == minLThere, s"l ledgers disagree: $minLHere vs $minLThere")
   }
 
+  test("tCloseness: extreme-mass classes hit EMD 1/2 exactly, global-matching class scores 0") {
+    import spark.implicits._
+    // global: 4 debt + 4 high in A/B extremes + C matching the mix.
+    // A (all debt) vs global (half debt, half high): 1-D EMD over the
+    // 3-point ordered domain = 0.5 → exactly 500000 ppm; C = 0
+    val rows = Seq.fill(4)(("A", "debt")) ++ Seq.fill(4)(("B", "high")) ++
+      Seq(("C", "debt"), ("C", "debt"), ("C", "high"), ("C", "high"))
+    val got = ops.Curation.tCloseness(rows.toDF("qi", "sens"),
+        Seq("qi"), "sens", Seq("debt", "mid", "high")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t_ppm")).toMap
+    // recompute global: debt 6, high 6 of N=12. A: cum (4,4,4)·12 vs
+    // (6,6,12)·4: |48-24|+|48-24|+|48-48| = 48 → 48e6 DIV (4·12·2)
+    // = 500000; C: cum (2,2,4): |24-12|... wait — use the op as spec'd:
+    // the hand numbers below are the assertion
+    assert(got("A") == got("B"), s"symmetric extremes must tie: $got")
+    assert(got("C") < got("A"), s"global-matching class must score lower: $got")
+    assert(got("A") == 500000L, s"extreme class EMD must be exactly 1/2: $got")
+    assert(got("C") == 0L, s"global-matching class must be exactly 0: $got")
+  }
+
+  test("tCloseness: missing-cell grid fill keeps cumulative gaps exact") {
+    import spark.implicits._
+    // class D has ONLY 'mid' — its debt/high cells are ABSENT and must
+    // be grid-filled. Global mix (D's rows included): debt 3, mid 6,
+    // high 3 of N=12 → cumg/N = (1/4, 3/4, 1).
+    //   D: cumc/k = (0, 1, 1)      → EMD = (1/4 + 1/4)/2 = 1/4
+    //   E/F/G: cumc/k = (1/3, 2/3, 1) → EMD = (1/12 + 1/12)/2 = 1/12
+    // A dropped-cell implementation would lose D's idx-1 gap entirely.
+    val rows = Seq.fill(3)(("D", "mid")) ++
+      Seq(("E", "debt"), ("E", "mid"), ("E", "high")) ++
+      Seq(("F", "debt"), ("F", "mid"), ("F", "high")) ++
+      Seq(("G", "debt"), ("G", "high"), ("G", "mid"))
+    val got = ops.Curation.tCloseness(rows.toDF("qi", "sens"),
+        Seq("qi"), "sens", Seq("debt", "mid", "high")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t_ppm")).toMap
+    assert(got("D") == 250000L, s"grid-filled EMD wrong: $got")
+    assert(got("E") == 83333L && got("F") == 83333L && got("G") == 83333L,
+      s"uniform-thirds classes must score exactly 1/12: $got")
+  }
+
   test("contextWindows: exact window layout for short, boundary and long docs") {
     import spark.implicits._
     val docs = Seq(
