@@ -73,7 +73,12 @@ object Bench {
             if (round > 0) times(name) += (System.nanoTime() - t0) / 1e9
           } catch {
             case scala.util.control.NonFatal(e) =>
-              errs(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+              // Only TIMED rounds latch a failure: a transient error in
+              // the untimed warmup round would otherwise skip the query
+              // for every timed round, erasing all its timing signal
+              // while still reporting it failed.
+              if (round > 0)
+                errs(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
           }
         }
       }

@@ -950,6 +950,19 @@ object Curation {
     import org.apache.spark.sql.types.DecimalType
     val qi = qiCols.map(col)
     val m = sensOrder.size
+    // Loud domain check (1-row aggregate, never a distinct collect): a
+    // sensitive value observed in the data but absent from `sensOrder`
+    // (or a NULL) would be counted in every class's k and in N while
+    // being excluded from the CDF grid, silently inflating every
+    // class's EMD — and identically in any SQL twin, so no oracle can
+    // catch it. Audits must fail loudly on an incomplete ground metric.
+    val nOutside = df
+      .filter(col(sensCol).isNull || !col(sensCol).isin(sensOrder: _*))
+      .count()
+    require(nOutside == 0L,
+      s"tCloseness: $nOutside rows carry NULL or sensitive values outside " +
+        s"sensOrder(${sensOrder.mkString(", ")}) — the EMD ground metric " +
+        "must cover the observed domain")
     val cells = df.groupBy(qi :+ col(sensCol).as("sens"): _*)
       .agg(count(lit(1)).as("c"))
     val cls = cells.groupBy(qi: _*).agg(sum(col("c")).as("k"))

@@ -434,9 +434,14 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  // Epoch seconds in the SQL twins use an explicit floor-division CASE:
+  // Spark's unix_timestamp FLOORS while DuckDB's `//` truncates toward
+  // zero, so a pre-1970 fractional-second timestamp would land in a
+  // different second (and potentially a different session/rank) across
+  // engines under a bare `epoch_us(ts) // 1000000`.
   val eventsSessionizeSql: String =
     """WITH e AS (
-      |  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+      |  SELECT user_id, (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS es FROM events),
       |g AS (
       |  SELECT user_id,
       |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
@@ -941,7 +946,7 @@ object Relational {
 
   val sessionWindowAggSql: String =
     """WITH e AS (
-      |  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+      |  SELECT user_id, (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS es FROM events),
       |g AS (
       |  SELECT user_id,
       |    CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
@@ -1155,9 +1160,9 @@ object Relational {
   val latestByKeySql: String =
     """WITH r AS (
       |  SELECT user_id, event_id, event_type,
-      |    epoch_us(ts) // 1000000 AS es,
+      |    (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS es,
       |    row_number() OVER (PARTITION BY user_id
-      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn,
+      |      ORDER BY (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) DESC, event_id DESC) AS rn,
       |    count(*) OVER (PARTITION BY user_id) AS n_events
       |  FROM events)
       |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
@@ -1199,9 +1204,9 @@ object Relational {
     """WITH e AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, value,
       |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
-      |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn_a,
+      |      ORDER BY (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END), event_id) AS rn_a,
       |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
-      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn_d
+      |      ORDER BY (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) DESC, event_id DESC) AS rn_d
       |  FROM events)
       |SELECT event_type, day,
       |  round(min(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
@@ -1407,15 +1412,15 @@ object Relational {
   val mergeUpsertSql: String =
     """WITH base AS (
       |  SELECT user_id, value AS base_value,
-      |    epoch_us(ts) // 1000000 AS base_es,
+      |    (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS base_es,
       |    row_number() OVER (PARTITION BY user_id
-      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
+      |      ORDER BY (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) DESC, event_id DESC) AS rn
       |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
       |chg AS (
       |  SELECT user_id, event_type = 'error' AS is_delete,
-      |    value AS chg_value, epoch_us(ts) // 1000000 AS chg_es,
+      |    value AS chg_value, (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS chg_es,
       |    row_number() OVER (PARTITION BY user_id
-      |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
+      |      ORDER BY (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) DESC, event_id DESC) AS rn
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-16')
       |SELECT user_id,
       |  round(coalesce(c.chg_value, b.base_value), 2) AS value,

@@ -74,10 +74,13 @@ object Sequence {
       .limit(20)
   }
 
+  // Floor-division CASE (not bare `//`): DuckDB truncates toward zero
+  // while Spark's unix_timestamp floors — see Relational.scala's epoch
+  // comment for the pre-1970 fractional-second divergence this closes.
   val sessionPathsSql: String =
     s"""WITH e AS (
        |  SELECT user_id AS u, event_type AS t,
-       |    epoch_us(ts) // 1000000 AS es, event_id AS eid
+       |    (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS es, event_id AS eid
        |  FROM events),
        |g AS (
        |  SELECT u, t, es, eid,
@@ -172,7 +175,7 @@ object Sequence {
   val gspPatternsSql: String =
     s"""WITH e AS (
        |  SELECT user_id AS u, event_type AS t,
-       |    epoch_us(ts) // 1000000 AS es, event_id AS eid
+       |    (CASE WHEN epoch_us(ts) < 0 THEN (epoch_us(ts)+1) // 1000000 - 1 ELSE epoch_us(ts) // 1000000 END) AS es, event_id AS eid
        |  FROM events),
        |g AS (
        |  SELECT u, t, es, eid,

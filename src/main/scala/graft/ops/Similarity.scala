@@ -305,14 +305,20 @@ object Similarity {
       }
     })
 
-  /** Vector dimension of a normed corpus, sniffed with a bounded 1-row
-    * driver fetch (the plane literals are plan-time constants, so the
-    * dim must be known before the plan is built). Empty corpus → 1
-    * (any plane family works over zero rows).
+  /** Vector dimension of a normed corpus, sniffed with a deterministic
+    * 1-row `max(size(emb))` aggregate (the plane literals are plan-time
+    * constants, so the dim must be known before the plan is built). An
+    * aggregate — not `limit(1)` — because limit returns whichever row a
+    * task delivers first: a null first embedding NPE'd, and a
+    * mixed-dimension corpus seeded hyperplanes from a nondeterministic
+    * row, making LSH signatures differ across runs. `max` ignores nulls
+    * and is layout-invariant; an all-null or empty corpus → 1 (any
+    * plane family works over zero usable rows).
     */
-  private def sniffDim(e: DataFrame): Int =
-    e.select(size(col("emb"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(1)
+  private def sniffDim(e: DataFrame): Int = {
+    val r = e.agg(max(size(col("emb")))).collect().head
+    if (r.isNullAt(0) || r.getInt(0) < 1) 1 else r.getInt(0)
+  }
 
   /** Sign-random-projection signatures: bit p = sign(v · h_p), each
     * projection a codegen'd `vec_dot` against a literal plane. Pure

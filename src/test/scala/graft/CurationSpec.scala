@@ -322,6 +322,24 @@ class CurationSpec extends AnyFunSuite {
       s"uniform-thirds classes must score exactly 1/12: $got")
   }
 
+  test("tCloseness: observed values outside sensOrder (or NULL) fail loudly") {
+    import spark.implicits._
+    // 'unknown' is in the data but not the ordered domain — silently
+    // counting it in k and N while dropping it from the CDF grid would
+    // inflate every class's EMD identically in both engines
+    val bad = Seq(("A", "debt"), ("A", "unknown"), ("B", "high"))
+    val e1 = intercept[IllegalArgumentException] {
+      ops.Curation.tCloseness(bad.toDF("qi", "sens"),
+        Seq("qi"), "sens", Seq("debt", "mid", "high"))
+    }
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    val withNull = Seq(("A", "debt"), ("B", null: String))
+    intercept[IllegalArgumentException] {
+      ops.Curation.tCloseness(withNull.toDF("qi", "sens"),
+        Seq("qi"), "sens", Seq("debt", "mid", "high"))
+    }
+  }
+
   test("contextWindows: exact window layout for short, boundary and long docs") {
     import spark.implicits._
     val docs = Seq(

@@ -499,4 +499,26 @@ class SimilaritySpec extends AnyFunSuite {
       if (r.isNullAt(r.fieldIndex("cover_sim6"))) None
       else Some(r.getAs[Double]("cover_sim6")))).toSeq == want)
   }
+
+  test("cosineCandidatePairs: null first embedding survives; dim sniff is layout-invariant") {
+    import spark.implicits._
+    // Row id=0 carries a NULL vector and sorts first in every layout a
+    // limit(1) sniff might see — the old 1-row fetch NPE'd here. The
+    // deterministic max(size) sniff must pick dim=4 regardless of which
+    // task answers first, so the two planted near-duplicates still pair.
+    val rows: Seq[(Long, Array[Double])] = Seq(
+      0L -> null,
+      1L -> Array(1.0, 2.0, 3.0, 4.0),
+      2L -> Array(1.0, 2.0, 3.0, 4.001),
+      3L -> Array(-4.0, 3.0, -2.0, 1.0))
+    for (parts <- Seq(1, 3)) {
+      val corpus = rows.toDF("vec_id", "embedding").repartition(parts)
+      val got = ops.Similarity.cosineCandidatePairs(
+          corpus, "vec_id", "embedding", materialize = false)
+        .filter(col("sim") > 0.99)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)),
+        s"planted near-dup pair must survive a null row at $parts parts: $got")
+    }
+  }
 }
