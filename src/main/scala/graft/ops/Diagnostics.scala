@@ -1300,4 +1300,102 @@ object Diagnostics {
       |    ELSE round(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0, 4)
       |  END AS trim_mean
       |FROM a ORDER BY g""".stripMargin
+
+  /** Single change-point detection over the monthly revenue series —
+    * the binary-segmentation base step (Scott & Knott 1974; the
+    * building block PELT/BinSeg iterate): for every candidate split k
+    * the score is the between-segment sum-of-squares gain
+    * S_L²/n_L + S_R²/n_R − S²/n, and the argmax is the month where the
+    * series' mean level most plausibly shifted. [[cusum]] monitors a
+    * KNOWN target level; this finds the a-posteriori break with no
+    * target. Emits every candidate split (audit trail) with its gain
+    * and an `is_best` flag — earliest month wins ties so the pick is
+    * reproducible.
+    *
+    * Exactness: monthly sums are exact BIGINT cents; each candidate's
+    * three quotient terms quantize to milli-units by truncating
+    * DECIMAL(38,0) DIV (Spark DIV and DuckDB `//` both truncate toward
+    * zero, so the integers match bit-for-bit), and the reported /
+    * compared gain is normalized per row — Δmean²-scaled, so the
+    * OUTPUT stays in BIGINT range at any corpus size while the
+    * DECIMAL(38,0) intermediates bound exactness at ~1e16 total cents
+    * (1e14 dollars — two orders past a 100 TB TPC-H corpus).
+    *
+    * Scale posture: ONE corpus aggregation to the month census; every
+    * window after it runs on the bounded month frame (~dozens of rows
+    * regardless of corpus size). The unpartitioned windows are
+    * post-aggregate — the [[Analytics]] bounded-frame discipline.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(
+      Tables.orders(spark, dir).select(
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+      "m", "cents")
+
+  /** DataFrame-first form over any (period, integral measure) frame. */
+  def changepoint(df: DataFrame, periodCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val series = df.groupBy(col(periodCol).as("m"))
+      .agg(sum(col(valCol)).as("s"), count(lit(1)).as("c"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = series.agg(sum(col("s")).as("ts"), sum(col("c")).as("tc"))
+    val scored = series
+      .withColumn("sl", sum(col("s")).over(w))
+      .withColumn("nl", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("tc")) // the last period splits nothing off
+      .select(col("m"), col("nl").as("n_l"),
+        (col("tc") - col("nl")).as("n_r"), col("sl").as("s_l"),
+        // per-ROW gain (milli-cents² / row): the raw between-segment SS
+        // grows ~ n·Δmean², past BIGINT at extreme corpus sizes, and
+        // Spark's integral DIV RETURNS BIGINT — so each term divides by
+        // its own n·N in ONE DIV, keeping every quotient Δmean²-scaled
+        // (mean²·1000 ≤ ~2e17) and overflow-free at any N
+        expr("CAST(CAST(sl AS DECIMAL(38,0)) * sl * 1000" +
+          " DIV (CAST(nl AS DECIMAL(38,0)) * tc)" +
+          " + CAST(ts - sl AS DECIMAL(38,0)) * (ts - sl) * 1000" +
+          " DIV (CAST(tc - nl AS DECIMAL(38,0)) * tc)" +
+          " - CAST(ts AS DECIMAL(38,0)) * ts * 1000" +
+          " DIV (CAST(tc AS DECIMAL(38,0)) * tc) AS BIGINT)")
+          .as("gain_milli"))
+    scored
+      .withColumn("is_best",
+        row_number().over(
+          Window.orderBy(col("gain_milli").desc, col("m"))) === 1)
+      .orderBy(col("m"))
+  }
+
+  /** DuckDB twin of [[changepoint]]: identical month census, HUGEINT
+    * truncating milli terms, the same earliest-month tie-break.
+    */
+  val changepointSql: String =
+    """WITH series AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tc
+      |  FROM series),
+      |cum AS (
+      |  SELECT m,
+      |    CAST(sum(s) OVER (ORDER BY m) AS BIGINT) AS sl,
+      |    CAST(sum(c) OVER (ORDER BY m) AS BIGINT) AS nl
+      |  FROM series),
+      |scored AS (
+      |  SELECT m, nl AS n_l, tc - nl AS n_r, sl AS s_l,
+      |    CAST((CAST(sl AS HUGEINT) * sl * 1000)
+      |        // (CAST(nl AS HUGEINT) * tc)
+      |      + (CAST(ts - sl AS HUGEINT) * (ts - sl) * 1000)
+      |        // (CAST(tc - nl AS HUGEINT) * tc)
+      |      - (CAST(ts AS HUGEINT) * ts * 1000)
+      |        // (CAST(tc AS HUGEINT) * tc) AS BIGINT)
+      |      AS gain_milli
+      |  FROM cum CROSS JOIN tot WHERE nl < tc)
+      |SELECT m, n_l, n_r, s_l, gain_milli,
+      |  row_number() OVER (ORDER BY gain_milli DESC, m) = 1 AS is_best
+      |FROM scored ORDER BY m""".stripMargin
 }

@@ -1150,4 +1150,125 @@ object Evaluation {
       |      / sqrt(p2 * (p2 - nn) / (nn * nn * (nn - 1.0))), 4)
       |  END AS z
       |FROM z ORDER BY g""".stripMargin
+
+  /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
+    * Xu, Kohavi, Walker, WSDM 2013): the variance-reduction adjustment
+    * every experimentation platform applies before reading an A/B
+    * test. Each user's experiment-period metric Y is shifted by
+    * θ·(X − X̄) where X is the SAME user's pre-period metric and
+    * θ = cov(X,Y)/var(X); the adjusted variant means estimate the same
+    * treatment effect with variance scaled by 1 − ρ²(X,Y). Reported
+    * per variant: users, raw mean, CUPED-adjusted mean, plus the
+    * global θ and the variance-reduction percentage — the number that
+    * says how much longer the unadjusted experiment would have run.
+    *
+    * The driver query splits the events month at day 16 (the
+    * [[Relational]] mergeUpsert cut): days 1–15 are the pre-period,
+    * days 16+ the experiment, and the variant is the deterministic
+    * multiplicative-hash parity of user_id ([[Sampling.splitBucket]]
+    * — cross-engine reproducible, no RNG).
+    *
+    * Exactness: per-user sums quantize to milli-units ONCE
+    * (row-local), so X/Y are exact BIGINTs; all five moments
+    * accumulate order-free (products in DECIMAL(38,0)); θ, ρ², and
+    * the adjusted means are ONE shared double expression over those
+    * exact integers — bit-identical cross-engine. Users absent from a
+    * period carry 0 (a real platform's "no activity" reading, and the
+    * only choice that keeps both engines' user sets identical).
+    *
+    * Scale posture: one per-user aggregation (conditional sums — one
+    * shuffle), one 1-row global-moment aggregate broadcast back over
+    * the 2-row variant frame. No windows, no driver state.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame =
+    cuped(Tables.events(spark, dir), "user_id", "value", "ts",
+      "2024-01-16")
+
+  /** DataFrame-first form: `cutDate` (inclusive lower bound of the
+    * experiment period, `yyyy-MM-dd`) splits pre/experiment.
+    */
+  def cuped(events: DataFrame, userCol: String, valCol: String,
+            tsCol: String, cutDate: String): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val perUser = events
+      .select(col(userCol).as("u"),
+        round(col(valCol) * 1000).cast("long").as("vm"),
+        (col(tsCol) < to_timestamp(lit(cutDate))).as("pre"))
+      .groupBy(col("u"))
+      .agg(coalesce(sum(when(col("pre"), col("vm"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("pre"), col("vm"))), lit(0L)).as("y"))
+      .withColumn("variant",
+        when(pmod(Sampling.splitBucket(col("u")), lit(2L)) === 0, "A")
+          .otherwise("B"))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val perVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("gx"), sum(col("y")).as("gy"))
+    def d(name: String) = col(name).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * d("syy") - d("sy") * d("sy")
+    val theta = when(denx === 0d, lit(0.0)).otherwise(num / denx)
+    perVariant.crossJoin(broadcast(g))
+      .select(col("variant"), col("n_users"),
+        round(d("gy") / d("n_users") / 1000.0, 4).as("mean_y"),
+        round((d("gy") / d("n_users")
+          - theta * (d("gx") / d("n_users") - d("sx") / d("n")))
+          / 1000.0, 4).as("mean_y_adj"),
+        round(theta, 6).as("theta"),
+        when(denx === 0d || deny === 0d, lit(null))
+          .otherwise(round(num * num / (denx * deny) * 100.0, 2))
+          .as("var_reduction_pct"))
+      .orderBy(col("variant"))
+  }
+
+  /** DuckDB twin of [[cuped]]: identical milli-quantized per-user
+    * sums, HUGEINT moments, the same shared double tail.
+    */
+  val cupedSql: String =
+    """WITH pu AS (
+      |  SELECT user_id AS u,
+      |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(round(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS x,
+      |    CAST(coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+      |      THEN CAST(round(value * 1000) AS BIGINT) END), 0) AS BIGINT) AS y,
+      |    CASE WHEN ((user_id % 1000000007) * 2654435761) % 1000 % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS variant
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pu),
+      |v AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS gx, CAST(sum(y) AS BIGINT) AS gy
+      |  FROM pu GROUP BY variant),
+      |t AS (
+      |  SELECT n, sx,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * sy AS num,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * sx AS denx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * sy AS deny
+      |  FROM g)
+      |SELECT variant, n_users,
+      |  round(CAST(gy AS DOUBLE) / n_users / 1000.0, 4) AS mean_y,
+      |  round((CAST(gy AS DOUBLE) / n_users
+      |    - (CASE WHEN denx = 0 THEN 0.0 ELSE num / denx END)
+      |      * (CAST(gx AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n))
+      |    / 1000.0, 4) AS mean_y_adj,
+      |  round(CASE WHEN denx = 0 THEN 0.0 ELSE num / denx END, 6) AS theta,
+      |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+      |    ELSE round(num * num / (denx * deny) * 100.0, 2) END
+      |    AS var_reduction_pct
+      |FROM v CROSS JOIN t ORDER BY variant""".stripMargin
 }

@@ -656,4 +656,131 @@ object Ranks {
       |    ELSE round(CAST(k_eff AS DOUBLE)
       |      / (CAST(s_micro AS DOUBLE) / 1e6), 4) END AS alpha_hill
       |FROM m ORDER BY g""".stripMargin
+
+  /** Kruskal–Wallis H — the k-group extension of [[Mixing.mannWhitney]]
+    * (rank-based one-way ANOVA): does at least one group's value
+    * distribution sit shifted against the others? Reported per group
+    * (n, doubled rank sum) plus the global tie-corrected H and its
+    * degrees of freedom, so the caller reads both the test statistic
+    * and which group drives it. Rank tests resist the heavy tails that
+    * wreck moment-based ANOVA ([[Evaluation.anova]] is the moment
+    * sibling over the same shape).
+    *
+    * Exactness: pooled tie-averaged ranks come out of [[doubledRanks]]
+    * as exact DOUBLED integers (dr = rank_min + rank_max), so each
+    * group's rank sum r2 = 2·R_g is an exact integer. With
+    * dev_g = r2_g − n_g·(N+1) (= 2·n_g·(R̄_g − (N+1)/2), exact), the
+    * uncorrected statistic is H = 3/(N(N+1)) · Σ dev_g²/n_g — each
+    * group's term is quantized to micro-units by ONE truncating DIV on
+    * DECIMAL(38,0) BEFORE the cross-group sum (integer addition is
+    * order-free, the engine's cross-engine determinism rule), and the
+    * tie correction 1 − Σ(t³−t)/(N³−N) divides ONCE in double at the
+    * end. dev² ≤ 4N⁴ bounds exactness to N ≲ 4e7 rows at micro
+    * precision — past that, feed a quantized/bucketed measure (the
+    * census collapses ties, and H is rank-based so quantization is the
+    * statistically honest degradation, not a silent one).
+    *
+    * Scale posture: one pooled census aggregate, the [[doubledRanks]]
+    * two-level scan (no per-row window), one (group, value) census +
+    * value-keyed join, one k-row final aggregate. The only
+    * unpartitioned windows run inside the scan's bounded frames.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallis(
+      Tables.orders(spark, dir).select(
+        col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")),
+      "grp", "v", PriceBucketWidth)
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
+                    bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.select(col(groupCol).as("grp"), col(valCol).cast("long").as("v"))
+    // pooled census: ranks are GLOBAL (across groups), so g is constant
+    val pooled = rows.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("g", lit(0L))
+    val ranked = doubledRanks(pooled, bucketWidth)
+      .select(col("v"), col("dr"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val tot = pooled.agg(
+      sum(col("cnt")).as("n_tot"),
+      sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
+        - dec(col("cnt"))).as("tie_sum"),
+      count(lit(1)).as("n_distinct"))
+    val perGrp = rows.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("scnt"))
+      .join(ranked, Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("scnt")).as("n"),
+        sum(dec(col("scnt")) * dec(col("dr"))).as("r2"))
+    val k = perGrp.agg(count(lit(1)).as("df_plus1"))
+    val scored = perGrp.crossJoin(broadcast(tot)).crossJoin(broadcast(k))
+      .withColumn("dev", col("r2") - dec(col("n")) * dec(col("n_tot") + 1))
+      .withColumn("h_term_micro",
+        expr("CAST(3 * dev * dev * 1000000 DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n_tot * (n_tot + 1)) AS BIGINT)"))
+    val h = scored.groupBy(col("n_tot"), col("tie_sum"), col("df_plus1"))
+      .agg(sum(col("h_term_micro")).as("h_micro"))
+      .withColumn("denom",
+        dec(col("n_tot")) * dec(col("n_tot")) * dec(col("n_tot"))
+          - dec(col("n_tot")))
+      .select(col("h_micro").cast("long").as("h_micro"),
+        (col("df_plus1") - 1).as("df"),
+        when(col("denom") === col("tie_sum") || col("denom") <= 0, lit(null))
+          .otherwise(round(
+            (col("h_micro").cast("double") / 1e6) /
+              (lit(1.0) - col("tie_sum").cast("double")
+                / col("denom").cast("double")), 4)).as("h_adj"))
+    perGrp.select(col("grp"), col("n"), col("r2").cast("long").as("r2"))
+      .crossJoin(broadcast(h))
+      .orderBy(col("grp"))
+  }
+
+  /** DuckDB twin of [[kruskalWallis]]: identical doubled pooled ranks
+    * via plain windows, HUGEINT moments, the same per-group truncating
+    * micro DIV before the cross-group sum, one double tail.
+    */
+  val kruskalWallisSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |pooled AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY v),
+      |rk AS (
+      |  SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS dr
+      |  FROM pooled),
+      |tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
+      |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_sum
+      |  FROM pooled),
+      |pg AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS scnt, v
+      |  FROM r GROUP BY grp, v),
+      |g AS (
+      |  SELECT grp, CAST(sum(scnt) AS BIGINT) AS n,
+      |    sum(CAST(scnt AS HUGEINT) * dr) AS r2
+      |  FROM pg JOIN rk USING (v) GROUP BY grp),
+      |kk AS (SELECT CAST(count(*) AS BIGINT) AS df_plus1 FROM g),
+      |sc AS (
+      |  SELECT grp, n, r2, n_tot, tie_sum, df_plus1,
+      |    (r2 - CAST(n AS HUGEINT) * (n_tot + 1)) AS dev
+      |  FROM g CROSS JOIN tot CROSS JOIN kk),
+      |h AS (
+      |  SELECT CAST(sum((3 * dev * dev * 1000000)
+      |      // (CAST(n AS HUGEINT) * n_tot * (n_tot + 1))) AS BIGINT)
+      |      AS h_micro,
+      |    any_value(df_plus1) - 1 AS df,
+      |    any_value(n_tot) AS n_tot, any_value(tie_sum) AS tie_sum,
+      |    CAST(any_value(n_tot) AS HUGEINT) * any_value(n_tot)
+      |      * any_value(n_tot) - any_value(n_tot) AS denom
+      |  FROM sc)
+      |SELECT grp, n, CAST(r2 AS BIGINT) AS r2, h_micro,
+      |  CAST(df AS BIGINT) AS df,
+      |  CASE WHEN denom = tie_sum OR denom <= 0 THEN NULL
+      |    ELSE round((CAST(h_micro AS DOUBLE) / 1e6)
+      |      / (1.0 - CAST(tie_sum AS DOUBLE) / CAST(denom AS DOUBLE)), 4)
+      |  END AS h_adj
+      |FROM g CROSS JOIN h
+      |ORDER BY grp""".stripMargin
 }

@@ -470,4 +470,33 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(corpus.map(_.getAs[String]("g")).toSeq ==
       corpus.map(_.getAs[String]("g")).sorted.toSeq)
   }
+
+  test("changepoint: planted level shift is the argmax; flat series gains nothing") {
+    import spark.implicits._
+    def series(vals: Seq[(String, Long)]) =
+      vals.toDF("d", "cents").withColumn("m", to_date(col("d")))
+    // level 10 for 3 periods then level 50: the boundary split is best
+    val shifted = series(Seq(
+      ("2024-01-01", 10L), ("2024-02-01", 10L), ("2024-03-01", 10L),
+      ("2024-04-01", 50L), ("2024-05-01", 50L), ("2024-06-01", 50L)))
+    val got = ops.Diagnostics.changepoint(shifted, "m", "cents").collect()
+    assert(got.length == 5) // last period never splits
+    val best = got.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1)
+    assert(best.head.getAs[java.sql.Date]("m").toString == "2024-03-01",
+      s"split must land on the level boundary: ${got.mkString(",")}")
+    // between-segment gain is ≥ 0 up to per-term truncation (±3 milli)
+    assert(got.forall(_.getAs[Long]("gain_milli") >= -3L))
+    // flat series: every split gains ~0 → earliest period wins the tie
+    val flat = series((1 to 4).map(i => (f"2024-0$i%01d-01", 7L)))
+    val f = ops.Diagnostics.changepoint(flat, "m", "cents").collect()
+    assert(f.forall(r => math.abs(r.getAs[Long]("gain_milli")) <= 3L))
+    assert(f.filter(_.getAs[Boolean]("is_best")).head
+      .getAs[java.sql.Date]("m").toString == "2024-01-01")
+    // corpus: exactly one best split, cumulative masses conserved
+    val corpus = ops.Diagnostics.changepoint(spark, sfDir).collect()
+    assert(corpus.count(_.getAs[Boolean]("is_best")) == 1)
+    assert(corpus.forall(r =>
+      r.getAs[Long]("n_l") > 0 && r.getAs[Long]("n_r") > 0))
+  }
 }

@@ -364,4 +364,41 @@ class EvaluationSpec extends AnyFunSuite {
     val corpus = ops.Evaluation.runsTest(spark, sfDir).collect()
     assert(corpus.length == 5 && corpus.forall(r => !r.isNullAt(4)))
   }
+
+  test("cuped: perfectly correlated pre-metric removes all variance; constant X is a no-op") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "d", "value")
+        .withColumn("ts", to_timestamp(col("d")))
+    // Y = 2X exactly → θ = 2, ρ² = 1 → var_reduction 100% and every
+    // variant's adjusted mean collapses to the global post mean
+    val corr = ev(Seq(
+      (1L, "2024-01-02", 1.0), (1L, "2024-01-20", 2.0),
+      (2L, "2024-01-02", 2.0), (2L, "2024-01-20", 4.0),
+      (3L, "2024-01-02", 3.0), (3L, "2024-01-20", 6.0),
+      (4L, "2024-01-02", 4.0), (4L, "2024-01-20", 8.0)))
+    val c = ops.Evaluation.cuped(corr, "user_id", "value", "ts",
+      "2024-01-16").collect()
+    assert(c.length == 2)
+    assert(c.forall(_.getAs[Double]("theta") == 2.0))
+    assert(c.forall(_.getAs[Double]("var_reduction_pct") == 100.0))
+    val globalPost = (2.0 + 4.0 + 6.0 + 8.0) / 4
+    assert(c.forall(_.getAs[Double]("mean_y_adj") == globalPost),
+      s"adjusted means must collapse to the global mean: ${c.mkString(",")}")
+    // constant pre-metric: var(X) = 0 → θ defined as 0, reduction NULL,
+    // adjusted mean = raw mean
+    val const = ev(Seq(
+      (1L, "2024-01-02", 5.0), (1L, "2024-01-20", 2.0),
+      (2L, "2024-01-02", 5.0), (2L, "2024-01-20", 9.0)))
+    val k = ops.Evaluation.cuped(const, "user_id", "value", "ts",
+      "2024-01-16").collect()
+    assert(k.forall(_.getAs[Double]("theta") == 0.0))
+    assert(k.forall(r => r.isNullAt(r.fieldIndex("var_reduction_pct"))))
+    assert(k.forall(r =>
+      r.getAs[Double]("mean_y_adj") == r.getAs[Double]("mean_y")))
+    // corpus: exactly two variants, both sides populated
+    val corpus = ops.Evaluation.cuped(spark, sfDir).collect()
+    assert(corpus.map(_.getAs[String]("variant")).toSeq == Seq("A", "B"))
+    assert(corpus.forall(_.getAs[Long]("n_users") > 0))
+  }
 }

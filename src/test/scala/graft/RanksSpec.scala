@@ -235,4 +235,32 @@ class RanksSpec extends AnyFunSuite {
       assert(r.getAs[Double]("alpha_hill") > 0)
     }
   }
+
+  test("kruskalWallis: identical groups score 0; clean shift matches the closed form") {
+    import spark.implicits._
+    // identical distributions → every group's mean rank is the global
+    // mean → dev = 0 → H exactly 0
+    val same = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val s = ops.Ranks.kruskalWallis(same, "g", "v", 4L).collect()
+    assert(s.forall(_.getAs[Long]("h_micro") == 0L))
+    assert(s.forall(_.getAs[Double]("h_adj") == 0.0))
+    // untied clean shift: A={1,2,3} B={11,12,13}, pooled ranks 1..6,
+    // doubled rank sums 12 and 30, dev = ∓9;
+    // per-group term = 3·81·1e6 DIV (3·6·7) = 1928571 → H_micro 3857142,
+    // tie correction 1 → h_adj = round(3.857142, 4)
+    val shift = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 11L), ("b", 12L), ("b", 13L)).toDF("g", "v")
+    val h = ops.Ranks.kruskalWallis(shift, "g", "v", 4L).collect()
+    assert(h.forall(_.getAs[Long]("h_micro") == 3857142L))
+    assert(h.forall(_.getAs[Double]("h_adj") == 3.8571))
+    assert(h.forall(_.getAs[Long]("df") == 1L))
+    assert(h.map(r => (r.getAs[String]("grp"), r.getAs[Long]("r2"))).toSet
+      == Set(("a", 12L), ("b", 30L)))
+    // all values tied: tie correction denominator collapses → NULL
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val f = ops.Ranks.kruskalWallis(flat, "g", "v", 4L).collect()
+    assert(f.forall(r => r.isNullAt(r.fieldIndex("h_adj"))))
+    assert(f.forall(_.getAs[Long]("h_micro") == 0L))
+  }
 }
