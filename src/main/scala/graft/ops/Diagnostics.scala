@@ -1368,6 +1368,92 @@ object Diagnostics {
       .orderBy(col("m"))
   }
 
+  /** Count–min sketch rows (depth) and cells per row (width). 4×256
+    * cells estimate any term's count within εN (ε = e/256) with
+    * failure probability e⁻⁴ — 1 KB of counters per merge unit.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256L
+
+  /** Count–min sketch accuracy audit (Cormode &amp; Muthukrishnan
+    * 2005) — the mergeable fixed-memory frequency sketch next to
+    * [[graft.functions.MisraGries]] (deterministic heavy-hitter list)
+    * and the HLL distinct sketch: hash each term into one cell per
+    * row, point estimate = min over rows of its cells. CMS NEVER
+    * undercounts (every collision adds), so `overcount ≥ 0` is a hard
+    * invariant. The report scores the sketch against exact truth for
+    * the top-k tokens — the error table a pipeline reads before
+    * trusting CMS counts at full scale.
+    *
+    * Cross-engine determinism: row hashes are md5-derived (the one
+    * hash family both engines compute identically — the
+    * [[Sampling.contentSplit]] rule), so cells, estimates and
+    * overcounts are exact integers on both sides — a fully
+    * oracle-checkable sketch, unlike the xxhash64-family ones.
+    *
+    * Scale posture: one token census (the only corpus-sized shuffle),
+    * one depth×width-bounded cell aggregate (≤ 1024 rows at any
+    * corpus size — the sketch property), a TakeOrdered top-k and a
+    * broadcast join of k·depth rows against the bounded cell frame.
+    */
+  def countMin(spark: SparkSession, dir: String): DataFrame =
+    countMin(Tables.documents(spark, dir), "text", 20)
+
+  /** DataFrame-first form over any (text) frame; `k` = audited terms. */
+  def countMin(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    def buckets = posexplode(array((0 until CmsDepth).map { j =>
+      pmod(conv(substring(md5(
+        concat(lit(s"$j:"), col("term"))), 1, 15), 16, 10).cast("long"),
+        lit(CmsWidth))
+    }: _*))
+    val census = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    val cells = census
+      .select(col("true_cnt"), buckets)
+      .groupBy(col("pos").as("row_j"), col("col").as("bucket"))
+      .agg(sum(col("true_cnt")).as("cell_cnt"))
+    val top = census
+      .orderBy(col("true_cnt").desc, col("term")).limit(k)
+      .select(col("term"), col("true_cnt"), buckets)
+      .select(col("term"), col("true_cnt"), col("pos").as("row_j"),
+        col("col").as("bucket"))
+    broadcast(top).join(cells, Seq("row_j", "bucket"))
+      .groupBy(col("term"), col("true_cnt"))
+      .agg(min(col("cell_cnt")).as("cms_est"))
+      .select(col("term"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("term"))
+  }
+
+  /** DuckDB twin of [[countMin]]: identical md5 row hashes, the same
+    * bounded cell grid and min-of-cells estimate.
+    */
+  val countMinSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |c AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+       |  FROM t GROUP BY term),
+       |b AS (
+       |  SELECT term, true_cnt, j,
+       |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term),
+       |      1, 15)) AS BIGINT) % $CmsWidth AS bucket
+       |  FROM c CROSS JOIN (
+       |    SELECT unnest(range(0, $CmsDepth)) AS j)),
+       |cells AS (
+       |  SELECT j, bucket, CAST(sum(true_cnt) AS BIGINT) AS cell_cnt
+       |  FROM b GROUP BY j, bucket),
+       |top AS (
+       |  SELECT term FROM c ORDER BY true_cnt DESC, term LIMIT 20),
+       |est AS (
+       |  SELECT b.term, b.true_cnt,
+       |    CAST(min(cell_cnt) AS BIGINT) AS cms_est
+       |  FROM b JOIN top USING (term) JOIN cells USING (j, bucket)
+       |  GROUP BY b.term, b.true_cnt)
+       |SELECT term, true_cnt, cms_est, cms_est - true_cnt AS overcount
+       |FROM est ORDER BY true_cnt DESC, term""".stripMargin
+
   /** DuckDB twin of [[changepoint]]: identical month census, HUGEINT
     * truncating milli terms, the same earliest-month tie-break.
     */

@@ -1151,6 +1151,92 @@ object Evaluation {
       |  END AS z
       |FROM z ORDER BY g""".stripMargin
 
+  /** RRF constant — 60 per the original paper (Cormack, Clarke &amp;
+    * Buettcher 2009): large enough that rank 1 vs 2 doesn't dominate,
+    * small enough that tail ranks still differentiate.
+    */
+  val RrfK = 60L
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (the BM25 ⊕ dense-vector merge every RAG stack runs): each item's
+    * fused score is Σ_lists 1/(k + rank), which rewards appearing high
+    * on ANY list without ever comparing the lists' incomparable raw
+    * scores. Here the two "retrievers" rank customers by total revenue
+    * and by order count; the fusion surfaces accounts strong on either
+    * axis — the same machinery fuses any two rankings of one item set
+    * ([[retrievalEval]] scores a single ranking; this MERGES rankings).
+    *
+    * Exactness: ranks are standard competition ranks (min rank of the
+    * tie group) off the [[Ranks.doubledRanks]] census scan —
+    * rank = N − lt − cnt + 1 on the descending axis, exact integers
+    * with no per-row window; each reciprocal quantizes to nano-units
+    * by one truncating DIV (positive operands, both engines truncate
+    * identically) BEFORE the cross-list sum. Top-20 by (score, id) via
+    * TakeOrdered.
+    *
+    * Scale posture: one per-customer aggregation, two census scans
+    * (bounded windows only), two value-keyed equi-joins back to the
+    * per-customer frame, one TakeOrdered. No corpus-sized window, no
+    * driver state.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusion(
+      Tables.orders(spark, dir).groupBy(col("o_custkey").as("id"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_cents"),
+          count(lit(1)).as("n_orders")),
+      "id", "rev_cents", "n_orders", 20)
+
+  /** DataFrame-first form: fuse the descending rankings of `aCol` and
+    * `bCol` over any (id, a, b) frame.
+    */
+  def rrfFusion(df: DataFrame, idCol: String, aCol: String, bCol: String,
+                topN: Int): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val n = rows.agg(count(lit(1)).as("n_tot"))
+    def descRanks(c: String, width: Long) = Ranks.doubledRanks(
+      rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(0L)), width)
+      .crossJoin(broadcast(n))
+      .select(col("v").as(c),
+        (col("n_tot") - col("lt") - col("cnt") + 1).as(s"rank_$c"))
+    rows
+      .join(descRanks("a", 1L << 16), Seq("a"))
+      .join(descRanks("b", 16L), Seq("b"))
+      .select(col("id"), col("a").as("rev_cents"), col("b").as("n_orders"),
+        col("rank_a").as("rank_rev"), col("rank_b").as("rank_cnt"),
+        expr(s"1000000000 DIV ($RrfK + rank_a)" +
+          s" + 1000000000 DIV ($RrfK + rank_b)").as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("id"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[rrfFusion]]: plain rank() windows (min rank of
+    * ties — identical to N − lt − cnt + 1), the same truncating nano
+    * reciprocals.
+    */
+  val rrfFusionSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey AS id,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_cents,
+       |    CAST(count(*) AS BIGINT) AS n_orders
+       |  FROM orders GROUP BY o_custkey),
+       |rk AS (
+       |  SELECT id, rev_cents, n_orders,
+       |    rank() OVER (ORDER BY rev_cents DESC) AS rank_rev,
+       |    rank() OVER (ORDER BY n_orders DESC) AS rank_cnt
+       |  FROM per)
+       |SELECT id, rev_cents, n_orders,
+       |  CAST(rank_rev AS BIGINT) AS rank_rev,
+       |  CAST(rank_cnt AS BIGINT) AS rank_cnt,
+       |  CAST(1000000000 // ($RrfK + rank_rev)
+       |    + 1000000000 // ($RrfK + rank_cnt) AS BIGINT) AS rrf_nano
+       |FROM rk
+       |ORDER BY rrf_nano DESC, id
+       |LIMIT 20""".stripMargin
+
   /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
     * Xu, Kohavi, Walker, WSDM 2013): the variance-reduction adjustment
     * every experimentation platform applies before reading an A/B

@@ -1324,6 +1324,123 @@ object Graph {
     edgeMemo.release(spark, dir)
   }
 
+  /** Newman modularity of a node partition over the co-purchase
+    * backbone — the number that says whether a given community
+    * labeling (here: the supplier's nation) actually concentrates
+    * edges inside communities: Q = Σ_c [ e_c/m − (d_c/2m)² ], the
+    * within-community edge fraction minus its expectation under the
+    * degree-preserving null model (Newman &amp; Girvan 2004). Q &gt; 0
+    * means nations trade in blocs; Q ≈ 0 means the partition explains
+    * nothing. This is the EVALUATION half of community detection —
+    * detection itself is [[entityComponents]]-style propagation; a
+    * judge of ANY labeling is what a pipeline needs to compare
+    * candidate partitions.
+    *
+    * Exactness: e_c, d_c, m are exact integers off the deterministic
+    * backbone ([[pairCensus]] cut — count-desc TakeOrdered, the
+    * [[triangles]] edge set); each community's contribution quantizes
+    * by two truncating BIGINT DIVs (positive terms, so Spark DIV and
+    * DuckDB `//` agree) BEFORE the cross-community sum. d_c² ≤ (2m)²
+    * with m ≤ [[TriangleEdgeCap]], so nothing approaches the BIGINT
+    * ceiling regardless of corpus size.
+    *
+    * Scale posture: the backbone is cap-bounded (≤ edgeCap rows) and
+    * BROADCAST to the supplier dimension — never the reverse (the
+    * dimension is corpus-sized at 100 TB); communities/degrees are
+    * ≤ 2·edgeCap-row aggregates.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularity(
+      pairCensus(spark, dir)
+        .filter(col("n") >= CoPurchaseMinShared)
+        .orderBy(col("n").desc, col("s_a"), col("s_b"))
+        .limit(TriangleEdgeCap)
+        .select(col("s_a"), col("s_b")),
+      Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("node"),
+          col("s_nationkey").cast("long").as("community")))
+
+  /** DataFrame-first form: `backbone` is a canonical (s_a &lt; s_b)
+    * edge list (e.g. [[copurchaseBackbone]]), `labels` a (node,
+    * community) frame covering every endpoint.
+    */
+  def modularity(backbone: DataFrame, labels: DataFrame): DataFrame = {
+    val und = backbone.select(col("s_a"), col("s_b")).persist()
+    try {
+      val m = und.agg(count(lit(1)).as("m"))
+      val lbl = labels.select(col("node"), col("community"))
+      // backbone side broadcast: it is cap-bounded; labels are not
+      val la = broadcast(und).join(lbl, col("s_a") === col("node"))
+        .drop("node").withColumnRenamed("community", "ca")
+      val labeled = broadcast(la).join(lbl, col("s_b") === col("node"))
+        .drop("node").withColumnRenamed("community", "cb")
+      val within = labeled.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("e_within"))
+      val deg = labeled
+        .select(explode(array(col("ca"), col("cb"))).as("community"))
+        .groupBy(col("community")).agg(count(lit(1)).as("d_total"))
+      val nodes = broadcast(und
+          .select(explode(array(col("s_a"), col("s_b"))).as("node"))
+          .distinct())
+        .join(lbl, Seq("node"))
+        .groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      val per = deg.join(within, Seq("community"), "left")
+        .na.fill(0L, Seq("e_within"))
+        .join(nodes, Seq("community"))
+        .crossJoin(broadcast(m))
+        .withColumn("q_contrib_micro",
+          expr("e_within * 1000000 DIV m" +
+            " - d_total * d_total * 1000000 DIV (4 * m * m)"))
+      val q = per.agg(sum(col("q_contrib_micro")).as("q_micro"))
+      per.crossJoin(broadcast(q))
+        .select(col("community"), col("n_nodes"), col("e_within"),
+          col("d_total"), col("q_contrib_micro"), col("q_micro"))
+        .orderBy(col("community"))
+    } finally und.unpersist()
+  }
+
+  /** DuckDB twin of [[modularity]]: the shared backbone CTEs, the
+    * same grid-filled per-community terms and truncating DIVs.
+    */
+  val modularitySql: String =
+    s"""WITH $backboneSqlCtes,
+       |lbl AS (
+       |  SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS community
+       |  FROM supplier),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |lab AS (
+       |  SELECT la.community AS ca, lb.community AS cb
+       |  FROM und JOIN lbl la ON und.s_a = la.node
+       |           JOIN lbl lb ON und.s_b = lb.node),
+       |w AS (
+       |  SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_within
+       |  FROM lab WHERE ca = cb GROUP BY 1),
+       |d AS (
+       |  SELECT community, CAST(count(*) AS BIGINT) AS d_total
+       |  FROM (SELECT ca AS community FROM lab
+       |        UNION ALL SELECT cb AS community FROM lab)
+       |  GROUP BY 1),
+       |nn AS (
+       |  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM (SELECT DISTINCT node FROM (
+       |          SELECT s_a AS node FROM und
+       |          UNION ALL SELECT s_b AS node FROM und))
+       |  JOIN lbl USING (node) GROUP BY 1),
+       |per AS (
+       |  SELECT d.community, nn.n_nodes, COALESCE(w.e_within, 0) AS e_within,
+       |    d.d_total,
+       |    COALESCE(w.e_within, 0) * 1000000 // m
+       |      - d.d_total * d.d_total * 1000000 // (4 * m * m)
+       |      AS q_contrib_micro
+       |  FROM d LEFT JOIN w ON d.community = w.community
+       |  JOIN nn ON d.community = nn.community CROSS JOIN mm),
+       |q AS (SELECT CAST(sum(q_contrib_micro) AS BIGINT) AS q_micro FROM per)
+       |SELECT community, n_nodes, e_within, d_total,
+       |  CAST(q_contrib_micro AS BIGINT) AS q_contrib_micro, q_micro
+       |FROM per CROSS JOIN q
+       |ORDER BY community""".stripMargin
+
   /** Drop every memoized purchase-graph frame across sessions/dirs. */
   def clearGraphMemo(): Unit = {
     pairMemo.clear(); basketMemo.clear(); edgeMemo.clear()

@@ -499,4 +499,23 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(corpus.forall(r =>
       r.getAs[Long]("n_l") > 0 && r.getAs[Long]("n_r") > 0))
   }
+
+  test("countMin: never undercounts; a lone term is exact; k bounds the report") {
+    import spark.implicits._
+    // single distinct token: its 4 cells hold only its own count →
+    // the min-of-cells estimate is EXACT
+    val lone = Seq.fill(7)("solo solo solo").toDF("text")
+    val l = ops.Diagnostics.countMin(lone, "text", 5).collect()
+    assert(l.length == 1)
+    assert(l.head.getAs[Long]("true_cnt") == 21L)
+    assert(l.head.getAs[Long]("cms_est") == 21L)
+    assert(l.head.getAs[Long]("overcount") == 0L)
+    // the CMS one-sided-error invariant on the real corpus: estimates
+    // never fall below truth, report is top-k by true count
+    val corpus = ops.Diagnostics.countMin(spark, sfDir).collect()
+    assert(corpus.length == 20)
+    assert(corpus.forall(_.getAs[Long]("overcount") >= 0L))
+    val truths = corpus.map(_.getAs[Long]("true_cnt"))
+    assert(truths.toSeq == truths.sortBy(-(_: Long)).toSeq)
+  }
 }

@@ -401,4 +401,31 @@ class EvaluationSpec extends AnyFunSuite {
     assert(corpus.map(_.getAs[String]("variant")).toSeq == Seq("A", "B"))
     assert(corpus.forall(_.getAs[Long]("n_users") > 0))
   }
+
+  test("rrfFusion: opposed rankings — extremes beat the middle, ties break by id") {
+    import spark.implicits._
+    // a-desc ranks ids 1,2,3; b-desc ranks them 3,2,1. The two
+    // extremes score 1e9÷61 + 1e9÷63 (truncating), the middle
+    // 2·(1e9÷62) — extremes win, and their tie breaks on id
+    val df = Seq((1L, 30L, 1L), (2L, 20L, 2L), (3L, 10L, 3L))
+      .toDF("id", "rev", "cnt")
+    val got = ops.Evaluation.rrfFusion(df, "id", "rev", "cnt", 3).collect()
+    val extreme = 1000000000L / 61 + 1000000000L / 63
+    val middle = 2 * (1000000000L / 62)
+    assert(extreme > middle)
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 2L))
+    assert(got.take(2).forall(_.getAs[Long]("rrf_nano") == extreme))
+    assert(got.last.getAs[Long]("rrf_nano") == middle)
+    // value ties take the min (competition) rank; the next rank skips
+    val tied = Seq((1L, 30L, 1L), (2L, 30L, 2L), (3L, 10L, 3L))
+      .toDF("id", "rev", "cnt")
+    val t = ops.Evaluation.rrfFusion(tied, "id", "rev", "cnt", 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_rev")).toMap
+    assert(t(1L) == 1L && t(2L) == 1L && t(3L) == 3L)
+    // corpus: 20 rows, scores non-increasing
+    val corpus = ops.Evaluation.rrfFusion(spark, sfDir).collect()
+    assert(corpus.length == 20)
+    val s = corpus.map(_.getAs[Long]("rrf_nano"))
+    assert(s.toSeq == s.sortBy(-(_: Long)).toSeq)
+  }
 }

@@ -471,4 +471,37 @@ class GraphSpec extends AnyFunSuite {
     val aa = rows.map(_.getAs[Long]("aa_micro"))
     assert(aa.toSeq == aa.sortBy(-(_: Long)).toSeq)
   }
+
+  test("modularity: two clean cliques score exactly 1/2; scrambled labels score negative") {
+    import spark.implicits._
+    // K3 ∪ K3 with matching labels: m = 6, each community has
+    // e_c = 3, d_c = 6 → Q = 2·(3/6 − (6/12)²) = 1/2 exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("s_a", "s_b")
+    val goodLbl = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "community")
+    val good = ops.Graph.modularity(edges, goodLbl).collect()
+    assert(good.length == 2)
+    assert(good.forall(_.getAs[Long]("q_micro") == 500000L))
+    assert(good.forall(_.getAs[Long]("q_contrib_micro") == 250000L))
+    assert(good.forall(_.getAs[Long]("e_within") == 3L))
+    assert(good.forall(_.getAs[Long]("d_total") == 6L))
+    assert(good.forall(_.getAs[Long]("n_nodes") == 3L))
+    // labels orthogonal to the cliques: one node of each clique per
+    // label never beats the null model — Q < 0, and communities with
+    // ZERO within-edges still appear (grid fill)
+    val badLbl = Seq((1L, 0L), (4L, 0L), (2L, 1L), (5L, 1L),
+      (3L, 2L), (6L, 2L)).toDF("node", "community")
+    val bad = ops.Graph.modularity(edges, badLbl).collect()
+    assert(bad.length == 3)
+    assert(bad.forall(_.getAs[Long]("q_micro") < 0L))
+    assert(bad.forall(_.getAs[Long]("e_within") == 0L))
+    // corpus: one row per touched nation, global Q repeated, masses
+    // conserved: Σ e_within ≤ m = Σ d_total / 2
+    val corpus = ops.Graph.modularity(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_.getAs[Long]("q_micro")).distinct.length == 1)
+    assert(corpus.map(_.getAs[Long]("e_within")).sum <=
+      corpus.map(_.getAs[Long]("d_total")).sum / 2)
+  }
 }
