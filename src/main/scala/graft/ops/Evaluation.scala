@@ -190,6 +190,104 @@ object Evaluation {
       |  round(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6, 6) AS brier
       |FROM a ORDER BY bin""".stripMargin
 
+  /** Isotonic calibration curve — the PAV (pool-adjacent-violators)
+    * fit of positive rate as a NON-DECREASING function of the score,
+    * computed by the minimax identity
+    * `iso(i) = max_{a ≤ i} min_{b ≥ i} posrate(a..b)` (Ayer et al.
+    * 1955; Robertson–Wright–Dykstra 1988 §1.2) instead of the
+    * sequential pooling loop: the loop is inherently serial, the
+    * minimax is a closed form over interval aggregates — exactly what
+    * a declarative engine wants. [[calibration]] reports the RAW
+    * per-bin rates a reviewer eyeballs; this is the monotone fit a
+    * pipeline actually applies to recalibrate scores (isotonic
+    * regression is the standard nonparametric calibrator next to
+    * Platt scaling).
+    *
+    * Exactness and scale: the corpus collapses to the SCORE CENSUS
+    * (one aggregate — the only corpus-sized pass); the m-row census
+    * (m ≤ score domain, 11 here) expands to the m³/6 (a ≤ i ≤ b)
+    * interval grid ROW-LOCALLY bounded by the domain, never by corpus
+    * size. Interval rates are single divisions of exact integer
+    * cumulative sums — both engines produce bit-identical doubles, so
+    * min/max over them agree bitwise; output rounds once.
+    */
+  def isotonic(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      round(col("l_discount") * 10000).cast("long").as("p"),
+      (col("l_returnflag") === "R").as("y"))
+    isotonic(l, "p", "y")
+  }
+
+  /** DataFrame-first form: `scoreCol` integral (bounded domain —
+    * quantize first if continuous), `labelCol` boolean.
+    */
+  def isotonic(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val census = df
+      .select(col(scoreCol).cast("long").as("p"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), count_if(col("y")).as("n_pos"))
+    // bounded frame from here on: cumulative sums over the census
+    val w = Window.orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("n_pos")).over(w))
+    val lo = cum.select(col("p").as("pa"), (col("cn") - col("n")).as("na0"),
+      (col("cp") - col("n_pos")).as("pa0"))
+    val hi = cum.select(col("p").as("pb"), col("cn").as("nb"),
+      col("cp").as("pb1"))
+    val grid = census.select(col("p").as("pi"))
+    // (a ≤ i ≤ b) interval rates — m³-bounded, row-local arithmetic
+    val intervals = lo.join(grid, col("pa") <= col("pi"))
+      .join(hi, col("pi") <= col("pb"))
+      .select(col("pa"), col("pi"), col("pb"),
+        ((col("pb1") - col("pa0")).cast("double")
+          / (col("nb") - col("na0")).cast("double")).as("rate"))
+    val fitted = intervals
+      .groupBy(col("pa"), col("pi")).agg(min(col("rate")).as("mn"))
+      .groupBy(col("pi")).agg(max(col("mn")).as("iso"))
+    census.join(fitted, col("p") === col("pi")).drop("pi")
+      .select(col("p"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy(col("p"))
+  }
+
+  /** DuckDB twin of [[isotonic]]: the same census, cumulative frame,
+    * interval grid and minimax — bit-identical doubles throughout.
+    */
+  val isotonicSql: String =
+    """WITH q AS (
+      |  SELECT CAST(round(l_discount * 10000) AS BIGINT) AS p,
+      |    (l_returnflag = 'R') AS y
+      |  FROM lineitem),
+      |census AS (
+      |  SELECT p, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (y) AS BIGINT) AS n_pos
+      |  FROM q GROUP BY p),
+      |cum AS (
+      |  SELECT p, n, n_pos,
+      |    CAST(sum(n) OVER (ORDER BY p) AS BIGINT) AS cn,
+      |    CAST(sum(n_pos) OVER (ORDER BY p) AS BIGINT) AS cp
+      |  FROM census),
+      |iv AS (
+      |  SELECT lo.p AS pa, g.p AS pi, hi.p AS pb,
+      |    CAST(hi.cp - (lo.cp - lo.n_pos) AS DOUBLE)
+      |      / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS rate
+      |  FROM cum lo JOIN census g ON lo.p <= g.p
+      |  JOIN cum hi ON g.p <= hi.p),
+      |inner_min AS (
+      |  SELECT pa, pi, min(rate) AS mn FROM iv GROUP BY pa, pi),
+      |fit AS (
+      |  SELECT pi, max(mn) AS iso FROM inner_min GROUP BY pi)
+      |SELECT census.p, n, n_pos,
+      |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+      |  round(iso, 6) AS iso_rate
+      |FROM census JOIN fit ON census.p = fit.pi
+      |ORDER BY census.p""".stripMargin
+
   // ---------------------------------------------------------------- PSI
 
   private val PsiBinWidth = 50000.0 // order-price dollars per bin

@@ -726,6 +726,99 @@ object TextAnalysis {
       |  round(CAST(sum_micro_lp AS DOUBLE) / n_tokens / 1e6, 4) AS avg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by the log importance
+    * weight `ln p_target(doc) − ln p_raw(doc)` under two add-one
+    * unigram LMs, one trained on the TARGET domain (here: the English
+    * slice — the "looks like my fine-tuning distribution" proxy), one
+    * on the whole raw corpus; the highest-weight documents are the
+    * ones importance resampling would keep. This is the principled
+    * replacement for "filter by heuristic quality score" when a
+    * target corpus exists — the selection op next to [[pplFilter]]
+    * (absolute fluency cut) and [[Curation.qualityFilter]] (rule
+    * audit).
+    *
+    * Exactness: both LMs share one token census (target counts via
+    * count_if), per-TERM weights are micro-nat integers rounded ONCE
+    * from a shared double expression, and the per-doc score is an
+    * order-free integer sum ([[unigramLm]]'s discipline). Add-one
+    * smoothing over the shared vocabulary keeps unseen-in-target
+    * terms finite and both engines identical.
+    *
+    * Scale posture: one token census (the corpus-sized shuffle), one
+    * 1-row totals broadcast, tokens reach the weight table by a
+    * vocabulary-keyed SHUFFLED equi-join (web-scale vocabularies are
+    * never broadcast — the [[tfidf]] rule), one per-doc aggregate,
+    * TakeOrdered top-20.
+    */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    dsir(d.select(col("doc_id"), col("lang"), col("text"),
+      (col("lang") === "en").as("is_target")),
+      "doc_id", "text", "is_target", 20)
+  }
+
+  /** DataFrame-first form: `targetCol` boolean marks the target-domain
+    * slice the selection should steer toward.
+    */
+  def dsir(docs: DataFrame, idCol: String, textCol: String,
+           targetCol: String, topN: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      col(targetCol).cast("boolean").as("tgt"),
+      explode(split(col(textCol), " ")).as("term"))
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("c_all"), count_if(col("tgt")).as("c_t"))
+    val totals = vocab.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_t")).as("n_t"), count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round((log((col("c_t") + 1).cast("double")
+          / (col("n_t") + col("v")).cast("double"))
+          - log((col("c_all") + 1).cast("double")
+            / (col("n_all") + col("v")).cast("double"))) * 1e6)
+          .cast("long").as("w_micro"))
+    tok.join(weights, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("dsir_micro"))
+      .withColumn("avg_w",
+        round(col("dsir_micro").cast("double") / col("n_tokens") / 1e6, 4))
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[dsir]]: one shared census, identical micro-nat
+    * per-term weights, the same order-free per-doc sum and cut.
+    */
+  val dsirSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, (lang = 'en') AS tgt,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS c_all,
+      |    CAST(count(*) FILTER (tgt) AS BIGINT) AS c_t
+      |  FROM tok GROUP BY term),
+      |totals AS (
+      |  SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+      |    CAST(sum(c_t) AS BIGINT) AS n_t,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM vocab),
+      |w AS (
+      |  SELECT term,
+      |    CAST(round((ln(CAST(c_t + 1 AS DOUBLE) / (n_t + v))
+      |      - ln(CAST(c_all + 1 AS DOUBLE) / (n_all + v))) * 1e6)
+      |      AS BIGINT) AS w_micro
+      |  FROM vocab CROSS JOIN totals),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(w_micro) AS BIGINT) AS dsir_micro
+      |  FROM tok JOIN w USING (term) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, dsir_micro,
+      |  round(CAST(dsir_micro AS DOUBLE) / n_tokens / 1e6, 4) AS avg_w
+      |FROM agg
+      |ORDER BY dsir_micro DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** Corpus-trained BIGRAM language-model scoring — the context-aware
     * step up from [[unigramLm]]: each document scored by its mean
     * conditional log-probability ln p(w₂|w₁) = ln(count(w₁w₂) /

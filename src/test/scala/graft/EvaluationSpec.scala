@@ -428,4 +428,28 @@ class EvaluationSpec extends AnyFunSuite {
     val s = corpus.map(_.getAs[Long]("rrf_nano"))
     assert(s.toSeq == s.sortBy(-(_: Long)).toSeq)
   }
+
+  test("isotonic: planted violator pools to the PAV average; monotone input is untouched") {
+    import spark.implicits._
+    // rates by score: 0/2, 2/2, 1/2 — scores 2 and 3 violate
+    // monotonicity and must pool to 3/4; score 1 stays at 0
+    val viol = Seq((1L, false), (1L, false), (2L, true), (2L, true),
+      (3L, true), (3L, false)).toDF("p", "y")
+    val v = ops.Evaluation.isotonic(viol, "p", "y").collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Double]("iso_rate")).toMap
+    assert(v == Map(1L -> 0.0, 2L -> 0.75, 3L -> 0.75), s"$v")
+    // already-isotonic rates are a fixed point of PAV
+    val mono = Seq((1L, false), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, true)).toDF("p", "y")
+    val m = ops.Evaluation.isotonic(mono, "p", "y").collect()
+    assert(m.forall(r =>
+      r.getAs[Double]("iso_rate") == r.getAs[Double]("raw_rate")))
+    // corpus law: the fit is non-decreasing in the score and stays
+    // inside [0, 1]
+    val corpus = ops.Evaluation.isotonic(spark, sfDir).collect()
+    val iso = corpus.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"PAV fit must be monotone: ${iso.mkString(",")}")
+    assert(iso.forall(r => r >= 0.0 && r <= 1.0))
+  }
 }

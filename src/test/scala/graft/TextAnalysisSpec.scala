@@ -702,4 +702,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus.forall(r =>
       r.getAs[Long]("top_tokens") <= r.getAs[Long]("total_tokens")))
   }
+
+  test("dsir: target-like documents outrank off-target ones; weights are zero when target = corpus") {
+    import spark.implicits._
+    // target slice speaks 'aa'; raw docs 10 (pure 'aa'), 11 (pure
+    // 'zz'), 12 (mixed) must rank 10 > 12 > 11
+    val docs = Seq(
+      (1L, true, "aa aa aa aa"), (2L, true, "aa aa aa bb"),
+      (10L, false, "aa aa aa aa"), (11L, false, "zz zz zz zz"),
+      (12L, false, "aa aa zz zz")).toDF("doc_id", "tgt", "text")
+    val got = ops.TextAnalysis.dsir(docs, "doc_id", "text", "tgt", 5)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Long]("dsir_micro")).toMap
+    assert(got(10L) > got(12L) && got(12L) > got(11L), s"$got")
+    assert(got(1L) == got(10L),
+      "identical texts must score identically regardless of slice")
+    // target == whole corpus: the two LMs coincide → every weight 0
+    val all = Seq((1L, true, "x y"), (2L, true, "y z"))
+      .toDF("doc_id", "tgt", "text")
+    val z = ops.TextAnalysis.dsir(all, "doc_id", "text", "tgt", 5).collect()
+    assert(z.forall(_.getAs[Long]("dsir_micro") == 0L))
+    // corpus: 20 selected, scores non-increasing
+    val corpus = ops.TextAnalysis.dsir(spark, sfDir).collect()
+    assert(corpus.length == 20)
+    val sc = corpus.map(_.getAs[Long]("dsir_micro"))
+    assert(sc.toSeq == sc.sortBy(-(_: Long)).toSeq)
+  }
 }
