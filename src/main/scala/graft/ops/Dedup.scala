@@ -114,6 +114,145 @@ object Dedup {
       |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
       |ORDER BY dist, name_a, name_b""".stripMargin
 
+  /** Assumed per-field match probability for [[fellegiSunter]] — the
+    * classical unsupervised default (m ≈ 0.95: true duplicate pairs
+    * agree on a well-kept field 95% of the time). Without labeled
+    * pairs m cannot be estimated from data (that's the EM extension);
+    * u CAN be, and u is where the discriminative power lives.
+    */
+  val FsM = 0.95
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    * principled scoring layer above [[recordLinkage]]'s edit-distance
+    * pairing: each candidate pair gets a log-likelihood-ratio weight
+    * Σ_fields ln(m/u) [agree] / ln((1−m)/(1−u)) [disagree], where the
+    * u-probability (chance agreement between two RANDOM records) is
+    * estimated EXACTLY from the field's value census:
+    * u = Σ_v n_v(n_v−1) / (N(N−1)). A rare-value agreement (brand
+    * shared by 2 records) thus outweighs a common-value one (container
+    * shared by half the table) — the thing plain field-count scoring
+    * cannot do.
+    *
+    * Determinism: per-field agree/disagree weights are TWO micro-nat
+    * integers rounded once from exact integer ratios (1-row frames,
+    * DECIMAL(38,0) censuses); a pair's score is an order-free integer
+    * sum of bounded field terms. Degenerate fields carry weight 0 on
+    * both branches: u = 1 (constant field) and u = 0 (all-distinct
+    * field) are non-informative rather than ±∞. Top-20 by
+    * (score, keys) via TakeOrdered.
+    *
+    * Scale shape: u estimation is one census aggregate per field
+    * (bounded field list); candidate pairs come from the
+    * [[recordLinkage]] blocking — capped blocks, never a cross join —
+    * and the comparison vector is row-local codegen.
+    */
+  def fellegiSunter(spark: SparkSession, dir: String): DataFrame =
+    fellegiSunter(Tables.part(spark, dir), "p_partkey", "p_name",
+      Seq("p_brand", "p_type", "p_size"),
+      maxBlock = 1000, topN = 20)
+
+  /** DataFrame-first form: `fields` are the comparison columns
+    * (stringified; NULL-safe equality), blocking on `nameCol`'s first
+    * TWO tokens — record-level pairing needs a finer key than
+    * [[recordLinkage]]'s name-level first token (8 first-token blocks
+    * here would pass `maxBlock` and silently zero the candidate set
+    * one SF up; two tokens give 64 blocks that stay under the cap
+    * through the driver's largest SF).
+    */
+  def fellegiSunter(records: DataFrame, keyCol: String, nameCol: String,
+                    fields: Seq[String], maxBlock: Int,
+                    topN: Int): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: need at least one field")
+    val recs = records
+      .select(col(keyCol).as("k") +: col(nameCol).as("nm") +:
+        fields.map(f => col(f).cast("string").as(f)): _*)
+      .withColumn("block", concat_ws(" ",
+        split(col("nm"), " ").getItem(0), split(col("nm"), " ").getItem(1)))
+    // per-field agree/disagree micro-weights — each a 1-row frame from
+    // the field's exact value census
+    val weights = fields.map { f =>
+      recs.groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("decimal(38,0)")
+          * (col("c") - 1).cast("decimal(38,0)")).as("nu"),
+          sum(col("c")).as("nr"))
+        .select(
+          expr("CASE WHEN nu <= 0 OR nu >= CAST(nr AS DECIMAL(38,0)) * (nr - 1)" +
+            " THEN CAST(0 AS BIGINT)" +
+            s" ELSE CAST(round(ln($FsM * (CAST(nr AS DOUBLE) * (nr - 1))" +
+            " / CAST(nu AS DOUBLE)) * 1e6) AS BIGINT) END").as(s"wa_$f"),
+          expr("CASE WHEN nu <= 0 OR nu >= CAST(nr AS DECIMAL(38,0)) * (nr - 1)" +
+            " THEN CAST(0 AS BIGINT)" +
+            s" ELSE CAST(round(ln(${1 - FsM} * (CAST(nr AS DOUBLE) * (nr - 1))" +
+            " / (CAST(nr AS DOUBLE) * (nr - 1) - CAST(nu AS DOUBLE))) * 1e6)" +
+            " AS BIGINT) END").as(s"wd_$f"))
+    }.reduce((a, b) => a.crossJoin(b))
+    val sizes = recs.groupBy(col("block"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBlock)
+    val blocked = recs.join(sizes.select("block"), Seq("block"))
+    val a = blocked.select(col("block") +: col("k").as("k_a") +:
+      fields.map(f => col(f).as(s"${f}_a")): _*)
+    val b = blocked.select(col("block") +: col("k").as("k_b") +:
+      fields.map(f => col(f).as(s"${f}_b")): _*)
+    val agreeCols = fields.map(f =>
+      col(s"${f}_a") <=> col(s"${f}_b") as s"agree_$f")
+    val scoreCol = fields.map(f => when(col(s"${f}_a") <=> col(s"${f}_b"),
+        col(s"wa_$f")).otherwise(col(s"wd_$f")))
+      .reduce(_ + _).as("score_micro")
+    a.join(b, Seq("block")).filter(col("k_a") < col("k_b"))
+      .crossJoin(broadcast(weights))
+      .select(Seq(col("k_a"), col("k_b")) ++ agreeCols :+ scoreCol: _*)
+      .orderBy(col("score_micro").desc, col("k_a"), col("k_b"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[fellegiSunter]]: identical censuses, micro
+    * weights and blocking cut.
+    */
+  val fellegiSunterSql: String = {
+    val fields = Seq("p_brand", "p_type", "p_size")
+    val wCtes = fields.map { f =>
+      s"""w_$f AS (
+         |  SELECT CASE WHEN nu <= 0 OR nu >= CAST(nr AS HUGEINT) * (nr - 1)
+         |      THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(ln(0.95 * (CAST(nr AS DOUBLE) * (nr - 1))
+         |      / CAST(nu AS DOUBLE)) * 1e6) AS BIGINT) END AS wa,
+         |    CASE WHEN nu <= 0 OR nu >= CAST(nr AS HUGEINT) * (nr - 1)
+         |      THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(ln(0.05 * (CAST(nr AS DOUBLE) * (nr - 1))
+         |      / (CAST(nr AS DOUBLE) * (nr - 1) - CAST(nu AS DOUBLE))) * 1e6)
+         |      AS BIGINT) END AS wd
+         |  FROM (SELECT sum(CAST(c AS HUGEINT) * (c - 1)) AS nu,
+         |          CAST(sum(c) AS BIGINT) AS nr
+         |        FROM (SELECT CAST($f AS VARCHAR) AS v, count(*) AS c
+         |              FROM part GROUP BY 1)))""".stripMargin
+    }.mkString(",\n")
+    val agrees = fields.map(f =>
+      s"a.$f IS NOT DISTINCT FROM b.$f AS agree_$f").mkString(",\n  ")
+    val score = fields.map(f =>
+      s"(CASE WHEN a.$f IS NOT DISTINCT FROM b.$f THEN w_$f.wa ELSE w_$f.wd END)")
+      .mkString(" + ")
+    val wJoin = fields.map(f => s"CROSS JOIN w_$f").mkString(" ")
+    s"""WITH recs AS (
+       |  SELECT p_partkey AS k,
+       |    trim(split_part(p_name, ' ', 1) || ' '
+       |      || split_part(p_name, ' ', 2)) AS block,
+       |    CAST(p_brand AS VARCHAR) AS p_brand,
+       |    CAST(p_type AS VARCHAR) AS p_type,
+       |    CAST(p_size AS VARCHAR) AS p_size
+       |  FROM part),
+       |$wCtes,
+       |ok AS (SELECT block FROM recs GROUP BY block
+       |       HAVING count(*) <= 1000)
+       |SELECT a.k AS k_a, b.k AS k_b,
+       |  $agrees,
+       |  CAST($score AS BIGINT) AS score_micro
+       |FROM recs a JOIN ok USING (block)
+       |JOIN recs b ON a.block = b.block AND a.k < b.k
+       |$wJoin
+       |ORDER BY score_micro DESC, k_a, k_b
+       |LIMIT 20""".stripMargin
+  }
+
   /** Incremental exact dedup — the daily-ingest production shape:
     * dedup a NEW increment against the digest INDEX of the
     * already-ingested corpus, without ever re-reading the old corpus

@@ -431,4 +431,43 @@ class DedupSpec extends AnyFunSuite {
     assert(m.filter(col("dup_of") >= col("doc_id")).count() == 0)
     m.unpersist()
   }
+
+  test("fellegiSunter: rare-field agreement outweighs common-field agreement; constant fields carry zero") {
+    import spark.implicits._
+    // one block; brand 'r1' shared by exactly 2 records (rare), cont
+    // 'common' by 8 (common). FS must rank the rare agreement above
+    // the common one — plain agree-counting cannot.
+    val rows = Seq(
+      (1L, "blk one", "r1", "c1"), (2L, "blk one", "r1", "c2"),
+      (3L, "blk one", "b3", "common"), (4L, "blk one", "b4", "common"),
+      (5L, "blk one", "b5", "common"), (6L, "blk one", "b6", "common"),
+      (7L, "blk one", "b7", "common"), (8L, "blk one", "b8", "common"),
+      (9L, "blk one", "b9", "common"), (10L, "blk one", "b10", "common"))
+      .toDF("k", "nm", "brand", "cont")
+    val got = ops.Dedup.fellegiSunter(rows, "k", "nm",
+      Seq("brand", "cont"), maxBlock = 100, topN = 50).collect()
+    val byPair = got.map(r => (r.getAs[Long]("k_a"), r.getAs[Long]("k_b"))
+      -> r.getAs[Long]("score_micro")).toMap
+    assert(byPair((1L, 2L)) > byPair((3L, 4L)),
+      s"rare-brand pair must outscore common-container pair: $byPair")
+    assert(got.head.getAs[Long]("k_a") == 1L
+      && got.head.getAs[Long]("k_b") == 2L)
+    // hand closed form for the top pair: agree rare brand (nu=2,
+    // du=90), disagree container (nu=56): ln(.95·90/2) + ln(.05·90/34)
+    val want = math.round(math.log(0.95 * 90 / 2.0) * 1e6) +
+      math.round(math.log(0.05 * 90 / 34.0) * 1e6)
+    assert(byPair((1L, 2L)) == want, s"${byPair((1L, 2L))} vs $want")
+    // a constant field is non-informative: adding it changes no score
+    val withConst = rows.withColumn("cst", lit("x"))
+    val got2 = ops.Dedup.fellegiSunter(withConst, "k", "nm",
+      Seq("brand", "cont", "cst"), maxBlock = 100, topN = 50).collect()
+      .map(r => (r.getAs[Long]("k_a"), r.getAs[Long]("k_b"))
+        -> r.getAs[Long]("score_micro")).toMap
+    assert(got2 == byPair, "constant field must contribute exactly zero")
+    // corpus: 20 rows, scores non-increasing
+    val corpus = ops.Dedup.fellegiSunter(spark, sfDir).collect()
+    assert(corpus.length == 20)
+    val s = corpus.map(_.getAs[Long]("score_micro"))
+    assert(s.toSeq == s.sortBy(-(_: Long)).toSeq)
+  }
 }
