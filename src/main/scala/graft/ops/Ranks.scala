@@ -686,11 +686,16 @@ object Ranks {
     * unpartitioned windows run inside the scan's bounded frames.
     */
   def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    // whole-DOLLAR quantization (not cents): rank tests are invariant
+    // to any monotone transform up to tie granularity, and the dollar
+    // census is ~100× smaller than the near-unique cent census — the
+    // quantized-measure degradation the exactness note above
+    // recommends, applied by default
     kruskalWallis(
       Tables.orders(spark, dir).select(
         col("o_orderpriority").as("grp"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")),
-      "grp", "v", PriceBucketWidth)
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("v")),
+      "grp", "v", 1L << 10)
 
   /** DataFrame-first form over any (group, integral value) frame. */
   def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
@@ -744,7 +749,7 @@ object Ranks {
   val kruskalWallisSql: String =
     """WITH r AS (
       |  SELECT o_orderpriority AS grp,
-      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |    CAST(round(o_totalprice) AS BIGINT) AS v
       |  FROM orders),
       |pooled AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY v),
       |rk AS (
