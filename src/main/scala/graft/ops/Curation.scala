@@ -907,6 +907,80 @@ object Curation {
       |FROM scored CROSS JOIN tot
       |GROUP BY l, n_total ORDER BY l""".stripMargin
 
+  /** Group-median missing-value imputation with a full audit trail —
+    * the repair step between [[qualityFilter]] (detect) and training
+    * (consume): each missing measurement is filled from its OWN
+    * group's median of observed values, falling back to the global
+    * median for groups with nothing observed, and every row says
+    * which path filled it (`source` ∈ observed / user_median /
+    * global_median) — silent imputation is how training data rots.
+    * Medians, not means: one corrupted extreme value in a group
+    * would otherwise become every imputed value's bias.
+    *
+    * The driver query treats `error`-event values as missing (the
+    * test tables carry no physical NULLs) — the DataFrame-first form
+    * takes any missingness predicate column.
+    *
+    * Determinism: values quantize to milli-units first, so both
+    * engines take medians of identical integer multisets (even-count
+    * medians interpolate to the same (a+b)/2 double); output rounds
+    * once.
+    *
+    * Scale posture: one observed-values aggregate per group (keyed
+    * shuffle, partial-agg percentile), a group-keyed equi-join back,
+    * one 1-row global broadcast. No windows, no driver state.
+    */
+  def impute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    impute(e.withColumn("missing", col("event_type") === "error"),
+      "event_id", "user_id", "value", "missing")
+  }
+
+  /** DataFrame-first form: rows where `missingCol` is true get their
+    * `valCol` imputed from the group median.
+    */
+  def impute(df: DataFrame, idCol: String, groupCol: String,
+             valCol: String, missingCol: String): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+      round(col(valCol) * 1000).cast("long").as("vm"),
+      col(missingCol).cast("boolean").as("miss"))
+    val obs = rows.filter(!col("miss"))
+    val medg = obs.agg(median(col("vm")).as("mg"))
+    val medu = obs.groupBy(col("g")).agg(median(col("vm")).as("mu"))
+    rows.join(medu, Seq("g"), "left")
+      .crossJoin(broadcast(medg))
+      .select(col("id"),
+        round(when(!col("miss"), col("vm").cast("double"))
+          .when(col("mu").isNotNull, col("mu"))
+          .otherwise(col("mg")) / 1000.0, 4).as("value_imputed"),
+        when(!col("miss"), "observed")
+          .when(col("mu").isNotNull, "group_median")
+          .otherwise("global_median").as("source"))
+      .orderBy(col("id"))
+  }
+
+  /** DuckDB twin of [[impute]]: identical milli medians and fallback
+    * ladder.
+    */
+  val imputeSql: String =
+    """WITH rows_ AS (
+      |  SELECT event_id AS id, user_id AS g,
+      |    CAST(round(value * 1000) AS BIGINT) AS vm,
+      |    (event_type = 'error') AS miss
+      |  FROM events),
+      |obs AS (SELECT g, vm FROM rows_ WHERE NOT miss),
+      |mg AS (SELECT median(vm) AS mg FROM obs),
+      |mu AS (SELECT g, median(vm) AS mu FROM obs GROUP BY g)
+      |SELECT id,
+      |  round(CASE WHEN NOT miss THEN CAST(vm AS DOUBLE)
+      |    WHEN mu IS NOT NULL THEN mu ELSE mg.mg END / 1000.0, 4)
+      |    AS value_imputed,
+      |  CASE WHEN NOT miss THEN 'observed'
+      |    WHEN mu IS NOT NULL THEN 'group_median'
+      |    ELSE 'global_median' END AS source
+      |FROM rows_ LEFT JOIN mu USING (g) CROSS JOIN mg
+      |ORDER BY id""".stripMargin
+
   /** t-closeness audit — the third privacy gate after [[kAnonymity]]
     * (class sizes) and [[lDiversity]] (sensitive variety): a class can
     * be large AND diverse yet still leak when its sensitive

@@ -1249,6 +1249,113 @@ object Evaluation {
       |  END AS z
       |FROM z ORDER BY g""".stripMargin
 
+  /** Stratified average treatment effect — the confounder-adjusted
+    * replacement for a naive treated-vs-control mean gap: within each
+    * stratum the comparison is apples-to-apples, and the global ATE
+    * reweights per-stratum gaps by stratum mass,
+    * ATE = Σ_s (n_s/N)(ȳ_t,s − ȳ_c,s) (Cochran 1968 post-
+    * stratification; [[Diagnostics.diffInDiff]] adjusts by TIME, this
+    * adjusts by COMPOSITION). The driver query reads the high-priority
+    * premium on order value stratified by market segment.
+    *
+    * Determinism: per-stratum sums are exact cents; each stratum's gap
+    * is rounded ONCE to milli-cents (BIGINT), the mass-weighted terms
+    * are exact integer products, and the global ATE is one truncating
+    * DIV — order-free everywhere. One-armed strata (no treated or no
+    * control rows) report NULL gaps and are EXCLUDED from the ATE with
+    * their mass (the visible-degradation rule); their rows still
+    * appear.
+    *
+    * Scale posture: one stratum×arm aggregate (single shuffle), one
+    * bounded per-stratum frame, one 1-row total broadcast.
+    */
+  def stratifiedAte(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("treated"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("stratum"))
+    stratifiedAte(o.join(broadcast(seg), col("o_custkey") === col("c_custkey")),
+      "stratum", "treated", "cents")
+  }
+
+  /** DataFrame-first form over any (stratum, treated, integral
+    * outcome) frame.
+    */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatedCol: String,
+                    outcomeCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).as("stratum"),
+        col(treatedCol).cast("boolean").as("t"),
+        col(outcomeCol).cast("long").as("y"))
+      .groupBy(col("stratum"))
+      .agg(count_if(col("t")).as("n_t"),
+        count_if(!col("t")).as("n_c"),
+        sum(when(col("t"), col("y"))).as("s_t"),
+        sum(when(!col("t"), col("y"))).as("s_c"))
+      .withColumn("n_s", col("n_t") + col("n_c"))
+      .withColumn("diff_milli",
+        when(col("n_t") === 0 || col("n_c") === 0, lit(null))
+          .otherwise(round((col("s_t").cast("double") / col("n_t")
+            - col("s_c").cast("double") / col("n_c")) * 1000).cast("long")))
+    val tot = cells.filter(col("diff_milli").isNotNull)
+      .agg(sum(col("n_s")).as("n_used"),
+        sum(col("diff_milli") * col("n_s")).as("wsum"))
+      .select(
+        when(col("n_used").isNull || col("n_used") === 0, lit(null))
+          .otherwise(expr("CAST(wsum DIV n_used AS BIGINT)"))
+          .as("ate_milli"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        when(col("n_t") > 0,
+          round(col("s_t").cast("double") / col("n_t") / 100.0, 4))
+          .as("mean_treated"),
+        when(col("n_c") > 0,
+          round(col("s_c").cast("double") / col("n_c") / 100.0, 4))
+          .as("mean_control"),
+        col("diff_milli"), col("ate_milli"))
+      .orderBy(col("stratum"))
+  }
+
+  /** DuckDB twin of [[stratifiedAte]]: identical cells, milli gaps
+    * and truncating mass-weighted DIV.
+    */
+  val stratifiedAteSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS stratum,
+      |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (
+      |  SELECT stratum,
+      |    CAST(count(*) FILTER (t) AS BIGINT) AS n_t,
+      |    CAST(count(*) FILTER (NOT t) AS BIGINT) AS n_c,
+      |    CAST(sum(y) FILTER (t) AS BIGINT) AS s_t,
+      |    CAST(sum(y) FILTER (NOT t) AS BIGINT) AS s_c
+      |  FROM o GROUP BY stratum),
+      |d AS (
+      |  SELECT *, n_t + n_c AS n_s,
+      |    CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+      |      ELSE CAST(round((CAST(s_t AS DOUBLE) / n_t
+      |        - CAST(s_c AS DOUBLE) / n_c) * 1000) AS BIGINT) END
+      |      AS diff_milli
+      |  FROM cells),
+      |tot AS (
+      |  SELECT CASE WHEN sum(n_s) IS NULL OR sum(n_s) = 0 THEN NULL
+      |    ELSE CAST(sum(diff_milli * n_s) // sum(n_s) AS BIGINT) END
+      |    AS ate_milli
+      |  FROM d WHERE diff_milli IS NOT NULL)
+      |SELECT stratum, n_t, n_c,
+      |  CASE WHEN n_t > 0
+      |    THEN round(CAST(s_t AS DOUBLE) / n_t / 100.0, 4) END
+      |    AS mean_treated,
+      |  CASE WHEN n_c > 0
+      |    THEN round(CAST(s_c AS DOUBLE) / n_c / 100.0, 4) END
+      |    AS mean_control,
+      |  diff_milli, ate_milli
+      |FROM d CROSS JOIN tot
+      |ORDER BY stratum""".stripMargin
+
   /** RRF constant — 60 per the original paper (Cormack, Clarke &amp;
     * Buettcher 2009): large enough that rank 1 vs 2 doesn't dominate,
     * small enough that tail ranks still differentiate.

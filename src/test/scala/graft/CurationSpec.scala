@@ -340,6 +340,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("impute: group median fills, global fallback for empty groups, audit trail exact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g1", 1.0, false), (2L, "g1", 3.0, false),
+      (3L, "g1", 99.0, true),  // → g1 median 2.0
+      (4L, "g2", 88.0, true),  // g2 has nothing observed → global 3.0
+      (5L, "g3", 5.0, false))
+      .toDF("id", "g", "v", "miss")
+    val got = ops.Curation.impute(rows, "id", "g", "v", "miss").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("value_imputed"), r.getAs[String]("source"))).toMap
+    assert(got(1L) == (1.0, "observed") && got(2L) == (3.0, "observed"))
+    assert(got(3L) == (2.0, "group_median"), s"$got")
+    assert(got(5L) == (5.0, "observed"))
+    assert(got(4L) == (3.0, "global_median"), s"$got")
+    // corpus: every row survives, error events never keep their raw
+    // value path
+    val corpus = ops.Curation.impute(spark, sfDir).cache()
+    try {
+      assert(corpus.count() == graft.Tables.events(spark, sfDir).count())
+      assert(corpus.filter(col("source") === "observed").count() ==
+        graft.Tables.events(spark, sfDir)
+          .filter(col("event_type") =!= "error").count())
+    } finally corpus.unpersist()
+  }
+
   test("contextWindows: exact window layout for short, boundary and long docs") {
     import spark.implicits._
     val docs = Seq(

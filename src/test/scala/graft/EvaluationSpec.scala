@@ -452,4 +452,36 @@ class EvaluationSpec extends AnyFunSuite {
       s"PAV fit must be monotone: ${iso.mkString(",")}")
     assert(iso.forall(r => r >= 0.0 && r <= 1.0))
   }
+
+  test("stratifiedAte: Simpson's paradox corrected; one-armed strata excluded with mass") {
+    import spark.implicits._
+    // every stratum's gap is +2.00, but treatment concentrates where
+    // outcomes are low: the naive pooled gap is NEGATIVE (-1.00).
+    // Stratification must report +2 per stratum and ATE = +2.
+    val rows = Seq(
+      ("A", true, 1000L),
+      ("A", false, 800L), ("A", false, 800L), ("A", false, 800L),
+      ("B", true, 400L), ("B", true, 400L), ("B", true, 400L),
+      ("B", false, 200L))
+      .toDF("stratum", "t", "y")
+    val got = ops.Evaluation.stratifiedAte(rows, "stratum", "t", "y")
+      .collect()
+    assert(got.forall(_.getAs[Long]("diff_milli") == 200000L))
+    assert(got.forall(_.getAs[Long]("ate_milli") == 200000L))
+    // the naive pooled gap really is negative — the paradox is planted
+    val nt = rows.filter(col("t")).agg(avg(col("y"))).head.getDouble(0)
+    val nc = rows.filter(!col("t")).agg(avg(col("y"))).head.getDouble(0)
+    assert(nt - nc == -100.0)
+    // a one-armed stratum reports NULL and leaves the ATE untouched
+    val withC = rows.union(Seq(("C", true, 7000L)).toDF("stratum", "t", "y"))
+    val g2 = ops.Evaluation.stratifiedAte(withC, "stratum", "t", "y")
+      .collect()
+    assert(g2.forall(_.getAs[Long]("ate_milli") == 200000L))
+    val cRow = g2.find(_.getAs[String]("stratum") == "C").get
+    assert(cRow.isNullAt(cRow.fieldIndex("diff_milli")))
+    // corpus: 5 segments, one shared ATE
+    val corpus = ops.Evaluation.stratifiedAte(spark, sfDir).collect()
+    assert(corpus.length == 5)
+    assert(corpus.map(_.getAs[Long]("ate_milli")).distinct.length == 1)
+  }
 }
