@@ -263,4 +263,113 @@ object Sampling {
       |FROM d JOIN s ON d.tkey = s.tkey
       |GROUP BY split
       |ORDER BY split""".stripMargin
+
+  /** Bootstrap replicates for [[bootstrapMean]]. 32 replicates put the
+    * band endpoints at the 2nd-smallest / 2nd-largest replicate mean
+    * (≈ the 5%/95% order statistics of 32).
+    */
+  val NBoot = 32
+
+  /** Poisson hash-bootstrap confidence band — the bootstrap that
+    * actually runs at 100 TB (Chamandy et al., Google 2012 "Estimating
+    * uncertainty for massive data streams"; Kleiner et al.'s BLB is
+    * the subsample cousin): classical resampling draws n rows WITH
+    * replacement — unshardable — but each row's multiplicity in a
+    * replicate converges to Poisson(1), which is ROW-LOCAL. Here even
+    * the Poisson draw is derandomized: the multiplicity comes from a
+    * multiplicative hash of (row id, replicate) against the Poisson(1)
+    * CDF quantized to 1e4 (tail truncated at 4 — P ≈ 0.4%, one more
+    * documented quantization, identical in both engines), so the whole
+    * band is reproducible run-to-run and engine-to-engine — no RNG,
+    * the [[weightedSample]] discipline.
+    *
+    * Per group: full-sample mean, then [[NBoot]] replicate means
+    * (Σ w·v / Σ w — doubles derived from exact integer sums), band =
+    * 2nd-smallest..2nd-largest replicate mean.
+    *
+    * Scale posture: the replicate expansion is row-local (×[[NBoot]]
+    * inside the scan, no extra shuffle); the only aggregates are
+    * (group × replicate)-keyed — |groups|·32 cells — and the final
+    * per-group sort is over a 32-element array. No per-row window, no
+    * driver state, no RNG.
+    */
+  def bootstrapMean(spark: SparkSession, dir: String): DataFrame =
+    bootstrapMean(
+      Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("segment"), col("o_orderkey").as("id"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+      "segment", "id", "cents")
+
+  /** DataFrame-first form over any (group, stable id, integral value)
+    * frame. Values report divided by 100 (cent convention).
+    */
+  def bootstrapMean(df: DataFrame, groupCol: String, idCol: String,
+                    valCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(valCol).cast("long").as("v"))
+    val base = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"))
+    val rep = rows
+      .select(col("g"), col("id"), col("v"),
+        explode(expr(s"sequence(0, ${NBoot - 1})")).as("bb"))
+      .withColumn("h", pmod(
+        pmod(col("id"), lit(1000000007L)) * lit(2654435761L)
+          + col("bb") * lit(97L), lit(10000L)))
+      // Poisson(1) CDF at 1e4: 3679 / 7358 / 9197 / 9810, tail → 4
+      .withColumn("w", when(col("h") < 3679, 0L).when(col("h") < 7358, 1L)
+        .when(col("h") < 9197, 2L).when(col("h") < 9810, 3L).otherwise(4L))
+    val bm = rep.groupBy(col("g"), col("bb"))
+      .agg((sum(col("w") * col("v")).cast("double")
+        / sum(col("w")).cast("double")).as("bm"))
+      .filter(col("bm").isNotNull)
+    val ci = bm.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("bm"))).as("arr"))
+      .select(col("g"), element_at(col("arr"), 2).as("blo"),
+        element_at(col("arr"), size(col("arr")) - 1).as("bhi"))
+    base.join(ci, Seq("g"))
+      .select(col("g").as("segment"), col("n_rows"),
+        round(col("sv").cast("double") / col("n_rows") / 100.0, 4)
+          .as("mean_val"),
+        round(col("blo") / 100.0, 4).as("boot_lo"),
+        round(col("bhi") / 100.0, 4).as("boot_hi"))
+      .orderBy(col("segment"))
+  }
+
+  /** DuckDB twin of [[bootstrapMean]]: identical hash multiplicities,
+    * replicate means and order-statistic band.
+    */
+  val bootstrapMeanSql: String =
+    s"""WITH r AS (
+       |  SELECT c_mktsegment AS g, o_orderkey AS id,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |base AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(v) AS BIGINT) AS sv
+       |  FROM r GROUP BY g),
+       |rep AS (
+       |  SELECT g, v,
+       |    ((id % 1000000007) * 2654435761 + bb * 97) % 10000 AS h, bb
+       |  FROM r CROSS JOIN (SELECT unnest(range(0, $NBoot)) AS bb)),
+       |wts AS (
+       |  SELECT g, bb, v,
+       |    CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+       |      WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3 ELSE 4 END AS w
+       |  FROM rep),
+       |bm AS (
+       |  SELECT g, bb,
+       |    CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS bm
+       |  FROM wts GROUP BY g, bb
+       |  HAVING sum(w) > 0),
+       |ci AS (
+       |  SELECT g, list_sort(list(bm)) AS arr FROM bm GROUP BY g)
+       |SELECT g AS segment, n_rows,
+       |  round(CAST(sv AS DOUBLE) / n_rows / 100.0, 4) AS mean_val,
+       |  round(arr[2] / 100.0, 4) AS boot_lo,
+       |  round(arr[len(arr) - 1] / 100.0, 4) AS boot_hi
+       |FROM base JOIN ci USING (g)
+       |ORDER BY segment""".stripMargin
 }

@@ -612,4 +612,27 @@ class AdvancedSpec extends AnyFunSuite {
       assert(r.getAs[String]("type_a") != r.getAs[String]("type_b"))
     }
   }
+
+  test("bootstrapMean: constant data collapses the band; band brackets the mean and is reproducible") {
+    import spark.implicits._
+    // constant values: every replicate mean equals the value, so the
+    // band is degenerate at it — the bootstrap's fixed point
+    val const = (1L to 200L).map(i => ("a", i, 500L))
+      .toDF("g", "id", "v")
+    val c = ops.Sampling.bootstrapMean(const, "g", "id", "v").collect()(0)
+    assert(c.getAs[Double]("mean_val") == 5.0)
+    assert(c.getAs[Double]("boot_lo") == 5.0)
+    assert(c.getAs[Double]("boot_hi") == 5.0)
+    // corpus: lo ≤ mean ≤ hi per segment, band strictly positive
+    // width on real variance, and the whole report is deterministic
+    val one = ops.Sampling.bootstrapMean(spark, sfDir).collect()
+    val two = ops.Sampling.bootstrapMean(spark, sfDir).collect()
+    assert(one.toSeq == two.toSeq, "hash bootstrap must be reproducible")
+    assert(one.length == 5)
+    one.foreach { r =>
+      assert(r.getAs[Double]("boot_lo") <= r.getAs[Double]("mean_val") + 1.0)
+      assert(r.getAs[Double]("boot_hi") >= r.getAs[Double]("mean_val") - 1.0)
+      assert(r.getAs[Double]("boot_lo") < r.getAs[Double]("boot_hi"))
+    }
+  }
 }
