@@ -1399,23 +1399,39 @@ object Diagnostics {
   def countMin(spark: SparkSession, dir: String): DataFrame =
     countMin(Tables.documents(spark, dir), "text", 20)
 
+  /** The depth-indexed bucket columns of a term — one md5 row hash per
+    * sketch row.
+    */
+  private def cmsBuckets = posexplode(array((0 until CmsDepth).map { j =>
+    pmod(conv(substring(md5(
+      concat(lit(s"$j:"), col("term"))), 1, 15), 16, 10).cast("long"),
+      lit(CmsWidth))
+  }: _*))
+
+  /** The CMS cell grid (row_j, bucket, cell_cnt) of a corpus — the
+    * sketch STATE itself, ≤ depth·width rows. Cell grids are MERGEABLE
+    * by cell-wise sum (counts are associative), which is what lets a
+    * streaming ingest maintain one grid per micro-batch and fold them
+    * — the law MicroBatchSpec pins against [[countMin]]'s single-pass
+    * grid.
+    */
+  def countMinCells(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+      .select(col("true_cnt"), cmsBuckets)
+      .groupBy(col("pos").as("row_j"), col("col").as("bucket"))
+      .agg(sum(col("true_cnt")).as("cell_cnt"))
+
   /** DataFrame-first form over any (text) frame; `k` = audited terms. */
   def countMin(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    def buckets = posexplode(array((0 until CmsDepth).map { j =>
-      pmod(conv(substring(md5(
-        concat(lit(s"$j:"), col("term"))), 1, 15), 16, 10).cast("long"),
-        lit(CmsWidth))
-    }: _*))
     val census = docs
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
-    val cells = census
-      .select(col("true_cnt"), buckets)
-      .groupBy(col("pos").as("row_j"), col("col").as("bucket"))
-      .agg(sum(col("true_cnt")).as("cell_cnt"))
+    val cells = countMinCells(docs, textCol)
     val top = census
       .orderBy(col("true_cnt").desc, col("term")).limit(k)
-      .select(col("term"), col("true_cnt"), buckets)
+      .select(col("term"), col("true_cnt"), cmsBuckets)
       .select(col("term"), col("true_cnt"), col("pos").as("row_j"),
         col("col").as("bucket"))
     broadcast(top).join(cells, Seq("row_j", "bucket"))

@@ -190,6 +190,61 @@ class MicroBatchSpec extends AnyFunSuite {
       "merged per-batch dedup partials differ from the whole-batch dedupExact")
   }
 
+  test("count-min cell grids merge across micro-batches to the whole-batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val partials =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]
+    val batches = new AtomicInteger(0)
+    val q = MicroBatch.start(
+      in.toDF().toDF("doc_id", "text"),
+      // per-batch partial = the batch's own CMS cell grid
+      processor = (_, df) => Success(ops.Diagnostics.countMinCells(df, "text")),
+      finalizer = (p, e) => {
+        assert(e.isEmpty, s"cell partial failed in-stream: $e")
+        p.foreach { df =>
+          df.collect().foreach(r =>
+            partials.add((r.getInt(0), r.getLong(1), r.getLong(2))))
+          batches.incrementAndGet()
+        }
+      },
+      pollInterval = 100.millis)
+    in.addData(docs.take(docs.size / 2))
+    val d1 = System.currentTimeMillis() + 30000
+    // wait out the first batch so the halves land in SEPARATE
+    // micro-batches (MemoryStream folds all available data into one
+    // trigger otherwise)
+    while (batches.get() < 1 && System.currentTimeMillis() < d1)
+      Thread.sleep(50)
+    in.addData(docs.drop(docs.size / 2))
+    val deadline = System.currentTimeMillis() + 30000
+    while (batches.get() < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    MicroBatch.stopGracefully(q)
+    assert(batches.get() >= 2, s"saw ${batches.get()} batches")
+    // fold the per-batch grids cell-wise — must equal the single-pass
+    // grid bit for bit (the sketch-state mergeability law)
+    val merged = {
+      import scala.jdk.CollectionConverters._
+      partials.asScala.toSeq
+    }.toDF("row_j", "bucket", "cell_cnt")
+      .groupBy(col("row_j"), col("bucket"))
+      .agg(sum(col("cell_cnt")).as("cell_cnt"))
+      .orderBy(col("row_j"), col("bucket"))
+      .collect().map(_.toSeq).toSeq
+    val whole = ops.Diagnostics
+      .countMinCells(docs.toDF("doc_id", "text"), "text")
+      .orderBy(col("row_j"), col("bucket"))
+      .collect().map(_.toSeq).toSeq
+    assert(merged == whole,
+      "merged per-batch CMS cells differ from the whole-batch grid")
+    assert(whole.size <= ops.Diagnostics.CmsDepth * ops.Diagnostics.CmsWidth)
+  }
+
   test("dropDuplicatesWithinWatermark upstream of the bridge matches whole-batch distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
