@@ -287,4 +287,45 @@ class DeterminismSpec extends AnyFunSuite {
     assert(runCtr(_.repartition(7)) == runCtr(_.coalesce(1)),
       "k-center depends on the input partitioning")
   }
+
+  test("round-9 ops are invariant to input layout") {
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, count}
+    val orders = Tables.orders(spark, sfDir)
+    val priced = orders.selectExpr("o_orderpriority AS grp",
+      "CAST(round(o_totalprice) AS BIGINT) AS v")
+    def runKw(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Ranks.kruskalWallis(f(priced), "grp", "v", 1L << 10))
+    assert(runKw(_.repartition(7)) == runKw(_.coalesce(1)),
+      "kruskal-wallis depends on the input partitioning")
+    val per = orders.groupBy(col("o_custkey").as("id"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"),
+        count(lit(1)).as("cnt"))
+    def runRrf(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Evaluation.rrfFusion(f(per), "id", "rev", "cnt", 20))
+    assert(runRrf(_.repartition(7)) == runRrf(_.coalesce(1)),
+      "rrf depends on the input partitioning")
+    val docs = Tables.documents(spark, sfDir)
+    def runCms(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Diagnostics.countMin(f(docs), "text", 20))
+    assert(runCms(_.repartition(7)) == runCms(_.coalesce(1)),
+      "count-min depends on the input partitioning")
+    def runDsir(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.TextAnalysis.dsir(
+        f(docs.withColumn("tgt", col("lang") === "en")),
+        "doc_id", "text", "tgt", 20))
+    assert(runDsir(_.repartition(7)) == runDsir(_.coalesce(1)),
+      "dsir depends on the input partitioning")
+    val parts = Tables.part(spark, sfDir)
+    def runFs(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Dedup.fellegiSunter(f(parts), "p_partkey", "p_name",
+        Seq("p_brand", "p_type", "p_size"), 1000, 20))
+    assert(runFs(_.repartition(7)) == runFs(_.coalesce(1)),
+      "fellegi-sunter depends on the input partitioning")
+    val keyed = orders.selectExpr("'all' AS g", "o_orderkey AS id",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    def runBs(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Sampling.bootstrapMean(f(keyed), "g", "id", "cents"))
+    assert(runBs(_.repartition(7)) == runBs(_.coalesce(1)),
+      "hash bootstrap depends on the input partitioning")
+  }
 }

@@ -635,4 +635,43 @@ class PlanSpec extends AnyFunSuite {
         s"generic form lost the shuffle-join path:\n$generic")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("round-9 ops keep their scale shapes: TakeOrdered cuts, no cartesian, windowless fact paths") {
+    // rrf / dsir / fellegi-sunter / countMin all cut with a bounded
+    // TakeOrdered, never a global sort
+    Seq(
+      ops.Evaluation.rrfFusion(spark, sfDir),
+      ops.TextAnalysis.dsir(spark, sfDir),
+      ops.Dedup.fellegiSunter(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k shape lost:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    }
+    // the bootstrap's replicate expansion must stay row-local: its only
+    // exchanges are the (group, replicate) and group aggregations plus
+    // the output sort — and never a window
+    val boot = formatted(ops.Sampling.bootstrapMean(spark, sfDir))
+    assert(!boot.contains("Window"), s"bootstrap planned a window:\n$boot")
+    assert(!boot.contains("CartesianProduct"), s"cartesian:\n$boot")
+    // CUPED is two aggregations and one broadcast — no window, no SMJ
+    // on the fact path
+    val cu = formatted(ops.Evaluation.cuped(spark, sfDir))
+    assert(!cu.contains("Window"), s"cuped planned a window:\n$cu")
+    // kruskal-wallis ranks through the census scan: every Window in the
+    // plan must sit on a post-aggregate (HashAggregate-fed) frame,
+    // which shows as no Window DIRECTLY over the parquet scan — cheap
+    // proxy: the plan contains at least one HashAggregate before the
+    // first Window node
+    val kw = formatted(ops.Ranks.kruskalWallis(spark, sfDir))
+    val aggIdx = kw.indexOf("HashAggregate")
+    val winIdx = kw.indexOf("Window")
+    assert(aggIdx >= 0 && (winIdx < 0 || aggIdx < winIdx || kw.contains("AQEShuffleRead")),
+      s"kruskal-wallis rank window not census-fed:\n$kw")
+    // modularity: its only nested-loop shapes are broadcast-of-1-row
+    // (m / q totals) — a CartesianProduct means the label join broke
+    val mod = formatted(ops.Graph.modularity(spark, sfDir))
+    assert(!mod.contains("CartesianProduct"),
+      s"modularity planned a cartesian:\n$mod")
+  }
 }
