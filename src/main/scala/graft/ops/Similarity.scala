@@ -1226,4 +1226,155 @@ object Similarity {
           s"  UNION ALL SELECT $r, vec_id, smax FROM c$r").mkString("\n")})
        |ORDER BY round""".stripMargin
   }
+
+  /** Selection budget and relevance/diversity trade-off for [[mmr]]. */
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+
+  /** Maximal Marginal Relevance (Carbonell &amp; Goldstein, SIGIR
+    * 1998) — DIVERSIFIED top-k retrieval: greedily select the document
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`, so the
+    * result set covers the query's neighborhood instead of returning
+    * k near-copies of the best hit (what plain [[knnBrute]] does on a
+    * redundant corpus — and redundancy is the norm after a crawl).
+    * The greedy-selection twin of [[kCenter]]: kCenter spreads over
+    * the WHOLE corpus, MMR spreads within a RELEVANCE neighborhood.
+    *
+    * The driver query uses the smallest-id corpus vector as the query
+    * (deterministic stand-in for an external query embedding — the
+    * DataFrame-first form takes any query id).
+    *
+    * Determinism ([[kCenter]]'s discipline): rel and pairwise sims
+    * quantize to round(cos, 6); each round's pick maximizes the score
+    * with vec_id tie-break; both engines trace the identical
+    * selection, so the whole trajectory is oracle-checkable.
+    *
+    * Scale posture: k passes over the persisted corpus, each a
+    * codegen literal-vector scan + TakeOrdered(1); driver state is
+    * k rows. Never a pairwise join.
+    */
+  def mmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qid = emb.agg(min(col("vec_id"))).collect()(0)
+    if (qid.isNullAt(0)) mmr(emb, "vec_id", "embedding", -1L, MmrK, MmrLambda)
+    else mmr(emb, "vec_id", "embedding", qid.getLong(0), MmrK, MmrLambda)
+  }
+
+  /** DataFrame-first form: diversified top-k for the corpus vector
+    * `queryId` (excluded from candidates).
+    */
+  def mmr(corpus: DataFrame, idCol: String, vecCol: String, queryId: Long,
+          k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"mmr: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(StructField("round", IntegerType, false),
+      StructField("doc_id", LongType, false),
+      StructField("rel6", DoubleType, false),
+      StructField("max_sim6", DoubleType, true),
+      StructField("mmr6", DoubleType, false)))
+    def emptyOut = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val e = withNorm(corpus, idCol, vecCol).persist()
+    try {
+      val q = e.filter(col("vec_id") === queryId)
+        .select(col("emb"), col("nrm")).collect()
+      if (q.isEmpty) return emptyOut
+      val (qe, qn) = (q(0).getSeq[Double](0), q(0).getDouble(1))
+      val rel = round(call_function("vec_dot", col("emb"), typedlit(qe)) /
+        (col("nrm") * lit(qn)), 6)
+      // (id, emb, nrm, rel, smaxOpt, score) — k-bounded driver state
+      var selected = Vector.empty[(Long, Seq[Double], Double,
+        Double, Option[Double], Double)]
+      var exhausted = false
+      for (_ <- 1 to k if !exhausted) {
+        val base = e.filter(col("vec_id") =!= queryId)
+          .filter(!col("vec_id").isInCollection(selected.map(_._1) :+ -1L))
+          .select(col("vec_id"), col("emb"), col("nrm"), rel.as("rel"))
+        val cand =
+          if (selected.isEmpty)
+            base.select(col("vec_id"), col("emb"), col("nrm"), col("rel"),
+              lit(null).cast("double").as("smax"),
+              (lit(lambda) * col("rel")).as("score"))
+          else {
+            val sims = selected.map { case (_, ce, cn, _, _, _) =>
+              round(call_function("vec_dot", col("emb"), typedlit(ce)) /
+                (col("nrm") * lit(cn)), 6)
+            }
+            val smax = if (sims.size == 1) sims.head else greatest(sims: _*)
+            base.select(col("vec_id"), col("emb"), col("nrm"), col("rel"),
+              smax.as("smax"),
+              (lit(lambda) * col("rel") - lit(1 - lambda) * smax).as("score"))
+          }
+        val pick = cand.orderBy(col("score").desc, col("vec_id").asc)
+          .limit(1).collect()
+        if (pick.isEmpty) exhausted = true
+        else selected = selected :+ ((pick(0).getLong(0),
+          pick(0).getSeq[Double](1), pick(0).getDouble(2),
+          pick(0).getDouble(3),
+          if (pick(0).isNullAt(4)) None else Some(pick(0).getDouble(4)),
+          pick(0).getDouble(5)))
+      }
+      val rows = selected.zipWithIndex.map { case ((id, _, _, r, sm, sc), i) =>
+        org.apache.spark.sql.Row(i + 1, id, r, sm.orNull, sc)
+      }
+      // the final round() runs through Spark's SQL round (HALF_UP,
+      // matching DuckDB) — never a JVM-side BigDecimal with a
+      // different tie rule
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+        .withColumn("mmr6", round(col("mmr6"), 6))
+        .orderBy(col("round"))
+    } finally e.unpersist()
+  }
+
+  /** DuckDB twin of [[mmr]] — the identical greedy trajectory
+    * unrolled [[MmrK]] rounds; round 1 maximizes λ·rel, later rounds
+    * carry the running max-similarity like [[kCenterSql]].
+    */
+  val mmrSql: String = {
+    def round_(r: Int): String =
+      if (r == 2)
+        s"""s2 AS (
+           |  SELECT p.vec_id, p.emb, p.nrm, p.rel,
+           |    round(list_dot_product(p.emb, c1.emb) / (p.nrm * c1.nrm), 6)
+           |      AS smax
+           |  FROM s1 p, c1 WHERE p.vec_id <> c1.vec_id),
+           |c2 AS (SELECT vec_id, emb, nrm, rel, smax,
+           |         $MmrLambda * rel - ${1 - MmrLambda} * smax AS score
+           |       FROM s2 ORDER BY $MmrLambda * rel
+           |         - ${1 - MmrLambda} * smax DESC, vec_id LIMIT 1)""".stripMargin
+      else
+        s"""s$r AS (
+           |  SELECT p.vec_id, p.emb, p.nrm, p.rel,
+           |    greatest(p.smax,
+           |      round(list_dot_product(p.emb, c${r - 1}.emb)
+           |            / (p.nrm * c${r - 1}.nrm), 6)) AS smax
+           |  FROM s${r - 1} p, c${r - 1} WHERE p.vec_id <> c${r - 1}.vec_id),
+           |c$r AS (SELECT vec_id, emb, nrm, rel, smax,
+           |         $MmrLambda * rel - ${1 - MmrLambda} * smax AS score
+           |       FROM s$r ORDER BY $MmrLambda * rel
+           |         - ${1 - MmrLambda} * smax DESC, vec_id LIMIT 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |q AS (SELECT vec_id, emb, nrm FROM n ORDER BY vec_id LIMIT 1),
+       |s1 AS (
+       |  SELECT n.vec_id, n.emb, n.nrm,
+       |    round(list_dot_product(n.emb, q.emb) / (n.nrm * q.nrm), 6) AS rel
+       |  FROM n, q WHERE n.vec_id <> q.vec_id),
+       |c1 AS (SELECT vec_id, emb, nrm, rel, CAST(NULL AS DOUBLE) AS smax,
+       |         $MmrLambda * rel AS score
+       |       FROM s1 ORDER BY $MmrLambda * rel DESC, vec_id LIMIT 1),
+       |${(2 to MmrK).map(round_).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, vec_id AS doc_id, rel AS rel6, smax AS max_sim6,
+       |    round(score, 6) AS mmr6 FROM c1
+       |${(2 to MmrK).map(r =>
+          s"  UNION ALL SELECT $r, vec_id, rel, smax, round(score, 6) FROM c$r")
+          .mkString("\n")})
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -500,6 +500,39 @@ class SimilaritySpec extends AnyFunSuite {
       else Some(r.getAs[Double]("cover_sim6")))).toSeq == want)
   }
 
+  test("mmr: a perfect duplicate of the best hit loses to a diverse lower-relevance doc") {
+    import spark.implicits._
+    // q = e_x; ids 1 and 2 are the SAME direction (sim = 1, rel 0.9),
+    // id 3 is less relevant (0.8) but diverse. Plain top-3 by rel
+    // returns 1,2,3; MMR must pick 1, then 3 (dup penalty −0.3 beats
+    // the 0.07·rel edge), then 2.
+    val y = 0.4358898943540674 // sqrt(1 - 0.81): makes a1 unit-norm
+    val pts: Seq[(Long, Array[Double])] = Seq(
+      0L -> Array(1.0, 0.0, 0.0),
+      1L -> Array(0.9, y, 0.0),
+      2L -> Array(1.8, 2 * y, 0.0),
+      3L -> Array(0.8, -0.6, 0.0))
+    val got = ops.Similarity.mmr(pts.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0L, 3, 0.7).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 2L),
+      s"diversity must reorder: ${got.mkString(",")}")
+    assert(got.head.isNullAt(got.head.fieldIndex("max_sim6")))
+    // the diverse pick's recorded max-sim is its sim to the first pick
+    assert(got(1).getAs[Double]("max_sim6") == 0.458466)
+    // the duplicate's penalty is the full sim=1
+    assert(got(2).getAs[Double]("max_sim6") == 1.0)
+    // corpus trajectory: k rows, rounds contiguous, scores are the
+    // documented combination of their own row's rel/sim columns
+    val corpus = ops.Similarity.mmr(spark, sfDir).collect()
+    assert(corpus.length == 10)
+    assert(corpus.map(_.getAs[Int]("round")).toSeq == (1 to 10))
+    corpus.tail.foreach { r =>
+      val want = 0.7 * r.getAs[Double]("rel6") -
+        0.3 * r.getAs[Double]("max_sim6")
+      assert(math.abs(r.getAs[Double]("mmr6") - want) < 1e-6)
+    }
+  }
+
   test("cosineCandidatePairs: null first embedding survives; dim sniff is layout-invariant") {
     import spark.implicits._
     // Row id=0 carries a NULL vector and sorts first in every layout a
