@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -788,6 +788,179 @@ object Diagnostics {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |    AS cum_hazard_micro
        |FROM ev ORDER BY t_days""".stripMargin
+
+  /** Log-rank test (Mantel 1966) — "do these two cohorts churn at the
+    * same rate?", the inferential sibling of [[kaplanMeier]]'s
+    * descriptive curve: at every event duration the observed group-A
+    * events are compared against the hypergeometric expectation given
+    * the pooled risk set, and the standardized sum is the one-degree
+    * chi-square clinicians and retention analysts read. Here: customer
+    * lifetime (first→last order days, right-censored [[ChurnCensorDays]]
+    * before dataset end) for the AUTOMOBILE segment vs everyone else.
+    *
+    * Exactness: per event time t with pooled risk n, group-A risk n_a
+    * and pooled events d, the expectation term E_t = d·n_a/n and
+    * variance term V_t = d·n_a·n_b·(n−d)/(n²(n−1)) are each quantized
+    * to integer micro-units by ONE truncating DIV on DECIMAL(38,0)
+    * BEFORE the cross-time sum (order-free integer addition — the
+    * engine's cross-engine determinism rule); group B's expectation is
+    * the exact complement d·1e6 − E_t^A. The z / chi-square tail is ONE
+    * shared double expression. d·n_a·n_b·(n−d)·1e6 ≤ n⁴·1e6 bounds the
+    * DECIMAL(38,0) intermediate to n ≲ 1.8e8 subjects — past that,
+    * coarsen durations (the [[Ranks.kruskalWallis]] quantized-measure
+    * degradation).
+    *
+    * Scale posture: one keyed subject aggregate (the only corpus-sized
+    * shuffle), a 1-row max broadcast, then everything runs on the
+    * bounded duration×2 grid — the per-group descending risk cumsum is
+    * a window PARTITIONED BY group over that bounded grid, never over
+    * subjects.
+    */
+  def logRank(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir).select(col("c_custkey"),
+      when(col("c_mktsegment") === "AUTOMOBILE", lit("AUTOMOBILE"))
+        .otherwise(lit("OTHER")).as("grp"))
+    logRank(Tables.orders(spark, dir)
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey")),
+      "o_custkey", "o_orderdate", "grp", ChurnCensorDays)
+  }
+
+  /** DataFrame-first form over any (subject, event date, group) frame;
+    * `grpCol` must be constant per subject and binary-valued — the
+    * lexicographically smaller group plays "A" in the z sign.
+    */
+  def logRank(events: DataFrame, subjCol: String, dateCol: String,
+              grpCol: String, censorDays: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val per = events.groupBy(col(subjCol).as("k"), col(grpCol).as("grp"))
+      .agg(min(col(dateCol).cast("date")).as("f"),
+        max(col(dateCol).cast("date")).as("l"))
+    val mx = per.agg(max(col("l")).as("m"))
+    val pc = per.crossJoin(broadcast(mx))
+      .select(col("grp"), datediff(col("l"), col("f")).cast("long").as("t"),
+        (col("l") <= date_sub(col("m"), censorDays)).cast("long").as("ev"))
+    val cell = pc.groupBy(col("t"), col("grp"))
+      .agg(count(lit(1)).as("m_t"), sum(col("ev")).as("d_t"))
+    // fill the duration×group grid so each group's descending risk
+    // cumsum sees every pooled duration (both frames are bounded:
+    // |distinct durations| × 2)
+    val grid = cell.select(col("t")).distinct()
+      .crossJoin(broadcast(cell.select(col("grp")).distinct()))
+      .join(cell, Seq("t", "grp"), "left")
+      .na.fill(0L, Seq("m_t", "d_t"))
+    val riskW = Window.partitionBy(col("grp")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ga = grid.agg(min(col("grp")).as("ga"))
+    val byT = grid.withColumn("n_risk", sum(col("m_t")).over(riskW))
+      .crossJoin(broadcast(ga))
+      .groupBy(col("t"))
+      .agg(sum(when(col("grp") === col("ga"), col("n_risk"))).as("na"),
+        sum(when(col("grp") === col("ga"), col("d_t"))).as("da"),
+        sum(when(col("grp") =!= col("ga"), col("n_risk"))).as("nb"),
+        sum(when(col("grp") =!= col("ga"), col("d_t"))).as("db"))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("d", col("da") + col("db"))
+      .filter(col("d") > 0)
+    val tot = byT
+      .withColumn("e_a", expr(
+        "CAST(CAST(d AS DECIMAL(38,0)) * na * 1000000 DIV n AS DECIMAL(38,0))"))
+      .withColumn("v_t", when(col("n") > 1, expr(
+        "CAST(CAST(d AS DECIMAL(38,0)) * na * nb * (n - d) * 1000000" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS DECIMAL(38,0))"))
+        .otherwise(dec(lit(0))))
+      .agg(sum(col("da")).as("o_a"), sum(col("db")).as("o_b"),
+        sum(col("e_a")).as("ea_micro"),
+        sum(dec(col("d")) * 1000000 - col("e_a")).as("eb_micro"),
+        sum(col("v_t")).as("v_micro"))
+    val perGrp = pc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_subj"), sum(col("ev")).as("o_events"))
+    perGrp.crossJoin(broadcast(tot.crossJoin(broadcast(ga))))
+      .select(col("grp"), col("n_subj"), col("o_events"),
+        when(col("grp") === col("ga"), col("ea_micro"))
+          .otherwise(col("eb_micro")).cast("long").as("e_micro"),
+        col("v_micro").cast("long").as("v_micro"),
+        when(col("v_micro") <= 0, lit(null)).otherwise(round(
+          (col("o_a").cast("double") * 1e6 - col("ea_micro").cast("double"))
+            / (sqrt(col("v_micro").cast("double")) * 1e3), 4)).as("z"),
+        when(col("v_micro") <= 0, lit(null)).otherwise(round(
+          pow((col("o_a").cast("double") * 1e6 - col("ea_micro").cast("double"))
+            / (sqrt(col("v_micro").cast("double")) * 1e3), 2), 4)).as("chi2"))
+      .orderBy(col("grp"))
+  }
+
+  /** DuckDB twin of [[logRank]] — same grid fill, per-group descending
+    * risk windows, HUGEINT term quantization, one shared double tail.
+    */
+  val logRankSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CASE WHEN any_value(c_mktsegment) = 'AUTOMOBILE'
+       |         THEN 'AUTOMOBILE' ELSE 'OTHER' END AS grp,
+       |    CAST(min(o_orderdate) AS DATE) AS f,
+       |    CAST(max(o_orderdate) AS DATE) AS l
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY o_custkey),
+       |mx AS (SELECT max(l) AS m FROM per),
+       |pc AS (
+       |  SELECT grp, CAST(l - f AS BIGINT) AS t,
+       |    CASE WHEN l <= (SELECT m FROM mx) - $ChurnCensorDays
+       |         THEN 1 ELSE 0 END AS ev
+       |  FROM per),
+       |cell AS (
+       |  SELECT t, grp, count(*) AS m_t, CAST(sum(ev) AS BIGINT) AS d_t
+       |  FROM pc GROUP BY t, grp),
+       |grid AS (
+       |  SELECT tt.t, gg.grp, coalesce(cell.m_t, 0) AS m_t,
+       |    coalesce(cell.d_t, 0) AS d_t
+       |  FROM (SELECT DISTINCT t FROM cell) tt
+       |  CROSS JOIN (SELECT DISTINCT grp FROM cell) gg
+       |  LEFT JOIN cell ON cell.t = tt.t AND cell.grp = gg.grp),
+       |ga AS (SELECT min(grp) AS ga FROM grid),
+       |r AS (
+       |  SELECT t, grp, d_t,
+       |    CAST(sum(m_t) OVER (PARTITION BY grp ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM grid),
+       |byt AS (
+       |  SELECT t,
+       |    sum(CASE WHEN grp = (SELECT ga FROM ga) THEN n_risk END) AS na,
+       |    sum(CASE WHEN grp = (SELECT ga FROM ga) THEN d_t END) AS da,
+       |    sum(CASE WHEN grp <> (SELECT ga FROM ga) THEN n_risk END) AS nb,
+       |    sum(CASE WHEN grp <> (SELECT ga FROM ga) THEN d_t END) AS db
+       |  FROM r GROUP BY t),
+       |terms AS (
+       |  SELECT da, db,
+       |    (CAST(da + db AS HUGEINT) * na * 1000000) // (na + nb) AS e_a,
+       |    CASE WHEN na + nb > 1 THEN
+       |      (CAST(da + db AS HUGEINT) * na * nb * (na + nb - da - db)
+       |        * 1000000)
+       |      // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+       |    ELSE 0 END AS v_t
+       |  FROM byt WHERE da + db > 0),
+       |tot AS (
+       |  SELECT CAST(sum(da) AS BIGINT) AS o_a,
+       |    sum(CAST(e_a AS HUGEINT)) AS ea_micro,
+       |    sum(CAST(da + db AS HUGEINT) * 1000000 - e_a) AS eb_micro,
+       |    CAST(sum(v_t) AS BIGINT) AS v_micro
+       |  FROM terms),
+       |pg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_subj,
+       |    CAST(sum(ev) AS BIGINT) AS o_events
+       |  FROM pc GROUP BY grp)
+       |SELECT grp, n_subj, o_events,
+       |  CAST(CASE WHEN grp = (SELECT ga FROM ga) THEN ea_micro
+       |       ELSE eb_micro END AS BIGINT) AS e_micro,
+       |  v_micro,
+       |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+       |    round((CAST(o_a AS DOUBLE) * 1e6 - CAST(ea_micro AS DOUBLE))
+       |      / (sqrt(CAST(v_micro AS DOUBLE)) * 1e3), 4) END AS z,
+       |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+       |    round(pow((CAST(o_a AS DOUBLE) * 1e6 - CAST(ea_micro AS DOUBLE))
+       |      / (sqrt(CAST(v_micro AS DOUBLE)) * 1e3), 2), 4) END AS chi2
+       |FROM pg CROSS JOIN tot
+       |ORDER BY grp""".stripMargin
 
   /** Per-segment monthly series (segment, xi = months-since-epoch
     * index, n_orders, revenue cents) — the bounded frame behind

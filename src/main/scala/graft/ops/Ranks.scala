@@ -788,4 +788,129 @@ object Ranks {
       |  END AS h_adj
       |FROM g CROSS JOIN h
       |ORDER BY grp""".stripMargin
+
+  /** Wilcoxon signed-rank test — the PAIRED sibling of
+    * [[Mixing.mannWhitney]] (which compares two independent samples):
+    * each subject is its own control, so per-subject pre/post
+    * differences are ranked by magnitude and the signed rank sum asks
+    * "did the distribution shift?" without assuming normality. Here:
+    * per-customer order spend in the first half of the dataset's date
+    * range vs the second half (a customer silent in a half contributes
+    * 0 for that half — the paired design over the full customer base);
+    * zero differences are dropped per the classic treatment and
+    * reported.
+    *
+    * Exactness: the date split point is an exact integer DIV off a
+    * 1-row aggregate; |d| ranks come from [[doubledRanks]] as exact
+    * DOUBLED integers, so `w2_pos = Σ dr(|d|) over d>0` is an exact
+    * BIGINT (= 2·W⁺) and `w2_pos + w2_neg = n(n+1)` is a built-in
+    * self-check. With the tie term T = Σ(t³−t) over the |d| census,
+    * Var(2W⁺)·12 = 2n(n+1)(2n+1) − T stays exact in DECIMAL(38,0) at
+    * any n, and the z tail (no continuity correction — documented, so
+    * both engines share ONE expression) divides exact integers once in
+    * double.
+    *
+    * Scale posture: one per-customer aggregate (the corpus shuffle),
+    * 1-row min/max broadcast, the |d|-census two-level scan, one
+    * value-keyed join back, one 1-row final aggregate. No per-row
+    * window anywhere.
+    */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("k"),
+      col("o_orderdate").cast("date").as("dt"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    wilcoxonSigned(o, "k", "dt", "cents", PriceBucketWidth)
+  }
+
+  /** DataFrame-first form over any (subject, event date, integral
+    * value) frame: pre = spend on dates ≤ midpoint, post = after.
+    */
+  def wilcoxonSigned(df: DataFrame, subjCol: String, dateCol: String,
+                     valCol: String, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val rows = df.select(col(subjCol).as("k"), col(dateCol).as("dt"),
+      col(valCol).cast("long").as("cents"))
+    val mm = rows.agg(min(col("dt")).as("mn"), max(col("dt")).as("mx"))
+      .select(expr("date_add(mn, CAST(datediff(mx, mn) DIV 2 AS INT))")
+        .as("mid"))
+    val diffs = rows.crossJoin(broadcast(mm))
+      .groupBy(col("k"))
+      .agg((sum(when(col("dt") > col("mid"), col("cents")).otherwise(0L))
+        - sum(when(col("dt") <= col("mid"), col("cents")).otherwise(0L)))
+        .as("dlt"))
+    val nz = diffs.filter(col("dlt") =!= 0)
+      .select(col("dlt"), abs(col("dlt")).as("v"))
+    val census = nz.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("g", lit(0L))
+    val ranked = doubledRanks(census, bucketWidth).select(col("v"), col("dr"))
+    val ties = census.agg(
+      sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
+        - dec(col("cnt"))).as("tie_sum"))
+    val zeros = diffs.agg(count_if(col("dlt") === 0).as("n_zero"))
+    nz.join(ranked, Seq("v"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dlt") > 0, col("dr")).otherwise(0L)).as("w2_pos"),
+        sum(when(col("dlt") < 0, col("dr")).otherwise(0L)).as("w2_neg"))
+      .crossJoin(broadcast(ties)).crossJoin(broadcast(zeros))
+      .withColumn("var12",
+        dec(lit(2)) * dec(col("n_pairs")) * dec(col("n_pairs") + 1)
+          * dec(lit(2) * col("n_pairs") + 1) - col("tie_sum"))
+      .select(col("n_pairs"), col("n_zero"),
+        col("w2_pos").cast("long").as("w2_pos"),
+        col("w2_neg").cast("long").as("w2_neg"),
+        col("tie_sum").cast("long").as("tie_sum"),
+        when(col("var12") <= 0, lit(null)).otherwise(round(
+          (lit(2.0) * col("w2_pos").cast("double")
+            - col("n_pairs").cast("double") * (col("n_pairs").cast("double")
+              + 1.0))
+            / (lit(2.0) * sqrt(col("var12").cast("double") / 12.0)), 4))
+          .as("z"))
+  }
+
+  /** DuckDB twin of [[wilcoxonSigned]] — identical midpoint DIV,
+    * doubled |d| ranks via plain windows, HUGEINT tie moments, the
+    * same no-continuity z expression.
+    */
+  val wilcoxonSignedSql: String =
+    """WITH rows_ AS (
+      |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |mm AS (
+      |  SELECT min(dt) + CAST(CAST(max(dt) - min(dt) AS BIGINT) // 2
+      |    AS INTEGER) AS mid FROM rows_),
+      |diffs AS (
+      |  SELECT k,
+      |    sum(CASE WHEN dt > (SELECT mid FROM mm) THEN cents ELSE 0 END)
+      |    - sum(CASE WHEN dt <= (SELECT mid FROM mm) THEN cents ELSE 0 END)
+      |      AS dlt
+      |  FROM rows_ GROUP BY k),
+      |nz AS (SELECT dlt, abs(dlt) AS v FROM diffs WHERE dlt <> 0),
+      |census AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM nz GROUP BY v),
+      |rk AS (
+      |  SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS dr
+      |  FROM census),
+      |ties AS (
+      |  SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_sum
+      |  FROM census),
+      |zeros AS (
+      |  SELECT CAST(count(*) FILTER (WHERE dlt = 0) AS BIGINT) AS n_zero
+      |  FROM diffs),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN dlt > 0 THEN dr ELSE 0 END) AS BIGINT) AS w2_pos,
+      |    CAST(sum(CASE WHEN dlt < 0 THEN dr ELSE 0 END) AS BIGINT) AS w2_neg
+      |  FROM nz JOIN rk USING (v)),
+      |v12 AS (
+      |  SELECT n_pairs, w2_pos, w2_neg, CAST(tie_sum AS HUGEINT) AS tie_sum,
+      |    2 * CAST(n_pairs AS HUGEINT) * (n_pairs + 1) * (2 * n_pairs + 1)
+      |      - tie_sum AS var12
+      |  FROM agg CROSS JOIN ties)
+      |SELECT n_pairs, n_zero, w2_pos, w2_neg,
+      |  CAST(tie_sum AS BIGINT) AS tie_sum,
+      |  CASE WHEN var12 <= 0 THEN NULL ELSE
+      |    round((2.0 * w2_pos - CAST(n_pairs AS DOUBLE) * (n_pairs + 1.0))
+      |      / (2.0 * sqrt(CAST(var12 AS DOUBLE) / 12.0)), 4) END AS z
+      |FROM v12 CROSS JOIN zeros""".stripMargin
 }

@@ -163,6 +163,66 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("logRank: symmetric cohorts score exactly zero") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(day).atStartOfDay())
+    // both groups carry the identical lifetime multiset → at every
+    // event time na = nb and da = db, so O−E = 0 term by term
+    val ev = Seq(
+      ("A1", "A", d(0)), ("A1", "A", d(10)),
+      ("A2", "A", d(0)), ("A2", "A", d(100)),
+      ("A3", "A", d(100)), ("A3", "A", d(200)),
+      ("B1", "B", d(0)), ("B1", "B", d(10)),
+      ("B2", "B", d(0)), ("B2", "B", d(100)),
+      ("B3", "B", d(100)), ("B3", "B", d(200)))
+      .toDF("k", "grp", "dt")
+    val got = ops.Diagnostics.logRank(ev, "k", "dt", "grp", 90).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_subj") == 3L)
+      assert(r.getAs[Long]("o_events") == 2L)
+      assert(r.getAs[Long]("e_micro") == 2000000L)
+      assert(r.getAs[Double]("z") == 0.0)
+      assert(r.getAs[Double]("chi2") == 0.0)
+    }
+  }
+
+  test("logRank: hand-traced asymmetric cohorts match the exact micro terms") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(day).atStartOfDay())
+    // A: events at t=10,20; B: event at t=30, one censored (t=200)
+    // t=10: d=1 na=2 nb=2 → E_A=500000, V=250000
+    // t=20: d=1 na=1 nb=2 → E_A=333333, V=222222
+    // t=30: d=1 na=0 nb=2 → E_A=0,      V=0
+    val ev = Seq(
+      ("A1", "A", d(0)), ("A1", "A", d(10)),
+      ("A2", "A", d(0)), ("A2", "A", d(20)),
+      ("B1", "B", d(0)), ("B1", "B", d(30)),
+      ("B2", "B", d(0)), ("B2", "B", d(200)))
+      .toDF("k", "grp", "dt")
+    val got = ops.Diagnostics.logRank(ev, "k", "dt", "grp", 90)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("o_events") == 2L)
+    assert(a.getAs[Long]("e_micro") == 833333L)
+    assert(a.getAs[Long]("v_micro") == 472222L)
+    val b = got("B")
+    assert(b.getAs[Long]("o_events") == 1L)
+    assert(b.getAs[Long]("e_micro") == 2166667L)
+    val z = (2e6 - 833333.0) / (math.sqrt(472222.0) * 1e3)
+    assert(a.getAs[Double]("z") == math.rint(z * 1e4) / 1e4)
+    assert(a.getAs[Double]("chi2") == math.rint(z * z * 1e4) / 1e4)
+    // corpus laws: expectations close to the pooled event mass exactly,
+    // and both rows share one statistic
+    val c = ops.Diagnostics.logRank(spark, sfDir).collect()
+    assert(c.length == 2)
+    val totEv = c.map(_.getAs[Long]("o_events")).sum
+    assert(c.map(_.getAs[Long]("e_micro")).sum == totEv * 1000000L)
+    assert(c.map(_.getAs[Double]("z")).distinct.length == 1)
+  }
+
   test("kaplanMeier: planted cohort traces the exact product-limit curve") {
     import spark.implicits._
     def d(day: Int) = java.sql.Timestamp.valueOf(

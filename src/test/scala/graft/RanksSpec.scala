@@ -263,4 +263,39 @@ class RanksSpec extends AnyFunSuite {
     assert(f.forall(r => r.isNullAt(r.fieldIndex("h_adj"))))
     assert(f.forall(_.getAs[Long]("h_micro") == 0L))
   }
+
+  test("wilcoxonSigned: hand-traced diffs, zero-drop, and sign antisymmetry") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day).atStartOfDay())
+    // mid = day 5; diffs (post−pre): +1 +2 +3 −4, one zero dropped
+    // |d| ranks 1..4 doubled → w2_pos = 2+4+6 = 12, w2_neg = 8
+    // z = (24 − 20) / (2·√30) = 0.3652
+    def frame(flip: Boolean) = Seq(
+      ("s1", 0, 100L), ("s1", 10, 101L),
+      ("s2", 0, 100L), ("s2", 10, 102L),
+      ("s3", 0, 100L), ("s3", 10, 103L),
+      ("s4", 0, 104L), ("s4", 10, 100L),
+      ("s5", 0, 100L), ("s5", 10, 100L))
+      .map { case (k, day, c) => (k, d(day), if (flip) -c else c) }
+      .toDF("k", "dt", "cents")
+    val r = ops.Ranks.wilcoxonSigned(frame(flip = false),
+      "k", "dt", "cents", 4L).collect().head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Long]("w2_pos") == 12L)
+    assert(r.getAs[Long]("w2_neg") == 8L)
+    assert(r.getAs[Long]("tie_sum") == 0L)
+    assert(r.getAs[Double]("z") ==
+      math.rint(4.0 / (2.0 * math.sqrt(30.0)) * 1e4) / 1e4)
+    // negating every value mirrors the diffs → z flips sign exactly
+    val m = ops.Ranks.wilcoxonSigned(frame(flip = true),
+      "k", "dt", "cents", 4L).collect().head
+    assert(m.getAs[Long]("w2_pos") == 8L && m.getAs[Long]("w2_neg") == 12L)
+    assert(m.getAs[Double]("z") == -r.getAs[Double]("z"))
+    // corpus law: doubled rank mass closes — w2_pos + w2_neg = n(n+1)
+    val c = ops.Ranks.wilcoxonSigned(spark, sfDir).collect().head
+    val n = c.getAs[Long]("n_pairs")
+    assert(c.getAs[Long]("w2_pos") + c.getAs[Long]("w2_neg") == n * (n + 1))
+  }
 }
