@@ -2140,4 +2140,172 @@ object TextAnalysis {
       |FROM m CROSS JOIN tot
       |GROUP BY k, n_terms, total_tokens
       |ORDER BY k""".stripMargin
+
+  /** Good–Turing frequency smoothing (Good 1953) over the corpus
+    * BIGRAM census — the count-of-counts adjustment that reallocates
+    * probability mass from seen n-grams toward the unseen: an n-gram
+    * observed r times gets the Turing-adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, and the total unseen mass is N_1/N. The
+    * third LM-smoothing member next to [[knBigram]] (Kneser–Ney) and
+    * [[dsir]]'s add-one LMs; bigrams (not unigrams) because the
+    * synthetic corpus's ~30-term vocabulary makes the unigram
+    * count-of-counts grid degenerate while the ~900-type bigram grid
+    * is a real Zipf tail.
+    *
+    * Exactness: r, N_r and N are exact census integers; r* is
+    * quantized ONCE by a truncating DIV on DECIMAL(38,0)
+    * ((r+1)·N_{r+1}·1e6 ≤ N²·1e6 holds to N ~ 1e16 bigram tokens);
+    * rows whose successor bucket N_{r+1} is empty report NULL — the
+    * classic estimator is undefined there (production smoothers fit
+    * the Gale–Sampson log-linear bridge; deliberately out of scope so
+    * the output stays exact).
+    *
+    * Scale posture: one row-local bigram explode, one bigram-type
+    * census (the corpus shuffle), then everything lives on the
+    * |distinct r| count-of-counts grid: a grid self-join on r+1 and a
+    * 1-row totals broadcast. No windows at all.
+    */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    goodTuring(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form. */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val big = d.select(toks.as("tk"))
+      .select(explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("r"))
+    val coc = bc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = coc.agg(sum(col("r") * col("n_r")).as("n_tok"),
+      coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L)).as("n1"))
+    val nxt = coc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    coc.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        expr("""CAST(CAST(r + 1 AS DECIMAL(38,0)) * n_next * 1000000
+                DIV n_r AS BIGINT)""").as("r_star_micro"),
+        col("n_tok"),
+        expr("CAST(n1 * 1000000 DIV n_tok AS BIGINT)").as("p0_micro"))
+      .orderBy(col("r"))
+  }
+
+  /** DuckDB twin of [[goodTuring]] — same bigram census, grid
+    * self-join, HUGEINT quantization.
+    */
+  val goodTuringSql: String =
+    """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |big AS (
+      |  SELECT unnest([{'w1': tk[i], 'w2': tk[i + 1]}
+      |                 FOR i IN generate_series(1, len(tk) - 1)]) AS b
+      |  FROM tk),
+      |bc AS (
+      |  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS r
+      |  FROM big GROUP BY b.w1, b.w2),
+      |coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM bc GROUP BY r),
+      |tot AS (
+      |  SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tok,
+      |    CAST(coalesce(sum(n_r) FILTER (WHERE r = 1), 0) AS BIGINT) AS n1
+      |  FROM coc)
+      |SELECT c.r, c.n_r,
+      |  CAST((CAST(c.r + 1 AS HUGEINT) * nx.n_r * 1000000) // c.n_r
+      |    AS BIGINT) AS r_star_micro,
+      |  n_tok,
+      |  CAST((CAST(n1 AS HUGEINT) * 1000000) // n_tok AS BIGINT) AS p0_micro
+      |FROM coc c
+      |LEFT JOIN coc nx ON nx.r = c.r + 1
+      |CROSS JOIN tot
+      |ORDER BY c.r""".stripMargin
+
+  /** RAKE — Rapid Automatic Keyword Extraction (Rose et al. 2010):
+    * candidate phrases are the maximal token runs between stopwords,
+    * each member word scores degree/frequency over the whole candidate
+    * set (degree = summed length of every phrase it appears in — words
+    * that live in long phrases co-occur widely), and a phrase scores
+    * the sum of its members. The phrase-level complement of
+    * [[textRank]]'s word-graph keywords and [[topNgrams]]' raw counts.
+    *
+    * Exactness: freq and deg are exact census integers; each word's
+    * score is quantized ONCE (deg·1e6 DIV freq, truncating) so phrase
+    * scores are order-free BIGINT sums; identical phrase strings
+    * always carry identical member multisets, so per-occurrence scores
+    * agree and the corpus-level dedup takes min (= the common value).
+    * Top-20 by (score, phrase) is a total order.
+    *
+    * Scale posture: one posexplode (row-local), run-id assignment by a
+    * window PARTITIONED BY doc (bounded by doc length — the one
+    * per-row window, keyed, never global), one phrase-member census,
+    * one word census (vocabulary-keyed shuffle join back — never
+    * broadcast), one phrase aggregate, TakeOrdered top-20.
+    */
+  def rake(spark: SparkSession, dir: String): DataFrame =
+    rake(Tables.documents(spark, dir), "doc_id", "text", StopWords, 20)
+
+  /** DataFrame-first form; `stop` delimits candidate phrases. */
+  def rake(docs: DataFrame, idCol: String, textCol: String,
+           stop: Seq[String], topN: Int): DataFrame = {
+    val stopArr = stop.map(w => s"'$w'").mkString("array(", ",", ")")
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val tokPos = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val member = tokPos
+      .filter(!expr(s"array_contains($stopArr, w)"))
+      .withColumn("run_id", col("pos") - row_number().over(runW))
+    val phrases = member.groupBy(col("doc_id"), col("run_id"))
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(pos, w))), x -> x.w), ' ')").as("phrase"),
+        count(lit(1)).as("plen"))
+    val inst = member.join(phrases, Seq("doc_id", "run_id"))
+    val wordScore = inst.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        expr("CAST(deg * 1000000 DIV freq AS BIGINT)").as("ws"))
+    val perPhrase = inst.join(wordScore, Seq("w"))
+      .groupBy(col("doc_id"), col("run_id"), col("phrase"))
+      .agg(sum(col("ws")).as("score_micro"))
+    perPhrase.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), min(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[rake]] — same run-id gap trick via row_number,
+    * same one-DIV word quantization.
+    */
+  val rakeSql: String =
+    """WITH tokpos AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'w': tk[i]} FOR i IN generate_series(1, len(tk))]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      |tp AS (
+      |  SELECT doc_id, s.pos AS pos, s.w AS w FROM tokpos WHERE s.w <> ''),
+      |member AS (
+      |  SELECT doc_id, pos, w,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      |  FROM tp
+      |  WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')),
+      |phrases AS (
+      |  SELECT doc_id, run_id, string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |    CAST(count(*) AS BIGINT) AS plen
+      |  FROM member GROUP BY doc_id, run_id),
+      |inst AS (
+      |  SELECT m.doc_id, m.run_id, m.w, p.phrase, p.plen
+      |  FROM member m JOIN phrases p USING (doc_id, run_id)),
+      |ws AS (
+      |  SELECT w,
+      |    CAST((CAST(sum(plen) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+      |      AS ws
+      |  FROM inst GROUP BY w),
+      |pp AS (
+      |  SELECT doc_id, run_id, phrase,
+      |    CAST(sum(ws) AS BIGINT) AS score_micro
+      |  FROM inst JOIN ws USING (w)
+      |  GROUP BY doc_id, run_id, phrase)
+      |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(min(score_micro) AS BIGINT) AS score_micro
+      |FROM pp GROUP BY phrase
+      |ORDER BY score_micro DESC, phrase
+      |LIMIT 20""".stripMargin
 }

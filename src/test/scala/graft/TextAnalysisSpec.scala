@@ -728,4 +728,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     val sc = corpus.map(_.getAs[Long]("dsir_micro"))
     assert(sc.toSeq == sc.sortBy(-(_: Long)).toSeq)
   }
+
+  test("goodTuring: planted bigram census traces the exact Turing estimates") {
+    import spark.implicits._
+    // "x y x y" → bigrams (x,y)×2, (y,x)×1 → N_1=1, N_2=1, N=3
+    val got = ops.TextAnalysis.goodTuring(
+      Seq((1L, "x y x y")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getAs[Long]("r") == 1L && r1.getAs[Long]("n_r") == 1L)
+    assert(r1.getAs[Long]("r_star_micro") == 2000000L) // (1+1)·N_2/N_1 = 2
+    assert(r1.getAs[Long]("n_tok") == 3L)
+    assert(r1.getAs[Long]("p0_micro") == 333333L)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("r") == 2L && r2.getAs[Long]("n_r") == 1L)
+    // no trigram bucket above r=2 → classic estimator undefined
+    assert(r2.isNullAt(r2.fieldIndex("r_star_micro")))
+    // corpus laws: token mass closes, p0 constant, grid strictly rises
+    val c = ops.TextAnalysis.goodTuring(spark, sfDir).collect()
+    val nTok = c.head.getAs[Long]("n_tok")
+    assert(c.map(r => r.getAs[Long]("r") * r.getAs[Long]("n_r")).sum == nTok)
+    assert(c.map(_.getAs[Long]("p0_micro")).distinct.length == 1)
+    val rs = c.map(_.getAs[Long]("r"))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a < b })
+  }
+
+  test("rake: hand-scored phrases; duplicate phrases collapse with one score") {
+    import spark.implicits._
+    // stop = {the}: phrases "big data" (len 2) and "big data pipeline"
+    // (len 3); freq(big)=freq(data)=2, deg=5 → ws=2.5; pipeline 3/1=3
+    val docs = Seq((1L, "big data the big data pipeline")).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.rake(docs, "doc_id", "text", Seq("the"), 20)
+      .collect().map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("score_micro"))).toMap
+    assert(got == Map(
+      "big data pipeline" -> (1L, 8000000L),
+      "big data" -> (1L, 5000000L)))
+    // the same phrase in two docs dedups to n_occ=2, same score
+    val two = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val g2 = ops.TextAnalysis.rake(two, "doc_id", "text", Seq("the"), 20)
+      .collect()
+    assert(g2.length == 1)
+    assert(g2.head.getAs[String]("phrase") == "alpha beta")
+    assert(g2.head.getAs[Long]("n_occ") == 2L)
+    // leading/trailing stopwords only delimit — never appear in phrases
+    val edge = Seq((1L, "the alpha the")).toDF("doc_id", "text")
+    val g3 = ops.TextAnalysis.rake(edge, "doc_id", "text", Seq("the"), 20)
+      .collect()
+    assert(g3.length == 1 && g3.head.getAs[String]("phrase") == "alpha")
+    // corpus: top-20, scores non-increasing, no stopword inside phrases
+    val c = ops.TextAnalysis.rake(spark, sfDir).collect()
+    assert(c.length == 20)
+    val scs = c.map(_.getAs[Long]("score_micro"))
+    assert(scs.toSeq == scs.sortBy(-(_: Long)).toSeq)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    assert(c.forall(r =>
+      r.getAs[String]("phrase").split(" ").forall(w => !stop.contains(w))))
+  }
 }
