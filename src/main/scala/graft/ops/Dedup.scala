@@ -1233,4 +1233,113 @@ object Dedup {
       |  dup_of, (dup_of IS NULL) AS kept
       |FROM t LEFT JOIN g ON t.doc_id = g.hi
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Jaccard threshold for [[similarityJoin]], in micro-units. */
+  val SimJoinTauMicro = 500000L
+
+  /** Exact-threshold set-similarity self-join via PREFIX FILTERING —
+    * AllPairs (Bayardo, Ma & Srikant, WWW 2007), the exact complement
+    * of the banded near-dup family: where [[dedupMinhash]] /
+    * [[dedupNgramJaccard]] trade recall for candidate volume, this
+    * op returns EVERY pair of documents whose 5-gram shingle Jaccard
+    * meets the threshold — no sketches, no misses — and is therefore
+    * the first fully ORACLE-CHECKED member of the near-dup family
+    * (string shingles, not hashed: both engines build identical sets).
+    *
+    * Why it scales: J(A,B) ≥ t implies |A∩B| ≥ t·|A| (from
+    * o/(|A|+|B|−o) ≥ t and |B| ≥ o), so ordering every document's
+    * shingles by GLOBAL RARITY (df asc, shingle asc — one shared total
+    * order) and keeping only the first |x| − ⌈t·|x|⌉ + 1 as its
+    * PREFIX guarantees any qualifying pair collides on a prefix
+    * element. Candidates come from an equality join of prefixes with
+    * themselves — and because prefixes hold each document's RAREST
+    * shingles, posting lists in that join are short by construction
+    * (df-ascending order IS the skew protection; a popular shingle
+    * can only enter a prefix if a document has nothing rarer, and a
+    * corpus where that happens at volume is one where near-every pair
+    * truly qualifies, so no exact algorithm can emit less). Exact
+    * verification then counts true intersections for candidates only.
+    *
+    * Exactness: intersections/unions are exact integers;
+    * j_micro = inter·1e6 DIV union truncates once. The ⌈t·n⌉ prefix
+    * arithmetic is the exact integer form (n·τ + 999999) DIV 1e6.
+    *
+    * Scale posture: shingle explode is row-local; df census and the
+    * prefix build are shingle-/doc-keyed shuffles (per-doc sort is
+    * row-local over a doc-length-bounded set); the candidate join is
+    * keyed on rare shingles; verification is candidate-keyed. No
+    * cross join, no window, no driver state.
+    */
+  def similarityJoin(spark: SparkSession, dir: String): DataFrame =
+    similarityJoin(Tables.documents(spark, dir), "doc_id", "text", 5,
+      SimJoinTauMicro)
+
+  /** DataFrame-first form: pairs with `ngram`-shingle Jaccard ≥
+    * `tauMicro`/1e6 over any (id, text) frame.
+    */
+  def similarityJoin(docs: DataFrame, idCol: String, textCol: String,
+                     ngram: Int, tauMicro: Long): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(CASE WHEN size(tk) >= $ngram
+           |  THEN transform(sequence(1, size(tk) - $ngram + 1),
+           |                 i -> array_join(slice(tk, i, $ngram), ' '))
+           |  ELSE array() END)""".stripMargin)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("doc_id"), explode(expr(
+        s"""slice(transform(arr, x -> x.s), 1,
+           |  CAST(size(arr) - ((size(arr) * $tauMicro + 999999) DIV 1000000)
+           |       + 1 AS INT))""".stripMargin)).as("s"))
+    val cand = prefix.select(col("doc_id").as("da"), col("s"))
+      .join(prefix.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("j_micro", expr("inter * 1000000 DIV uni"))
+      .filter(col("j_micro") >= tauMicro)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter"), col("uni"), col("j_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of [[similarityJoin]] — an independent derivation:
+    * shared-shingle blocking (exact, since J > 0 requires a common
+    * shingle) instead of prefix filtering, then the same exact
+    * intersection counts and one-DIV quantization.
+    */
+  val similarityJoinSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(tk[i:i+4], ' ')
+       |              FOR i IN generate_series(1, len(tk) - 4)]) AS s
+       |    FROM tk)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+       |  CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS j_micro
+       |FROM cand
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * 1000000 // (sa.n + sb.n - inter) >= $SimJoinTauMicro
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -470,4 +470,49 @@ class DedupSpec extends AnyFunSuite {
     val s = corpus.map(_.getAs[Long]("score_micro"))
     assert(s.toSeq == s.sortBy(-(_: Long)).toSeq)
   }
+
+  test("similarityJoin: exact at the threshold boundary; below-threshold excluded") {
+    import spark.implicits._
+    // 2-gram shingles: d1={ab,bc,cd}, d2={ab,bc,ce} → J = 2/4 = exactly τ
+    // d3 shares one shingle with d1/d2 (J=1/5) — candidate, then rejected
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b x y"),
+      (4L, "z z2 z3")).toDF("doc_id", "text")
+    val got = ops.Dedup.similarityJoin(docs, "doc_id", "text", 2, 500000L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("inter") == 2L && r.getAs[Long]("uni") == 4L)
+    assert(r.getAs[Long]("j_micro") == 500000L)
+  }
+
+  test("similarityJoin: matches a driver-side brute force over all pairs") {
+    import spark.implicits._
+    // overlapping vocab so shared shingles are common but few pairs pass
+    val texts = Seq(
+      1L -> "p q r s t u", 2L -> "p q r s t v", 3L -> "p q r x y z",
+      4L -> "m n p q r s", 5L -> "p q r s t u", 6L -> "u t s r q p",
+      7L -> "a a a a a a", 8L -> "a a a a a b")
+    val got = ops.Dedup.similarityJoin(texts.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 400000L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("uni"), r.getAs[Long]("j_micro")))
+      .toMap
+    def shingles(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      j = inter * 1000000L / uni if j >= 400000L
+    } yield (ia, ib) -> (inter, uni, j)).toMap
+    assert(got == want)
+    assert(want.nonEmpty) // the fixture actually exercises matches
+    // corpus: every emitted pair meets τ, ids ordered
+    val c = ops.Dedup.similarityJoin(spark, sfDir).collect()
+    assert(c.forall(_.getAs[Long]("j_micro") >= ops.Dedup.SimJoinTauMicro))
+    assert(c.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
 }
