@@ -1562,4 +1562,208 @@ object Evaluation {
       |    ELSE round(num * num / (denx * deny) * 100.0, 2) END
       |    AS var_reduction_pct
       |FROM v CROSS JOIN t ORDER BY variant""".stripMargin
+
+  /** Empirical-Bayes shrinkage of per-group rates under a
+    * method-of-moments beta-binomial prior (Robbins 1956; the
+    * "estimate α,β from the ensemble, then shrink each group toward
+    * the prior mean" recipe popularized for batting averages / CTRs):
+    * a supplier with 3 returns out of 4 lineitems is NOT a 75%-return
+    * supplier — its shrunken rate (x+α)/(n+α+β) pools strength from
+    * the whole fleet, and the low-n groups move most. The stabilizer
+    * every per-group-rate ranking ([[Analytics.topSupplier]]-style
+    * dashboards) needs before sorting by rate.
+    *
+    * Exactness: per-group observed rates are quantized ONCE
+    * (x·1e6 DIV n, truncating) so the ensemble moments S1 = Σ rate,
+    * S2 = Σ rate² are exact integer sums (DECIMAL(38,0) — rate² ≤
+    * 1e12 per group bounds S2 past 1e25 groups); μ, the MoM
+    * concentration K = μ(1−μ)/v − 1, α = μK, β = (1−μ)K and each
+    * shrunken rate are ONE shared double expression tree rounded at
+    * the end. Degenerate ensembles (v ≤ 0, i.e. all rates equal, or
+    * K ≤ 0 when the sample variance exceeds the binomial ceiling)
+    * yield NULL shrunken rates — loudly unshrinkable, never silently
+    * wrong.
+    *
+    * Scale posture: one keyed aggregate (the corpus shuffle), one
+    * 1-row moments broadcast, pure projection after. No windows.
+    */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame =
+    ebShrinkage(Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("grp"),
+          (col("l_returnflag") === "R").cast("long").as("hit")),
+      "grp", "hit")
+
+  /** DataFrame-first form over any (group, 0/1 outcome) frame. */
+  def ebShrinkage(df: DataFrame, grpCol: String, hitCol: String): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val per = df.select(col(grpCol).as("grp"), col(hitCol).cast("long").as("h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("x"))
+      .withColumn("rate_micro", expr("x * 1000000 DIV n"))
+    val mom = per.agg(count(lit(1)).as("m"),
+      sum(dec(col("rate_micro"))).as("s1"),
+      sum(dec(col("rate_micro")) * dec(col("rate_micro"))).as("s2"))
+    val prior = mom.select(col("m"),
+      (col("s1").cast("double") / col("m") / 1e6).as("mu"),
+      (col("s2").cast("double") / col("m") / 1e12
+        - pow(col("s1").cast("double") / col("m") / 1e6, 2)).as("v"))
+      .select(col("m"), col("mu"),
+        when(col("v") > 0 && col("mu") > 0 && col("mu") < 1,
+          col("mu") * (lit(1.0) - col("mu")) / col("v") - 1.0).as("k0"))
+      .select(col("m"), col("mu"),
+        when(col("k0") > 0, col("k0")).as("k"))
+    per.crossJoin(broadcast(prior))
+      .select(col("grp"), col("n"), col("x"), col("rate_micro"),
+        round(col("mu") * col("k"), 4).as("alpha"),
+        round((lit(1.0) - col("mu")) * col("k"), 4).as("beta"),
+        round((col("x").cast("double") + col("mu") * col("k"))
+          / (col("n").cast("double") + col("k")), 6).as("shrunk_rate"))
+      .orderBy(col("grp"))
+  }
+
+  /** DuckDB twin of [[ebShrinkage]] — same one-DIV rate quantization,
+    * HUGEINT moments, shared double prior tail.
+    */
+  val ebShrinkageSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM lineitem GROUP BY l_suppkey),
+      |r AS (SELECT grp, n, x, x * 1000000 // n AS rate_micro FROM per),
+      |mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    sum(CAST(rate_micro AS HUGEINT)) AS s1,
+      |    sum(CAST(rate_micro AS HUGEINT) * rate_micro) AS s2
+      |  FROM r),
+      |pr0 AS (
+      |  SELECT m, CAST(s1 AS DOUBLE) / m / 1e6 AS mu,
+      |    CAST(s2 AS DOUBLE) / m / 1e12
+      |      - pow(CAST(s1 AS DOUBLE) / m / 1e6, 2) AS v
+      |  FROM mom),
+      |pr1 AS (
+      |  SELECT m, mu,
+      |    CASE WHEN v > 0 AND mu > 0 AND mu < 1
+      |         THEN mu * (1.0 - mu) / v - 1.0 END AS k0
+      |  FROM pr0),
+      |pr AS (
+      |  SELECT m, mu, CASE WHEN k0 > 0 THEN k0 END AS k FROM pr1)
+      |SELECT grp, n, x, CAST(rate_micro AS BIGINT) AS rate_micro,
+      |  round(mu * k, 4) AS alpha,
+      |  round((1.0 - mu) * k, 4) AS beta,
+      |  round((CAST(x AS DOUBLE) + mu * k) / (CAST(n AS DOUBLE) + k), 6)
+      |    AS shrunk_rate
+      |FROM r CROSS JOIN pr
+      |ORDER BY grp""".stripMargin
+
+  /** Inverse-propensity-scored off-policy evaluation (Horvitz &
+    * Thompson 1952; IPS/SNIPS per Swaminathan & Joachims 2015): "what
+    * would mean order value be if we ALWAYS assigned the urgent
+    * priority?", answered from logged data where priorities were
+    * assigned by some historical policy. Each logged urgent order is
+    * re-weighted by the inverse of its empirical propensity within its
+    * context cell (market segment); IPS divides by all N, the
+    * self-normalized variant (SNIPS) divides by the realized weight
+    * mass and is the lower-variance estimator practitioners report.
+    * The observational sibling of [[stratifiedAte]] (which contrasts
+    * two arms; this scores ONE counterfactual policy), plus the
+    * effective-sample-size diagnostic that says how much data the
+    * reweighting really kept.
+    *
+    * Exactness: propensities are never materialized as floats — each
+    * cell's weighted outcome Σ y·(n_cell/n_t) = s_t·n_cell/n_t and
+    * weight masses Σw = n_cell, Σw² = n_cell²/n_t are quantized ONCE
+    * per cell by truncating DIV on DECIMAL(38,0) and summed as exact
+    * integers; the final IPS/SNIPS/ESS divisions are the only double
+    * steps. Cells with NO urgent orders have zero target support —
+    * excluded from every sum WITH their mass reported in
+    * `covered_milli`, the overlap-violation diagnostic (silent
+    * exclusion is how off-policy numbers lie).
+    *
+    * Scale posture: one cell-keyed aggregate over orders (the corpus
+    * shuffle — cells are the broadcast-joined segment dimension), a
+    * |cells|-row frame after, one 1-row final aggregate. No windows.
+    */
+  def ipsOffPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("cell"))
+    ipsOffPolicy(Tables.orders(spark, dir)
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(col("cell"),
+          (col("o_orderpriority") === "1-URGENT").as("is_target"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+      "cell", "is_target", "y")
+  }
+
+  /** DataFrame-first form over any (context cell, target-action flag,
+    * integral outcome) frame.
+    */
+  def ipsOffPolicy(df: DataFrame, cellCol: String, targetCol: String,
+                   outcomeCol: String): DataFrame = {
+    val cells = df.select(col(cellCol).as("cell"),
+        col(targetCol).cast("boolean").as("tgt"),
+        col(outcomeCol).cast("long").as("y"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"), count_if(col("tgt")).as("n_t"),
+        coalesce(sum(when(col("tgt"), col("y"))), lit(0L)).as("s_t"))
+      .withColumn("term_milli", when(col("n_t") > 0, expr(
+        "CAST(CAST(s_t AS DECIMAL(38,0)) * n_cell * 1000 DIV n_t" +
+          " AS DECIMAL(38,0))")))
+      .withColumn("w2_milli", when(col("n_t") > 0, expr(
+        "CAST(CAST(n_cell AS DECIMAL(38,0)) * n_cell * 1000 DIV n_t" +
+          " AS DECIMAL(38,0))")))
+    val tot = cells.agg(sum(col("n_cell")).as("n_all"),
+      sum(when(col("n_t") > 0, col("n_cell"))).as("n_sup"),
+      sum(col("term_milli")).as("num_milli"),
+      sum(col("w2_milli")).as("sw2_milli"))
+      .select(
+        expr("CAST(num_milli DIV n_all AS BIGINT)").as("ips_milli"),
+        expr("CAST(num_milli DIV n_sup AS BIGINT)").as("snips_milli"),
+        round(col("n_sup").cast("double") * col("n_sup").cast("double")
+          / (col("sw2_milli").cast("double") / 1e3), 2).as("ess"),
+        expr("CAST(n_sup * 1000 DIV n_all AS BIGINT)").as("covered_milli"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_cell"), col("n_t"),
+        col("term_milli").cast("long").as("term_milli"),
+        col("ips_milli"), col("snips_milli"), col("ess"),
+        col("covered_milli"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin of [[ipsOffPolicy]] — identical per-cell HUGEINT
+    * quantization and exclusion-with-visibility of unsupported cells.
+    */
+  val ipsOffPolicySql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS cell, CAST(count(*) AS BIGINT) AS n_cell,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+      |      AS BIGINT) AS n_t,
+      |    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS s_t
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment),
+      |t AS (
+      |  SELECT cell, n_cell, n_t,
+      |    CASE WHEN n_t > 0
+      |      THEN (CAST(s_t AS HUGEINT) * n_cell * 1000) // n_t END
+      |      AS term_milli,
+      |    CASE WHEN n_t > 0
+      |      THEN (CAST(n_cell AS HUGEINT) * n_cell * 1000) // n_t END
+      |      AS w2_milli
+      |  FROM cells),
+      |tot AS (
+      |  SELECT CAST(sum(term_milli) // sum(n_cell) AS BIGINT) AS ips_milli,
+      |    CAST(sum(term_milli)
+      |      // sum(CASE WHEN n_t > 0 THEN n_cell END) AS BIGINT)
+      |      AS snips_milli,
+      |    round(CAST(sum(CASE WHEN n_t > 0 THEN n_cell END) AS DOUBLE)
+      |      * sum(CASE WHEN n_t > 0 THEN n_cell END)
+      |      / (CAST(sum(w2_milli) AS DOUBLE) / 1e3), 2) AS ess,
+      |    CAST(sum(CASE WHEN n_t > 0 THEN n_cell END) * 1000
+      |      // sum(n_cell) AS BIGINT) AS covered_milli
+      |  FROM t)
+      |SELECT cell, n_cell, n_t, CAST(term_milli AS BIGINT) AS term_milli,
+      |  ips_milli, snips_milli, ess, covered_milli
+      |FROM t CROSS JOIN tot
+      |ORDER BY cell""".stripMargin
 }

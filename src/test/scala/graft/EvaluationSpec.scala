@@ -484,4 +484,71 @@ class EvaluationSpec extends AnyFunSuite {
     assert(corpus.length == 5)
     assert(corpus.map(_.getAs[Long]("ate_milli")).distinct.length == 1)
   }
+
+  test("ebShrinkage: matches a driver-side MoM recomputation; low-n moves most") {
+    import spark.implicits._
+    // A 30/100, B 10/100, C 3/4 (tiny n, extreme rate), D 20/100
+    val rows = Seq(("A", 100, 30), ("B", 100, 10), ("C", 4, 3),
+      ("D", 100, 20)).flatMap { case (g, n, x) =>
+      (1 to n).map(i => (g, if (i <= x) 1L else 0L))
+    }
+    val got = ops.Evaluation.ebShrinkage(rows.toDF("grp", "h"), "grp", "h")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    // independent driver model off the same one-DIV micro rates
+    val rm = Map("A" -> 300000L, "B" -> 100000L, "C" -> 750000L,
+      "D" -> 200000L)
+    assert(got.forall { case (g, r) => r.getAs[Long]("rate_micro") == rm(g) })
+    val m = rm.size.toDouble
+    val mu = rm.values.sum / m / 1e6
+    val v = rm.values.map(x => x.toDouble * x).sum / m / 1e12 - mu * mu
+    val k = mu * (1 - mu) / v - 1.0
+    val ns = Map("A" -> 100, "B" -> 100, "C" -> 4, "D" -> 100)
+    val xs = Map("A" -> 30, "B" -> 10, "C" -> 3, "D" -> 20)
+    rm.keys.foreach { g =>
+      val want = math.rint((xs(g) + mu * k) / (ns(g) + k) * 1e6) / 1e6
+      assert(got(g).getAs[Double]("shrunk_rate") == want)
+    }
+    // C's 75% collapses toward the prior mean far more than any n=100 arm
+    val pull = rm.keys.map(g => g ->
+      math.abs(got(g).getAs[Double]("shrunk_rate") - rm(g) / 1e6)).toMap
+    assert(pull("C") > pull("A") && pull("C") > pull("B") &&
+      pull("C") > pull("D"))
+    // degenerate ensemble: identical rates → zero variance → NULL, loudly
+    val flat = Seq(("A", 1L), ("A", 0L), ("B", 1L), ("B", 0L))
+      .toDF("grp", "h")
+    val f = ops.Evaluation.ebShrinkage(flat, "grp", "h").collect()
+    assert(f.forall(r => r.isNullAt(r.fieldIndex("shrunk_rate"))))
+  }
+
+  test("ipsOffPolicy: hand-traced cells; degenerate policy equals the plain mean") {
+    import spark.implicits._
+    // cell P: 4 rows, 2 urgent (y=100,200); cell Q: 2 rows, none urgent
+    val logs = Seq(("P", true, 100L), ("P", true, 200L),
+      ("P", false, 50L), ("P", false, 60L),
+      ("Q", false, 10L), ("Q", false, 20L)).toDF("cell", "tgt", "y")
+    val got = ops.Evaluation.ipsOffPolicy(logs, "cell", "tgt", "y")
+      .collect().map(r => r.getAs[String]("cell") -> r).toMap
+    val p = got("P")
+    assert(p.getAs[Long]("term_milli") == 600000L) // 300·4·1000/2
+    assert(p.getAs[Long]("ips_milli") == 100000L)  // /6
+    assert(p.getAs[Long]("snips_milli") == 150000L) // /4 = urgent mean
+    assert(p.getAs[Double]("ess") == 2.0)          // 16/(8000/1e3)
+    assert(p.getAs[Long]("covered_milli") == 666L)
+    val q = got("Q")
+    assert(q.isNullAt(q.fieldIndex("term_milli"))) // unsupported, visible
+    // target == logging policy → IPS = SNIPS = plain mean, full support
+    val all = Seq(("P", true, 100L), ("P", true, 200L), ("Q", true, 300L))
+      .toDF("cell", "tgt", "y")
+    val a = ops.Evaluation.ipsOffPolicy(all, "cell", "tgt", "y")
+      .collect().head
+    assert(a.getAs[Long]("ips_milli") == 200000L)
+    assert(a.getAs[Long]("snips_milli") == 200000L)
+    assert(a.getAs[Double]("ess") == 3.0)
+    assert(a.getAs[Long]("covered_milli") == 1000L)
+    // corpus: SNIPS ≥ IPS iff coverage < 1 (same numerator, smaller base)
+    val c = ops.Evaluation.ipsOffPolicy(spark, sfDir).collect()
+    val h = c.head
+    assert(h.getAs[Long]("snips_milli") >= h.getAs[Long]("ips_milli"))
+    assert(c.map(_.getAs[Long]("ips_milli")).distinct.length == 1)
+  }
 }
