@@ -1730,6 +1730,164 @@ object Evaluation {
       .orderBy(col("cell"))
   }
 
+  /** Benjamini–Hochberg false-discovery-rate control (JRSS-B 1995)
+    * over the per-brand price battery: each brand's mean lineitem
+    * price is Welch-z-tested against the rest of the corpus, and BH
+    * decides WHICH of the m simultaneous tests to reject at FDR
+    * α = 0.05 — the multiple-testing closure the per-test family
+    * ([[Diagnostics.welchTTest]], [[anovaF]], [[cramersV]]) needs
+    * before anyone acts on "brand X prices differently": at m = 25
+    * tests, one naive α = 0.05 rejection is EXPECTED by chance.
+    *
+    * Exactness: group and complement moments are exact integer sums
+    * (the complement is exact subtraction from the 1-row corpus
+    * total); z is one staged double tree rounded ONCE to integer
+    * ten-thousandths, so the two-sided normal p — Abramowitz–Stegun
+    * 7.1.26 erfc with the five literal coefficients, Horner form,
+    * |ε| < 1.5e-7 — is computed from identical double inputs in both
+    * engines and immediately quantized to integer e-7. From there BH
+    * is pure integer arithmetic: the step-up test p·m ≤ α·k compares
+    * p_e7·m against 500000·k exactly, and the monotonized adjusted
+    * p is a running min of (p_e7·m) DIV k over the m-bounded grid.
+    * Groups with no sample variance on either side have no z — they
+    * are EXCLUDED (and shrink m) per the [[Diagnostics.welchTTest]]
+    * degenerate-group discipline.
+    *
+    * Scale posture: one brand-keyed aggregate over the fact join (the
+    * corpus shuffle; the part dim projection broadcasts), a 1-row
+    * totals broadcast, then everything runs on the m-row test grid —
+    * its two unpartitioned windows sit on the bounded post-aggregate
+    * frame.
+    */
+  def fdrBh(spark: SparkSession, dir: String): DataFrame =
+    fdrBh(Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("grp"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")),
+      "grp", "v")
+
+  /** DataFrame-first form over any (group, integral value) frame. */
+  def fdrBh(df: DataFrame, grpCol: String, vCol: String): DataFrame = {
+    val v = col(vCol).cast("long")
+    val vd = v.cast(DecimalType(20, 0))
+    val stats = df.select(col(grpCol).as("grp"), v.as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(vd * vd).as("ss"))
+    val glob = stats.agg(sum(col("n")).as("nn"), sum(col("s")).as("st"),
+      sum(col("ss")).as("sst"))
+    def d(name: String) = col(name).cast("double")
+    val z = stats.crossJoin(broadcast(glob))
+      .filter(col("n") >= 2 && col("nn") - col("n") >= 2)
+      .select(col("grp"), col("n"),
+        (d("s") / d("n")).as("ma"),
+        ((d("st") - d("s")) / (d("nn") - d("n"))).as("mr"),
+        ((d("ss") - d("s") * d("s") / d("n")) / (d("n") - lit(1.0)) / d("n"))
+          .as("sea"),
+        (((d("sst") - d("ss")) - (d("st") - d("s")) * (d("st") - d("s"))
+          / (d("nn") - d("n"))) / (d("nn") - d("n") - lit(1.0))
+          / (d("nn") - d("n"))).as("seb"))
+      .filter(col("sea") + col("seb") > 0d)
+      .select(col("grp"), col("n"),
+        expr("CAST(round((ma - mr) / sqrt(sea + seb) * 10000) AS BIGINT)")
+          .as("z_e4"))
+    // Abramowitz–Stegun 7.1.26: p = erfc(|z|/√2), Horner, quantized e-7
+    val p = z
+      .withColumn("x", abs(col("z_e4")).cast("double") / 1e4 / sqrt(lit(2.0)))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+      .withColumn("p_e7", expr(
+        """CAST(round(((((1.061405429 * t - 1.453152027) * t
+          |  + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+          |  * exp(-x * x) * 1e7) AS BIGINT)""".stripMargin))
+    val mCount = p.agg(count(lit(1)).as("m"))
+    val rankW = Window.orderBy(col("p_e7"), col("grp"))
+    val adjW = Window.orderBy(col("rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = p.crossJoin(broadcast(mCount))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .withColumn("q", least(lit(10000000L),
+        expr("p_e7 * m DIV rk")))
+      .withColumn("p_adj_e7", min(col("q")).over(adjW))
+    val kMax = ranked
+      .agg(coalesce(max(when(col("p_e7") * col("m") <= lit(500000L) * col("rk"),
+        col("rk"))), lit(0L)).as("k_max"))
+    ranked.crossJoin(broadcast(kMax))
+      .select(col("grp"), col("n"),
+        round(col("z_e4").cast("double") / 1e4, 4).as("z"),
+        col("p_e7"), col("rk"), col("m"), col("p_adj_e7"),
+        (col("rk") <= col("k_max")).as("reject"))
+      .orderBy(col("grp"))
+  }
+
+  /** DuckDB twin of [[fdrBh]] — identical staged moment CTEs, the same
+    * Horner erfc literals over the same quantized z, integer BH.
+    */
+  val fdrBhSql: String =
+    """WITH rows_ AS (
+      |  SELECT p_brand AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |stats AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS ss
+      |  FROM rows_ GROUP BY grp),
+      |gtot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS st,
+      |    sum(ss) AS sst
+      |  FROM stats),
+      |se AS (
+      |  SELECT grp, n,
+      |    CAST(s AS DOUBLE) / n AS ma,
+      |    (CAST(st AS DOUBLE) - s) / (CAST(nn AS DOUBLE) - n) AS mr,
+      |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+      |      / (CAST(n AS DOUBLE) - 1.0) / n AS sea,
+      |    ((CAST(sst AS DOUBLE) - CAST(ss AS DOUBLE))
+      |      - (CAST(st AS DOUBLE) - s) * (CAST(st AS DOUBLE) - s)
+      |        / (CAST(nn AS DOUBLE) - n))
+      |      / (CAST(nn AS DOUBLE) - n - 1.0)
+      |      / (CAST(nn AS DOUBLE) - n) AS seb
+      |  FROM stats CROSS JOIN gtot
+      |  WHERE n >= 2 AND nn - n >= 2),
+      |z AS (
+      |  SELECT grp, n,
+      |    CAST(round((ma - mr) / sqrt(sea + seb) * 10000) AS BIGINT) AS z_e4
+      |  FROM se WHERE sea + seb > 0),
+      |px AS (
+      |  SELECT grp, n, z_e4,
+      |    CAST(abs(z_e4) AS DOUBLE) / 1e4 / sqrt(2.0) AS x
+      |  FROM z),
+      |pt AS (
+      |  SELECT grp, n, z_e4, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
+      |p AS (
+      |  SELECT grp, n, z_e4,
+      |    CAST(round(((((1.061405429 * t - 1.453152027) * t
+      |      + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+      |      * exp(-x * x) * 1e7) AS BIGINT) AS p_e7
+      |  FROM pt),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+      |rk AS (
+      |  SELECT grp, n, z_e4, p_e7, m,
+      |    CAST(row_number() OVER (ORDER BY p_e7, grp) AS BIGINT) AS rk
+      |  FROM p CROSS JOIN m),
+      |adj AS (
+      |  SELECT *, least(10000000, (p_e7 * m) // rk) AS q FROM rk),
+      |adj2 AS (
+      |  SELECT *, min(q) OVER (ORDER BY rk DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj_e7
+      |  FROM adj),
+      |km AS (
+      |  SELECT coalesce(max(CASE WHEN p_e7 * m <= 500000 * rk
+      |    THEN rk END), 0) AS k_max
+      |  FROM adj2)
+      |SELECT grp, n, round(CAST(z_e4 AS DOUBLE) / 1e4, 4) AS z,
+      |  p_e7, rk, m, CAST(p_adj_e7 AS BIGINT) AS p_adj_e7,
+      |  (rk <= k_max) AS reject
+      |FROM adj2 CROSS JOIN km
+      |ORDER BY grp""".stripMargin
+
   /** DuckDB twin of [[ipsOffPolicy]] — identical per-cell HUGEINT
     * quantization and exclusion-with-visibility of unsupported cells.
     */

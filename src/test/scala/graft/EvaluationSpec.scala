@@ -520,6 +520,49 @@ class EvaluationSpec extends AnyFunSuite {
     assert(f.forall(r => r.isNullAt(r.fieldIndex("shrunk_rate"))))
   }
 
+  test("fdrBh: planted shift is rejected, nulls survive, BH set is a rank prefix") {
+    import spark.implicits._
+    // S sits 1000 away from A/B with tiny within-group spread → |z|
+    // huge, first rank, rejected. (A and B are ALSO rejected here —
+    // correctly: one-vs-rest means their complement contains S, so
+    // they genuinely differ from their rest too.)
+    val rows = (1 to 60).flatMap { i =>
+      Seq(("S", 1000L + i % 3), ("A", (i % 3).toLong), ("B", (i % 3).toLong))
+    }
+    val got = ops.Evaluation.fdrBh(rows.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(got("S").getAs[Boolean]("reject"))
+    assert(got.values.map(_.getAs[Long]("p_e7")).min ==
+      got("S").getAs[Long]("p_e7"))
+    assert(math.abs(got("S").getAs[Double]("z")) >
+      math.abs(got("A").getAs[Double]("z")))
+    assert(got.values.forall(_.getAs[Long]("m") == 3L))
+    // a shift far below one standard error is noise → nothing rejected
+    val tiny = (1 to 60).flatMap { i =>
+      Seq(("A", (i % 200).toLong), ("B", (i % 200).toLong),
+        ("D", (i % 200).toLong + 1L))
+    }
+    val t = ops.Evaluation.fdrBh(tiny.toDF("grp", "v"), "grp", "v").collect()
+    assert(t.forall(!_.getAs[Boolean]("reject")))
+    // identical group multisets → z = 0 exactly, p = 1, nothing rejected
+    val flat = (1 to 30).flatMap(i =>
+      Seq(("A", (i % 5).toLong), ("B", (i % 5).toLong), ("C", (i % 5).toLong)))
+    val f = ops.Evaluation.fdrBh(flat.toDF("grp", "v"), "grp", "v").collect()
+    assert(f.forall(!_.getAs[Boolean]("reject")))
+    assert(f.forall(_.getAs[Double]("z") == 0.0))
+    assert(f.forall(_.getAs[Long]("p_e7") >= 9999990L))
+    // corpus: ranks are a permutation, adjusted p monotone in rank,
+    // rejections form a rank prefix
+    val c = ops.Evaluation.fdrBh(spark, sfDir).collect()
+    val byRank = c.sortBy(_.getAs[Long]("rk"))
+    assert(byRank.map(_.getAs[Long]("rk")).toSeq ==
+      (1L to c.length.toLong).toSeq)
+    val adj = byRank.map(_.getAs[Long]("p_adj_e7"))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b })
+    val rej = byRank.map(_.getAs[Boolean]("reject"))
+    assert(!rej.zip(rej.tail).exists { case (a, b) => !a && b })
+  }
+
   test("ipsOffPolicy: hand-traced cells; degenerate policy equals the plain mean") {
     import spark.implicits._
     // cell P: 4 rows, 2 urgent (y=100,200); cell Q: 2 rows, none urgent
