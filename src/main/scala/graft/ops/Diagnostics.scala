@@ -962,6 +962,105 @@ object Diagnostics {
        |FROM pg CROSS JOIN tot
        |ORDER BY grp""".stripMargin
 
+  /** SPRT hypothesis pair for [[sprt]]: daily purchase share p₀ = 0.15
+    * (null) vs p₁ = 0.20 (alternative), α = β = 0.05. The per-event
+    * log-likelihood-ratio increments and Wald boundaries are
+    * micro-nat LITERALS (ln(p₁/p₀), ln((1−p₁)/(1−p₀)), ±ln(19)) so
+    * the whole path is exact integer arithmetic in both engines.
+    */
+  val SprtHitMicro = 287682L   // round(ln(0.20/0.15)·1e6)
+  val SprtMissMicro = -60625L  // round(ln(0.80/0.85)·1e6)
+  val SprtBoundMicro = 2944439L // round(ln((1−β)/α)·1e6) = ln 19
+
+  /** Wald's sequential probability ratio test (1945) — the sequential
+    * monitor that says WHEN the data suffice to stop: each day's
+    * purchase/non-purchase counts add exact micro-nat log-likelihood
+    * increments for "purchase share is p₁" against "it is p₀", and
+    * the first crossing of the ±ln((1−β)/α) boundaries is the
+    * earliest defensible decision day. The sequential sibling of
+    * [[Evaluation.cuped]] (fixed-horizon experiment readout) and
+    * [[cusum]] (change DETECTION — SPRT decides between two a-priori
+    * hypotheses instead). Emits the full daily trajectory plus the
+    * decision so the caller audits the path, not just the verdict.
+    *
+    * Exactness: increments and boundaries are shared literals; the
+    * path is a cumulative BIGINT sum over the bounded day grid; the
+    * decision day is min(day crossed), its verdict re-read by one
+    * equality join — no floats anywhere.
+    *
+    * Scale posture: one day-keyed aggregate over events (the corpus
+    * shuffle), then everything on the |days| grid — the cumsum window
+    * is bounded, decisions are 1-row broadcasts.
+    */
+  def sprt(spark: SparkSession, dir: String): DataFrame =
+    sprt(Tables.events(spark, dir).select(
+      col("ts").cast("date").as("day"),
+      (col("event_type") === "purchase").as("hit")), "day", "hit")
+
+  /** DataFrame-first form over any (day, boolean hit) frame. */
+  def sprt(df: DataFrame, dayCol: String, hitCol: String): DataFrame = {
+    val g = df.select(col(dayCol).as("day"), col(hitCol).cast("boolean").as("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), count_if(col("h")).as("x"))
+      .withColumn("llr_step_micro",
+        col("x") * SprtHitMicro + (col("n") - col("x")) * SprtMissMicro)
+    val cumW = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val path = g.withColumn("llr_cum_micro",
+        sum(col("llr_step_micro")).over(cumW))
+      .withColumn("state",
+        when(col("llr_cum_micro") >= SprtBoundMicro, lit("accept_h1"))
+          .when(col("llr_cum_micro") <= -SprtBoundMicro, lit("accept_h0"))
+          .otherwise(lit("continue")))
+    val d1 = path.agg(min(when(col("state") =!= "continue", col("day")))
+      .as("decision_day"))
+    val p2 = path.crossJoin(broadcast(d1))
+    val d2 = p2.agg(coalesce(max(when(col("day") === col("decision_day"),
+      col("state"))), lit("continue")).as("decision"))
+    p2.crossJoin(broadcast(d2))
+      .select(col("day"), col("n"), col("x"), col("llr_step_micro"),
+        col("llr_cum_micro"), col("state"), col("decision_day"),
+        col("decision"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin of [[sprt]] — same literal increments, plain cumsum
+    * window, scalar-subquery decision.
+    */
+  val sprtSql: String =
+    s"""WITH g AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+       |      AS x
+       |  FROM events GROUP BY 1),
+       |s AS (
+       |  SELECT day, n, x,
+       |    x * $SprtHitMicro + (n - x) * ($SprtMissMicro) AS llr_step_micro
+       |  FROM g),
+       |p AS (
+       |  SELECT day, n, x, llr_step_micro,
+       |    CAST(sum(llr_step_micro) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS llr_cum_micro
+       |  FROM s),
+       |st AS (
+       |  SELECT *, CASE WHEN llr_cum_micro >= $SprtBoundMicro
+       |      THEN 'accept_h1'
+       |    WHEN llr_cum_micro <= -$SprtBoundMicro THEN 'accept_h0'
+       |    ELSE 'continue' END AS state
+       |  FROM p),
+       |dd AS (
+       |  SELECT min(day) FILTER (WHERE state <> 'continue') AS decision_day
+       |  FROM st),
+       |dc AS (
+       |  SELECT coalesce(max(state) FILTER (WHERE day =
+       |    (SELECT decision_day FROM dd)), 'continue') AS decision
+       |  FROM st)
+       |SELECT day, n, x, CAST(llr_step_micro AS BIGINT) AS llr_step_micro,
+       |  llr_cum_micro, state, decision_day, decision
+       |FROM st CROSS JOIN dd CROSS JOIN dc
+       |ORDER BY day""".stripMargin
+
   /** Per-segment monthly series (segment, xi = months-since-epoch
     * index, n_orders, revenue cents) — the bounded frame behind
     * [[theilSen]] and [[kendallTau]]: one corpus-sized keyed month

@@ -2141,6 +2141,96 @@ object TextAnalysis {
       |GROUP BY k, n_terms, total_tokens
       |ORDER BY k""".stripMargin
 
+  /** McNemar's test (1947) — "is classifier A actually better than
+    * classifier B on the SAME documents?": the paired comparison that
+    * only scores the DISCORDANT documents (one classifier right, the
+    * other wrong), because documents both get right or both get wrong
+    * carry no evidence either way. Here: the [[langId]] heuristic vs
+    * the majority-class baseline (always predict the modal gold
+    * language — the floor any classifier must beat), judged against
+    * the gold `lang` labels. The significance closure of
+    * [[classifierEval]]'s descriptive precision/recall: accuracy
+    * 0.81 vs 0.79 on the same docs means nothing until the discordant
+    * counts say so.
+    *
+    * Works entirely on the confusion CENSUS: with baseline = modal
+    * class, both correctness bits are functions of the (gold, pred)
+    * cell, so the 2×2 paired table is an exact integer aggregate of
+    * cell counts — no per-document pass. χ² = (b−c)²/(b+c)
+    * (uncorrected, documented; NULL when b+c = 0 — no discordance, no
+    * test), ONE double division.
+    *
+    * Scale posture: |langs|²-bounded census in, a deterministic
+    * 1-row modal broadcast (max count, min label tie-break), one 1-row
+    * aggregate out.
+    */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame =
+    mcnemar(langId(spark, dir), "lang", "pred_lang", "n")
+
+  /** DataFrame-first form over any (true, predicted, count) confusion
+    * frame; baseline B predicts the modal true class everywhere.
+    */
+  def mcnemar(conf: DataFrame, trueCol: String, predCol: String,
+              nCol: String): DataFrame = {
+    val c = conf.select(col(trueCol).as("t"), col(predCol).as("p"),
+      col(nCol).cast("long").as("n"))
+    val modal = c.groupBy(col("t")).agg(sum(col("n")).as("nt"))
+      .orderBy(col("nt").desc, col("t")).limit(1)
+      .select(col("t").as("modal"))
+    c.crossJoin(broadcast(modal))
+      .select(col("n"), (col("t") === col("p")).as("ar"),
+        (col("t") === col("modal")).as("br"), col("modal"))
+      .groupBy(col("modal"))
+      .agg(sum(col("n")).as("n_docs"),
+        coalesce(sum(when(col("ar") && col("br"), col("n"))), lit(0L))
+          .as("n11"),
+        coalesce(sum(when(col("ar") && !col("br"), col("n"))), lit(0L))
+          .as("n10"),
+        coalesce(sum(when(!col("ar") && col("br"), col("n"))), lit(0L))
+          .as("n01"),
+        coalesce(sum(when(!col("ar") && !col("br"), col("n"))), lit(0L))
+          .as("n00"))
+      .select(col("modal"), col("n_docs"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        when(col("n10") + col("n01") === 0, lit(null)).otherwise(round(
+          (col("n10") - col("n01")).cast("double")
+            * (col("n10") - col("n01")).cast("double")
+            / (col("n10") + col("n01")).cast("double"), 4)).as("chi2"))
+  }
+
+  /** DuckDB twin of [[mcnemar]] — same confusion census, modal
+    * baseline and exact 2×2 fold.
+    */
+  val mcnemarSql: String =
+    s"""WITH $confusionCtes,
+       |modal AS (
+       |  SELECT t AS modal FROM (
+       |    SELECT t, CAST(sum(n) AS BIGINT) AS nt FROM conf GROUP BY t)
+       |  ORDER BY nt DESC, t LIMIT 1),
+       |b AS (
+       |  SELECT modal, n, (t = p) AS ar, (t = modal) AS br
+       |  FROM conf CROSS JOIN modal)
+       |SELECT modal, CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(n) FILTER (WHERE ar AND br), 0) AS BIGINT) AS n11,
+       |  CAST(coalesce(sum(n) FILTER (WHERE ar AND NOT br), 0) AS BIGINT)
+       |    AS n10,
+       |  CAST(coalesce(sum(n) FILTER (WHERE NOT ar AND br), 0) AS BIGINT)
+       |    AS n01,
+       |  CAST(coalesce(sum(n) FILTER (WHERE NOT ar AND NOT br), 0) AS BIGINT)
+       |    AS n00,
+       |  CASE WHEN coalesce(sum(n) FILTER (WHERE ar AND NOT br), 0)
+       |          + coalesce(sum(n) FILTER (WHERE NOT ar AND br), 0) = 0
+       |    THEN NULL
+       |    ELSE round(
+       |      CAST(coalesce(sum(n) FILTER (WHERE ar AND NOT br), 0)
+       |         - coalesce(sum(n) FILTER (WHERE NOT ar AND br), 0) AS DOUBLE)
+       |      * (coalesce(sum(n) FILTER (WHERE ar AND NOT br), 0)
+       |         - coalesce(sum(n) FILTER (WHERE NOT ar AND br), 0))
+       |      / (coalesce(sum(n) FILTER (WHERE ar AND NOT br), 0)
+       |         + coalesce(sum(n) FILTER (WHERE NOT ar AND br), 0)), 4)
+       |  END AS chi2
+       |FROM b GROUP BY modal""".stripMargin
+
   /** Good–Turing frequency smoothing (Good 1953) over the corpus
     * BIGRAM census — the count-of-counts adjustment that reallocates
     * probability mass from seen n-grams toward the unseen: an n-gram

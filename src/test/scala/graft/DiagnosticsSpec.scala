@@ -163,6 +163,35 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sprt: planted paths cross the exact Wald boundaries") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(day))
+    // 2 hits/day: +575364/day → first ≥ 2944439 at day index 5 (6th day)
+    val h1 = (0 until 8).flatMap(i => Seq((d(i), true), (d(i), true)))
+      .toDF("day", "hit")
+    val rh = ops.Diagnostics.sprt(h1, "day", "hit").collect()
+    assert(rh.forall(_.getAs[String]("decision") == "accept_h1"))
+    assert(rh.forall(_.getAs[java.sql.Date]("decision_day") == d(5)))
+    assert(rh.map(r => r.getAs[java.sql.Date]("day") -> r.getAs[String]("state"))
+      .toMap.apply(d(4)) == "continue")
+    assert(rh.find(_.getAs[java.sql.Date]("day") == d(5)).get
+      .getAs[Long]("llr_cum_micro") == 6L * 575364L)
+    // 10 misses/day: −606250/day → first ≤ −2944439 at day index 4
+    val h0 = (0 until 6).flatMap(i => (1 to 10).map(_ => (d(i), false)))
+      .toDF("day", "hit")
+    val r0 = ops.Diagnostics.sprt(h0, "day", "hit").collect()
+    assert(r0.forall(_.getAs[String]("decision") == "accept_h0"))
+    assert(r0.forall(_.getAs[java.sql.Date]("decision_day") == d(4)))
+    // 1 hit + 4 misses/day: +45182/day → never crosses in 30 days
+    val mid = (0 until 30).flatMap(i =>
+      (d(i), true) +: (1 to 4).map(_ => (d(i), false))).toDF("day", "hit")
+    val rm = ops.Diagnostics.sprt(mid, "day", "hit").collect()
+    assert(rm.forall(_.getAs[String]("decision") == "continue"))
+    assert(rm.forall(_.isNullAt(rm.head.fieldIndex("decision_day"))))
+    assert(rm.last.getAs[Long]("llr_cum_micro") == 30L * 45182L)
+  }
+
   test("logRank: symmetric cohorts score exactly zero") {
     import spark.implicits._
     def d(day: Int) = java.sql.Timestamp.valueOf(

@@ -729,6 +729,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sc.toSeq == sc.sortBy(-(_: Long)).toSeq)
   }
 
+  test("mcnemar: hand-traced 2x2 from the confusion census; no-discordance NULL") {
+    import spark.implicits._
+    // gold en×6 (pred en 4, de 2), de×4 (pred de 1, en 3); modal = en
+    // n11=4 n01=2 n10=1 n00=3 → χ² = (1−2)²/3
+    val conf = Seq(("en", "en", 4L), ("en", "de", 2L), ("de", "de", 1L),
+      ("de", "en", 3L)).toDF("t", "p", "n")
+    val r = ops.TextAnalysis.mcnemar(conf, "t", "p", "n").collect().head
+    assert(r.getAs[String]("modal") == "en")
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("n11") == 4L && r.getAs[Long]("n10") == 1L &&
+      r.getAs[Long]("n01") == 2L && r.getAs[Long]("n00") == 3L)
+    assert(r.getAs[Double]("chi2") == math.rint(1.0 / 3.0 * 1e4) / 1e4)
+    // perfect single-class agreement → zero discordance → NULL χ²
+    val mono = Seq(("en", "en", 5L)).toDF("t", "p", "n")
+    val m = ops.TextAnalysis.mcnemar(mono, "t", "p", "n").collect().head
+    assert(m.isNullAt(m.fieldIndex("chi2")))
+    // corpus: the 2×2 partitions the doc mass
+    val c = ops.TextAnalysis.mcnemar(spark, sfDir).collect().head
+    assert(c.getAs[Long]("n11") + c.getAs[Long]("n10") +
+      c.getAs[Long]("n01") + c.getAs[Long]("n00") ==
+      c.getAs[Long]("n_docs"))
+  }
+
   test("goodTuring: planted bigram census traces the exact Turing estimates") {
     import spark.implicits._
     // "x y x y" → bigrams (x,y)×2, (y,x)×1 → N_1=1, N_2=1, N=3
