@@ -1924,4 +1924,324 @@ object Evaluation {
       |  ips_milli, snips_milli, ess, covered_milli
       |FROM t CROSS JOIN tot
       |ORDER BY cell""".stripMargin
+
+  // ------------------------------------------- Cochran–Mantel–Haenszel
+
+  /** Cochran–Mantel–Haenszel test (1959) — "is exposure associated
+    * with outcome AFTER controlling for the stratifying variable?":
+    * the stratified 2×2 association test plus the Mantel–Haenszel
+    * common odds ratio. Per stratum k with cells a,b,c,d
+    * (exposed×outcome), row sums n1=a+b, n0=c+d, column sums m1=a+c,
+    * m0=b+d and N = n1+n0: E_k = n1·m1/N and
+    * V_k = n1·n0·m1·m0 / (N²(N−1)) are each quantized to integer
+    * micro-units by ONE truncating DIV on DECIMAL(38,0) BEFORE the
+    * cross-stratum sum (order-free integer addition — the
+    * [[Diagnostics.logRank]] discipline; log-rank IS this test on the
+    * survival grid). χ² = (Σa·10⁶ − ΣE)²/(ΣV·10⁶) and
+    * OR_MH = Σ(a·d·10⁶ DIV N) / Σ(b·c·10⁶ DIV N) are each ONE shared
+    * double expression. Uncorrected (no Yates ½), documented.
+    * n1·n0·m1·m0·10⁶ ≤ N⁴·10⁶ bounds the DECIMAL(38,0) intermediate
+    * to N ≲ 1.8e8 rows per stratum — past that, shard strata finer.
+    *
+    * Here: does URGENT order priority associate with fulfilled status
+    * ('F') once the customer's market segment is held fixed?
+    *
+    * Scale posture: ONE fact-dim broadcast join + one stratum-keyed
+    * aggregate (map-side combinable); everything after runs on the
+    * |strata|-bounded cell frame. Strata with N ≤ 1 (V undefined) are
+    * excluded, documented.
+    */
+  def cmh(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("stratum"))
+    cmh(Tables.orders(spark, dir)
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(col("stratum"),
+          (col("o_orderpriority") === "1-URGENT").as("exposed"),
+          (col("o_orderstatus") === "F").as("outcome")),
+      "stratum", "exposed", "outcome")
+  }
+
+  /** DataFrame-first form over any (stratum, exposed: bool,
+    * outcome: bool) frame.
+    */
+  def cmh(df: DataFrame, stratumCol: String, expCol: String,
+          outCol: String): DataFrame = {
+    val e = col(expCol)
+    val o = col(outCol)
+    val cells = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(e && o, 1L)), lit(0L)).as("a"),
+        coalesce(sum(when(e && !o, 1L)), lit(0L)).as("b"),
+        coalesce(sum(when(!e && o, 1L)), lit(0L)).as("c"),
+        coalesce(sum(when(!e && !o, 1L)), lit(0L)).as("dd"))
+    cells.filter(col("n") > 1)
+      .select(col("a"),
+        expr("CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000" +
+          " DIV n AS DECIMAL(38,0))").as("e_micro"),
+        expr("CAST(CAST(a + b AS DECIMAL(38,0)) * (c + dd) * (a + c)" +
+          " * (b + dd) * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n" +
+          " * (n - 1)) AS DECIMAL(38,0))").as("v_micro"),
+        expr("CAST(CAST(a AS DECIMAL(38,0)) * dd * 1000000 DIV n" +
+          " AS DECIMAL(38,0))").as("orn"),
+        expr("CAST(CAST(b AS DECIMAL(38,0)) * c * 1000000 DIV n" +
+          " AS DECIMAL(38,0))").as("ord"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("a")).as("o_a"),
+        sum(col("e_micro")).as("em"), sum(col("v_micro")).as("vm"),
+        sum(col("orn")).as("sorn"), sum(col("ord")).as("sord"))
+      .select(col("n_strata"), col("o_a"),
+        col("em").cast("long").as("e_micro"),
+        col("vm").cast("long").as("v_micro"),
+        when(col("vm") <= 0, lit(null)).otherwise(round(
+          pow(d(col("o_a")) * 1e6 - d(col("em")), 2)
+            / (d(col("vm")) * 1e6), 4)).as("chi2"),
+        when(col("sord") <= 0, lit(null))
+          .otherwise(round(d(col("sorn")) / d(col("sord")), 4))
+          .as("or_mh"))
+  }
+
+  /** DuckDB twin of [[cmh]] — same per-stratum HUGEINT term
+    * quantization and shared double tails.
+    */
+  val cmhSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS stratum, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+      |      AND o_orderstatus = 'F') AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+      |      AND o_orderstatus <> 'F') AS BIGINT) AS b,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+      |      AND o_orderstatus = 'F') AS BIGINT) AS c,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+      |      AND o_orderstatus <> 'F') AS BIGINT) AS dd
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment),
+      |t AS (
+      |  SELECT a,
+      |    (CAST(a + b AS HUGEINT) * (a + c) * 1000000) // n AS e_micro,
+      |    (CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd)
+      |      * 1000000) // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_micro,
+      |    (CAST(a AS HUGEINT) * dd * 1000000) // n AS orn,
+      |    (CAST(b AS HUGEINT) * c * 1000000) // n AS ord
+      |  FROM cells WHERE n > 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |  CAST(sum(a) AS BIGINT) AS o_a,
+      |  CAST(sum(e_micro) AS BIGINT) AS e_micro,
+      |  CAST(sum(v_micro) AS BIGINT) AS v_micro,
+      |  CASE WHEN sum(v_micro) <= 0 THEN NULL ELSE
+      |    round(pow(CAST(sum(a) AS DOUBLE) * 1e6
+      |        - CAST(sum(e_micro) AS DOUBLE), 2)
+      |      / (CAST(sum(v_micro) AS DOUBLE) * 1e6), 4) END AS chi2,
+      |  CASE WHEN sum(ord) <= 0 THEN NULL ELSE
+      |    round(CAST(sum(orn) AS DOUBLE)
+      |      / CAST(sum(ord) AS DOUBLE), 4) END AS or_mh
+      |FROM t""".stripMargin
+
+  // ------------------------------------------------------ Fleiss' kappa
+
+  /** Fleiss' kappa (1971) — chance-corrected agreement among a FIXED
+    * number m of raters per subject, the multi-rater generalization of
+    * [[TextAnalysis.cohenKappa]]'s two-rater form. Exactness: with
+    * n_ij the per-subject category census, T = ΣΣ n_ij², S_j = Σ_i
+    * n_ij, N subjects and M = N·m ratings,
+    * κ = [M²(T − M) − N·m(m−1)·ΣS_j²] / [N·m(m−1)·(M² − ΣS_j²)] —
+    * the P̄/P̄e ratio multiplied through so BOTH sides are exact
+    * integers and the statistic is ONE shared double division (NULL
+    * when the denominator is 0 — a single category, agreement
+    * undefined). M²·T bounds the DECIMAL(38,0) intermediate to
+    * roughly N ≲ 3e11 subjects at m = 3.
+    *
+    * Here: each order with EXACTLY three lineitems is a subject and
+    * its three return flags are three "raters" classifying the order
+    * — do the lines of one order agree on disposition more than
+    * chance? (Orders with other line counts are excluded — Fleiss
+    * requires constant m; the generic form documents that contract.)
+    *
+    * Scale posture: one subject-census semi-join + one (subject,
+    * category) keyed aggregate (both map-side combinable); the kappa
+    * fold is one 1-row aggregate plus a |categories|-bounded frame.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("subj"), col("l_returnflag").as("cat"))
+    val keep = li.groupBy(col("subj")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === FleissRaters).select(col("subj"))
+    fleissKappa(li.join(keep, Seq("subj"), "left_semi"),
+      "subj", "cat", FleissRaters)
+  }
+
+  /** Raters per subject for the shipped [[fleissKappa]] query. */
+  val FleissRaters = 3
+
+  /** DataFrame-first form over any (subject, category) ratings frame;
+    * every subject MUST carry exactly `m` rating rows — the caller's
+    * contract (the (spark, dir) form enforces it with a census
+    * semi-join). N is recovered as Σn_ij / m, exact under the
+    * contract.
+    */
+  def fleissKappa(df: DataFrame, subjCol: String, catCol: String,
+                  m: Int): DataFrame = {
+    val nij = df.groupBy(col(subjCol).as("subj"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val tot = nij.agg(sum(col("c")).cast(Dec).as("mm"),
+      sum(col("c").cast(Dec) * col("c")).as("t"))
+    val cats = nij.groupBy(col("cat")).agg(sum(col("c")).as("s"))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("s").cast(Dec) * col("s")).as("sj2"))
+    val mm1 = lit(m.toLong * (m - 1)).cast(Dec)
+    tot.crossJoin(broadcast(cats))
+      .withColumn("n_subj", expr(s"CAST(mm DIV $m AS DECIMAL(38,0))"))
+      .withColumn("den", (col("n_subj") * mm1
+        * (col("mm") * col("mm") - col("sj2"))).cast(Dec))
+      .select(
+        col("n_subj").cast("long").as("n_subjects"),
+        lit(m.toLong).as("m"), col("n_cats"),
+        col("t").cast("long").as("t_sum"),
+        col("sj2").cast("long").as("sum_sj2"),
+        expr("CAST(CAST((t - mm) * 1000000 AS DECIMAL(38,0))" +
+          s" DIV (n_subj * ${m.toLong * (m - 1)})" +
+          " AS BIGINT)").as("pbar_micro"),
+        expr("CAST(CAST(sj2 * 1000000 AS DECIMAL(38,0))" +
+          " DIV (mm * mm) AS BIGINT)").as("pe_micro"),
+        when(col("den") <= 0, lit(null))
+          .otherwise(round(
+            d((col("mm") * col("mm") * (col("t") - col("mm"))).cast(Dec)
+              - (col("n_subj") * mm1 * col("sj2")).cast(Dec))
+              / d(col("den")), 6)).as("kappa"))
+  }
+
+  /** DuckDB twin of [[fleissKappa]] — same exactly-3 census filter,
+    * HUGEINT integer identity and one shared double division.
+    */
+  val fleissKappaSql: String =
+    """WITH keep AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING count(*) = 3),
+      |r AS (
+      |  SELECT l.l_orderkey AS subj, l.l_returnflag AS cat
+      |  FROM lineitem l JOIN keep ON l.l_orderkey = keep.l_orderkey),
+      |nij AS (
+      |  SELECT subj, cat, CAST(count(*) AS BIGINT) AS c
+      |  FROM r GROUP BY subj, cat),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS HUGEINT) AS mm,
+      |    sum(CAST(c AS HUGEINT) * c) AS t
+      |  FROM nij),
+      |cats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_cats,
+      |    sum(CAST(s AS HUGEINT) * s) AS sj2
+      |  FROM (SELECT cat, CAST(sum(c) AS BIGINT) AS s
+      |        FROM nij GROUP BY cat))
+      |SELECT CAST(mm // 3 AS BIGINT) AS n_subjects,
+      |  CAST(3 AS BIGINT) AS m, n_cats,
+      |  CAST(t AS BIGINT) AS t_sum, CAST(sj2 AS BIGINT) AS sum_sj2,
+      |  CAST((t - mm) * 1000000 // ((mm // 3) * 6) AS BIGINT)
+      |    AS pbar_micro,
+      |  CAST(sj2 * 1000000 // (mm * mm) AS BIGINT) AS pe_micro,
+      |  CASE WHEN (mm // 3) * 6 * (mm * mm - sj2) <= 0 THEN NULL ELSE
+      |    round(CAST(mm * mm * (t - mm) - (mm // 3) * 6 * sj2 AS DOUBLE)
+      |      / CAST((mm // 3) * 6 * (mm * mm - sj2) AS DOUBLE), 6)
+      |  END AS kappa
+      |FROM tot CROSS JOIN cats""".stripMargin
+
+  // ------------------------------------------------------- Cochran's Q
+
+  /** Cochran's Q test (1950) — "do the k binary treatments succeed at
+    * the same rate on the same subjects?": the k-treatment matched
+    * extension of [[TextAnalysis.mcnemar]]'s 2-treatment form (Q on
+    * k = 2 reduces to the uncorrected McNemar χ²). With x_ij ∈ {0,1},
+    * column totals G_j, row totals L_i and the identity ΣG = ΣL,
+    * Q = (k−1)·[k·ΣG_j² − (ΣG)²] / [k·ΣL − ΣL_i²] — every term an
+    * exact integer, the statistic ONE shared double division, NULL
+    * when the denominator is 0 (every subject hit all-or-none of the
+    * treatments: no within-subject contrast, no test). df = k−1.
+    *
+    * Here: subjects are event-stream users, treatments are the event
+    * types, x_ij = "user i's type-j event count runs STRICTLY ABOVE
+    * the user's own per-type average" (c_ij·k &gt; Σ_j c_ij — exact
+    * integer cross-multiplication, no division) — do the types exceed
+    * users' personal baselines equally often? The naive "did ≥ 1
+    * event" incidence saturates (all-ones rows carry no contrast and
+    * Q degenerates to NULL — its planted spec), and a fixed count
+    * threshold would not survive a corpus scale-up; the
+    * above-own-average form is scale-invariant by construction.
+    * Subjects whose counts are exactly uniform have zero incidences
+    * and drop from the frame — all-zero rows contribute 0 to every
+    * sum in Q, so the statistic is unchanged (documented; k is the
+    * observed type set).
+    *
+    * Scale posture: one (user, type) keyed census (the only
+    * corpus-sized shuffle, map-side combinable), a user-keyed total
+    * join on the census, then a |types|-bounded and a user-keyed
+    * aggregate folded to 1 row each. ΣG_j² ≤ k·N² bounds DECIMAL(38,0)
+    * far past any real corpus.
+    */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val cen = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("subj"), col("event_type").as("treat"))
+      .agg(count(lit(1)).as("c"))
+    val kk = cen.agg(countDistinct(col("treat")).as("kk"))
+    val tot = cen.groupBy(col("subj")).agg(sum(col("c")).as("t"))
+    cochranQ(cen.join(tot, Seq("subj")).crossJoin(broadcast(kk))
+      .filter(col("c") * col("kk") > col("t"))
+      .select(col("subj"), col("treat")), "subj", "treat")
+  }
+
+  /** DataFrame-first form over any (subject, treatment) incidence
+    * frame; duplicate rows collapse (x is binary by definition).
+    */
+  def cochranQ(df: DataFrame, subjCol: String, treatCol: String): DataFrame = {
+    val x = df.select(col(subjCol).as("subj"), col(treatCol).as("treat"))
+      .distinct()
+    val ga = x.groupBy(col("treat")).agg(count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("k"), sum(col("g")).as("sg"),
+        sum(col("g").cast(Dec) * col("g")).as("sg2"))
+    val la = x.groupBy(col("subj")).agg(count(lit(1)).as("l"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("l").cast(Dec) * col("l")).as("sl2"))
+    la.crossJoin(broadcast(ga))
+      .select(col("n_subjects"), col("k"), col("sg").as("sum_g"),
+        col("sg2").cast("long").as("sum_g2"),
+        col("sl2").cast("long").as("sum_l2"),
+        (col("k") - 1).as("df"),
+        when(col("k") * col("sg").cast(Dec) - col("sl2") <= 0, lit(null))
+          .otherwise(round(
+            d((col("k") - 1).cast(Dec) * (col("k") * col("sg2")
+              - col("sg").cast(Dec) * col("sg")))
+              / d(col("k") * col("sg").cast(Dec) - col("sl2")), 4))
+          .as("q"))
+  }
+
+  /** DuckDB twin of [[cochranQ]] — same distinct incidence projection,
+    * HUGEINT folds and shared double division.
+    */
+  val cochranQSql: String =
+    """WITH cen AS (
+      |  SELECT user_id AS subj, event_type AS treat,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |kk AS (SELECT count(DISTINCT treat) AS kk FROM cen),
+      |tot AS (SELECT subj, CAST(sum(c) AS BIGINT) AS t
+      |        FROM cen GROUP BY subj),
+      |x AS (
+      |  SELECT DISTINCT cen.subj, cen.treat
+      |  FROM cen JOIN tot ON cen.subj = tot.subj CROSS JOIN kk
+      |  WHERE cen.c * kk.kk > tot.t),
+      |ga AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(g) AS BIGINT) AS sg,
+      |    sum(CAST(g AS HUGEINT) * g) AS sg2
+      |  FROM (SELECT treat, CAST(count(*) AS BIGINT) AS g
+      |        FROM x GROUP BY treat)),
+      |la AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+      |    sum(CAST(l AS HUGEINT) * l) AS sl2
+      |  FROM (SELECT subj, CAST(count(*) AS BIGINT) AS l
+      |        FROM x GROUP BY subj))
+      |SELECT n_subjects, k, sg AS sum_g, CAST(sg2 AS BIGINT) AS sum_g2,
+      |  CAST(sl2 AS BIGINT) AS sum_l2, k - 1 AS df,
+      |  CASE WHEN k * CAST(sg AS HUGEINT) - sl2 <= 0 THEN NULL ELSE
+      |    round(CAST((k - 1) * (k * sg2 - CAST(sg AS HUGEINT) * sg)
+      |        AS DOUBLE)
+      |      / CAST(k * CAST(sg AS HUGEINT) - sl2 AS DOUBLE), 4) END AS q
+      |FROM la CROSS JOIN ga""".stripMargin
 }

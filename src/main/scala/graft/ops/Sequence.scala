@@ -277,4 +277,417 @@ object Sequence {
       |  FROM nd JOIN r ON nd.rn = r.rn + 1)
       |SELECT d AS day, x AS revenue_cents, z AS ewma_cents, alarm
       |FROM r ORDER BY day""".stripMargin
+
+  /** Page–Hinkley test (1954) — the cumulative mean-shift monitor ML
+    * pipelines run against model-input streams: where [[ewmaChart]]
+    * alarms on a SINGLE day's deviation from the smoothed level, PH
+    * accumulates every day's excess over the RUNNING MEAN
+    * (U_t = Σ x_i − m̄_i, m̄ including x_i, allowance δ = 0,
+    * documented) and alarms on the drawup PH_t = U_t − min_{i≤t} U_i
+    * — a slow drift no one day makes conspicuous still raises PH.
+    *
+    * Entirely in integer cents: the running mean is ONE truncating
+    * `DIV` per day (Spark `DIV` ≡ DuckDB `//` toward zero — operands
+    * here are non-negative), so U, its running minimum and PH stay
+    * exact BIGINTs both engines replay identically. The alarm is the
+    * scale-invariant integer cross-multiply `PH_t · 5 > Σ_{i≤t} x_i`
+    * (PH exceeding 20% of cumulative revenue) — a fixed cent
+    * threshold would not survive a corpus scale-up.
+    *
+    * Scale posture: the corpus-sized work is ONE keyed day aggregate;
+    * the recurrence is a row-local `aggregate` fold over the single
+    * |days|-bounded sorted row (the [[ewmaChart]] contract), replayed
+    * by DuckDB as a recursive CTE — every row hash-matches.
+    */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame =
+    pageHinkley(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** DataFrame-first form over any (date, amount) frame; needs ≥ 1
+    * observed day. Gap days are stepped over in calendar order, not
+    * zero-filled (the [[ewmaChart]] rule).
+    */
+  def pageHinkley(orders: DataFrame, dateCol: String,
+                  priceCol: String): DataFrame = {
+    val fold =
+      """aggregate(
+        |  slice(a, 2, greatest(size(a) - 1, 0)),
+        |  named_struct(
+        |    't', CAST(1 AS BIGINT), 'sx', a[0].x,
+        |    'u', CAST(0 AS BIGINT), 'um', CAST(0 AS BIGINT),
+        |    'out', array(named_struct(
+        |      'd', a[0].d, 'x', a[0].x, 'u', CAST(0 AS BIGINT),
+        |      'ph', CAST(0 AS BIGINT), 'alarm', false))),
+        |  (acc, r) -> named_struct(
+        |    't', acc.t + 1,
+        |    'sx', acc.sx + r.x,
+        |    'u', acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1),
+        |    'um', least(acc.um,
+        |      acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1)),
+        |    'out', array_append(acc.out, named_struct(
+        |      'd', r.d, 'x', r.x,
+        |      'u', acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1),
+        |      'ph', (acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1))
+        |        - least(acc.um,
+        |            acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1)),
+        |      'alarm', ((acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1))
+        |        - least(acc.um,
+        |            acc.u + r.x - (acc.sx + r.x) DIV (acc.t + 1))) * 5
+        |        > acc.sx + r.x))))""".stripMargin
+    orders
+      .select(to_date(col(dateCol)).as("d"),
+        round(col(priceCol) * 100).cast("long").as("pc"))
+      .groupBy(col("d")).agg(sum(col("pc")).as("x"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
+      .select(expr(fold).as("st"))
+      .select(explode(col("st.out")).as("r"))
+      .select(col("r.d").as("day"), col("r.x").as("revenue_cents"),
+        col("r.u").as("u_cents"), col("r.ph").as("ph_cents"),
+        col("r.alarm").as("alarm"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin: the identical integer recurrence as a recursive CTE
+    * over the row-numbered day series.
+    */
+  val pageHinkleySql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |nd AS (
+      |  SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+      |r AS (
+      |  SELECT rn, d, x, CAST(1 AS BIGINT) AS t, x AS sx,
+      |    CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS um,
+      |    CAST(0 AS BIGINT) AS ph, FALSE AS alarm
+      |  FROM nd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT nd.rn, nd.d, nd.x, r.t + 1, r.sx + nd.x,
+      |    r.u + nd.x - (r.sx + nd.x) // (r.t + 1),
+      |    least(r.um, r.u + nd.x - (r.sx + nd.x) // (r.t + 1)),
+      |    (r.u + nd.x - (r.sx + nd.x) // (r.t + 1))
+      |      - least(r.um, r.u + nd.x - (r.sx + nd.x) // (r.t + 1)),
+      |    ((r.u + nd.x - (r.sx + nd.x) // (r.t + 1))
+      |      - least(r.um, r.u + nd.x - (r.sx + nd.x) // (r.t + 1))) * 5
+      |      > r.sx + nd.x
+      |  FROM nd JOIN r ON nd.rn = r.rn + 1)
+      |SELECT d AS day, x AS revenue_cents, u AS u_cents, ph AS ph_cents,
+      |  alarm
+      |FROM r ORDER BY day""".stripMargin
+
+  /** Croston's method (1972) — the forecaster for INTERMITTENT demand,
+    * where [[Analytics.holtForecast]]'s level+trend assumes a dense
+    * series: demand size z and inter-demand interval p are smoothed
+    * SEPARATELY (α = 0.2 each), only on days demand actually occurs,
+    * and the per-period rate forecast is z/p. The shipped series is
+    * the daily shipped quantity of the highest-volume part
+    * (deterministic argmax: total quantity, min partkey tie-break) —
+    * genuinely intermittent at every SF (~40–50 demand days over a
+    * ~2500-day span).
+    *
+    * Entirely in integer milli-units: z_t = ⌊(4z + 1000·q_t)/5⌋,
+    * p_t = ⌊(4p + 1000·i_t)/5⌋ (init z₁ = 1000·q₁; p initializes to
+    * the FIRST observed interval — the first demand day has no
+    * interval, so its p and forecast are NULL, documented), forecast
+    * = ⌊1000·z/p⌋ milli-units of demand per day. Truncating `DIV` ≡
+    * DuckDB `//` on these non-negative operands.
+    *
+    * Scale posture: one (part, day) keyed census, a 1-row TakeOrdered
+    * argmax broadcast-semi-joined back, then a row-local fold over
+    * the single |demand-days|-bounded row (the [[ewmaChart]]
+    * contract), replayed by DuckDB as a recursive CTE.
+    */
+  def croston(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"),
+        to_date(col("l_shipdate")).as("dd"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("pk"), col("dd")).agg(sum(col("q")).as("q"))
+    val top = d.groupBy(col("pk")).agg(sum(col("q")).as("tq"))
+      .orderBy(col("tq").desc, col("pk")).limit(1).select(col("pk"))
+    croston(d.join(broadcast(top), Seq("pk"), "left_semi"), "dd", "q")
+  }
+
+  /** DataFrame-first form over any single-series (day, quantity)
+    * demand frame (zero-demand days simply absent); needs ≥ 1 demand
+    * day.
+    */
+  def croston(demand: DataFrame, dayCol: String, qtyCol: String): DataFrame = {
+    val fold =
+      """aggregate(
+        |  slice(a, 2, greatest(size(a) - 1, 0)),
+        |  named_struct(
+        |    'pd', a[0].dd, 'z', a[0].q * 1000,
+        |    'p', CAST(NULL AS BIGINT),
+        |    'out', array(named_struct(
+        |      'dd', a[0].dd, 'q', a[0].q,
+        |      'interval_days', CAST(NULL AS BIGINT),
+        |      'z_milli', a[0].q * 1000, 'p_milli', CAST(NULL AS BIGINT),
+        |      'forecast_milli', CAST(NULL AS BIGINT)))),
+        |  (acc, r) -> named_struct(
+        |    'pd', r.dd,
+        |    'z', (4 * acc.z + 1000 * r.q) DIV 5,
+        |    'p', CASE WHEN acc.p IS NULL
+        |      THEN 1000 * CAST(datediff(r.dd, acc.pd) AS BIGINT)
+        |      ELSE (4 * acc.p
+        |        + 1000 * CAST(datediff(r.dd, acc.pd) AS BIGINT)) DIV 5 END,
+        |    'out', array_append(acc.out, named_struct(
+        |      'dd', r.dd, 'q', r.q,
+        |      'interval_days', CAST(datediff(r.dd, acc.pd) AS BIGINT),
+        |      'z_milli', (4 * acc.z + 1000 * r.q) DIV 5,
+        |      'p_milli', CASE WHEN acc.p IS NULL
+        |        THEN 1000 * CAST(datediff(r.dd, acc.pd) AS BIGINT)
+        |        ELSE (4 * acc.p
+        |          + 1000 * CAST(datediff(r.dd, acc.pd) AS BIGINT)) DIV 5
+        |        END,
+        |      'forecast_milli', ((4 * acc.z + 1000 * r.q) DIV 5) * 1000
+        |        DIV (CASE WHEN acc.p IS NULL
+        |          THEN 1000 * CAST(datediff(r.dd, acc.pd) AS BIGINT)
+        |          ELSE (4 * acc.p
+        |            + 1000 * CAST(datediff(r.dd, acc.pd) AS BIGINT)) DIV 5
+        |          END)))))""".stripMargin
+    demand
+      .select(col(dayCol).cast("date").as("dd"),
+        col(qtyCol).cast("long").as("q"))
+      .agg(sort_array(collect_list(struct(col("dd"), col("q")))).as("a"))
+      .select(expr(fold).as("st"))
+      .select(explode(col("st.out")).as("r"))
+      .select(col("r.dd").as("demand_day"), col("r.q").as("qty"),
+        col("r.interval_days").as("interval_days"),
+        col("r.z_milli").as("z_milli"), col("r.p_milli").as("p_milli"),
+        col("r.forecast_milli").as("forecast_milli"))
+      .orderBy(col("demand_day"))
+  }
+
+  /** DuckDB twin: identical argmax series pick and integer recurrence
+    * as a recursive CTE.
+    */
+  val crostonSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS dd,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |top AS (
+      |  SELECT pk FROM d GROUP BY pk
+      |  ORDER BY sum(q) DESC, pk LIMIT 1),
+      |s AS (
+      |  SELECT dd, q, row_number() OVER (ORDER BY dd) AS rn
+      |  FROM d JOIN top USING (pk)),
+      |r AS (
+      |  SELECT rn, dd, q, dd AS pd, q * 1000 AS z,
+      |    CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS iv,
+      |    CAST(NULL AS BIGINT) AS f
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.rn, s.dd, s.q, s.dd,
+      |    (4 * r.z + 1000 * s.q) // 5,
+      |    CASE WHEN r.p IS NULL
+      |      THEN 1000 * CAST(s.dd - r.pd AS BIGINT)
+      |      ELSE (4 * r.p + 1000 * CAST(s.dd - r.pd AS BIGINT)) // 5 END,
+      |    CAST(s.dd - r.pd AS BIGINT),
+      |    ((4 * r.z + 1000 * s.q) // 5) * 1000
+      |      // (CASE WHEN r.p IS NULL
+      |        THEN 1000 * CAST(s.dd - r.pd AS BIGINT)
+      |        ELSE (4 * r.p + 1000 * CAST(s.dd - r.pd AS BIGINT)) // 5 END)
+      |  FROM s JOIN r ON s.rn = r.rn + 1)
+      |SELECT dd AS demand_day, q AS qty, iv AS interval_days,
+      |  z AS z_milli, p AS p_milli, f AS forecast_milli
+      |FROM r ORDER BY demand_day""".stripMargin
+
+  /** Power-iteration rounds for [[markovStationary]] /
+    * [[entropyRate]] — 8 is comfortably past mixing for a ≤10-state
+    * user-journey chain, and small enough for DuckDB to unroll as
+    * chained CTEs (the [[Graph.pageRank]] discipline).
+    */
+  val MarkovRounds = 8
+
+  /** Single-row (states, m) Markov-chain frame shared by
+    * [[markovStationary]] and [[entropyRate]]: `states` the sorted
+    * distinct event types (prev ∪ next roles), `m` the transition
+    * entries (si, di = 1-based state indices, p = row-normalized
+    * probability in exact ppm — `n·10⁶ DIV rowtotal`). Cells whose
+    * probability truncates to 0 ppm are DROPPED in both engines
+    * (sub-ppm mass, visible degradation documented on the public
+    * ops); ppm keeps π·p inside BIGINT at ANY corpus size
+    * (π ≤ 10¹², p ≤ 10⁶ → product ≤ 10¹⁸ &lt; 2⁶³). The matrix
+    * build's n·10⁶ bounds a single cell's pair count to ≲ 9·10¹² —
+    * past that, widen the normalization to DECIMAL(38,0).
+    */
+  private def markovMatrix(events: DataFrame, idCol: String, keyCol: String,
+                           tsCol: String, typeCol: String): DataFrame = {
+    val e = events.select(col(idCol).as("eid"), col(keyCol).as("u"),
+      col(tsCol).as("ts"), col(typeCol).as("etype"))
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("eid"))
+    val pairs = e.withColumn("prev_type", lag(col("etype"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("etype").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("r"))
+    val st = pairs.select(col("prev_type").as("s"))
+      .union(pairs.select(col("next_type"))).distinct()
+      .agg(sort_array(collect_list(col("s"))).as("states"))
+    pairs.join(out, Seq("prev_type"))
+      .withColumn("p", expr("n * 1000000 DIV r"))
+      .filter(col("p") > 0)
+      .crossJoin(broadcast(st))
+      .select(col("states"), struct(
+        array_position(col("states"), col("prev_type")).as("si"),
+        array_position(col("states"), col("next_type")).as("di"),
+        col("p")).as("e"))
+      .groupBy(col("states")).agg(sort_array(collect_list(col("e"))).as("m"))
+  }
+
+  /** The [[MarkovRounds]]-round power-iteration fold: π₀ uniform at
+    * 10¹² DIV k, each round π'_j = Σ_i (π_i · p_ij) DIV 10⁶ — pure
+    * BIGINT, replayed by DuckDB as [[MarkovRounds]] chained CTEs.
+    */
+  private val markovFold: String =
+    s"""aggregate(
+       |  sequence(1, $MarkovRounds),
+       |  transform(states, s -> CAST(1000000000000 AS BIGINT)
+       |    DIV size(states)),
+       |  (pi, it) -> transform(sequence(1, size(states)), j ->
+       |    aggregate(filter(m, e -> e.di = j), CAST(0 AS BIGINT),
+       |      (acc, e) -> acc
+       |        + (element_at(pi, CAST(e.si AS INT)) * e.p) DIV 1000000)))
+       |""".stripMargin.trim
+
+  /** Stationary distribution of the user-journey Markov chain — "in
+    * equilibrium, what share of journey steps sit at each event
+    * type?": the row-normalized transition matrix of
+    * [[Advanced.transitions]] taken to its fixed point by
+    * [[MarkovRounds]] rounds of power iteration, ENTIRELY in scaled
+    * BIGINT (π at 10¹², matrix cells in exact ppm) so DuckDB unrolls
+    * the identical recurrence as chained CTEs and every state's mass
+    * hash-matches — the [[Graph.pageRank]] discipline on the
+    * |types|-bounded chain. States with no surviving incoming cell
+    * hold exactly 0; truncation leaks ≤ k ppm of mass per round,
+    * deterministic in both engines (no rescale — documented).
+    *
+    * Scale posture: corpus work is one user-keyed lag window + one
+    * pair census; the iteration itself runs INSIDE one row-local
+    * `aggregate` fold on the single |types|²-bounded row — zero jobs
+    * per round, unlike the billion-node [[Graph.pageRank]] where the
+    * rank frame must stay distributed.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame =
+    markovStationary(Tables.events(spark, dir), "event_id", "user_id",
+      "ts", "event_type")
+
+  /** DataFrame-first form over any (id, key, time, type) frame. */
+  def markovStationary(events: DataFrame, idCol: String, keyCol: String,
+                       tsCol: String, typeCol: String): DataFrame =
+    markovMatrix(events, idCol, keyCol, tsCol, typeCol)
+      .select(col("states"), expr(markovFold).as("pi"))
+      .select(explode(arrays_zip(col("states"), col("pi"))).as("z"))
+      .select(col("z.states").as("state"), col("z.pi").as("pi_e12"),
+        expr("z.pi DIV 1000000").as("pi_ppm"))
+      .orderBy(col("state"))
+
+  /** Chained-CTE unroll shared by [[markovStationarySql]] and
+    * [[entropyRateSql]]: pairs → ppm matrix → p0 (uniform) → p1..p8.
+    */
+  private val markovCtes: String = {
+    val rounds = (1 to MarkovRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT st.s AS state,
+         |    CAST(coalesce(sum((p.v * m.p) // 1000000), 0) AS BIGINT) AS v
+         |  FROM st LEFT JOIN m ON m.next_type = st.s
+         |  LEFT JOIN p${i - 1} p ON p.state = m.prev_type
+         |  GROUP BY st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""l AS (
+       |  SELECT user_id, event_type AS next_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM l WHERE prev_type IS NOT NULL
+       |  GROUP BY prev_type, next_type),
+       |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS r
+       |      FROM pairs GROUP BY prev_type),
+       |m0 AS (
+       |  SELECT prev_type, next_type, (n * 1000000) // r AS p
+       |  FROM pairs JOIN o USING (prev_type)),
+       |m AS (SELECT * FROM m0 WHERE p > 0),
+       |st AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT prev_type AS s FROM pairs
+       |    UNION SELECT next_type FROM pairs)),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+       |p0 AS (
+       |  SELECT s AS state, 1000000000000 // k AS v
+       |  FROM st CROSS JOIN kk),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[markovStationary]]. */
+  val markovStationarySql: String =
+    s"""WITH $markovCtes
+       |SELECT state, v AS pi_e12, v // 1000000 AS pi_ppm
+       |FROM p$MarkovRounds ORDER BY state""".stripMargin
+
+  /** Entropy rate of the user-journey Markov chain — "how predictable
+    * is the next step, in equilibrium?": H = Σ_ij π_i·p_ij·ln(1/p_ij)
+    * with π the [[markovStationary]] fixed point. Each cell's
+    * ln(10⁶/p_ppm) is micro-rounded to an integer (the
+    * [[Evaluation.psi]] transcendental discipline), the cell mass
+    * w = (π_i·p_ij) DIV 10⁶ stays BIGINT, and the per-cell
+    * contribution (w·l) DIV 10¹² is an exact integer micro-nat — the
+    * cross-cell sum is order-free. Also reports the uniform ceiling
+    * ln(k) in micro-nats and the predictability ratio in basis
+    * points (H / ln k — 10000 bp = indistinguishable from uniform).
+    *
+    * Same corpus shape as [[markovStationary]]; the w·l product
+    * passes 2⁶³ (10¹²·1.4·10⁷) so it widens to DECIMAL(38,0) /
+    * HUGEINT for the one multiply.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame =
+    entropyRate(Tables.events(spark, dir), "event_id", "user_id",
+      "ts", "event_type")
+
+  /** DataFrame-first form over any (id, key, time, type) frame. */
+  def entropyRate(events: DataFrame, idCol: String, keyCol: String,
+                  tsCol: String, typeCol: String): DataFrame =
+    markovMatrix(events, idCol, keyCol, tsCol, typeCol)
+      .select(col("states"), col("m"), expr(markovFold).as("pi"))
+      .select(size(col("states")).cast("long").as("n_states"),
+        explode(col("m")).as("e"), col("pi"))
+      .select(col("n_states"),
+        expr("CAST((element_at(pi, CAST(e.si AS INT)) * e.p) DIV 1000000" +
+          " AS DECIMAL(38,0))").as("w"),
+        expr("CAST(round(ln(1000000.0 / CAST(e.p AS DOUBLE)) * 1000000)" +
+          " AS BIGINT)").as("lmic"))
+      .groupBy(col("n_states"))
+      .agg(sum(expr("CAST(w * lmic DIV 1000000000000 AS DECIMAL(38,0))"))
+        .cast("long").as("h_micro"))
+      .select(col("n_states"), col("h_micro"),
+        expr("CAST(round(ln(CAST(n_states AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("uniform_micro"),
+        expr("h_micro * 10000 DIV CAST(round(ln(CAST(n_states AS DOUBLE))" +
+          " * 1000000) AS BIGINT)").as("ratio_bp"))
+
+  /** DuckDB twin of [[entropyRate]] — same unroll, HUGEINT cell
+    * products, micro-rounded logs.
+    */
+  val entropyRateSql: String =
+    s"""WITH $markovCtes,
+       |cell AS (
+       |  SELECT (SELECT k FROM kk) AS n_states,
+       |    (p.v * m.p) // 1000000 AS w,
+       |    CAST(round(ln(1000000.0 / CAST(m.p AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS lmic
+       |  FROM m JOIN p$MarkovRounds p ON p.state = m.prev_type),
+       |h AS (
+       |  SELECT n_states,
+       |    CAST(sum((CAST(w AS HUGEINT) * lmic) // 1000000000000)
+       |      AS BIGINT) AS h_micro
+       |  FROM cell GROUP BY n_states)
+       |SELECT n_states, h_micro,
+       |  CAST(round(ln(CAST(n_states AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS uniform_micro,
+       |  h_micro * 10000 // CAST(round(ln(CAST(n_states AS DOUBLE))
+       |    * 1000000) AS BIGINT) AS ratio_bp
+       |FROM h""".stripMargin
 }

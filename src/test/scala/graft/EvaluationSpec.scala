@@ -594,4 +594,96 @@ class EvaluationSpec extends AnyFunSuite {
     assert(h.getAs[Long]("snips_milli") >= h.getAs[Long]("ips_milli"))
     assert(c.map(_.getAs[Long]("ips_milli")).distinct.length == 1)
   }
+
+  test("cmh: hand-quantized strata, degenerate variance, corpus") {
+    import spark.implicits._
+    // S1: a=2 b=1 c=1 d=2 (N=6): E = 3·3·1e6 DIV 6 = 1_500_000,
+    //     V = 3·3·3·3·1e6 DIV (36·5) = 450_000,
+    //     orn = 2·2·1e6 DIV 6 = 666_666, ord = 1·1·1e6 DIV 6 = 166_666
+    // S2: a=3 b=0 c=0 d=3 (N=6): E = 1_500_000, V = 450_000,
+    //     orn = 9e6 DIV 6 = 1_500_000, ord = 0
+    // χ² = (5e6 − 3e6)² / (9e5·1e6) = 4.4444
+    def rows(s: String, e: Boolean, o: Boolean, n: Int) =
+      Seq.fill(n)((s, e, o))
+    val df = (rows("S1", true, true, 2) ++ rows("S1", true, false, 1) ++
+      rows("S1", false, true, 1) ++ rows("S1", false, false, 2) ++
+      rows("S2", true, true, 3) ++ rows("S2", false, false, 3))
+      .toDF("st", "e", "o")
+    val r = ops.Evaluation.cmh(df, "st", "e", "o").collect().head
+    assert(r.getAs[Long]("n_strata") == 2)
+    assert(r.getAs[Long]("o_a") == 5L)
+    assert(r.getAs[Long]("e_micro") == 3000000L)
+    assert(r.getAs[Long]("v_micro") == 900000L)
+    assert(r.getAs[Double]("chi2") == 4.4444)
+    assert(r.getAs[Double]("or_mh") == 13.0)
+    // all-outcome stratum: m0 = 0 → V = 0 → NULL chi2, not NaN
+    val dg = (rows("S", true, true, 2) ++ rows("S", false, true, 2))
+      .toDF("st", "e", "o")
+    val g = ops.Evaluation.cmh(dg, "st", "e", "o").collect().head
+    assert(g.isNullAt(g.fieldIndex("chi2")))
+    // corpus smoke: uniform synthetic priorities → tiny chi2, OR near 1
+    val c = ops.Evaluation.cmh(spark, sfDir).collect().head
+    assert(c.getAs[Long]("n_strata") == 5)
+    assert(c.getAs[Long]("v_micro") > 0)
+  }
+
+  test("fleiss kappa: hand identity, perfect, degenerate") {
+    import spark.implicits._
+    // N=2 m=2: subj1 {X,X}, subj2 {X,Y} → T=6, M=4, ΣS²=10
+    // P̄ = 0.5, P̄e = 0.625 → κ = −1/3
+    val df = Seq((1L, "X"), (1L, "X"), (2L, "X"), (2L, "Y"))
+      .toDF("subj", "cat")
+    val r = ops.Evaluation.fleissKappa(df, "subj", "cat", 2).collect().head
+    assert(r.getAs[Long]("n_subjects") == 2)
+    assert(r.getAs[Long]("t_sum") == 6L)
+    assert(r.getAs[Long]("sum_sj2") == 10L)
+    assert(r.getAs[Long]("pbar_micro") == 500000L)
+    assert(r.getAs[Long]("pe_micro") == 625000L)
+    assert(r.getAs[Double]("kappa") == -0.333333)
+    // perfect within-subject agreement across two categories → κ = 1
+    val perfect = Seq((1L, "X"), (1L, "X"), (2L, "Y"), (2L, "Y"))
+      .toDF("subj", "cat")
+    assert(ops.Evaluation.fleissKappa(perfect, "subj", "cat", 2)
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    // a single category → P̄e = 1 → undefined, NULL not NaN
+    val mono = Seq((1L, "X"), (1L, "X"), (2L, "X"), (2L, "X"))
+      .toDF("subj", "cat")
+    val m = ops.Evaluation.fleissKappa(mono, "subj", "cat", 2)
+      .collect().head
+    assert(m.isNullAt(m.fieldIndex("kappa")))
+    // corpus: subjects are exactly-3-line orders; κ defined and small
+    // (synthetic flags are independent), |κ| < 0.1
+    val c = ops.Evaluation.fleissKappa(spark, sfDir).collect().head
+    assert(c.getAs[Long]("m") == 3L)
+    assert(math.abs(c.getAs[Double]("kappa")) < 0.1)
+  }
+
+  test("cochran q: hand case, all-or-none degenerate, corpus") {
+    import spark.implicits._
+    // s1:{A,B,C} s2:{A} s3:{A,B} → G=(3,2,1) L=(3,1,2)
+    // Q = 2·(3·14 − 36)/(3·6 − 14) = 3.0, df = 2
+    val df = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"),
+      (3L, "A"), (3L, "B")).toDF("s", "t")
+    val r = ops.Evaluation.cochranQ(df, "s", "t").collect().head
+    assert(r.getAs[Long]("n_subjects") == 3)
+    assert(r.getAs[Long]("k") == 3)
+    assert(r.getAs[Long]("sum_g") == 6L)
+    assert(r.getAs[Long]("sum_g2") == 14L)
+    assert(r.getAs[Long]("sum_l2") == 14L)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(r.getAs[Double]("q") == 3.0)
+    // duplicate incidence rows collapse (x is binary)
+    val dup = ops.Evaluation.cochranQ(df.union(df), "s", "t")
+      .collect().head
+    assert(dup.getAs[Double]("q") == 3.0)
+    // every subject hit every treatment → no contrast → NULL
+    val full = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+      .toDF("s", "t")
+    val f = ops.Evaluation.cochranQ(full, "s", "t").collect().head
+    assert(f.isNullAt(f.fieldIndex("q")))
+    // corpus smoke: 5 observed event types, Q defined
+    val c = ops.Evaluation.cochranQ(spark, sfDir).collect().head
+    assert(c.getAs[Long]("k") == 5)
+    assert(c.getAs[Long]("sum_g") >= c.getAs[Long]("n_subjects"))
+  }
 }

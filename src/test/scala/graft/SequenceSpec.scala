@@ -122,4 +122,110 @@ class SequenceSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= lo && r.getLong(2) <= hi),
       "EWMA left the observed revenue range — recurrence broken")
   }
+
+  test("pageHinkley: hand-traced drawup, alarm crossing, decrease stays 0") {
+    import spark.implicits._
+    // cents: 4×100_00 then 3×200_00.
+    // t5: sx=600_00 mean=120_00 inc=80_00 u=80_00 ph=80_00 (400<600 no)
+    // t6: mean=800_00 DIV 6=133_33 inc=66_67 u=146_67 ph=146_67
+    //     (733_35 ≤ 800_00 no)
+    // t7: mean=1000_00 DIV 7=142_85 inc=57_15 u=203_82 ph=203_82
+    //     (1019_10 > 1000_00 → alarm)
+    val up = Seq("01" -> 100.0, "02" -> 100.0, "03" -> 100.0,
+      "04" -> 100.0, "05" -> 200.0, "06" -> 200.0, "07" -> 200.0)
+      .map { case (d, p) => (s"2024-03-$d", p) }.toDF("d", "p")
+      .select(col("d").cast("date").as("d"), col("p"))
+    val r = ops.Sequence.pageHinkley(up, "d", "p").collect()
+    assert(r.map(_.getAs[Long]("ph_cents")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 8000L, 14667L, 20382L))
+    assert(r.map(_.getAs[Boolean]("alarm")).toSeq ==
+      Seq(false, false, false, false, false, false, true))
+    // a mean DECREASE drives U down; the running min tracks it → PH 0
+    val down = Seq("2024-03-01" -> 1.00, "2024-03-02" -> 0.90,
+      "2024-03-03" -> 0.80).toDF("d", "p")
+      .select(col("d").cast("date").as("d"), col("p"))
+    assert(ops.Sequence.pageHinkley(down, "d", "p").collect()
+      .forall(_.getAs[Long]("ph_cents") == 0L))
+    // corpus: one row per day, PH non-negative everywhere
+    val c = ops.Sequence.pageHinkley(spark, sfDir).collect()
+    assert(c.forall(_.getAs[Long]("ph_cents") >= 0L))
+  }
+
+  test("croston: hand-traced smoothing, first-row NULLs, corpus sparsity") {
+    import spark.implicits._
+    // demands: d1 q=10, d4 q=20, d10 q=5 (α=0.2 milli recurrences)
+    // r2: i=3 z=(40000+20000)/5=12000 p=3000 f=4000
+    // r3: i=6 z=(48000+5000)/5=10600 p=(12000+6000)/5=3600
+    //     f=10600000 DIV 3600=2944
+    val dem = Seq(("2024-03-01", 10L), ("2024-03-04", 20L),
+      ("2024-03-10", 5L)).toDF("dd", "q")
+      .select(col("dd").cast("date").as("dd"), col("q"))
+    val r = ops.Sequence.croston(dem, "dd", "q").collect()
+    assert(r.length == 3)
+    assert(r(0).isNullAt(r(0).fieldIndex("p_milli")) &&
+      r(0).isNullAt(r(0).fieldIndex("forecast_milli")) &&
+      r(0).getAs[Long]("z_milli") == 10000L)
+    assert(r(1).getAs[Long]("interval_days") == 3L &&
+      r(1).getAs[Long]("z_milli") == 12000L &&
+      r(1).getAs[Long]("p_milli") == 3000L &&
+      r(1).getAs[Long]("forecast_milli") == 4000L)
+    assert(r(2).getAs[Long]("interval_days") == 6L &&
+      r(2).getAs[Long]("z_milli") == 10600L &&
+      r(2).getAs[Long]("p_milli") == 3600L &&
+      r(2).getAs[Long]("forecast_milli") == 2944L)
+    // corpus: the argmax-part series is genuinely intermittent —
+    // fewer demand days than the calendar span, all intervals ≥ 1
+    val c = ops.Sequence.croston(spark, sfDir).collect()
+    assert(c.length > 1)
+    assert(c.drop(1).forall(_.getAs[Long]("interval_days") >= 1L))
+    val span = c.last.getAs[java.sql.Date]("demand_day").toLocalDate.toEpochDay -
+      c.head.getAs[java.sql.Date]("demand_day").toLocalDate.toEpochDay
+    assert(c.length < span, "series is dense — not intermittent")
+  }
+
+  private def evs(types: String*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(f"2024-03-01 00:00:${i}%02d"), t)
+    }.toDF("eid", "u", "ts", "etype")
+  }
+
+  test("markovStationary: deterministic cycles and absorbing mass, exact") {
+    // A↔B period-2 chain: uniform is the exact fixed point of the
+    // integer recurrence (masses swap each round, no truncation)
+    val cyc = ops.Sequence.markovStationary(evs("A", "B", "A", "B", "A"),
+      "eid", "u", "ts", "etype").collect()
+    assert(cyc.map(r => (r.getString(0), r.getAs[Long]("pi_e12"))).toSeq ==
+      Seq(("A", 500000000000L), ("B", 500000000000L)))
+    // A→B, B→B: all mass reaches the absorbing state after round 1
+    val abs = ops.Sequence.markovStationary(evs("A", "B", "B", "B"),
+      "eid", "u", "ts", "etype").collect()
+    assert(abs.map(r => (r.getString(0), r.getAs[Long]("pi_e12"))).toSeq ==
+      Seq(("A", 0L), ("B", 1000000000000L)))
+    // corpus: mass conservation modulo documented truncation leak
+    val c = ops.Sequence.markovStationary(spark, sfDir).collect()
+    val tot = c.map(_.getAs[Long]("pi_e12")).sum
+    assert(c.length == 5 && tot <= 1000000000000L &&
+      tot >= 990000000000L, s"mass leak too large: $tot")
+  }
+
+  test("entropyRate: exact ln2 chain, zero for deterministic, corpus bound") {
+    // A,A,B,B,A → all four cells at exactly 500000 ppm; every cell
+    // contributes (2.5e11 · 693147) DIV 1e12 = 173286 micro-nats
+    val half = ops.Sequence.entropyRate(evs("A", "A", "B", "B", "A"),
+      "eid", "u", "ts", "etype").collect().head
+    assert(half.getAs[Long]("h_micro") == 693144L)
+    assert(half.getAs[Long]("uniform_micro") == 693147L)
+    assert(half.getAs[Long]("ratio_bp") == 9999L)
+    // a deterministic cycle is perfectly predictable → exactly 0
+    val cyc = ops.Sequence.entropyRate(evs("A", "B", "A", "B"),
+      "eid", "u", "ts", "etype").collect().head
+    assert(cyc.getAs[Long]("h_micro") == 0L &&
+      cyc.getAs[Long]("ratio_bp") == 0L)
+    // corpus: 0 ≤ H ≤ uniform ceiling (ratio at most 10000 bp)
+    val c = ops.Sequence.entropyRate(spark, sfDir).collect().head
+    assert(c.getAs[Long]("n_states") == 5L)
+    assert(c.getAs[Long]("h_micro") >= 0L &&
+      c.getAs[Long]("ratio_bp") <= 10000L)
+  }
 }
