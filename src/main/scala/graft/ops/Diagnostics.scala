@@ -1772,4 +1772,109 @@ object Diagnostics {
       |SELECT m, n_l, n_r, s_l, gain_milli,
       |  row_number() OVER (ORDER BY gain_milli DESC, m) = 1 AS is_best
       |FROM scored ORDER BY m""".stripMargin
+
+  /** Mann–Kendall trend test (1945/1975) per group over the monthly
+    * revenue series — the NON-PARAMETRIC "is there a monotone trend?"
+    * companion of [[Ranks.theilSen]]'s robust slope (MK answers "is
+    * it there", Theil–Sen "how steep"): S = Σ_{i&lt;j} sign(x_j − x_i)
+    * over time-ordered pairs, tie-corrected variance
+    * 18·V = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), continuity-corrected
+    * z = (S∓1)/√(V). S, 18V and every tie census are EXACT integers
+    * off the bounded monthly frame; z is ONE shared double
+    * expression, NULL when V = 0 (all values tied — no ordering
+    * information). The trend label reads the S sign directly.
+    *
+    * Scale posture: corpus work is ONE (group, month) keyed
+    * aggregate; the |months|²-per-group pair expansion runs on the
+    * bounded post-aggregate frame (the [[Ranks.theilSen]] contract —
+    * months are calendar-bounded, never data-bounded).
+    */
+  def mkTrend(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    val monthly = Tables.orders(spark, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("g"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    mkTrend(monthly, "g", "m", "x")
+  }
+
+  /** DataFrame-first form over a bounded (group, period, integral
+    * value) series frame.
+    */
+  def mkTrend(df: DataFrame, groupCol: String, periodCol: String,
+              vCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val s = df.select(col(groupCol).as("g"), col(periodCol).as("m"),
+      col(vCol).cast("long").as("x"))
+    val a = s.select(col("g"), col("m").as("m1"), col("x").as("x1"))
+    val b = s.select(col("g"), col("m").as("m2"), col("x").as("x2"))
+    val pairs = a.join(b, Seq("g")).filter(col("m1") < col("m2"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"))
+    val n = s.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ties = s.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
+      .filter(col("t") >= 2)
+      .groupBy(col("g"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tsum"))
+    n.join(pairs, Seq("g"))
+      .join(ties, Seq("g"), "left").na.fill(0L, Seq("tsum"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tsum"))
+      .select(col("g"), col("n").as("n_months"), col("s_stat"),
+        col("var18"),
+        when(col("var18") <= 0, lit(null)).otherwise(
+          when(col("s_stat") > 0,
+            round((d(col("s_stat")) - 1.0)
+              / sqrt(d(col("var18")) / 18.0), 4))
+            .when(col("s_stat") < 0,
+              round((d(col("s_stat")) + 1.0)
+                / sqrt(d(col("var18")) / 18.0), 4))
+            .otherwise(lit(0.0))).as("z"),
+        when(col("s_stat") > 0, lit("up"))
+          .when(col("s_stat") < 0, lit("down"))
+          .otherwise(lit("flat")).as("trend"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[mkTrend]] — same exact pair/tie censuses and
+    * shared double z.
+    */
+  val mkTrendSql: String =
+    """WITH s AS (
+      |  SELECT c_mktsegment AS g, date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.g,
+      |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM s a JOIN s b ON a.g = b.g AND a.m < b.m
+      |  GROUP BY a.g),
+      |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY g),
+      |ti AS (
+      |  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+      |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+      |        FROM s GROUP BY g, x) q
+      |  WHERE t >= 2 GROUP BY g),
+      |v AS (
+      |  SELECT n.g, n.n, p.s_stat,
+      |    n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(ti.tsum, 0) AS var18
+      |  FROM n JOIN p ON n.g = p.g LEFT JOIN ti ON n.g = ti.g)
+      |SELECT g, n AS n_months, s_stat, var18,
+      |  CASE WHEN var18 <= 0 THEN NULL
+      |    WHEN s_stat > 0 THEN
+      |      round((CAST(s_stat AS DOUBLE) - 1.0)
+      |        / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)
+      |    WHEN s_stat < 0 THEN
+      |      round((CAST(s_stat AS DOUBLE) + 1.0)
+      |        / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)
+      |    ELSE 0.0 END AS z,
+      |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+      |    ELSE 'flat' END AS trend
+      |FROM v ORDER BY g""".stripMargin
 }

@@ -657,6 +657,108 @@ object Ranks {
       |      / (CAST(s_micro AS DOUBLE) / 1e6), 4) END AS alpha_hill
       |FROM m ORDER BY g""".stripMargin
 
+  /** Tail quantile for [[tailRisk]]: 95th percentile — VaR₉₅ / ES₉₅
+    * in the risk vocabulary (here applied to order VALUES: the top 5%
+    * of order sizes, the operationally interesting tail for capacity
+    * and fraud review).
+    */
+  private val TailNum = 19L
+  private val TailDen = 20L
+
+  /** Value-at-Risk and Expected Shortfall per group — "where does the
+    * top 5% of order value start, and how big is a top-5% order on
+    * average?": VaR₉₅ = the ⌈0.95·n⌉-th smallest value, ES₉₅ = the
+    * exact mean of the k = n − m + 1 largest (the discrete
+    * upper-tail convention, boundary ties split by top-k occupancy —
+    * the [[hillTail]] rule), plus the tail's share of total value in
+    * basis points. ENTIRELY exact integers: the rank position
+    * m = (19n + 19) DIV 20 is an integer ceiling, VaR is the smallest
+    * census value with lt + cnt ≥ m, ES is one truncating DIV of the
+    * DECIMAL(38,0) tail sum — no float percentile interpolation
+    * anywhere (`percentile_approx` could not oracle-match and `ntile`
+    * splits ties engine-dependently).
+    *
+    * Scale posture: one (group, value) census, the [[doubledRanks]]
+    * two-level scan, a |groups|-bounded totals broadcast, bounded
+    * final aggregates. No per-row sort or window at any scale.
+    */
+  def tailRisk(spark: SparkSession, dir: String): DataFrame = {
+    val bySeg = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("g"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    tailRisk(bySeg, "g", "v", PriceBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, integral value) frame. */
+  def tailRisk(df: DataFrame, groupCol: String, vCol: String,
+               bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val census = df
+      .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val tot = census.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(dec(col("cnt")) * col("v")).as("sv"))
+      .withColumn("m",
+        expr(s"(CAST($TailNum AS BIGINT) * n + $TailNum) DIV $TailDen"))
+      .withColumn("k", col("n") - col("m") + 1)
+    val ranked = doubledRanks(census, bucketWidth)
+      .join(broadcast(tot), Seq("g"))
+    val varF = ranked.filter(col("lt") + col("cnt") >= col("m"))
+      .groupBy(col("g")).agg(min(col("v")).as("var_cents"))
+    val tail = ranked
+      .withColumn("gt", col("n") - col("lt") - col("cnt"))
+      .filter(col("gt") < col("k"))
+      .withColumn("occ", least(col("cnt"), col("k") - col("gt")))
+      .groupBy(col("g"), col("n"), col("sv"), col("k"))
+      .agg(sum(dec(col("occ")) * col("v")).as("ts"))
+    tail.join(broadcast(varF), Seq("g"))
+      .select(col("g"), col("n"), col("var_cents"),
+        col("k").as("tail_n"),
+        expr("CAST(ts * 1000 DIV k AS BIGINT)").as("es_milli"),
+        expr("CAST(ts * 10000 DIV sv AS BIGINT)").as("tail_share_bp"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[tailRisk]] — same integer ceiling rank, top-k
+    * occupancy and truncating HUGEINT folds (plain rank windows are
+    * fine single-node).
+    */
+  val tailRiskSql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM q GROUP BY g, v),
+      |r AS (
+      |  SELECT g, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS lt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+      |    sum(CAST(cnt AS HUGEINT) * v) OVER (PARTITION BY g) AS sv
+      |  FROM c),
+      |t AS (
+      |  SELECT *, (19 * n + 19) // 20 AS m,
+      |    n - ((19 * n + 19) // 20) + 1 AS k
+      |  FROM r),
+      |vf AS (
+      |  SELECT g, min(v) AS var_cents FROM t
+      |  WHERE lt + cnt >= m GROUP BY g),
+      |tl AS (
+      |  SELECT g, n, sv, k,
+      |    sum(CAST(least(cnt, k - (n - lt - cnt)) AS HUGEINT) * v) AS ts
+      |  FROM t WHERE n - lt - cnt < k
+      |  GROUP BY g, n, sv, k)
+      |SELECT tl.g, n, var_cents, k AS tail_n,
+      |  CAST(ts * 1000 // k AS BIGINT) AS es_milli,
+      |  CAST(ts * 10000 // sv AS BIGINT) AS tail_share_bp
+      |FROM tl JOIN vf ON tl.g = vf.g
+      |ORDER BY tl.g""".stripMargin
+
   /** Kruskal–Wallis H — the k-group extension of [[Mixing.mannWhitney]]
     * (rank-based one-way ANOVA): does at least one group's value
     * distribution sit shifted against the others? Reported per group

@@ -607,4 +607,42 @@ class DiagnosticsSpec extends AnyFunSuite {
     val truths = corpus.map(_.getAs[Long]("true_cnt"))
     assert(truths.toSeq == truths.sortBy(-(_: Long)).toSeq)
   }
+
+  test("mkTrend: hand-computed z with and without ties, degenerate NULL") {
+    import spark.implicits._
+    // strictly rising [1,2,3]: S = 3, 18V = 3·2·11 = 66,
+    // z = 2/sqrt(66/18) = 1.0445
+    val up = Seq(("a", 1, 1L), ("a", 2, 2L), ("a", 3, 3L))
+      .toDF("g", "m", "x")
+    val u = ops.Diagnostics.mkTrend(up, "g", "m", "x").collect().head
+    assert(u.getAs[Long]("s_stat") == 3L &&
+      u.getAs[Long]("var18") == 66L)
+    assert(u.getAs[Double]("z") == 1.0445 &&
+      u.getAs[String]("trend") == "up")
+    // tie correction: [1,1,2] → S = 2, 18V = 66 − 2·1·9 = 48,
+    // z = 1/sqrt(48/18) = 0.6124
+    val tie = Seq(("a", 1, 1L), ("a", 2, 1L), ("a", 3, 2L))
+      .toDF("g", "m", "x")
+    val t = ops.Diagnostics.mkTrend(tie, "g", "m", "x").collect().head
+    assert(t.getAs[Long]("s_stat") == 2L && t.getAs[Long]("var18") == 48L)
+    assert(t.getAs[Double]("z") == 0.6124)
+    // mirrored series mirrors the statistic
+    val dn = Seq(("a", 1, 3L), ("a", 2, 2L), ("a", 3, 1L))
+      .toDF("g", "m", "x")
+    val d0 = ops.Diagnostics.mkTrend(dn, "g", "m", "x").collect().head
+    assert(d0.getAs[Double]("z") == -1.0445 &&
+      d0.getAs[String]("trend") == "down")
+    // all-tied series: no ordering information → NULL z, flat
+    val flat = Seq(("a", 1, 5L), ("a", 2, 5L), ("a", 3, 5L))
+      .toDF("g", "m", "x")
+    val f = ops.Diagnostics.mkTrend(flat, "g", "m", "x").collect().head
+    assert(f.isNullAt(f.fieldIndex("z")) &&
+      f.getAs[String]("trend") == "flat")
+    // corpus: |S| is bounded by the pair count n(n−1)/2
+    val c = ops.Diagnostics.mkTrend(spark, sfDir).collect()
+    assert(c.length == 5)
+    assert(c.forall { r =>
+      val n = r.getAs[Long]("n_months")
+      math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2 })
+  }
 }

@@ -298,4 +298,38 @@ class RanksSpec extends AnyFunSuite {
     val n = c.getAs[Long]("n_pairs")
     assert(c.getAs[Long]("w2_pos") + c.getAs[Long]("w2_neg") == n * (n + 1))
   }
+
+  test("tailRisk: exact ceiling rank, boundary-tie occupancy, single row") {
+    import spark.implicits._
+    // 1..20: m = ⌈0.95·20⌉ = 19 → VaR = 19, tail = {19,20},
+    // ES = 19500 milli, share = 390000 DIV 210 = 1857 bp
+    val seq20 = (1L to 20L).map(("a", _)).toDF("g", "v")
+    val r = ops.Ranks.tailRisk(seq20, "g", "v", 4L).collect().head
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Long]("var_cents") == 19L)
+    assert(r.getAs[Long]("tail_n") == 2L)
+    assert(r.getAs[Long]("es_milli") == 19500L)
+    assert(r.getAs[Long]("tail_share_bp") == 1857L)
+    // heavy tie crossing the boundary: only k − gt slots of the tie
+    // block count (1,2,3 then seven 4s: m = 10, k = 1 → ES = 4 exactly)
+    val tied = (Seq(1L, 2L, 3L) ++ Seq.fill(7)(4L)).map(("a", _))
+      .toDF("g", "v")
+    val t = ops.Ranks.tailRisk(tied, "g", "v", 4L).collect().head
+    assert(t.getAs[Long]("var_cents") == 4L &&
+      t.getAs[Long]("tail_n") == 1L &&
+      t.getAs[Long]("es_milli") == 4000L &&
+      t.getAs[Long]("tail_share_bp") == 40000L / 34L)
+    // single value: VaR = ES = the value
+    val one = Seq(("a", 7L)).toDF("g", "v")
+    val o = ops.Ranks.tailRisk(one, "g", "v", 4L).collect().head
+    assert(o.getAs[Long]("var_cents") == 7L &&
+      o.getAs[Long]("es_milli") == 7000L)
+    // corpus: ES ≥ VaR (tail mean can't undercut its own floor),
+    // share in (0, 10000), one row per segment
+    val corpus = ops.Ranks.tailRisk(spark, sfDir).collect()
+    assert(corpus.length == 5)
+    assert(corpus.forall(r => r.getAs[Long]("es_milli")
+      >= r.getAs[Long]("var_cents") * 1000))
+    assert(corpus.forall(r => r.getAs[Long]("tail_share_bp") > 0 &&
+      r.getAs[Long]("tail_share_bp") < 10000))
+  }
 }
