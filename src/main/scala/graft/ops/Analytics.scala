@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Decision-support analytics queries (SURVEY.md §7.3): the TPC-H
@@ -1221,4 +1221,105 @@ object Analytics {
     try spark.sql(rewritten)
     finally names.foreach(n => spark.catalog.dropTempView(s"${n}_$tag"))
   }
+
+  /** Base / comparison years for the shipped [[priceIndex]] query —
+    * fixed dials like [[Diagnostics.ChurnCensorDays]]; both years are
+    * fully covered by the test corpus (1995–2001).
+    */
+  val PriceIndexBaseYear = 1995
+  val PriceIndexCompYear = 1996
+
+  /** Classical price indexes between two years over the MATCHED
+    * basket (parts shipped in BOTH years — entries/exits excluded,
+    * documented): Laspeyres Σp₁q₀/Σp₀q₀ (base-weighted), Paasche
+    * Σp₁q₁/Σp₀q₁ (current-weighted) and Fisher's ideal √(L·P). Item
+    * prices are unit values (period revenue / period quantity), so
+    * Σp₀q₀ and Σp₁q₁ are EXACTLY the period revenues in cents and the
+    * two cross terms p₁q₀, p₀q₁ are each ONE truncating DIV to
+    * integer milli-cents per item before the order-free cross-item
+    * sum — L and P come out in exact basis points, Fisher is one
+    * shared double sqrt over their product. rev·qty·1000 bounds
+    * DECIMAL(38,0) to ~10¹⁷ rows per item-year — unreachable.
+    *
+    * Scale posture: two year-pruned item-keyed aggregates (the year
+    * filters push to the scan), one item-keyed equi-join, one 1-row
+    * fold. No broadcast of the item dimension (200M rows/SF at TPC-H
+    * scale).
+    */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame =
+    priceIndex(Tables.lineitem(spark, dir), "l_partkey", "l_shipdate",
+      "l_extendedprice", "l_quantity", PriceIndexBaseYear,
+      PriceIndexCompYear)
+
+  /** DataFrame-first form over any (item, date, price, quantity)
+    * movement frame.
+    */
+  def priceIndex(df: DataFrame, itemCol: String, dateCol: String,
+                 priceCol: String, qtyCol: String, baseYear: Int,
+                 compYear: Int): DataFrame = {
+    def yearAgg(y: Int, rev: String, q: String) = df
+      .filter(year(col(dateCol)) === y)
+      .groupBy(col(itemCol).as("item"))
+      .agg(sum(expr(s"CAST(round($priceCol * 100) AS BIGINT)")).as(rev),
+        sum(expr(s"CAST(round($qtyCol) AS BIGINT)")).as(q))
+    val m = yearAgg(baseYear, "rev0", "q0")
+      .join(yearAgg(compYear, "rev1", "q1"), Seq("item"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+    m.select(col("rev0"), col("rev1"),
+        expr("CAST(CAST(rev1 AS DECIMAL(38,0)) * q0 * 1000 DIV q1" +
+          " AS DECIMAL(38,0))").as("tl"),
+        expr("CAST(CAST(rev0 AS DECIMAL(38,0)) * q1 * 1000 DIV q0" +
+          " AS DECIMAL(38,0))").as("tp"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev0")).as("rev0_cents"), sum(col("rev1")).as("rev1_cents"),
+        sum(col("tl")).as("sl"), sum(col("tp")).as("sp"))
+      .select(col("n_items"), col("rev0_cents"), col("rev1_cents"),
+        expr("CAST(sl * 10000 DIV (CAST(rev0_cents AS DECIMAL(38,0))" +
+          " * 1000) AS BIGINT)").as("laspeyres_bp"),
+        expr("CAST(CAST(rev1_cents AS DECIMAL(38,0)) * 10000000" +
+          " DIV sp AS BIGINT)").as("paasche_bp"))
+      .withColumn("fisher_bp", round(sqrt(
+        col("laspeyres_bp").cast("double")
+          * col("paasche_bp").cast("double")), 2))
+  }
+
+  /** DuckDB twin of [[priceIndex]] — same matched basket, HUGEINT
+    * cross terms and shared double Fisher.
+    */
+  val priceIndexSql: String =
+    s"""WITH b AS (
+       |  SELECT l_partkey AS item,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev0,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0
+       |  FROM lineitem WHERE year(l_shipdate) = $PriceIndexBaseYear
+       |  GROUP BY l_partkey),
+       |c AS (
+       |  SELECT l_partkey AS item,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev1,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q1
+       |  FROM lineitem WHERE year(l_shipdate) = $PriceIndexCompYear
+       |  GROUP BY l_partkey),
+       |m AS (
+       |  SELECT rev0, rev1,
+       |    (CAST(rev1 AS HUGEINT) * q0 * 1000) // q1 AS tl,
+       |    (CAST(rev0 AS HUGEINT) * q1 * 1000) // q0 AS tp
+       |  FROM b JOIN c USING (item) WHERE q0 > 0 AND q1 > 0),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(rev0) AS BIGINT) AS rev0_cents,
+       |    CAST(sum(rev1) AS BIGINT) AS rev1_cents,
+       |    sum(tl) AS sl, sum(tp) AS sp
+       |  FROM m)
+       |SELECT n_items, rev0_cents, rev1_cents,
+       |  CAST(sl * 10000 // (CAST(rev0_cents AS HUGEINT) * 1000)
+       |    AS BIGINT) AS laspeyres_bp,
+       |  CAST(CAST(rev1_cents AS HUGEINT) * 10000000 // sp AS BIGINT)
+       |    AS paasche_bp,
+       |  round(sqrt(CAST(CAST(sl * 10000
+       |      // (CAST(rev0_cents AS HUGEINT) * 1000) AS BIGINT) AS DOUBLE)
+       |    * CAST(CAST(CAST(rev1_cents AS HUGEINT) * 10000000 // sp
+       |      AS BIGINT) AS DOUBLE)), 2) AS fisher_bp
+       |FROM t""".stripMargin
 }

@@ -1925,6 +1925,132 @@ object Evaluation {
       |FROM t CROSS JOIN tot
       |ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------- Lift / gains curve
+
+  /** Census width for customer-spend cents (domain-bounded, the
+    * [[Ranks]] discipline).
+    */
+  private val LiftBucketWidth = 1L << 22
+
+  /** Cumulative gains / lift curve — the campaign-targeting readout
+    * beside [[auc]]'s single number: rank the population by a score,
+    * cut it into deciles FROM THE TOP, and report per decile how much
+    * of the positive class the top-k deciles capture (gains/recall)
+    * and the capture rate relative to random targeting (lift). Here:
+    * score = a customer's base-year spend, positive = the customer
+    * ordered again the following year — "does spend rank retention?".
+    *
+    * Exactness: deciles come from the value census'
+    * [[Ranks.doubledRanks]] scan — decile = ((n−lt−cnt)·10) DIV n + 1,
+    * so tie groups land WHOLE in one decile (the `q_quantile_bins`
+    * rule; `ntile` splits ties engine-dependently and is banned);
+    * cumulative counts ride a window over the ≤10-row decile frame;
+    * recall and lift are exact integer basis points
+    * (cum_pos·n·10⁴ DIV (pos_tot·cum_n) in DECIMAL(38,0)). The last
+    * row closes at lift = recall = 10000 bp BY CONSTRUCTION — the
+    * spec law. NULL bps when the corpus has no positives.
+    *
+    * Scale posture: two year-pruned keyed aggregates, one left join,
+    * one census aggregate, the two-level scan, a ≤10-row fold. No
+    * per-row window.
+    */
+  def liftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === Analytics.PriceIndexBaseYear)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val nxt = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === Analytics.PriceIndexCompYear)
+      .select(col("o_custkey").as("cust")).distinct()
+      .withColumn("pos", lit(1L))
+    liftCurve(base.join(nxt, Seq("cust"), "left")
+      .na.fill(0L, Seq("pos")), "v", "pos", LiftBucketWidth)
+  }
+
+  /** DataFrame-first form over a (score, positive 0/1) frame. */
+  def liftCurve(df: DataFrame, scoreCol: String, posCol: String,
+                bucketWidth: Long): DataFrame = {
+    val census = df
+      .select(lit("all").as("g"), col(scoreCol).cast("long").as("v"),
+        col(posCol).cast("long").as("p"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("p")).as("np"))
+    val tot = census.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"), sum(col("np")).as("pos_tot"))
+    val byDecile = Ranks.doubledRanks(census.drop("np"), bucketWidth)
+      .join(census.select(col("g"), col("v"), col("np")), Seq("g", "v"))
+      .join(broadcast(tot), Seq("g"))
+      .withColumn("decile",
+        expr("(n - lt - cnt) * 10 DIV n + 1"))
+      .groupBy(col("decile"), col("n"), col("pos_tot"))
+      .agg(sum(col("cnt")).as("n_cust"), sum(col("np")).as("n_pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_cust", sum(col("n_cust")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("decile"), col("n_cust"), col("n_pos"),
+        col("cum_cust"), col("cum_pos"),
+        when(col("pos_tot") <= 0, lit(null)).otherwise(
+          expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 10000" +
+            " DIV pos_tot AS BIGINT)")).as("recall_bp"),
+        when(col("pos_tot") <= 0, lit(null)).otherwise(
+          expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * n * 10000" +
+            " DIV (CAST(pos_tot AS DECIMAL(38,0)) * cum_cust)" +
+            " AS BIGINT)")).as("lift_bp"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin of [[liftCurve]] — same top-down whole-tie deciles
+    * and exact bp folds (plain rank windows single-node).
+    */
+  val liftCurveSql: String =
+    s"""WITH base AS (
+       |  SELECT o_custkey AS cust,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE year(o_orderdate) = ${Analytics.PriceIndexBaseYear}
+       |  GROUP BY o_custkey),
+       |nxt AS (
+       |  SELECT DISTINCT o_custkey AS cust FROM orders
+       |  WHERE year(o_orderdate) = ${Analytics.PriceIndexCompYear}),
+       |s AS (
+       |  SELECT v, CASE WHEN nxt.cust IS NULL THEN 0 ELSE 1 END AS p
+       |  FROM base LEFT JOIN nxt ON base.cust = nxt.cust),
+       |c AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(p) AS BIGINT) AS np
+       |  FROM s GROUP BY v),
+       |r AS (
+       |  SELECT v, cnt, np,
+       |    sum(cnt) OVER (ORDER BY v) - cnt AS lt,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+       |    CAST(sum(np) OVER () AS BIGINT) AS pos_tot
+       |  FROM c),
+       |d AS (
+       |  SELECT CAST(((n - lt - cnt) * 10) // n + 1 AS BIGINT) AS decile,
+       |    n, pos_tot, cnt, np
+       |  FROM r),
+       |g AS (
+       |  SELECT decile, n, pos_tot, CAST(sum(cnt) AS BIGINT) AS n_cust,
+       |    CAST(sum(np) AS BIGINT) AS n_pos
+       |  FROM d GROUP BY decile, n, pos_tot),
+       |cu AS (
+       |  SELECT *,
+       |    CAST(sum(n_cust) OVER (ORDER BY decile) AS BIGINT) AS cum_cust,
+       |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+       |  FROM g)
+       |SELECT decile, n_cust, n_pos, cum_cust, cum_pos,
+       |  CASE WHEN pos_tot <= 0 THEN NULL ELSE
+       |    CAST(CAST(cum_pos AS HUGEINT) * 10000 // pos_tot AS BIGINT)
+       |  END AS recall_bp,
+       |  CASE WHEN pos_tot <= 0 THEN NULL ELSE
+       |    CAST(CAST(cum_pos AS HUGEINT) * n * 10000
+       |      // (CAST(pos_tot AS HUGEINT) * cum_cust) AS BIGINT)
+       |  END AS lift_bp
+       |FROM cu ORDER BY decile""".stripMargin
+
   // ------------------------------------------- Cochran–Mantel–Haenszel
 
   /** Cochran–Mantel–Haenszel test (1959) — "is exposure associated

@@ -509,4 +509,39 @@ class AnalyticsSpec extends AnyFunSuite {
     for (a <- byClass.get("A"); c <- byClass.get("C"))
       assert(a._1 * c._2 > c._1 * a._2, "A parts must out-earn C parts")
   }
+
+  test("priceIndex: hand closed form, unmatched exclusion, identity year") {
+    import spark.implicits._
+    // A: p 10¢→20¢ at q 10/10; B: 20¢→10¢ at q 5/5; C base-only
+    // L = (20·10 + 10·5)/(10·10 + 20·5) = 250/200 → 12500 bp
+    // P = (20·10 + 10·5)/(10·10 + 20·5) = 12500 bp; F = 12500.0
+    val rows = Seq(
+      ("A", "1995-06-01", 1.00, 10L), ("A", "1996-06-01", 2.00, 10L),
+      ("B", "1995-06-01", 1.00, 5L), ("B", "1996-06-01", 0.50, 5L),
+      ("C", "1995-06-01", 9.99, 1L))
+      .toDF("item", "dt", "price", "qty")
+      .select(col("item"), col("dt").cast("date").as("dt"),
+        col("price"), col("qty"))
+    val r = ops.Analytics.priceIndex(rows, "item", "dt", "price", "qty",
+      1995, 1996).collect().head
+    assert(r.getAs[Long]("n_items") == 2)
+    assert(r.getAs[Long]("rev0_cents") == 200L &&
+      r.getAs[Long]("rev1_cents") == 250L)
+    assert(r.getAs[Long]("laspeyres_bp") == 12500L)
+    assert(r.getAs[Long]("paasche_bp") == 12500L)
+    assert(r.getAs[Double]("fisher_bp") == 12500.0)
+    // identical years → every index exactly 10000 bp
+    val same = ops.Analytics.priceIndex(rows, "item", "dt", "price", "qty",
+      1995, 1995).collect().head
+    assert(same.getAs[Long]("laspeyres_bp") == 10000L &&
+      same.getAs[Long]("paasche_bp") == 10000L &&
+      same.getAs[Double]("fisher_bp") == 10000.0)
+    // corpus: matched basket nearly complete; Fisher between L and P
+    val c = ops.Analytics.priceIndex(spark, sfDir).collect().head
+    assert(c.getAs[Long]("n_items") > 0)
+    val (l, p) = (c.getAs[Long]("laspeyres_bp"), c.getAs[Long]("paasche_bp"))
+    val f = c.getAs[Double]("fisher_bp")
+    assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1,
+      s"Fisher $f outside [$l, $p]")
+  }
 }

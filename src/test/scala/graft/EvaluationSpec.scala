@@ -686,4 +686,34 @@ class EvaluationSpec extends AnyFunSuite {
     assert(c.getAs[Long]("k") == 5)
     assert(c.getAs[Long]("sum_g") >= c.getAs[Long]("n_subjects"))
   }
+
+  test("liftCurve: exact decile capture, closure at 10000 bp, no-positive NULL") {
+    import spark.implicits._
+    // scores 1..20, positives at {16..20} ∪ {1}
+    val pos = Set(16L, 17L, 18L, 19L, 20L, 1L)
+    val df = (1L to 20L).map(v => (v, if (pos(v)) 1L else 0L))
+      .toDF("v", "p")
+    val r = ops.Evaluation.liftCurve(df, "v", "p", 4L).collect()
+    assert(r.length == 10)
+    val d1 = r.head
+    assert(d1.getAs[Long]("n_cust") == 2 && d1.getAs[Long]("n_pos") == 2)
+    assert(d1.getAs[Long]("recall_bp") == 3333L)
+    assert(d1.getAs[Long]("lift_bp") == 33333L)
+    val d3 = r(2)
+    assert(d3.getAs[Long]("cum_pos") == 5 &&
+      d3.getAs[Long]("recall_bp") == 8333L &&
+      d3.getAs[Long]("lift_bp") == 27777L)
+    val last = r.last
+    assert(last.getAs[Long]("recall_bp") == 10000L &&
+      last.getAs[Long]("lift_bp") == 10000L,
+      "curve must close at exactly 10000 bp")
+    // no positives → NULL bps, counts still reported
+    val none = (1L to 10L).map(v => (v, 0L)).toDF("v", "p")
+    val n0 = ops.Evaluation.liftCurve(none, "v", "p", 4L).collect()
+    assert(n0.forall(_.isNullAt(n0.head.fieldIndex("lift_bp"))))
+    // corpus: closes at exactly 10000 bp and every decile reports
+    val c = ops.Evaluation.liftCurve(spark, sfDir).collect()
+    assert(c.last.getAs[Long]("lift_bp") == 10000L)
+    assert(c.forall(_.getAs[Long]("cum_cust") > 0L))
+  }
 }
