@@ -1342,4 +1342,100 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE inter * 1000000 // (sa.n + sb.n - inter) >= $SimJoinTauMicro
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Prefix-key length / edit threshold for [[editJoin]]: pairs
+    * within Levenshtein distance [[EditTau]] on the lowercased
+    * first-[[EditKeyLen]]-chars key. Documents shorter than the key
+    * are excluded (they are [[exactDedup]] territory — padding would
+    * corrupt edit-distance semantics at the boundary), so every key
+    * has EXACTLY this length and the equal-length PassJoin pigeonhole
+    * applies.
+    */
+  val EditKeyLen = 48
+  val EditTau = 2
+
+  /** Exact edit-distance similarity self-join (Li, Deng & Feng's
+    * PassJoin partition scheme, VLDB 2011) — the character-level
+    * near-dup complement of [[similarityJoin]]'s token-level Jaccard:
+    * every pair of documents whose lowercased 48-char prefixes are
+    * within Levenshtein distance 2, found WITHOUT the O(n²) cross
+    * join. Pigeonhole: partition one key into τ+1 = 3 disjoint
+    * 16-char segments; any ≤ τ-edit pair must contain one segment of
+    * the smaller-id key VERBATIM in the larger-id key at a position
+    * shifted by at most τ — so candidates come from an equi-join of
+    * indexed segments against ±τ-shifted probe windows (15 windows
+    * per doc), and exact `levenshtein` verification (same unit-cost
+    * semantics in both engines) removes false positives. The ORACLE
+    * is the brute-force all-pairs form — an INDEPENDENT derivation
+    * that re-proves the blocking's completeness on every corpus run
+    * (feasible single-node at the gate SF; the Spark side never
+    * materializes n²).
+    *
+    * Scale posture: segment/window explode is row-local (3 + 15 rows
+    * per doc); the candidate join is keyed on (segment-index,
+    * 16-gram) — selective except for genuinely repeated prefixes,
+    * which are exactly the pairs the join must output anyway;
+    * verification is candidate-keyed. No window, no driver state.
+    */
+  def editJoin(spark: SparkSession, dir: String): DataFrame =
+    editJoin(Tables.documents(spark, dir)
+        .filter(length(col("text")) >= EditKeyLen)
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, EditKeyLen)).as("k")),
+      "doc_id", "k", EditKeyLen, EditTau)
+
+  /** DataFrame-first form over an (id, key) frame whose keys ALL have
+    * exactly `keyLen` characters (the caller's contract — the
+    * pigeonhole below is the equal-length form); `keyLen` must divide
+    * into τ+1 equal segments.
+    */
+  def editJoin(df: DataFrame, idCol: String, kCol: String, keyLen: Int,
+               tau: Int): DataFrame = {
+    val nSeg = tau + 1
+    require(keyLen % nSeg == 0, s"editJoin: $keyLen not divisible by $nSeg")
+    val segLen = keyLen / nSeg
+    val keys = df.select(col(idCol).as("id"), col(kCol).as("k"))
+    val segStructs = (1 to nSeg).map(i =>
+      struct(lit(i).as("si"), expr(
+        s"substring(k, ${(i - 1) * segLen + 1}, $segLen)").as("seg")))
+    val winStructs = for {
+      i <- 1 to nSeg
+      d <- -tau to tau
+      p = (i - 1) * segLen + 1 + d
+      if p >= 1 && p <= keyLen - segLen + 1
+    } yield struct(lit(i).as("si"),
+      expr(s"substring(k, $p, $segLen)").as("seg"))
+    val segs = keys
+      .select(col("id").as("a_id"), col("k").as("ka"),
+        explode(array(segStructs: _*)).as("s"))
+      .select(col("a_id"), col("ka"), col("s.si").as("si"),
+        col("s.seg").as("seg"))
+    val wins = keys
+      .select(col("id").as("b_id"), col("k").as("kb"),
+        explode(array(winStructs: _*)).as("w"))
+      .select(col("b_id"), col("kb"), col("w.si").as("si"),
+        col("w.seg").as("seg")).distinct()
+    segs.join(wins, Seq("si", "seg"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ka"), col("kb")).distinct()
+      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB twin of [[editJoin]]: the brute-force all-pairs
+    * definition itself — deliberately NOT the blocked plan, so the
+    * oracle independently certifies the PassJoin candidate set is
+    * complete.
+    */
+  val editJoinSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, lower(substring(text, 1, $EditKeyLen)) AS k
+       |  FROM documents WHERE length(text) >= $EditKeyLen)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+       |FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |WHERE levenshtein(a.k, b.k) <= $EditTau
+       |ORDER BY a_id, b_id""".stripMargin
 }

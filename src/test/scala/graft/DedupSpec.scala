@@ -515,4 +515,64 @@ class DedupSpec extends AnyFunSuite {
     assert(c.forall(_.getAs[Long]("j_micro") >= ops.Dedup.SimJoinTauMicro))
     assert(c.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
+
+  /** Textbook O(len²) Levenshtein — the spec-side independent model
+    * for [[graft.ops.Dedup.editJoin]].
+    */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("editJoin: boundary distances, shifted-segment capture, brute parity") {
+    import spark.implicits._
+    // keyLen 6, τ 2 (segments of 2): exact boundary inclusion and the
+    // insertion-shift case only a ±τ window can catch
+    val keys = Seq(
+      (1L, "aabbcc"), // base
+      (2L, "xabbcc"), // dist 1 (substitution)
+      (3L, "xybbcc"), // dist 2 (two substitutions)
+      (4L, "xyzbcc"), // dist 3 from base → excluded vs 1
+      (5L, "abcdef"), // shift pair base
+      (6L, "xabcde")) // ed 2 via front insert + tail delete; "ab"
+                      // survives only at a +1-shifted window
+      .toDF("id", "k")
+    val got = ops.Dedup.editJoin(keys, "id", "k", 6, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 2L, 1L)))
+    assert(got.contains((1L, 3L, 2L)))
+    assert(got.contains((5L, 6L, 2L)), "shifted-window candidate missed")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L), "dist-3 leaked")
+    // brute-force parity on every planted pair
+    val all = Seq((1L, "aabbcc"), (2L, "xabbcc"), (3L, "xybbcc"),
+      (4L, "xyzbcc"), (5L, "abcdef"), (6L, "xabcde"))
+    val brute = (for {
+      (ia, ka) <- all; (ib, kb) <- all if ia < ib
+      d = lev(ka, kb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute, s"blocked ≠ brute: ${got.diff(brute)} / ${brute.diff(got)}")
+    // corpus law: the PassJoin plan reproduces the brute-force answer
+    // EXACTLY on the real documents table (feasible at spec SF)
+    val corpus = ops.Dedup.editJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ck = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= ops.Dedup.EditKeyLen)
+      .select(col("doc_id"),
+        lower(substring(col("text"), 1, ops.Dedup.EditKeyLen)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cb = (for {
+      (ia, ka) <- ck; (ib, kb) <- ck if ia < ib
+      d = lev(ka, kb) if d <= ops.Dedup.EditTau
+    } yield (ia, ib, d.toLong)).toSet
+    assert(corpus == cb, "corpus blocked ≠ corpus brute")
+  }
 }
