@@ -59,4 +59,13 @@ object GraftSession {
     builder(appName, shufflePartitions = cores)
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
+      // Local-process IO posture ONLY (cluster builds above keep the
+      // defaults): a single-host shuffle moves blocks through the OS
+      // page cache, never a NIC, so lz4 on the shuffle path is pure
+      // CPU overhead with no bandwidth to buy back — measured ~8% off
+      // the shuffle-heavy suite at sf0.1. On a real cluster shuffle
+      // compression trades CPU for network and stays ON.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
 }

@@ -1283,6 +1283,103 @@ object Analytics {
           * col("paasche_bp").cast("double")), 2))
   }
 
+  /** Return period (blocks) for [[gumbelReturn]]'s headline level. */
+  val GumbelReturnPeriod = 12
+
+  /** Gumbel extreme-value fit over monthly block maxima of daily
+    * revenue, with the T = [[GumbelReturnPeriod]]-block return level —
+    * "how big a day should we provision for once a year?": the
+    * capacity-planning complement of [[Ranks.tailRisk]]'s
+    * within-sample VaR (extreme-value theory extrapolates BEYOND the
+    * observed quantiles, which order statistics cannot). Method of
+    * moments (documented — not ML, which needs iteration):
+    * β = s·√6/π, μ = x̄ − γβ (Euler–Mascheroni γ), return level
+    * x_T = μ − β·ln(−ln(1 − 1/T)).
+    *
+    * Exactness: daily sums and monthly maxima are exact integer
+    * cents; n, Σx, Σx² (DECIMAL(38,0)) fold exactly; everything after
+    * is ONE shared double expression tree off those three integers
+    * (the [[Diagnostics.linReg]] discipline), so both engines emit
+    * identical doubles. NULL when fewer than 2 blocks or zero
+    * variance.
+    *
+    * Scale posture: one day-keyed aggregate, one month-keyed max,
+    * one 1-row moment fold — the block frame is calendar-bounded.
+    */
+  def gumbelReturn(spark: SparkSession, dir: String): DataFrame =
+    gumbelReturn(Tables.orders(spark, dir), "o_orderdate", "o_totalprice",
+      GumbelReturnPeriod)
+
+  /** DataFrame-first form over any (date, amount) frame. */
+  def gumbelReturn(df: DataFrame, dateCol: String, priceCol: String,
+                   returnPeriod: Int): DataFrame = {
+    val daily = df
+      .select(to_date(col(dateCol)).as("d"),
+        expr(s"CAST(round($priceCol * 100) AS BIGINT)").as("pc"))
+      .groupBy(col("d")).agg(sum(col("pc")).as("x"))
+    val blocks = daily
+      .groupBy(date_trunc("month", col("d")).as("m"))
+      .agg(max(col("x")).as("bx"))
+    blocks
+      .agg(count(lit(1)).as("n"), sum(col("bx")).as("s"),
+        sum(expr("CAST(bx AS DECIMAL(38,0)) * bx")).as("ss"),
+        max(col("bx")).as("observed_max_cents"))
+      .select(col("n"), col("observed_max_cents"),
+        when(col("n") < 2, lit(null)).otherwise(
+          expr("""CAST(s AS DOUBLE) / n""")).as("mean_cents_d"),
+        when(col("n") < 2, lit(null)).otherwise(expr(
+          """sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+            |  / (n - 1)) * sqrt(6.0) / pi()""".stripMargin)).as("beta_d"))
+      .select(col("n").as("n_blocks"), col("observed_max_cents"),
+        when(col("beta_d").isNull || col("beta_d") <= 0, lit(null))
+          .otherwise(round(col("mean_cents_d")
+            - lit(0.5772156649015329) * col("beta_d"), 2)).as("mu_cents"),
+        when(col("beta_d").isNull || col("beta_d") <= 0, lit(null))
+          .otherwise(round(col("beta_d"), 2)).as("beta_cents"),
+        when(col("beta_d").isNull || col("beta_d") <= 0, lit(null))
+          .otherwise(round(col("mean_cents_d")
+            - lit(0.5772156649015329) * col("beta_d")
+            - col("beta_d") * log(-log(lit(1.0)
+              - lit(1.0) / returnPeriod)), 2)).as("return_level_cents"))
+  }
+
+  /** DuckDB twin of [[gumbelReturn]] — identical integer moments and
+    * shared double tail (γ and the MoM constants are literals).
+    */
+  val gumbelReturnSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |blocks AS (
+       |  SELECT date_trunc('month', d) AS m, max(x) AS bx
+       |  FROM daily GROUP BY 1),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(bx) AS BIGINT) AS s,
+       |    sum(CAST(bx AS HUGEINT) * bx) AS ss,
+       |    max(bx) AS observed_max_cents
+       |  FROM blocks),
+       |t AS (
+       |  SELECT n, observed_max_cents,
+       |    CASE WHEN n < 2 THEN NULL
+       |      ELSE CAST(s AS DOUBLE) / n END AS mean_cents_d,
+       |    CASE WHEN n < 2 THEN NULL
+       |      ELSE sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+       |        / (n - 1)) * sqrt(6.0) / pi() END AS beta_d
+       |  FROM mo)
+       |SELECT n AS n_blocks, observed_max_cents,
+       |  CASE WHEN beta_d IS NULL OR beta_d <= 0 THEN NULL
+       |    ELSE round(mean_cents_d - 0.5772156649015329 * beta_d, 2)
+       |  END AS mu_cents,
+       |  CASE WHEN beta_d IS NULL OR beta_d <= 0 THEN NULL
+       |    ELSE round(beta_d, 2) END AS beta_cents,
+       |  CASE WHEN beta_d IS NULL OR beta_d <= 0 THEN NULL
+       |    ELSE round(mean_cents_d - 0.5772156649015329 * beta_d
+       |      - beta_d * ln(-ln(1.0 - 1.0 / $GumbelReturnPeriod)), 2)
+       |  END AS return_level_cents
+       |FROM t""".stripMargin
+
   /** DuckDB twin of [[priceIndex]] — same matched basket, HUGEINT
     * cross terms and shared double Fisher.
     */

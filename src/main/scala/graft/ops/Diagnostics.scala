@@ -1839,6 +1839,176 @@ object Diagnostics {
       .orderBy(col("g"))
   }
 
+  /** Grubbs' test (1950) per segment over the monthly revenue series —
+    * "is the single most extreme month a statistical outlier?":
+    * G = max|x − x̄| / s with the suspect month identified. The
+    * single-point complement of [[madOutliers]]' bulk flagging (MAD
+    * flags everything past a robust fence; Grubbs scores exactly one
+    * candidate against the NORMAL-theory spread). The p-value needs a
+    * t quantile, so the op reports the statistic and suspect, not a
+    * verdict (documented).
+    *
+    * Exactness: the argmax is the pure-integer cross-multiply
+    * |n·x − Σx| (no division — ties break on the earlier month), the
+    * moments are exact integers, and G is ONE shared double
+    * expression; NULL when variance is 0.
+    *
+    * Scale posture: one (group, month) keyed aggregate; everything
+    * after runs on the calendar-bounded frame.
+    */
+  def grubbs(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    val cell = Tables.orders(spark, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("g"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    grubbs(cell, "g", "m", "x")
+  }
+
+  /** DataFrame-first form over a bounded (group, period, integral
+    * value) series frame.
+    */
+  def grubbs(df: DataFrame, groupCol: String, periodCol: String,
+             vCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val cell = df.select(col(groupCol).as("g"), col(periodCol).as("m"),
+      col(vCol).cast("long").as("x"))
+    val mo = cell.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ss"))
+    val dev = cell.join(broadcast(mo), Seq("g"))
+      .withColumn("dv", abs(col("n") * col("x") - col("s")))
+    val mx = dev.groupBy(col("g")).agg(max(col("dv")).as("mdev"))
+    dev.join(broadcast(mx), Seq("g"))
+      .filter(col("dv") === col("mdev"))
+      .groupBy(col("g"), col("n"), col("s"), col("ss"), col("mdev"))
+      .agg(min(col("m")).as("suspect_month"),
+        expr("min_by(x, m)").as("suspect_cents"))
+      .select(col("g"), col("n").as("n_periods"), col("suspect_month"),
+        col("suspect_cents"),
+        when(col("n") < 2
+            || col("ss").cast("double") - d(col("s")) * col("s") / col("n")
+               <= 0d, lit(null))
+          .otherwise(round(
+            (d(col("mdev")) / col("n"))
+              / sqrt((col("ss").cast("double")
+                - d(col("s")) * col("s") / col("n")) / (col("n") - 1)),
+            4)).as("g_stat"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[grubbs]] — same integer argmax and shared
+    * double G.
+    */
+  val grubbsSql: String =
+    """WITH cell AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+      |      AS s,
+      |    sum(CAST(x AS HUGEINT) * x) AS ss
+      |  FROM cell GROUP BY g),
+      |dev AS (
+      |  SELECT cell.g, m, x, n, s, ss, abs(n * x - s) AS dv
+      |  FROM cell JOIN mo ON cell.g = mo.g),
+      |mx AS (SELECT g, max(dv) AS mdev FROM dev GROUP BY g),
+      |pick AS (
+      |  SELECT dev.g, n, s, ss, mdev, min(m) AS suspect_month,
+      |    min_by(x, m) AS suspect_cents
+      |  FROM dev JOIN mx ON dev.g = mx.g AND dev.dv = mx.mdev
+      |  GROUP BY dev.g, n, s, ss, mdev)
+      |SELECT g, n AS n_periods, suspect_month, suspect_cents,
+      |  CASE WHEN n < 2
+      |      OR CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n <= 0
+      |    THEN NULL
+      |    ELSE round((CAST(mdev AS DOUBLE) / n)
+      |      / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+      |        / (n - 1)), 4) END AS g_stat
+      |FROM pick ORDER BY g""".stripMargin
+
+  /** Poisson dispersion (variance-to-mean) test per event type over
+    * the ZERO-FILLED daily calendar — "are arrivals Poisson, or do
+    * they cluster?": the index-of-dispersion D = s²/c̄ reads 1 under a
+    * Poisson process, &gt; 1 for bursty arrivals (the distributional
+    * sibling of the [[burstiness]] coefficient's ±1 scale), and the
+    * classical χ² = Σ(c − c̄)²/c̄ = (n·Σc² − (Σc)²)/Σc is EXACT
+    * integer arithmetic end to end — both statistics are one
+    * truncating DIV each, no double anywhere. Zero-filling matters:
+    * skipping silent days would bias both toward uniformity
+    * (documented; the grid is calendar-bounded). NULL when a type
+    * never fires (Σc = 0) or the span is a single day.
+    *
+    * Scale posture: one (type, day) keyed census, a bounded
+    * days×types grid fill, one |types|-row fold.
+    */
+  def poissonDispersion(spark: SparkSession, dir: String): DataFrame =
+    poissonDispersion(Tables.events(spark, dir), "event_type", "ts")
+
+  /** DataFrame-first form over any (category, timestamp) arrival
+    * frame.
+    */
+  def poissonDispersion(df: DataFrame, typeCol: String,
+                        tsCol: String): DataFrame = {
+    val cen = df.select(col(typeCol).as("t"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("t"), col("d")).agg(count(lit(1)).as("c"))
+    val span = cen.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = cen.select(col("t")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("t"), explode(expr("sequence(lo, hi)")).as("d"))
+      .join(cen, Seq("t", "d"), "left").na.fill(0L, Seq("c"))
+    grid.groupBy(col("t").as("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        when(col("total") <= 0 || col("n_days") < 2, lit(null)).otherwise(
+          expr("CAST((n_days * ss - CAST(total AS DECIMAL(38,0)) * total)" +
+            " * 1000 DIV ((n_days - 1) * CAST(total AS DECIMAL(38,0)))" +
+            " AS BIGINT)")).as("dispersion_milli"),
+        when(col("total") <= 0, lit(null)).otherwise(
+          expr("CAST((n_days * ss - CAST(total AS DECIMAL(38,0)) * total)" +
+            " * 1000 DIV CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("chi2_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[poissonDispersion]] — same zero-filled grid and
+    * exact HUGEINT ratios.
+    */
+  val poissonDispersionSql: String =
+    """WITH cen AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM cen),
+      |grid AS (
+      |  SELECT tt.t, gd.d, coalesce(cen.c, 0) AS c
+      |  FROM (SELECT DISTINCT t FROM cen) tt
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY))::DATE AS d FROM span) gd
+      |  LEFT JOIN cen ON cen.t = tt.t AND cen.d = gd.d),
+      |m AS (
+      |  SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(c) AS BIGINT) AS total,
+      |    sum(CAST(c AS HUGEINT) * c) AS ss
+      |  FROM grid GROUP BY t)
+      |SELECT event_type, n_days, total,
+      |  CASE WHEN total <= 0 OR n_days < 2 THEN NULL ELSE
+      |    CAST((n_days * ss - CAST(total AS HUGEINT) * total) * 1000
+      |      // ((n_days - 1) * CAST(total AS HUGEINT)) AS BIGINT)
+      |  END AS dispersion_milli,
+      |  CASE WHEN total <= 0 THEN NULL ELSE
+      |    CAST((n_days * ss - CAST(total AS HUGEINT) * total) * 1000
+      |      // CAST(total AS HUGEINT) AS BIGINT)
+      |  END AS chi2_milli
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** DuckDB twin of [[mkTrend]] — same exact pair/tie censuses and
     * shared double z.
     */

@@ -485,34 +485,57 @@ object Ranks {
     * frame; rows with non-positive weight are excluded (a zero-weight
     * observation cannot move a weighted order statistic).
     *
-    * ONE two-level scan carries BOTH running sums (weight and count)
-    * — a high-cardinality value column (near-unique prices) makes the
-    * census corpus-sized, so scanning it twice through
-    * [[weightedPrefix]] would double the dominant cost; both medians
-    * then fall out of a single conditional-min aggregation.
+    * A median is ONE order statistic, so the full two-level scan is
+    * overkill: the coarse (bucket-level) prefix alone locates the ≤ 2
+    * buckets the half-mass boundaries land in, and only THOSE buckets
+    * get a fine scan — on a near-unique value column (prices) this
+    * prunes ~99.9% of the fine-window work and drops the
+    * census⋈coarse corpus join entirely. Both running sums (weight
+    * and count) still ride one shared coarse pass; both medians fall
+    * out of a single conditional-min over the pruned rows.
     */
   def weightedMedian(df: DataFrame, groupCol: String, vCol: String,
                      wCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    val census = df
+    val rows = df
       .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"),
         col(wCol).cast("long").as("w"))
       .filter(col("w") > 0)
-      .groupBy(col("g"), col("v"))
-      .agg(sum(col("w")).as("wt"), count(lit(1)).as("cnt"))
-    val b = census.withColumn("bk",
-      expr(s"CAST((v - pmod(v, $bucketWidth)) / $bucketWidth AS BIGINT)"))
-    val coarse = b.groupBy(col("g"), col("bk"))
-      .agg(sum(col("wt")).as("bw"), sum(col("cnt")).as("bc"))
-      .select(col("g"), col("bk"),
-        (sum(col("bw")).over(Window.partitionBy(col("g")).orderBy(col("bk")))
-          - col("bw")).as("cw"),
-        (sum(col("bc")).over(Window.partitionBy(col("g")).orderBy(col("bk")))
-          - col("bc")).as("cc"))
+      .withColumn("bk",
+        expr(s"CAST((v - pmod(v, $bucketWidth)) / $bucketWidth AS BIGINT)"))
+    // coarse pass straight off the ROWS — never the (g, v) census: on
+    // a near-unique value column the census is corpus-sized and barely
+    // map-side-combines, while the (g, bucket) aggregate collapses to
+    // a bounded frame in one combine-friendly pass
+    val coarseAgg = rows.groupBy(col("g"), col("bk"))
+      .agg(sum(col("w")).as("bw"), count(lit(1)).as("bc"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("bk"))
+    val pre = coarseAgg.select(col("g"), col("bk"), col("bw"), col("bc"),
+      (sum(col("bw")).over(wg) - col("bw")).as("cw"),
+      (sum(col("bc")).over(wg) - col("bc")).as("cc"))
+    val tot = coarseAgg.groupBy(col("g"))
+      .agg(sum(col("bw")).as("tw"), sum(col("bc")).as("n"))
+    // MEDIAN-BUCKET PRUNING: both medians are single order statistics,
+    // so only the (at most two) buckets the half-mass boundaries land
+    // in need a fine scan — the coarse prefix alone locates them. The
+    // corpus-sized fine window + census⋈coarse join of the naive
+    // two-level scan shrink to ≤ 2·bucketWidth values per group.
+    // (doubledRanks itself can't prune: its callers need EVERY value's
+    // rank. A single quantile doesn't.)
+    val pt = pre.join(broadcast(tot), Seq("g"))
+    val targets = pt
+      .filter(lit(2L) * (col("cw") + col("bw")) >= col("tw"))
+      .groupBy(col("g")).agg(min(col("bk")).as("bk"))
+      .unionByName(pt
+        .filter(lit(2L) * (col("cc") + col("bc")) >= col("n"))
+        .groupBy(col("g")).agg(min(col("bk")).as("bk")))
+      .distinct()
     val fine = Window.partitionBy(col("g"), col("bk")).orderBy(col("v"))
-    val tot = census.groupBy(col("g"))
-      .agg(sum(col("wt")).as("tw"), sum(col("cnt")).as("n"))
-    b.join(coarse, Seq("g", "bk"))
+    rows.join(broadcast(targets), Seq("g", "bk"), "left_semi")
+      .groupBy(col("g"), col("bk"), col("v"))
+      .agg(sum(col("w")).as("wt"), count(lit(1)).as("cnt"))
+      .join(broadcast(pre.select(col("g"), col("bk"), col("cw"),
+        col("cc"))), Seq("g", "bk"))
       .select(col("g"), col("v"), col("wt"), col("cnt"),
         (col("cw") + sum(col("wt")).over(fine) - col("wt")).as("ltw"),
         (col("cc") + sum(col("cnt")).over(fine) - col("cnt")).as("ltc"))
@@ -1015,4 +1038,127 @@ object Ranks {
       |    round((2.0 * w2_pos - CAST(n_pairs AS DOUBLE) * (n_pairs + 1.0))
       |      / (2.0 * sqrt(CAST(var12 AS DOUBLE) / 12.0)), 4) END AS z
       |FROM v12 CROSS JOIN zeros""".stripMargin
+
+  /** Friedman test (1937) — the repeated-measures rank ANOVA:
+    * "across matched blocks, do the k treatments rank the same?",
+    * here "does segment revenue keep one ordering month after
+    * month?". The within-block complement of [[kruskalWallis]]
+    * (which pools ranks globally and needs independent groups; a
+    * strong month effect would drown it — Friedman ranks WITHIN each
+    * month, removing the block effect entirely).
+    *
+    * Exactness: within-block tie-averaged ranks come out DOUBLED
+    * (dr = 2·lt + cnt + 1) off the per-block value census, so every
+    * rank sum R2_j = 2·R_j is an exact integer, and the fully
+    * tie-corrected statistic is the exact-integer ratio
+    * χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ_ij dr² − n·k·(k+1)²)
+    * — ONE shared double division, NULL when the denominator is 0
+    * (every block fully tied: no ordering information). The zero-fill
+    * matters (a segment absent from a month ranks LOWEST that month,
+    * not missing) and is documented.
+    *
+    * Scale posture: one (block, treatment) keyed aggregate off the
+    * corpus; the grid fill, per-block rank windows (k rows each) and
+    * folds all run on the blocks×treatments-bounded frame.
+    */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("t"))
+    val cell = Tables.orders(spark, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("b"),
+        col("t"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val grid = cell.select(col("b")).distinct()
+      .crossJoin(broadcast(cell.select(col("t")).distinct()))
+      .join(cell, Seq("b", "t"), "left").na.fill(0L, Seq("x"))
+    friedman(grid, "b", "t", "x")
+  }
+
+  /** DataFrame-first form over a COMPLETE (block, treatment, value)
+    * grid — every block must carry every treatment (the shipped query
+    * zero-fills; Friedman is undefined on ragged blocks).
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               vCol: String): DataFrame = {
+    val rows0 = df.select(col(blockCol).as("b"), col(treatCol).as("t"),
+      col(vCol).cast("long").as("v"))
+    val cen = rows0.groupBy(col("b"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+    val dr = cen
+      .withColumn("lt", sum(col("cnt")).over(wb) - col("cnt"))
+      .withColumn("dr", lit(2L) * col("lt") + col("cnt") + 1L)
+      .select(col("b"), col("v"), col("dr"))
+    val ranked = rows0.join(dr, Seq("b", "v"))
+    val nk = rows0.agg(countDistinct(col("b")).as("n"),
+      countDistinct(col("t")).as("k"))
+    val a2 = ranked.agg(sum(col("dr") * col("dr")).as("sdr2"))
+    val per = ranked.groupBy(col("t")).agg(sum(col("dr")).as("r2"))
+      .crossJoin(broadcast(nk)).crossJoin(broadcast(a2))
+      .withColumn("dev2", col("r2") - col("n") * (col("k") + 1))
+    val num = per.groupBy(col("n"), col("k"), col("sdr2"))
+      .agg(sum(col("dev2") * col("dev2")).as("sd2"))
+      .withColumn("den",
+        col("sdr2") - col("n") * col("k") * (col("k") + 1)
+          * (col("k") + 1))
+    per.crossJoin(broadcast(num.select(col("sd2"), col("den"))))
+      .select(col("t").as("treatment"), col("r2").as("rank2_sum"),
+        col("n").as("n_blocks"), (col("k") - 1).as("df"),
+        when(col("den") <= 0, lit(null)).otherwise(round(
+          ((col("k") - 1) * col("sd2")).cast("double")
+            / col("den").cast("double"), 4)).as("chi2"))
+      .orderBy(col("treatment"))
+  }
+
+  /** DuckDB twin of [[friedman]] — same zero-filled grid, doubled
+    * within-block ranks and exact-integer tie-corrected ratio.
+    */
+  val friedmanSql: String =
+    """WITH cell AS (
+      |  SELECT date_trunc('month', o_orderdate) AS b, c_mktsegment AS t,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT bb.b, tt.t, coalesce(cell.x, 0) AS v
+      |  FROM (SELECT DISTINCT b FROM cell) bb
+      |  CROSS JOIN (SELECT DISTINCT t FROM cell) tt
+      |  LEFT JOIN cell ON cell.b = bb.b AND cell.t = tt.t),
+      |cen AS (
+      |  SELECT b, v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM grid GROUP BY b, v),
+      |dr AS (
+      |  SELECT b, v,
+      |    2 * (sum(cnt) OVER (PARTITION BY b ORDER BY v) - cnt)
+      |      + cnt + 1 AS dr
+      |  FROM cen),
+      |ranked AS (
+      |  SELECT grid.b, grid.t, dr.dr
+      |  FROM grid JOIN dr ON grid.b = dr.b AND grid.v = dr.v),
+      |nk AS (
+      |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT t) AS BIGINT) AS k
+      |  FROM grid),
+      |a2 AS (SELECT CAST(sum(dr * dr) AS BIGINT) AS sdr2 FROM ranked),
+      |per AS (
+      |  SELECT t, CAST(sum(dr) AS BIGINT) AS r2,
+      |    CAST(sum(dr) - (SELECT n FROM nk) * ((SELECT k FROM nk) + 1)
+      |      AS BIGINT) AS dev2
+      |  FROM ranked GROUP BY t),
+      |tot AS (
+      |  SELECT CAST(sum(CAST(dev2 AS HUGEINT) * dev2) AS BIGINT) AS sd2,
+      |    (SELECT sdr2 FROM a2)
+      |      - (SELECT n FROM nk) * (SELECT k FROM nk)
+      |      * ((SELECT k FROM nk) + 1) * ((SELECT k FROM nk) + 1) AS den
+      |  FROM per)
+      |SELECT t AS treatment, r2 AS rank2_sum,
+      |  (SELECT n FROM nk) AS n_blocks,
+      |  (SELECT k FROM nk) - 1 AS df,
+      |  CASE WHEN den <= 0 THEN NULL ELSE
+      |    round(CAST(((SELECT k FROM nk) - 1) * CAST(sd2 AS HUGEINT)
+      |        AS DOUBLE)
+      |      / CAST(den AS DOUBLE), 4) END AS chi2
+      |FROM per CROSS JOIN tot
+      |ORDER BY treatment""".stripMargin
 }

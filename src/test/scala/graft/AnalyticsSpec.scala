@@ -544,4 +544,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1,
       s"Fisher $f outside [$l, $p]")
   }
+
+  test("gumbelReturn: driver-model MoM parity, degenerate NULLs") {
+    import spark.implicits._
+    // monthly maxima 300, 200, 400 cents (known by construction)
+    val rows = Seq(("2024-01-05", 1.00), ("2024-01-20", 3.00),
+      ("2024-02-10", 2.00), ("2024-03-15", 4.00)).toDF("dt", "p")
+      .select(col("dt").cast("date").as("dt"), col("p"))
+    val r = ops.Analytics.gumbelReturn(rows, "dt", "p", 12).collect().head
+    assert(r.getAs[Long]("n_blocks") == 3 &&
+      r.getAs[Long]("observed_max_cents") == 400L)
+    // identical double model: n=3 s=900 ss=290000
+    val (n, s, ss) = (3.0, 900.0, 290000.0)
+    val mean = s / n
+    val beta = math.sqrt((ss - s * s / n) / (n - 1)) * math.sqrt(6.0) / math.Pi
+    val gamma = 0.5772156649015329
+    def r2(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("beta_cents") == r2(beta))
+    assert(r.getAs[Double]("mu_cents") == r2(mean - gamma * beta))
+    assert(r.getAs[Double]("return_level_cents") ==
+      r2(mean - gamma * beta - beta * math.log(-math.log(1.0 - 1.0 / 12))))
+    // the 1-in-12 level extrapolates past the location parameter
+    // (−ln(−ln(11/12)) > γ, so RL > μ whenever β > 0)
+    assert(r.getAs[Double]("return_level_cents") >
+      r.getAs[Double]("mu_cents"))
+    // single block / zero variance → NULL fit
+    val one = Seq(("2024-01-05", 1.00)).toDF("dt", "p")
+      .select(col("dt").cast("date").as("dt"), col("p"))
+    val o = ops.Analytics.gumbelReturn(one, "dt", "p", 12).collect().head
+    assert(o.isNullAt(o.fieldIndex("mu_cents")))
+    val flat = Seq(("2024-01-05", 2.00), ("2024-02-05", 2.00))
+      .toDF("dt", "p")
+      .select(col("dt").cast("date").as("dt"), col("p"))
+    val fl = ops.Analytics.gumbelReturn(flat, "dt", "p", 12).collect().head
+    assert(fl.isNullAt(fl.fieldIndex("return_level_cents")))
+    // corpus: fit defined, return level above location
+    val c2 = ops.Analytics.gumbelReturn(spark, sfDir).collect().head
+    assert(c2.getAs[Double]("return_level_cents") >
+      c2.getAs[Double]("mu_cents"))
+  }
 }

@@ -645,4 +645,66 @@ class DiagnosticsSpec extends AnyFunSuite {
       val n = r.getAs[Long]("n_months")
       math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2 })
   }
+
+  test("poissonDispersion: exact hand ratios, zero-fill, Poisson unit") {
+    import spark.implicits._
+    def ts(d: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-04-$d%02d 0$i:00:00")
+    // A: counts [2,0,4] → D = 2.0 (2000 milli), χ² = 4.0 (4000 milli)
+    // B: one event on the middle day → zero-filled [0,1,0] → D exactly
+    //    1.0 — a minimal Poisson-consistent series
+    val ev = Seq(("A", ts(1, 1)), ("A", ts(1, 2)), ("A", ts(3, 1)),
+      ("A", ts(3, 2)), ("A", ts(3, 3)), ("A", ts(3, 4)),
+      ("B", ts(2, 1))).toDF("t", "ts")
+    val r = ops.Diagnostics.poissonDispersion(ev, "t", "ts").collect()
+    val a = r.find(_.getString(0) == "A").get
+    assert(a.getAs[Long]("n_days") == 3 && a.getAs[Long]("total") == 6)
+    assert(a.getAs[Long]("dispersion_milli") == 2000L)
+    assert(a.getAs[Long]("chi2_milli") == 4000L)
+    val b = r.find(_.getString(0) == "B").get
+    assert(b.getAs[Long]("n_days") == 3, "grid must zero-fill B's span")
+    assert(b.getAs[Long]("dispersion_milli") == 1000L)
+    // constant arrivals: D = χ² = exactly 0
+    val const = Seq(("C", ts(1, 1)), ("C", ts(2, 1)), ("C", ts(3, 1)))
+      .toDF("t", "ts")
+    val c0 = ops.Diagnostics.poissonDispersion(const, "t", "ts")
+      .collect().head
+    assert(c0.getAs[Long]("dispersion_milli") == 0L &&
+      c0.getAs[Long]("chi2_milli") == 0L)
+    // corpus: 5 types share one grid, D defined and positive
+    val c = ops.Diagnostics.poissonDispersion(spark, sfDir).collect()
+    assert(c.length == 5)
+    assert(c.map(_.getAs[Long]("n_days")).distinct.length == 1,
+      "all types must share the global calendar grid")
+    assert(c.forall(_.getAs[Long]("dispersion_milli") >= 0L))
+  }
+
+  test("grubbs: hand G, integer-argmax tie rule, degenerate NULL") {
+    import spark.implicits._
+    // [1,2,9]: x̄=4, s=√19, G = 5/4.358899 = 1.1471, suspect = the 9
+    val df = Seq(("a", 1, 1L), ("a", 2, 2L), ("a", 3, 9L))
+      .toDF("g", "m", "x")
+    val r = ops.Diagnostics.grubbs(df, "g", "m", "x").collect().head
+    assert(r.getAs[Long]("n_periods") == 3)
+    assert(r.getAs[Int]("suspect_month") == 3 &&
+      r.getAs[Long]("suspect_cents") == 9L)
+    assert(r.getAs[Double]("g_stat") == 1.1471)
+    // symmetric pair: both deviations tie → earlier period wins and
+    // carries ITS OWN value (min_by, not min-of-values)
+    val sym = Seq(("a", 1, 10L), ("a", 2, 0L)).toDF("g", "m", "x")
+    val s = ops.Diagnostics.grubbs(sym, "g", "m", "x").collect().head
+    assert(s.getAs[Int]("suspect_month") == 1 &&
+      s.getAs[Long]("suspect_cents") == 10L)
+    assert(s.getAs[Double]("g_stat") == 0.7071)
+    // constant series → zero variance → NULL statistic
+    val flat = Seq(("a", 1, 5L), ("a", 2, 5L)).toDF("g", "m", "x")
+    val f = ops.Diagnostics.grubbs(flat, "g", "m", "x").collect().head
+    assert(f.isNullAt(f.fieldIndex("g_stat")))
+    // corpus: 5 segments, G bounded by (n−1)/√n (Grubbs' identity)
+    val c = ops.Diagnostics.grubbs(spark, sfDir).collect()
+    assert(c.length == 5)
+    assert(c.forall { r =>
+      val n = r.getAs[Long]("n_periods").toDouble
+      r.getAs[Double]("g_stat") <= (n - 1) / math.sqrt(n) + 1e-9 })
+  }
 }

@@ -332,4 +332,32 @@ class RanksSpec extends AnyFunSuite {
     assert(corpus.forall(r => r.getAs[Long]("tail_share_bp") > 0 &&
       r.getAs[Long]("tail_share_bp") < 10000))
   }
+
+  test("friedman: hand chi2 with and without within-block ties, degenerate") {
+    import spark.implicits._
+    // two blocks, consistent A<B<C ordering → χ² = 4.0 exactly
+    val consistent = Seq((1, "A", 1L), (1, "B", 2L), (1, "C", 3L),
+      (2, "A", 10L), (2, "B", 20L), (2, "C", 30L)).toDF("b", "t", "v")
+    val r = ops.Ranks.friedman(consistent, "b", "t", "v").collect()
+    assert(r.map(x => (x.getString(0), x.getAs[Long]("rank2_sum"))).toSeq ==
+      Seq(("A", 4L), ("B", 8L), ("C", 12L)))
+    assert(r.forall(_.getAs[Double]("chi2") == 4.0))
+    assert(r.forall(_.getAs[Long]("df") == 2L))
+    // second block fully tied → its doubled ranks are all k+1 → χ² = 2.0
+    val tied = Seq((1, "A", 1L), (1, "B", 2L), (1, "C", 3L),
+      (2, "A", 5L), (2, "B", 5L), (2, "C", 5L)).toDF("b", "t", "v")
+    assert(ops.Ranks.friedman(tied, "b", "t", "v").collect()
+      .head.getAs[Double]("chi2") == 2.0)
+    // every block fully tied → no ordering information → NULL
+    val flat = Seq((1, "A", 5L), (1, "B", 5L), (2, "A", 7L), (2, "B", 7L))
+      .toDF("b", "t", "v")
+    val f = ops.Ranks.friedman(flat, "b", "t", "v").collect().head
+    assert(f.isNullAt(f.fieldIndex("chi2")))
+    // corpus: one row per segment, χ² ≥ 0, doubled rank mass closes —
+    // Σ_j R2_j = n·k·(k+1)
+    val c = ops.Ranks.friedman(spark, sfDir).collect()
+    assert(c.length == 5)
+    val n = c.head.getAs[Long]("n_blocks")
+    assert(c.map(_.getAs[Long]("rank2_sum")).sum == n * 5 * 6)
+  }
 }
