@@ -2051,6 +2051,123 @@ object Evaluation {
        |  END AS lift_bp
        |FROM cu ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------- A/B power / MDE
+
+  /** z_{α/2} + z_β for two-sided α = 0.05 at 80% power — ONE literal
+    * (1.959964 + 0.841621), not a runtime sum: both engines parse the
+    * same decimal string to the same IEEE double, where a computed
+    * sum could differ in the last ulp from a parsed constant.
+    */
+  private val AbZSum = 2.801585
+
+  /** A/B minimum detectable effect at the CURRENT sample sizes — the
+    * experiment-sizing readout that belongs beside [[cuped]] (which
+    * shrinks the variance) and [[stratifiedAte]] (which debiases the
+    * estimate): with the observed arm sizes and pooled variance, the
+    * smallest true difference the standard two-sample z test would
+    * detect at α = 0.05 (two-sided) with 80% power is
+    * MDE = (z_{α/2} + z_β)·√(s²_pooled·(1/n_a + 1/n_b)). A reported
+    * difference below its own MDE is noise until more data arrives —
+    * `powered` says which side of that line each segment sits on.
+    * Here: URGENT-priority orders vs the rest, per market segment.
+    *
+    * Exactness: per-arm counts/sums/sum-of-squares fold as exact
+    * integers (DECIMAL(38,0) squares); arm means and their difference
+    * are milli-quantized by truncating DIVs; the MDE and the powered
+    * verdict are ONE shared double expression each (the z quantiles
+    * are literals). NULL when an arm has &lt; 2 rows or the pooled
+    * variance is 0.
+    *
+    * Scale posture: one segment-keyed aggregate; a |segments|-bounded
+    * tail.
+    */
+  def abPower(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    abPower(Tables.orders(spark, dir)
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(col("g"),
+          (col("o_orderpriority") === "1-URGENT").as("treat"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+      "g", "treat", "y")
+  }
+
+  /** DataFrame-first form over any (group, treated: bool, integral
+    * outcome) frame.
+    */
+  def abPower(df: DataFrame, grpCol: String, treatCol: String,
+              yCol: String): DataFrame = {
+    val t = col(treatCol)
+    val y = col(yCol).cast("long")
+    val yd = y.cast(Dec)
+    val m = df.groupBy(col(grpCol).as("g"))
+      .agg(coalesce(sum(when(t, 1L)), lit(0L)).as("na"),
+        coalesce(sum(when(t, y)), lit(0L)).as("sa"),
+        coalesce(sum(when(t, yd * yd)), lit(0L).cast(Dec)).as("ssa"),
+        coalesce(sum(when(!t, 1L)), lit(0L)).as("nb"),
+        coalesce(sum(when(!t, y)), lit(0L)).as("sb"),
+        coalesce(sum(when(!t, yd * yd)), lit(0L).cast(Dec)).as("ssb"))
+      .withColumn("diff_milli",
+        expr("sa * 1000 DIV na - sb * 1000 DIV nb"))
+      .withColumn("s2p", expr(
+        """((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+          | + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
+          | / (na + nb - 2)""".stripMargin))
+    m.select(col("g"), col("na").as("n_treat"), col("nb").as("n_ctrl"),
+      col("diff_milli"),
+      when(col("na") < 2 || col("nb") < 2 || col("s2p") <= 0, lit(null))
+        .otherwise(round(lit(AbZSum)
+          * sqrt(col("s2p") * (lit(1.0) / col("na")
+            + lit(1.0) / col("nb"))), 2)).as("mde_cents"),
+      when(col("na") < 2 || col("nb") < 2 || col("s2p") <= 0, lit(null))
+        .otherwise(abs(col("diff_milli").cast("double")) / 1000.0
+          >= lit(AbZSum)
+          * sqrt(col("s2p") * (lit(1.0) / col("na")
+            + lit(1.0) / col("nb")))).as("powered"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[abPower]] — same exact moments and shared
+    * double MDE (z quantiles are the same literals).
+    */
+  val abPowerSql: String =
+    s"""WITH m AS (
+       |  SELECT c_mktsegment AS g,
+       |    CAST(coalesce(count(*) FILTER (WHERE o_orderpriority =
+       |      '1-URGENT'), 0) AS BIGINT) AS na,
+       |    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+       |      AS sa,
+       |    coalesce(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS HUGEINT) * CAST(round(o_totalprice * 100) AS BIGINT))
+       |      FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS ssa,
+       |    CAST(coalesce(count(*) FILTER (WHERE o_orderpriority <>
+       |      '1-URGENT'), 0) AS BIGINT) AS nb,
+       |    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      FILTER (WHERE o_orderpriority <> '1-URGENT'), 0) AS BIGINT)
+       |      AS sb,
+       |    coalesce(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS HUGEINT) * CAST(round(o_totalprice * 100) AS BIGINT))
+       |      FILTER (WHERE o_orderpriority <> '1-URGENT'), 0) AS ssb
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_mktsegment),
+       |t AS (
+       |  SELECT g, na, nb,
+       |    CAST(sa * 1000 // na - sb * 1000 // nb AS BIGINT) AS diff_milli,
+       |    ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+       |      + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
+       |      / (na + nb - 2) AS s2p
+       |  FROM m)
+       |SELECT g, na AS n_treat, nb AS n_ctrl, diff_milli,
+       |  CASE WHEN na < 2 OR nb < 2 OR s2p <= 0 THEN NULL
+       |    ELSE round($AbZSum
+       |      * sqrt(s2p * (1.0 / na + 1.0 / nb)), 2) END AS mde_cents,
+       |  CASE WHEN na < 2 OR nb < 2 OR s2p <= 0 THEN NULL
+       |    ELSE abs(CAST(diff_milli AS DOUBLE)) / 1000.0
+       |      >= $AbZSum * sqrt(s2p * (1.0 / na + 1.0 / nb))
+       |  END AS powered
+       |FROM t ORDER BY g""".stripMargin
+
   // ------------------------------------------- Cochran–Mantel–Haenszel
 
   /** Cochran–Mantel–Haenszel test (1959) — "is exposure associated

@@ -1039,6 +1039,184 @@ object Ranks {
       |      / (2.0 * sqrt(CAST(var12 AS DOUBLE) / 12.0)), 4) END AS z
       |FROM v12 CROSS JOIN zeros""".stripMargin
 
+  /** Theil T inequality index per nation over customer lifetime spend
+    * — the DECOMPOSABLE inequality measure beside [[gini]]'s
+    * rank-based one (Theil is additively separable across subgroups,
+    * which Gini is not — the reason national statistics offices carry
+    * both): T = (1/n)·Σ (x/μ)·ln(x/μ), 0 = perfect equality,
+    * ln n = one customer holds everything.
+    *
+    * Exactness: per distinct value, the transcendental term
+    * cnt·(v·n/S)·ln(v·n/S) is micro-rounded to an integer BEFORE the
+    * cross-value sum (the [[Evaluation.psi]] discipline — v, n, S are
+    * exact integers, so both engines feed identical doubles), and the
+    * final (1/n) is one truncating DIV. Zero-spend customers
+    * contribute the exact limit 0 (guarded, not NaN).
+    *
+    * Scale posture: one customer-keyed aggregate + one dim join; the
+    * term fold runs on the (nation, value) census.
+    */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val byNation = spend
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("g"), col("v"))
+    theilIndex(byNation, "g", "v")
+  }
+
+  /** DataFrame-first form over a (group, non-negative integral value)
+    * frame.
+    */
+  def theilIndex(df: DataFrame, groupCol: String, vCol: String): DataFrame = {
+    val census = df
+      .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val tot = census.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)) * col("v")).as("s"))
+    census.join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("n"),
+        when(col("v") <= 0 || col("s") <= 0, lit(0L)).otherwise(expr(
+          """CAST(round(cnt * (CAST(v AS DOUBLE) * n / CAST(s AS DOUBLE))
+            |  * ln(CAST(v AS DOUBLE) * n / CAST(s AS DOUBLE)) * 1e6)
+            |  AS BIGINT)""".stripMargin)).as("t_micro"))
+      .groupBy(col("g"), col("n"))
+      .agg(sum(col("t_micro")).as("tm"))
+      .select(col("g"), col("n"),
+        expr("CAST(tm DIV n AS BIGINT)").as("theil_micro"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[theilIndex]] — same census terms, micro
+    * rounding and truncating DIV.
+    */
+  val theilIndexSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS v
+      |  FROM orders GROUP BY o_custkey),
+      |q AS (
+      |  SELECT n_name AS g, v
+      |  FROM spend
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM q GROUP BY g, v),
+      |t AS (
+      |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+      |    sum(CAST(cnt AS HUGEINT) * v) AS s
+      |  FROM c GROUP BY g),
+      |m AS (
+      |  SELECT c.g, n,
+      |    CASE WHEN v <= 0 OR s <= 0 THEN 0 ELSE
+      |      CAST(round(cnt * (CAST(v AS DOUBLE) * n / CAST(s AS DOUBLE))
+      |        * ln(CAST(v AS DOUBLE) * n / CAST(s AS DOUBLE)) * 1e6)
+      |        AS BIGINT) END AS t_micro
+      |  FROM c JOIN t ON c.g = t.g)
+      |SELECT g, n, CAST(sum(t_micro) // n AS BIGINT) AS theil_micro
+      |FROM m GROUP BY g, n
+      |ORDER BY g""".stripMargin
+
+  /** Q–Q decile comparison between two groups' order-price
+    * distributions — the distribution-SHAPE readout behind
+    * [[Mixing.mannWhitney]]'s single shift number: nine exact decile
+    * pairs (d/10-th order statistics, d = 1..9) plus their ratio in
+    * basis points, read like a Q–Q plot ("low deciles match, the top
+    * ones diverge" = a tail effect, not a shift). Here: AUTOMOBILE
+    * customers' orders against everyone else's.
+    *
+    * Exactness: each decile is a SINGLE order statistic at the
+    * integer-ceiling rank (d·n + 9) DIV 10 selected from the
+    * [[doubledRanks]] census scan (the [[tailRisk]] rule — tie groups
+    * land whole, no `ntile`, no interpolation); the ratio is one
+    * truncating DIV. The lexicographically smaller group is side A.
+    *
+    * Scale posture: one (group, value) census, one two-level scan,
+    * a 9-row-per-group fold. No per-row sort or window.
+    */
+  def qqDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir).select(col("c_custkey"),
+      when(col("c_mktsegment") === "AUTOMOBILE", lit("AUTOMOBILE"))
+        .otherwise(lit("OTHER")).as("g"))
+    val q = Tables.orders(spark, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    qqDeciles(q, "g", "v", PriceBucketWidth)
+  }
+
+  /** DataFrame-first form over a (group, integral value) frame with
+    * EXACTLY two groups (the Q–Q construction is pairwise).
+    */
+  def qqDeciles(df: DataFrame, groupCol: String, vCol: String,
+                bucketWidth: Long): DataFrame = {
+    val census = df
+      .select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val n = census.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val ranked = doubledRanks(census, bucketWidth)
+      .join(broadcast(n), Seq("g"))
+    val vals = ranked
+      .crossJoin(broadcast(
+        df.sparkSession.range(1, 10).select(col("id").as("d"))))
+      .filter(col("lt") + col("cnt") >= expr("(d * n + 9) DIV 10"))
+      .groupBy(col("g"), col("d")).agg(min(col("v")).as("qv"))
+    val ga = census.agg(min(col("g")).as("ga"))
+    val a = vals.crossJoin(broadcast(ga)).filter(col("g") === col("ga"))
+      .select(col("d").as("decile"), col("g").as("g_a"),
+        col("qv").as("q_a_cents"))
+    val b = vals.crossJoin(broadcast(ga)).filter(col("g") =!= col("ga"))
+      .select(col("d").as("decile"), col("g").as("g_b"),
+        col("qv").as("q_b_cents"))
+    a.join(b, Seq("decile"))
+      .select(col("decile"), col("g_a"), col("q_a_cents"),
+        col("g_b"), col("q_b_cents"),
+        when(col("q_b_cents") <= 0, lit(null))
+          .otherwise(expr("CAST(q_a_cents * 10000 DIV q_b_cents" +
+            " AS BIGINT)")).as("ratio_bp"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin of [[qqDeciles]] — same ceiling-rank order
+    * statistics off plain rank windows.
+    */
+  val qqDecilesSql: String =
+    """WITH q AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTOMOBILE'
+      |    ELSE 'OTHER' END AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM q GROUP BY g, v),
+      |r AS (
+      |  SELECT g, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS lt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM c),
+      |dd AS (SELECT unnest(generate_series(1, 9)) AS d),
+      |vals AS (
+      |  SELECT g, d, min(v) AS qv
+      |  FROM r CROSS JOIN dd
+      |  WHERE lt + cnt >= (d * n + 9) // 10
+      |  GROUP BY g, d),
+      |ga AS (SELECT min(g) AS ga FROM c)
+      |SELECT CAST(a.d AS BIGINT) AS decile, a.g AS g_a,
+      |  a.qv AS q_a_cents, b.g AS g_b, b.qv AS q_b_cents,
+      |  CASE WHEN b.qv <= 0 THEN NULL
+      |    ELSE CAST(a.qv * 10000 // b.qv AS BIGINT) END AS ratio_bp
+      |FROM vals a JOIN vals b ON a.d = b.d AND a.g <> b.g
+      |CROSS JOIN ga
+      |WHERE a.g = ga.ga
+      |ORDER BY decile""".stripMargin
+
   /** Friedman test (1937) — the repeated-measures rank ANOVA:
     * "across matched blocks, do the k treatments rank the same?",
     * here "does segment revenue keep one ordering month after

@@ -716,4 +716,36 @@ class EvaluationSpec extends AnyFunSuite {
     assert(c.last.getAs[Long]("lift_bp") == 10000L)
     assert(c.forall(_.getAs[Long]("cum_cust") > 0L))
   }
+
+  test("abPower: driver-model MDE, underpowered verdict, degenerate NULL") {
+    import spark.implicits._
+    // treat [10,20,30] vs control [10,10,10]: s²p = 50,
+    // MDE = 2.801585·√(50·(1/3+1/3)); diff = 10 < MDE → not powered
+    val df = Seq(("g", true, 10L), ("g", true, 20L), ("g", true, 30L),
+      ("g", false, 10L), ("g", false, 10L), ("g", false, 10L))
+      .toDF("g", "t", "y")
+    val r = ops.Evaluation.abPower(df, "g", "t", "y").collect().head
+    assert(r.getAs[Long]("n_treat") == 3 && r.getAs[Long]("n_ctrl") == 3)
+    assert(r.getAs[Long]("diff_milli") == 10000L)
+    def r2(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mde = 2.801585 * math.sqrt(50.0 * (1.0 / 3 + 1.0 / 3))
+    assert(r.getAs[Double]("mde_cents") == r2(mde))
+    assert(!r.getAs[Boolean]("powered"))
+    // a big true effect IS powered at the same spread
+    val big = Seq(("g", true, 100L), ("g", true, 110L), ("g", true, 120L),
+      ("g", false, 10L), ("g", false, 10L), ("g", false, 20L))
+      .toDF("g", "t", "y")
+    assert(ops.Evaluation.abPower(big, "g", "t", "y").collect()
+      .head.getAs[Boolean]("powered"))
+    // single-row arm → NULL fit
+    val one = Seq(("g", true, 10L), ("g", false, 1L), ("g", false, 2L))
+      .toDF("g", "t", "y")
+    val o = ops.Evaluation.abPower(one, "g", "t", "y").collect().head
+    assert(o.isNullAt(o.fieldIndex("mde_cents")))
+    // corpus: every segment reports a positive MDE
+    val c = ops.Evaluation.abPower(spark, sfDir).collect()
+    assert(c.length == 5)
+    assert(c.forall(_.getAs[Double]("mde_cents") > 0.0))
+  }
 }

@@ -360,4 +360,47 @@ class RanksSpec extends AnyFunSuite {
     val n = c.head.getAs[Long]("n_blocks")
     assert(c.map(_.getAs[Long]("rank2_sum")).sum == n * 5 * 6)
   }
+
+  test("theilIndex: equality zero, max-concentration ln n, corpus range") {
+    import spark.implicits._
+    // perfect equality → exactly 0
+    val eq = Seq.fill(4)(("a", 10L)).toDF("g", "v")
+    assert(ops.Ranks.theilIndex(eq, "g", "v").collect()
+      .head.getAs[Long]("theil_micro") == 0L)
+    // one holder of everything: T = ln n (micro-rounded, one DIV)
+    // [0,0,0,4]: term = round(4·ln4·1e6) = 5545177 → DIV 4 = 1386294
+    val conc = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 4L))
+      .toDF("g", "v")
+    assert(ops.Ranks.theilIndex(conc, "g", "v").collect()
+      .head.getAs[Long]("theil_micro") == 1386294L)
+    // corpus: 0 ≤ T ≤ ln(n)·1e6 per nation
+    val c = ops.Ranks.theilIndex(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    assert(c.forall { r =>
+      val t = r.getAs[Long]("theil_micro")
+      val cap = math.round(math.log(r.getAs[Long]("n").toDouble) * 1e6)
+      t >= 0L && t <= cap })
+  }
+
+  test("qqDeciles: doubled distribution reads exactly 5000 bp everywhere") {
+    import spark.implicits._
+    // B is exactly 2× A value-for-value: every decile ratio is 1/2
+    val df = ((1L to 10L).map(("A", _)) ++ (1L to 10L).map(i => ("B", 2 * i)))
+      .toDF("g", "v")
+    val r = ops.Ranks.qqDeciles(df, "g", "v", 4L).collect()
+    assert(r.length == 9)
+    assert(r.forall(_.getAs[String]("g_a") == "A"))
+    r.zipWithIndex.foreach { case (row, i) =>
+      val d = i + 1L
+      assert(row.getAs[Long]("q_a_cents") == d)
+      assert(row.getAs[Long]("q_b_cents") == 2 * d)
+      assert(row.getAs[Long]("ratio_bp") == 5000L)
+    }
+    // corpus: 9 rows, both sides monotone non-decreasing in d
+    val c = ops.Ranks.qqDeciles(spark, sfDir).collect()
+    assert(c.length == 9)
+    val qa = c.map(_.getAs[Long]("q_a_cents"))
+    val qb = c.map(_.getAs[Long]("q_b_cents"))
+    assert(qa.toSeq == qa.sorted.toSeq && qb.toSeq == qb.sorted.toSeq)
+  }
 }
