@@ -63,6 +63,10 @@ object Bench {
       // round the seven structural queries legitimately share one edge
       // frame and one pair census; across rounds each round re-pays them
       graft.ops.Graph.clearGraphMemo()
+      // ditto the segment-labeled order fact shared by the per-segment
+      // statistics: within a round the first pays the join, across
+      // rounds each round re-pays it
+      graft.ops.SegOrders.clear()
       names.foreach { case (name, fn) =>
         if (!errs.contains(name)) {
           val t0 = System.nanoTime()

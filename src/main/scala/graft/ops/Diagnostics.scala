@@ -816,14 +816,12 @@ object Diagnostics {
     * a window PARTITIONED BY group over that bounded grid, never over
     * subjects.
     */
-  def logRank(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir).select(col("c_custkey"),
-      when(col("c_mktsegment") === "AUTOMOBILE", lit("AUTOMOBILE"))
-        .otherwise(lit("OTHER")).as("grp"))
-    logRank(Tables.orders(spark, dir)
-        .join(broadcast(seg), col("o_custkey") === col("c_custkey")),
+  def logRank(spark: SparkSession, dir: String): DataFrame =
+    logRank(SegOrders(spark, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          when(col("g") === "AUTOMOBILE", lit("AUTOMOBILE"))
+            .otherwise(lit("OTHER")).as("grp")),
       "o_custkey", "o_orderdate", "grp", ChurnCensorDays)
-  }
 
   /** DataFrame-first form over any (subject, event date, group) frame;
     * `grpCol` must be constant per subject and binary-valued — the
@@ -1790,12 +1788,9 @@ object Diagnostics {
     * months are calendar-bounded, never data-bounded).
     */
   def mkTrend(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("g"))
-    val monthly = Tables.orders(spark, dir)
-      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+    val monthly = SegOrders(spark, dir)
       .groupBy(col("g"), date_trunc("month", col("o_orderdate")).as("m"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .agg(sum(col("cents")).as("x"))
     mkTrend(monthly, "g", "m", "x")
   }
 
@@ -1857,13 +1852,10 @@ object Diagnostics {
     * after runs on the calendar-bounded frame.
     */
   def grubbs(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("g"))
-    val cell = Tables.orders(spark, dir)
-      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+    val cell = SegOrders(spark, dir)
       .groupBy(col("g"),
         date_trunc("month", col("o_orderdate")).cast("date").as("m"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      .agg(sum(col("cents")).as("x"))
     grubbs(cell, "g", "m", "x")
   }
 

@@ -1684,16 +1684,12 @@ object Evaluation {
     * shuffle — cells are the broadcast-joined segment dimension), a
     * |cells|-row frame after, one 1-row final aggregate. No windows.
     */
-  def ipsOffPolicy(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("cell"))
-    ipsOffPolicy(Tables.orders(spark, dir)
-        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
-        .select(col("cell"),
+  def ipsOffPolicy(spark: SparkSession, dir: String): DataFrame =
+    ipsOffPolicy(SegOrders(spark, dir)
+        .select(col("g").as("cell"),
           (col("o_orderpriority") === "1-URGENT").as("is_target"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+          col("cents").as("y")),
       "cell", "is_target", "y")
-  }
 
   /** DataFrame-first form over any (context cell, target-action flag,
     * integral outcome) frame.
@@ -2081,16 +2077,12 @@ object Evaluation {
     * Scale posture: one segment-keyed aggregate; a |segments|-bounded
     * tail.
     */
-  def abPower(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("g"))
-    abPower(Tables.orders(spark, dir)
-        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+  def abPower(spark: SparkSession, dir: String): DataFrame =
+    abPower(SegOrders(spark, dir)
         .select(col("g"),
           (col("o_orderpriority") === "1-URGENT").as("treat"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+          col("cents").as("y")),
       "g", "treat", "y")
-  }
 
   /** DataFrame-first form over any (group, treated: bool, integral
     * outcome) frame.
@@ -2194,16 +2186,12 @@ object Evaluation {
     * |strata|-bounded cell frame. Strata with N ≤ 1 (V undefined) are
     * excluded, documented.
     */
-  def cmh(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("stratum"))
-    cmh(Tables.orders(spark, dir)
-        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
-        .select(col("stratum"),
+  def cmh(spark: SparkSession, dir: String): DataFrame =
+    cmh(SegOrders(spark, dir)
+        .select(col("g").as("stratum"),
           (col("o_orderpriority") === "1-URGENT").as("exposed"),
           (col("o_orderstatus") === "F").as("outcome")),
       "stratum", "exposed", "outcome")
-  }
 
   /** DataFrame-first form over any (stratum, exposed: bool,
     * outcome: bool) frame.

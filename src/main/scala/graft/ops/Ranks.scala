@@ -602,13 +602,11 @@ object Ranks {
     * reports NULL.
     */
   def hillTail(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
-    val bySeg = spend
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_mktsegment").as("g"))),
-        col("o_custkey") === col("c_custkey"))
+    // g is constant per customer, so grouping by (custkey, g) on the
+    // shared segment-labeled fact equals the spend⋈dim join
+    val bySeg = SegOrders(spark, dir)
+      .groupBy(col("o_custkey"), col("g"))
+      .agg(sum(col("cents")).as("v"))
       .select(col("g"), col("v"))
     hillTail(bySeg, "g", "v", HillK, SpendBucketWidth)
   }
@@ -705,15 +703,9 @@ object Ranks {
     * two-level scan, a |groups|-bounded totals broadcast, bounded
     * final aggregates. No per-row sort or window at any scale.
     */
-  def tailRisk(spark: SparkSession, dir: String): DataFrame = {
-    val bySeg = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_mktsegment").as("g"))),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("g"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-    tailRisk(bySeg, "g", "v", PriceBucketWidth)
-  }
+  def tailRisk(spark: SparkSession, dir: String): DataFrame =
+    tailRisk(SegOrders(spark, dir).select(col("g"), col("cents").as("v")),
+      "g", "v", PriceBucketWidth)
 
   /** DataFrame-first form over a (group, integral value) frame. */
   def tailRisk(df: DataFrame, groupCol: String, vCol: String,
@@ -1142,16 +1134,11 @@ object Ranks {
     * Scale posture: one (group, value) census, one two-level scan,
     * a 9-row-per-group fold. No per-row sort or window.
     */
-  def qqDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir).select(col("c_custkey"),
-      when(col("c_mktsegment") === "AUTOMOBILE", lit("AUTOMOBILE"))
-        .otherwise(lit("OTHER")).as("g"))
-    val q = Tables.orders(spark, dir)
-      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
-      .select(col("g"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-    qqDeciles(q, "g", "v", PriceBucketWidth)
-  }
+  def qqDeciles(spark: SparkSession, dir: String): DataFrame =
+    qqDeciles(SegOrders(spark, dir)
+        .select(when(col("g") === "AUTOMOBILE", lit("AUTOMOBILE"))
+          .otherwise(lit("OTHER")).as("g"), col("cents").as("v")),
+      "g", "v", PriceBucketWidth)
 
   /** DataFrame-first form over a (group, integral value) frame with
     * EXACTLY two groups (the Q–Q construction is pairwise).
@@ -1240,13 +1227,10 @@ object Ranks {
     * folds all run on the blocks×treatments-bounded frame.
     */
   def friedman(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment").as("t"))
-    val cell = Tables.orders(spark, dir)
-      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+    val cell = SegOrders(spark, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).as("b"),
-        col("t"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        col("g").as("t"))
+      .agg(sum(col("cents")).as("x"))
     val grid = cell.select(col("b")).distinct()
       .crossJoin(broadcast(cell.select(col("t")).distinct()))
       .join(cell, Seq("b", "t"), "left").na.fill(0L, Seq("x"))

@@ -147,4 +147,25 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assert(ids.intersect(after).isEmpty,
       s"released graph-memo blocks still retained: ${ids.intersect(after)}")
   }
+
+  test("SegOrders memo is shared across per-segment statistics and clears") {
+    ops.SegOrders.clear()
+    ops.Evaluation.cmh(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+    val ids = ops.SegOrders.rddIds(spark, sfDir)
+    assert(ids.nonEmpty, "SegOrders memo recorded no checkpointed RDDs")
+    ops.Ranks.tailRisk(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+    assert(ops.SegOrders.rddIds(spark, sfDir) == ids,
+      "tailRisk did not reuse the memoized segment-labeled orders")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(persisted).nonEmpty,
+      s"no SegOrders id among persisted RDDs — memo holds nothing")
+    ops.SegOrders.clear()
+    assert(ops.SegOrders.rddIds(spark, sfDir).isEmpty,
+      "SegOrders memo entry not evicted")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(after).isEmpty,
+      s"released SegOrders blocks still retained: ${ids.intersect(after)}")
+  }
 }
