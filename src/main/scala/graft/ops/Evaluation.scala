@@ -2047,6 +2047,88 @@ object Evaluation {
        |  END AS lift_bp
        |FROM cu ORDER BY decile""".stripMargin
 
+  // ------------------------------------------------ Wilson score interval
+
+  /** z_{α/2} for the 95% [[wilsonCi]] — one parsed literal (the
+    * [[AbZSum]] rule).
+    */
+  private val WilsonZ = 1.959964
+
+  /** Wilson score interval (1927) for each segment's urgent-order
+    * share — the binomial interval that behaves at the edges where
+    * the naive Wald ±z√(p̂q̂/n) collapses (p̂ near 0/1, small n): the
+    * interval the monitoring dashboards around [[ebShrinkage]]'s
+    * point shrinkage should draw. Center (p̂ + z²/2n)/(1 + z²/n),
+    * half-width z√(p̂q̂/n + z²/4n²)/(1 + z²/n).
+    *
+    * Exactness: k and n are exact integers; share, lo and hi are ONE
+    * shared double expression tree each off (k, n, z) with z a parsed
+    * literal, rounded once to 6. Zero-row groups cannot occur (the
+    * group key comes from the rows); k = 0 and k = n are exactly the
+    * edge cases Wilson handles — spec-pinned to stay inside (0, 1).
+    *
+    * Scale posture: one segment-keyed count aggregate off the shared
+    * [[SegOrders]] fact; a |segments|-bounded tail.
+    */
+  def wilsonCi(spark: SparkSession, dir: String): DataFrame =
+    wilsonCi(SegOrders(spark, dir)
+        .select(col("g"), (col("o_orderpriority") === "1-URGENT").as("hit")),
+      "g", "hit")
+
+  /** DataFrame-first form over any (group, hit: bool) frame. */
+  def wilsonCi(df: DataFrame, grpCol: String, hitCol: String): DataFrame = {
+    val z = lit(WilsonZ)
+    val m = df.groupBy(col(grpCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col(hitCol), 1L)), lit(0L)).as("k"))
+    // ONE expression tree shared verbatim with the SQL twin — the
+    // numerator combines before the single 1+z²/n division (a
+    // center/half split divides twice and can drift an ulp)
+    val p = d(col("k")) / d(col("n"))
+    val halfRaw = z * sqrt(p * (lit(1.0) - p) / d(col("n"))
+      + z * z / (lit(4.0) * d(col("n")) * d(col("n"))))
+    def bound(sign: Double) = round(
+      (p + z * z / d(col("n")) / 2.0 + lit(sign) * halfRaw)
+        / (lit(1.0) + z * z / d(col("n"))), 6)
+    m.select(col("g"), col("n"), col("k"),
+      round(p, 6).as("share"),
+      bound(-1.0).as("wilson_lo"),
+      bound(1.0).as("wilson_hi"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[wilsonCi]] — identical double tree, same parsed
+    * z literal.
+    */
+  val wilsonCiSql: String =
+    s"""WITH m AS (
+       |  SELECT c_mktsegment AS g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(count(*) FILTER (WHERE o_orderpriority =
+       |      '1-URGENT'), 0) AS BIGINT) AS k
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_mktsegment)
+       |SELECT g, n, k,
+       |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+       |  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |      + $WilsonZ * $WilsonZ / CAST(n AS DOUBLE) / 2.0
+       |    - $WilsonZ * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       |        / CAST(n AS DOUBLE)
+       |      + $WilsonZ * $WilsonZ / (4.0 * CAST(n AS DOUBLE)
+       |        * CAST(n AS DOUBLE))))
+       |    / (1.0 + $WilsonZ * $WilsonZ / CAST(n AS DOUBLE)), 6)
+       |    AS wilson_lo,
+       |  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |      + $WilsonZ * $WilsonZ / CAST(n AS DOUBLE) / 2.0
+       |    + $WilsonZ * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       |        / CAST(n AS DOUBLE)
+       |      + $WilsonZ * $WilsonZ / (4.0 * CAST(n AS DOUBLE)
+       |        * CAST(n AS DOUBLE))))
+       |    / (1.0 + $WilsonZ * $WilsonZ / CAST(n AS DOUBLE)), 6)
+       |    AS wilson_hi
+       |FROM m ORDER BY g""".stripMargin
+
   // ---------------------------------------------------- A/B power / MDE
 
   /** z_{α/2} + z_β for two-sided α = 0.05 at 80% power — ONE literal

@@ -748,4 +748,43 @@ class EvaluationSpec extends AnyFunSuite {
     assert(c.length == 5)
     assert(c.forall(_.getAs[Double]("mde_cents") > 0.0))
   }
+
+  test("wilsonCi: exact edge behavior, driver-model parity, corpus nesting") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = 1.959964
+    def model(k: Long, n: Long): (Double, Double) = {
+      val p = k.toDouble / n
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      val den = 1.0 + z * z / n
+      (r6((p + z * z / n / 2.0 - half) / den),
+        r6((p + z * z / n / 2.0 + half) / den))
+    }
+    // k = 0: the lower bound is EXACTLY 0 (numerator cancels), the
+    // upper is z²/(n+z²) — the edge Wald collapses on
+    val zero = (1 to 10).map(_ => ("a", false)).toDF("g", "h")
+    val rz = ops.Evaluation.wilsonCi(zero, "g", "h").collect().head
+    assert(rz.getAs[Double]("wilson_lo") == 0.0)
+    assert(rz.getAs[Double]("wilson_hi") == model(0, 10)._2)
+    // k = n mirrors: upper exactly 1
+    val full = (1 to 10).map(_ => ("a", true)).toDF("g", "h")
+    val rf = ops.Evaluation.wilsonCi(full, "g", "h").collect().head
+    assert(rf.getAs[Double]("wilson_hi") == 1.0)
+    assert(rf.getAs[Double]("wilson_lo") == model(10, 10)._1)
+    // generic interior case matches the driver model bit for bit
+    val mix = ((1 to 3).map(_ => ("a", true)) ++
+      (1 to 7).map(_ => ("a", false))).toDF("g", "h")
+    val rm = ops.Evaluation.wilsonCi(mix, "g", "h").collect().head
+    val (lo, hi) = model(3, 10)
+    assert(rm.getAs[Double]("wilson_lo") == lo &&
+      rm.getAs[Double]("wilson_hi") == hi)
+    // corpus: interval brackets the share, everything in [0, 1]
+    val c = ops.Evaluation.wilsonCi(spark, sfDir).collect()
+    assert(c.length == 5)
+    assert(c.forall { r =>
+      val (l, s, h) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("share"), r.getAs[Double]("wilson_hi"))
+      l >= 0.0 && l <= s && s <= h && h <= 1.0 })
+  }
 }
