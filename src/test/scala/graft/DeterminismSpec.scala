@@ -328,4 +328,45 @@ class DeterminismSpec extends AnyFunSuite {
     assert(runBs(_.repartition(7)) == runBs(_.coalesce(1)),
       "hash bootstrap depends on the input partitioning")
   }
+
+  test("round-9 back-half ops are invariant to input layout") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.orders(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    // recurrence folds: the sort lives inside the fold's sorted array,
+    // not the input layout
+    def runPh(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Sequence.pageHinkley(f(orders), "o_orderdate",
+        "o_totalprice"))
+    assert(runPh(_.repartition(7)) == runPh(_.coalesce(1)),
+      "pageHinkley depends on the input partitioning")
+    def runMk(f: DataFrame => DataFrame): Seq[String] = {
+      val cell = f(orders).groupBy(
+        org.apache.spark.sql.functions.date_trunc("month",
+          col("o_orderdate")).as("m"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .selectExpr("'all' AS g", "m", "x")
+      rowsOf(ops.Diagnostics.mkTrend(cell, "g", "m", "x"))
+    }
+    assert(runMk(_.repartition(7)) == runMk(_.coalesce(1)),
+      "mkTrend depends on the input partitioning")
+    // markov chain: census + fold, layout-free
+    def runMs(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Sequence.markovStationary(f(events), "event_id",
+        "user_id", "ts", "event_type"))
+    assert(runMs(_.repartition(7)) == runMs(_.coalesce(1)),
+      "markovStationary depends on the input partitioning")
+    // editJoin: candidate generation + exact verify, layout-free
+    def runEj(f: DataFrame => DataFrame): Seq[String] = {
+      import org.apache.spark.sql.functions.{length, lower, substring}
+      val keys = f(docs).filter(length(col("text")) >= 48)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 48)).as("k"))
+      rowsOf(ops.Dedup.editJoin(keys, "doc_id", "k", 48, 2))
+    }
+    assert(runEj(_.repartition(7)) == runEj(_.coalesce(1)),
+      "editJoin depends on the input partitioning")
+  }
 }

@@ -674,4 +674,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!mod.contains("CartesianProduct"),
       s"modularity planned a cartesian:\n$mod")
   }
+
+  test("round-9 back-half ops: keyed candidate joins, pruned scans, no cartesian") {
+    // editJoin: the candidate join is a keyed equi-join on (segment
+    // index, 16-gram) and verification never plans a cartesian — the
+    // whole point of PassJoin over the n² definition the oracle uses
+    val ej = formatted(ops.Dedup.editJoin(spark, sfDir))
+    assert(!ej.contains("CartesianProduct"),
+      s"editJoin planned a cartesian:\n$ej")
+    assert(!ej.contains("BroadcastNestedLoopJoin"),
+      s"editJoin candidate join degenerated to a nested loop:\n$ej")
+    // priceIndex: both year legs push their filter to the parquet scan
+    val pi = formatted(ops.Analytics.priceIndex(spark, sfDir))
+    assert(pi.contains("PushedFilters"), s"priceIndex scan unpushed:\n$pi")
+    assert(!pi.contains("CartesianProduct"), s"cartesian:\n$pi")
+    // tailRisk / qqDeciles rank through the census scan: no Window may
+    // feed directly off a parquet scan (same census-fed proxy as the
+    // kruskal-wallis contract)
+    Seq(ops.Ranks.tailRisk(spark, sfDir),
+      ops.Ranks.qqDeciles(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      val aggIdx = plan.indexOf("HashAggregate")
+      val winIdx = plan.indexOf("Window")
+      assert(aggIdx >= 0 && (winIdx < 0 || aggIdx < winIdx
+        || plan.contains("AQEShuffleRead")),
+        s"rank window not census-fed:\n$plan")
+    }
+    // the recurrence folds are windowless single-row plans — their only
+    // corpus work is one keyed aggregate
+    Seq(ops.Sequence.pageHinkley(spark, sfDir),
+      ops.Sequence.croston(spark, sfDir),
+      ops.Sequence.markovStationary(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    }
+    // per-segment family: wilsonCi and cmh read the SegOrders
+    // checkpoint — no parquet scan of orders/customer appears in a
+    // SECOND caller's plan once the memo is warm
+    ops.SegOrders.clear()
+    ops.Evaluation.cmh(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+    val wc = formatted(ops.Evaluation.wilsonCi(spark, sfDir))
+    assert(!wc.contains("customer.parquet"),
+      s"wilsonCi re-joined the dimension instead of reusing SegOrders:\n$wc")
+    ops.SegOrders.clear()
+  }
 }
