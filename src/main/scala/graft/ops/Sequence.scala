@@ -690,4 +690,115 @@ object Sequence {
        |  h_micro * 10000 // CAST(round(ln(CAST(n_states AS DOUBLE))
        |    * 1000000) AS BIGINT) AS ratio_bp
        |FROM h""".stripMargin
+
+  /** PAA segment count for the shipped [[sax]] query. */
+  val SaxSegments = 16
+
+  /** Gaussian breakpoints for the fixed 4-symbol SAX alphabet
+    * (Lin/Keogh 2003 table) — parsed literals shared by both engines.
+    */
+  val SaxBreakLo = -0.6745
+  val SaxBreakHi = 0.6745
+
+  /** SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi &
+    * Chiu 2003) of the daily-revenue series: Piecewise Aggregate
+    * Approximation into [[SaxSegments]] equal-count segments, then a
+    * fixed 4-symbol alphabet over the z-normalized segment means —
+    * the discretization that turns a numeric series into a WORD, the
+    * front door to motif mining and symbolic anomaly matching that
+    * [[ewmaChart]]-style numeric monitors can't do.
+    *
+    * Exactness: the day→segment map is the pure-integer
+    * (rank·w) DIV n over the calendar-bounded day frame (equal-count
+    * segments — boundary days land deterministically); each segment
+    * mean is milli-quantized by ONE truncating DIV; z and the symbol
+    * cut are ONE shared double expression each off the exact
+    * DAY-level moments (normalizing by the series' σ, the standard
+    * SAX convention), with the Gaussian breakpoints as parsed
+    * literals. NULL z/symbol when the series variance is 0.
+    *
+    * Scale posture: corpus work is ONE keyed day aggregate; the rank
+    * window, PAA fold and symbol map run on the |days|-bounded frame.
+    */
+  def sax(spark: SparkSession, dir: String): DataFrame =
+    sax(Tables.orders(spark, dir), "o_orderdate", "o_totalprice",
+      SaxSegments)
+
+  /** DataFrame-first form over any (date, amount) frame; needs ≥ 1
+    * observed day and `w` ≤ the day count for non-empty segments.
+    */
+  def sax(orders: DataFrame, dateCol: String, priceCol: String,
+          w: Int): DataFrame = {
+    require(w >= 1, s"sax: w=$w")
+    val daily = orders
+      .select(to_date(col(dateCol)).as("d"),
+        expr(s"CAST(round($priceCol * 100) AS BIGINT)").as("pc"))
+      .groupBy(col("d")).agg(sum(col("pc")).as("x"))
+    val mo = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ss"))
+    val ranked = daily
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("d"))).cast("long") - 1)
+      .crossJoin(broadcast(mo))
+      .withColumn("seg", expr(s"r * $w DIV n"))
+    ranked.groupBy(col("seg"), col("n"), col("s"), col("ss"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+      .withColumn("paa_milli", expr(
+        "CAST(CAST(sx AS DECIMAL(38,0)) * 1000 DIV n_days AS BIGINT)"))
+      .withColumn("sd", expr(
+        """CASE WHEN n < 2 THEN NULL ELSE
+          |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+          |    / (n - 1)) END""".stripMargin))
+      .withColumn("z", when(col("sd").isNull || col("sd") <= 0, lit(null))
+        .otherwise(round((expr("CAST(sx AS DOUBLE) / n_days")
+          - expr("CAST(s AS DOUBLE) / n")) / col("sd"), 6)))
+      .select(col("seg").as("seg_idx"), col("n_days"), col("paa_milli"),
+        col("z"),
+        when(col("z").isNull, lit(null))
+          .when(col("z") < SaxBreakLo, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < SaxBreakHi, lit("c"))
+          .otherwise(lit("d")).as("symbol"))
+      .orderBy(col("seg_idx"))
+  }
+
+  /** DuckDB twin of [[sax]] — same integer segment map, milli PAA
+    * and shared double z/symbol cut.
+    */
+  val saxSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |    sum(CAST(x AS HUGEINT) * x) AS ss
+       |  FROM daily),
+       |r AS (
+       |  SELECT x, (row_number() OVER (ORDER BY d) - 1) AS rk
+       |  FROM daily),
+       |seg AS (
+       |  SELECT (rk * $SaxSegments) // n AS seg, n, s, ss,
+       |    CAST(count(*) AS BIGINT) AS n_days, CAST(sum(x) AS BIGINT) AS sx
+       |  FROM r CROSS JOIN mo
+       |  GROUP BY 1, n, s, ss),
+       |t AS (
+       |  SELECT seg, n_days,
+       |    CAST(CAST(sx AS HUGEINT) * 1000 // n_days AS BIGINT)
+       |      AS paa_milli,
+       |    CASE WHEN n < 2 THEN NULL ELSE
+       |      sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+       |        / (n - 1)) END AS sd,
+       |    CAST(sx AS DOUBLE) / n_days - CAST(s AS DOUBLE) / n AS dev
+       |  FROM seg)
+       |SELECT CAST(seg AS BIGINT) AS seg_idx, n_days, paa_milli,
+       |  CASE WHEN sd IS NULL OR sd <= 0 THEN NULL
+       |    ELSE round(dev / sd, 6) END AS z,
+       |  CASE WHEN sd IS NULL OR sd <= 0 THEN NULL
+       |    WHEN round(dev / sd, 6) < $SaxBreakLo THEN 'a'
+       |    WHEN round(dev / sd, 6) < 0.0 THEN 'b'
+       |    WHEN round(dev / sd, 6) < $SaxBreakHi THEN 'c'
+       |    ELSE 'd' END AS symbol
+       |FROM t ORDER BY seg_idx""".stripMargin
 }

@@ -228,4 +228,41 @@ class SequenceSpec extends AnyFunSuite {
     assert(c.getAs[Long]("h_micro") >= 0L &&
       c.getAs[Long]("ratio_bp") <= 10000L)
   }
+
+  test("sax: hand step word, equal-count segments, degenerate NULL") {
+    import spark.implicits._
+    // 8 days: four at 0¢, four at 100¢, w = 4 → PAA [0,0,100,100];
+    // σ = √((40000−20000)/7) = 53.452, z = ∓0.9354 → word "aadd"
+    val step = (1 to 8).map(i =>
+      (f"2024-03-$i%02d", if (i <= 4) 0.00 else 1.00))
+      .toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val r = ops.Sequence.sax(step, "d", "p", 4).collect()
+    assert(r.length == 4)
+    assert(r.map(_.getAs[Long]("n_days")).forall(_ == 2L))
+    assert(r.map(_.getAs[Long]("paa_milli")).toSeq ==
+      Seq(0L, 0L, 100000L, 100000L))
+    assert(r.map(_.getAs[String]("symbol")).mkString == "aadd")
+    // 9 days at w=4: equal-count map puts the extra day in a
+    // deterministic segment ((r·4) DIV 9 → sizes 3,2,2,2)
+    val nine = (1 to 9).map(i => (f"2024-03-$i%02d", i.toDouble))
+      .toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val n9 = ops.Sequence.sax(nine, "d", "p", 4).collect()
+    assert(n9.map(_.getAs[Long]("n_days")).toSeq == Seq(3L, 2L, 2L, 2L))
+    // monotone series → monotone word (a…d, never decreasing)
+    val syms = n9.map(_.getAs[String]("symbol"))
+    assert(syms.toSeq == syms.sorted.toSeq)
+    // constant series → zero variance → NULL z and symbol
+    val flat = (1 to 4).map(i => (f"2024-03-$i%02d", 5.00))
+      .toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val f = ops.Sequence.sax(flat, "d", "p", 2).collect()
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("symbol"))))
+    // corpus: 16 segments, day counts differ by at most 1 (equal-count
+    // law), symbols all in the alphabet
+    val c = ops.Sequence.sax(spark, sfDir).collect()
+    assert(c.length == 16)
+    val counts = c.map(_.getAs[Long]("n_days"))
+    assert(counts.max - counts.min <= 1)
+    assert(c.forall(r => Set("a", "b", "c", "d")
+      .contains(r.getAs[String]("symbol"))))
+  }
 }
