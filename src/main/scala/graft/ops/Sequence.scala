@@ -691,6 +691,179 @@ object Sequence {
        |    * 1000000) AS BIGINT) AS ratio_bp
        |FROM h""".stripMargin
 
+  /** Block sizes for the [[hurst]] R/S ladder — powers of two so the
+    * log-log fit's abscissae are exact literals.
+    */
+  val HurstSizes: Seq[Int] = Seq(16, 32, 64, 128)
+
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969) of the daily-revenue series — "does the series
+    * remember?": H ≈ 0.5 for an uncorrelated walk, &gt; 0.5 for
+    * long-memory persistence, &lt; 0.5 for mean reversion. For each
+    * block size m in [[HurstSizes]], the series splits into ⌊n/m⌋
+    * full blocks (remainder days dropped, documented); each block's
+    * R = range of mean-adjusted cumulative deviations and S = its
+    * POPULATION σ (the classical convention) give R/S, averaged per
+    * size; H is the 4-point log-log OLS slope.
+    *
+    * Exactness: cumulative deviations ride the integer
+    * cross-multiply m·Σ_{i≤k}x − k·S_b (no division), so R·m is an
+    * exact integer per block; R/S is ONE shared double micro-rounded
+    * to milli BEFORE the per-size average (one truncating DIV); the
+    * slope numerator/denominator fold the four (ln m, ln mean-R/S)
+    * points micro-rounded to integers — order-free in both engines.
+    * Degenerate blocks (σ = 0) are excluded WITH visibility
+    * (`n_blocks` counts survivors); a size with no surviving block
+    * reports NULL and drops from the fit.
+    *
+    * Scale posture: corpus work is ONE keyed day aggregate; the ×4
+    * size explode, per-block windows and folds all run on the
+    * |days|-bounded frame.
+    */
+  def hurst(spark: SparkSession, dir: String): DataFrame =
+    hurst(Tables.orders(spark, dir), "o_orderdate", "o_totalprice",
+      HurstSizes)
+
+  /** DataFrame-first form over any (date, amount) frame. */
+  def hurst(orders: DataFrame, dateCol: String, priceCol: String,
+            sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 2), s"hurst: $sizes")
+    val daily = orders
+      .select(to_date(col(dateCol)).as("d"),
+        expr(s"CAST(round($priceCol * 100) AS BIGINT)").as("pc"))
+      .groupBy(col("d")).agg(sum(col("pc")).as("x"))
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("d"))).cast("long") - 1)
+    val sized = daily.crossJoin(broadcast(
+      orders.sparkSession.createDataFrame(
+        sizes.map(Tuple1(_))).toDF("m")))
+      .withColumn("m", col("m").cast("long"))
+      .withColumn("b", expr("r DIV m"))
+      .withColumn("k", expr("r % m + 1"))
+    val nAll = daily.agg(count(lit(1)).as("n"))
+    // keep only FULL blocks: block b is full iff (b+1)·m ≤ n
+    val full = sized.crossJoin(broadcast(nAll))
+      .filter((col("b") + 1) * col("m") <= col("n"))
+    val wB = Window.partitionBy(col("m"), col("b")).orderBy(col("k"))
+    val blocks = full
+      .withColumn("cum", sum(col("x")).over(wB))
+      .groupBy(col("m"), col("b"))
+      .agg(sum(col("x")).as("sb"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ssb"),
+        collect_list(struct(col("k"), col("cum"))).as("trace"))
+    // R·m = max_k(m·cum_k − k·S) − min_k(m·cum_k − k·S): fold the
+    // bounded per-block trace row-locally (k ≤ m ≤ 128)
+    val rs = blocks
+      .withColumn("rm", expr(
+        """aggregate(trace, named_struct(
+          |    'mx', CAST(-9223372036854775807 AS BIGINT),
+          |    'mn', CAST(9223372036854775807 AS BIGINT)),
+          |  (acc, t) -> named_struct(
+          |    'mx', greatest(acc.mx, m * t.cum - t.k * sb),
+          |    'mn', least(acc.mn, m * t.cum - t.k * sb)),
+          |  acc -> acc.mx - acc.mn)""".stripMargin))
+      .withColumn("sd", expr(
+        "sqrt((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / m) / m)"))
+      .filter(col("sd") > 0)
+      .withColumn("rs_milli", expr(
+        "CAST(round(CAST(rm AS DOUBLE) / m / sd * 1000) AS BIGINT)"))
+    val perSize = rs.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs_milli")).as("srs"))
+      .withColumn("mean_rs_milli", expr("srs DIV n_blocks"))
+      .filter(col("mean_rs_milli") > 0)
+      .withColumn("lx", expr(
+        "CAST(round(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("ly", expr(
+        "CAST(round(ln(CAST(mean_rs_milli AS DOUBLE) / 1000) * 1000000)" +
+          " AS BIGINT)"))
+    val fit = perSize.agg(count(lit(1)).as("np"), sum(col("lx")).as("sx"),
+      sum(col("ly")).as("sy"),
+      sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
+      sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
+    perSize.crossJoin(broadcast(fit))
+      .select(col("m"), col("n_blocks"), col("mean_rs_milli"),
+        when(col("np") < 2
+            || expr("CAST(np AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx") === 0, lit(null))
+          .otherwise(round(
+            expr("CAST(CAST(np AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
+              / expr("CAST(CAST(np AS DECIMAL(38,0)) * sxx" +
+                " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"), 4))
+          .as("hurst"))
+      .orderBy(col("m"))
+  }
+
+  /** DuckDB twin of [[hurst]] — same integer cross-multiplied
+    * deviations, milli R/S rounding, micro-log fit.
+    */
+  val hurstSql: String = {
+    val sizesList = HurstSizes.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |rnk AS (
+       |  SELECT x, (row_number() OVER (ORDER BY d) - 1) AS r FROM daily),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+       |sized AS (
+       |  SELECT x, CAST(m AS BIGINT) AS m, r // m AS b, r % m + 1 AS k
+       |  FROM rnk CROSS JOIN (SELECT unnest([$sizesList]) AS m) sz
+       |  CROSS JOIN nn
+       |  WHERE (r // m + 1) * m <= n),
+       |cum AS (
+       |  SELECT m, b, k, x,
+       |    sum(x) OVER (PARTITION BY m, b ORDER BY k) AS c
+       |  FROM sized),
+       |blk AS (
+       |  SELECT m, b, CAST(sum(x) AS BIGINT) AS sb,
+       |    sum(CAST(x AS HUGEINT) * x) AS ssb
+       |  FROM cum GROUP BY m, b),
+       |dev AS (
+       |  SELECT cum.m, cum.b,
+       |    cum.m * cum.c - cum.k * blk.sb AS devv
+       |  FROM cum JOIN blk ON cum.m = blk.m AND cum.b = blk.b),
+       |rng AS (
+       |  SELECT m, b, CAST(max(devv) - min(devv) AS BIGINT) AS rm
+       |  FROM dev GROUP BY m, b),
+       |rs AS (
+       |  SELECT blk.m,
+       |    CAST(round(CAST(rng.rm AS DOUBLE) / blk.m
+       |      / sqrt((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / blk.m)
+       |          / blk.m) * 1000) AS BIGINT) AS rs_milli
+       |  FROM blk JOIN rng ON blk.m = rng.m AND blk.b = rng.b
+       |  WHERE (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / blk.m)
+       |    / blk.m > 0),
+       |per AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(rs_milli) // count(*) AS BIGINT) AS mean_rs_milli
+       |  FROM rs GROUP BY m),
+       |pl AS (
+       |  SELECT *,
+       |    CAST(round(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+       |    CAST(round(ln(CAST(mean_rs_milli AS DOUBLE) / 1000) * 1000000)
+       |      AS BIGINT) AS ly
+       |  FROM per WHERE mean_rs_milli > 0),
+       |fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(lx) AS BIGINT)
+       |      AS sx,
+       |    CAST(sum(ly) AS BIGINT) AS sy,
+       |    sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+       |    sum(CAST(lx AS HUGEINT) * lx) AS sxx
+       |  FROM pl)
+       |SELECT m, n_blocks, mean_rs_milli,
+       |  CASE WHEN np < 2
+       |      OR CAST(np AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+       |    THEN NULL
+       |    ELSE round(CAST(CAST(np AS HUGEINT) * sxy
+       |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |      / CAST(CAST(np AS HUGEINT) * sxx
+       |        - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4) END AS hurst
+       |FROM pl CROSS JOIN fit
+       |ORDER BY m""".stripMargin
+  }
+
   /** PAA segment count for the shipped [[sax]] query. */
   val SaxSegments = 16
 

@@ -265,4 +265,39 @@ class SequenceSpec extends AnyFunSuite {
     assert(c.forall(r => Set("a", "b", "c", "d")
       .contains(r.getAs[String]("symbol"))))
   }
+
+  test("hurst: hand R/S block, remainder drop, degenerate exclusion") {
+    import spark.implicits._
+    // one size m=4 over 9 days: two full blocks, the 9th day dropped.
+    // block [1,2,3,4]¢: S=10, m·cum−k·S = (−6,−8,−6,0) → R·m = 8,
+    // σ_pop = √1.25 → R/S = 2/1.118034 = 1.788854 → 1789 milli.
+    // block [4,3,2,1] mirrors to the same R and σ → same R/S.
+    val days = (1 to 9).map { i =>
+      val v = if (i <= 4) i.toDouble else if (i <= 8) (9 - i).toDouble
+        else 99.0
+      (f"2024-03-$i%02d", v / 100.0) // cents = v
+    }.toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val r = ops.Sequence.hurst(days, "d", "p", Seq(4)).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_blocks") == 2,
+      "remainder day must be dropped, full blocks kept")
+    assert(r.head.getAs[Long]("mean_rs_milli") == 1789L)
+    // a single size cannot support a slope → NULL hurst
+    assert(r.head.isNullAt(r.head.fieldIndex("hurst")))
+    // constant blocks (σ = 0) are excluded with visibility
+    val flat = (1 to 8).map(i => (f"2024-03-$i%02d", 1.00))
+      .toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val f = ops.Sequence.hurst(flat, "d", "p", Seq(4)).collect()
+    assert(f.isEmpty, "zero-variance blocks must drop the size entirely")
+    // corpus: 4 sizes, one shared H in a sane range (R/S estimates
+    // live in (0, 1.2) with finite-sample bias), R/S grows with m
+    val c = ops.Sequence.hurst(spark, sfDir).collect()
+    assert(c.length == 4)
+    val h = c.head.getAs[Double]("hurst")
+    assert(c.forall(_.getAs[Double]("hurst") == h))
+    assert(h > 0.0 && h < 1.2, s"implausible Hurst $h")
+    val rsSeq = c.map(_.getAs[Long]("mean_rs_milli"))
+    assert(rsSeq.last > rsSeq.head,
+      "mean R/S must grow from the smallest to the largest block size")
+  }
 }
