@@ -94,6 +94,34 @@ case class KsState(cum: Array[Long], n: Long)
 case class KsOut(w_start_ms: Long, source: String, n_docs: Long,
                  ks_stat: Double, ks_bin: Int)
 
+/** One timed monetary observation for
+  * [[EventTime.pageHinkleyWithState]] — `series` keys independent
+  * monitors (parallelism at scale = |series|).
+  */
+case class TimedAmount(series: String, ts: java.sql.Timestamp,
+                       amount: Double)
+
+/** [[TimedAmount]] with its day window pre-resolved and the amount
+  * cent-quantized; `ts` rides along to carry the watermark into the
+  * stateful operator.
+  */
+case class DayAmount(series: String, ts: java.sql.Timestamp,
+                     day_ms: Long, cents: Long)
+
+/** Per-series Page–Hinkley state: the bounded OPEN-day buffer (days
+  * the watermark has not yet closed) plus the O(1) permanent
+  * accumulator (t, Σx, U, min U) — the monitor's memory never grows
+  * with stream length.
+  */
+case class PhState(days: Map[Long, Long], t: Long, sx: Long, u: Long,
+                   um: Long)
+
+/** One closed day's Page–Hinkley row — the batch
+  * [[graft.ops.Sequence.pageHinkley]] row shape keyed by series.
+  */
+case class PhOut(series: String, day_ms: Long, revenue_cents: Long,
+                 u_cents: Long, ph_cents: Long, alarm: Boolean)
+
 /** Event-time streaming operators: watermarked tumbling/sliding/session
   * windows and a custom `flatMapGroupsWithState` sessionizer.
   *
@@ -555,6 +583,84 @@ object EventTime {
             state.setTimeoutTimestamp(key._1 + windowMs)
             Iterator.empty
           }
+      }
+  }
+
+  /** Milliseconds per day window for [[pageHinkleyWithState]]. */
+  private val DayMs = 86400000L
+
+  /** Streaming twin of the batch Page–Hinkley monitor
+    * ([[graft.ops.Sequence.pageHinkley]]): per series, daily revenue
+    * totals fold through the IDENTICAL integer recurrence (running
+    * mean one truncating division per day, U / running-min / PH exact
+    * longs, alarm = PH·5 &gt; Σx) as the watermark closes each day —
+    * so a closed day's row is BIT-IDENTICAL to the batch op run on
+    * the stream's slice up to that day (EventTimeSpec pins this
+    * across micro-batch splits, plus the late-drop contract).
+    *
+    * Unlike the per-window monitors above, PH is a SEQUENTIAL
+    * recurrence — day d's row needs every day before it — so the
+    * state is NOT per-window: one state per series holds (a) the
+    * bounded OPEN-day buffer (watermark not yet past day end; late
+    * rows beyond the watermark are dropped before reaching the
+    * operator, so a closed day can never reopen) and (b) the O(1)
+    * permanent accumulator. Closed days fold IN DAY ORDER regardless
+    * of arrival order — the watermark's monotonicity is what makes
+    * the cross-micro-batch fold total-ordered.
+    *
+    * Scale shape: state per series = open-horizon days + 4 longs,
+    * keyed-exchange parallelism = |series| (a single global series is
+    * inherently sequential — same contract as the batch fold's
+    * single-row trajectory).
+    */
+  def pageHinkleyWithState(rows: Dataset[TimedAmount],
+                           watermark: String): Dataset[PhOut] = {
+    import rows.sparkSession.implicits._
+    rows.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("series"), col("ts"),
+        (floor(unix_millis(col("ts")) / DayMs) * DayMs).cast("long")
+          .as("day_ms"),
+        expr("CAST(round(amount * 100) AS BIGINT)").as("cents"))
+      .as[DayAmount]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (series: String, it: Iterator[DayAmount], state: GroupState[PhState]) =>
+          var s = state.getOption.getOrElse(PhState(Map.empty, 0L, 0L, 0L, 0L))
+          if (!state.hasTimedOut) {
+            it.foreach { r =>
+              s = s.copy(days =
+                s.days.updated(r.day_ms, s.days.getOrElse(r.day_ms, 0L)
+                  + r.cents))
+            }
+          }
+          // fold every buffered day the watermark has passed, in day
+          // order — the batch recurrence verbatim (operands are
+          // non-negative, so JVM / is the same truncation as DIV)
+          val wm = state.getCurrentWatermarkMs()
+          val closed = s.days.keysIterator.filter(_ + DayMs <= wm)
+            .toSeq.sorted
+          val out = closed.map { d =>
+            val x = s.days(d)
+            val t = s.t + 1
+            val sx = s.sx + x
+            val (u, um) =
+              if (t == 1L) (0L, 0L)
+              else {
+                val u2 = s.u + x - sx / t
+                (u2, math.min(s.um, u2))
+              }
+            val ph = u - um
+            s = PhState(s.days - d, t, sx, u, um)
+            PhOut(series, d, x, u, ph, ph * 5 > sx)
+          }
+          state.update(s)
+          // wake again when the watermark can close the next open day
+          if (s.days.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(s.days.keysIterator.min + DayMs, wm + 1))
+          out.iterator
       }
   }
 }

@@ -448,4 +448,52 @@ class EventTimeSpec extends AnyFunSuite {
       .count(_.w_start_ms == ts(0).getTime)
     assert(after == 2, "late row resurrected the closed window")
   }
+
+  test("streaming page-hinkley: bit parity with the batch fold across micro-batches; late drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{PhOut, TimedAmount}
+    def dts(day: Int, hour: Int = 12) =
+      new Timestamp(day.toLong * 86400000L + hour.toLong * 3600000L)
+    val in = MemoryStream[TimedAmount]
+    val q = EventTime.pageHinkleyWithState(in.toDS(), "1 day")
+      .writeStream.format("memory").queryName("ph_stream")
+      .outputMode("append").start()
+    // the batch spec's step series, with day 0 split into two rows
+    // (intra-day summation) and the arrival order scrambled inside
+    // each micro-batch (the fold must order by DAY, not arrival)
+    val batch1 = Seq(TimedAmount("s", dts(2), 100.0),
+      TimedAmount("s", dts(0, 8), 60.0), TimedAmount("s", dts(1), 100.0),
+      TimedAmount("s", dts(0, 18), 40.0), TimedAmount("s", dts(3), 100.0))
+    val batch2 = Seq(TimedAmount("s", dts(6), 200.0),
+      TimedAmount("s", dts(4), 200.0), TimedAmount("s", dts(5), 200.0))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    in.addData(TimedAmount("s", dts(40), 1.0)) // flush: closes days 0..6
+    q.processAllAvailable()
+    in.addData(TimedAmount("s", dts(0), 999.0)) // late: behind the watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ph_stream").as[PhOut].collect()
+      .filter(_.day_ms <= 6L * 86400000L)
+      .sortBy(_.day_ms)
+      .map(p => (p.day_ms / 86400000L, p.revenue_cents, p.u_cents,
+        p.ph_cents, p.alarm)).toSeq
+    // batch twin on the SAME closed slice
+    val slice = (batch1 ++ batch2).map(t => (new java.sql.Date(t.ts.getTime), t.amount))
+      .toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val want = graft.ops.Sequence.pageHinkley(slice, "d", "p").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("revenue_cents"), r.getAs[Long]("u_cents"),
+        r.getAs[Long]("ph_cents"), r.getAs[Boolean]("alarm"))).toSeq
+    assert(got == want, s"stream $got\nvs batch $want")
+    assert(got.last._5, "the day-6 alarm from the hand trace must fire")
+    assert(got.map(_._2).take(2) == Seq(10000L, 10000L),
+      "intra-day rows must sum into one closed day")
+    // the late day-0 row produced no extra output row
+    assert(spark.table("ph_stream").as[PhOut].collect()
+      .count(_.day_ms == 0L) == 1, "late row reopened a closed day")
+  }
 }
