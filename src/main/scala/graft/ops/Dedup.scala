@@ -1373,9 +1373,17 @@ object Dedup {
     *
     * Scale posture: segment/window explode is row-local (3 + 15 rows
     * per doc); the candidate join is keyed on (segment-index,
-    * 16-gram) — selective except for genuinely repeated prefixes,
-    * which are exactly the pairs the join must output anyway;
-    * verification is candidate-keyed. No window, no driver state.
+    * 16-gram); verification is candidate-keyed. No window, no driver
+    * state. WORST CASE, stated honestly: a 16-gram segment shared by
+    * k documents with DIVERSE suffixes generates k²/2 candidates that
+    * all fail verification — exact edit joins are inherently
+    * output-insensitive to such hot segments (any complete candidate
+    * scheme is), and a cap would break the completeness the oracle
+    * certifies. On boilerplate-heavy corpora measure the candidate/
+    * match ratio first and prefer the capped family members
+    * ([[similarityJoin]]'s rarity-ordered prefixes, or
+    * [[sortedNeighborhood]]'s exactly-(w−1)·n pairs) when prefixes
+    * repeat at scale.
     */
   def editJoin(spark: SparkSession, dir: String): DataFrame =
     editJoin(Tables.documents(spark, dir)
