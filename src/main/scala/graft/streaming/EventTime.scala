@@ -122,6 +122,30 @@ case class PhState(days: Map[Long, Long], t: Long, sx: Long, u: Long,
 case class PhOut(series: String, day_ms: Long, revenue_cents: Long,
                  u_cents: Long, ph_cents: Long, alarm: Boolean)
 
+/** One timed boolean trial for [[EventTime.sprtWithState]]. */
+case class TimedFlag(series: String, ts: java.sql.Timestamp, hit: Boolean)
+
+/** [[TimedFlag]] with its day window pre-resolved; `ts` carries the
+  * watermark into the stateful operator.
+  */
+case class DayFlag(series: String, ts: java.sql.Timestamp, day_ms: Long,
+                   hit: Boolean)
+
+/** Per-series SPRT state: open-day (trials, hits) buffer plus the
+  * permanent cumulative micro-nat log-likelihood ratio.
+  */
+case class SprtState(days: Map[Long, (Long, Long)], cum: Long)
+
+/** One closed day's SPRT row — the batch [[graft.ops.Diagnostics.sprt]]
+  * per-day columns keyed by series (the batch op's retrospective
+  * `decision_day`/`decision` columns need the whole series and have no
+  * streaming meaning: the FIRST non-continue `state` IS the decision,
+  * available the moment it exists).
+  */
+case class SprtOut(series: String, day_ms: Long, n: Long, x: Long,
+                   llr_step_micro: Long, llr_cum_micro: Long,
+                   state: String)
+
 /** Event-time streaming operators: watermarked tumbling/sliding/session
   * windows and a custom `flatMapGroupsWithState` sessionizer.
   *
@@ -657,6 +681,68 @@ object EventTime {
           }
           state.update(s)
           // wake again when the watermark can close the next open day
+          if (s.days.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(s.days.keysIterator.min + DayMs, wm + 1))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch Wald SPRT monitor
+    * ([[graft.ops.Diagnostics.sprt]]) — the sequential test finally
+    * run SEQUENTIALLY: each day the watermark closes adds its exact
+    * micro-nat log-likelihood increment (the batch op's literal
+    * constants) to the running ratio, and the day's
+    * accept_h1/accept_h0/continue verdict is available the moment the
+    * day is final instead of at a retrospective batch read. Per-day
+    * (day, n, x, step, cum, state) rows are BIT-IDENTICAL to the
+    * batch op on the same closed slice (EventTimeSpec pins this; the
+    * batch op's whole-series `decision_day`/`decision` columns have
+    * no streaming meaning — the first non-continue state IS the
+    * decision).
+    *
+    * Same sequential-fold machinery as [[pageHinkleyWithState]]: the
+    * open-day (trials, hits) buffer is watermark-bounded, the
+    * accumulator is ONE long, closed days fold in day order whatever
+    * the arrival order, and late rows drop before the operator.
+    */
+  def sprtWithState(rows: Dataset[TimedFlag], watermark: String,
+                    hitMicro: Long, missMicro: Long,
+                    boundMicro: Long): Dataset[SprtOut] = {
+    import rows.sparkSession.implicits._
+    rows.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("series"), col("ts"),
+        (floor(unix_millis(col("ts")) / DayMs) * DayMs).cast("long")
+          .as("day_ms"),
+        col("hit"))
+      .as[DayFlag]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (series: String, it: Iterator[DayFlag], state: GroupState[SprtState]) =>
+          var s = state.getOption.getOrElse(SprtState(Map.empty, 0L))
+          if (!state.hasTimedOut) {
+            it.foreach { r =>
+              val (n0, x0) = s.days.getOrElse(r.day_ms, (0L, 0L))
+              s = s.copy(days = s.days.updated(r.day_ms,
+                (n0 + 1L, x0 + (if (r.hit) 1L else 0L))))
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closed = s.days.keysIterator.filter(_ + DayMs <= wm)
+            .toSeq.sorted
+          val out = closed.map { d =>
+            val (n, x) = s.days(d)
+            val step = x * hitMicro + (n - x) * missMicro
+            val cum = s.cum + step
+            s = SprtState(s.days - d, cum)
+            SprtOut(series, d, n, x, step, cum,
+              if (cum >= boundMicro) "accept_h1"
+              else if (cum <= -boundMicro) "accept_h0"
+              else "continue")
+          }
+          state.update(s)
           if (s.days.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(s.days.keysIterator.min + DayMs, wm + 1))

@@ -496,4 +496,54 @@ class EventTimeSpec extends AnyFunSuite {
     assert(spark.table("ph_stream").as[PhOut].collect()
       .count(_.day_ms == 0L) == 1, "late row reopened a closed day")
   }
+
+  test("streaming sprt: bit parity with the batch per-day path; crossing day verdict") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{SprtOut, TimedFlag}
+    import graft.ops.Diagnostics.{SprtBoundMicro, SprtHitMicro, SprtMissMicro}
+    def dts(day: Int, hour: Int) =
+      new Timestamp(day.toLong * 86400000L + hour.toLong * 3600000L)
+    val in = MemoryStream[TimedFlag]
+    val q = EventTime.sprtWithState(in.toDS(), "1 day",
+        SprtHitMicro, SprtMissMicro, SprtBoundMicro)
+      .writeStream.format("memory").queryName("sprt_stream")
+      .outputMode("append").start()
+    // 12 trials/day at a 50% hit rate pushes toward H1
+    // (ln(19)/(6·hit + 6·miss) ≈ 2.2 days); scramble arrival order
+    val trials = for {
+      day <- 0 to 3; i <- 0 until 12
+    } yield TimedFlag("s", dts(day, 2 + i), i % 2 == 0)
+    // scramble WITHIN micro-batches only: with a 1-day watermark,
+    // scrambling ACROSS batches would make early-day rows genuinely
+    // late (dropped — correct behavior, wrong fixture)
+    val rnd = new scala.util.Random(7)
+    val b1 = rnd.shuffle(trials.filter(_.ts.getTime < 2L * 86400000L).toList)
+    val b2 = rnd.shuffle(trials.filter(_.ts.getTime >= 2L * 86400000L).toList)
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    in.addData(TimedFlag("s", dts(40, 0), hit = false)) // flush
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sprt_stream").as[SprtOut].collect()
+      .filter(_.day_ms <= 3L * 86400000L).sortBy(_.day_ms)
+      .map(o => (o.day_ms / 86400000L, o.n, o.x, o.llr_step_micro,
+        o.llr_cum_micro, o.state)).toSeq
+    // batch twin on the same closed slice (its per-day columns)
+    val slice = trials.map(t => (new java.sql.Date(t.ts.getTime), t.hit))
+      .toDF("day", "hit")
+    val want = graft.ops.Diagnostics.sprt(slice, "day", "hit").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("n"), r.getAs[Long]("x"),
+        r.getAs[Long]("llr_step_micro"), r.getAs[Long]("llr_cum_micro"),
+        r.getAs[String]("state"))).toSeq
+    assert(got == want, s"stream $got\nvs batch $want")
+    // the 50%-hit path crosses the H1 boundary and STAYS decided
+    assert(got.exists(_._6 == "accept_h1"), "H1 crossing never emitted")
+    val firstCross = got.indexWhere(_._6 == "accept_h1")
+    assert(got.drop(firstCross).forall(_._6 == "accept_h1"),
+      "verdict regressed after the crossing on a rising path")
+  }
 }
