@@ -449,4 +449,47 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ops.Mixing.mutualInfo(
       Seq.empty[(String, String)].toDF("a", "b"), "a", "b").count() == 0)
   }
+
+  test("round-9 back-half ops behave on degenerate corpora") {
+    import spark.implicits._
+    // markov chain: a single event has no transition pairs → empty
+    // output, no throw (both the stationary and entropy readings)
+    val one = Seq((1L, 1L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click"))
+      .toDF("eid", "u", "ts", "etype")
+    assert(ops.Sequence.markovStationary(one, "eid", "u", "ts", "etype")
+      .count() == 0)
+    assert(ops.Sequence.entropyRate(one, "eid", "u", "ts", "etype")
+      .count() == 0)
+    // editJoin: identical keys everywhere → the complete clique at
+    // distance 0; a singleton → no pairs
+    val same = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcdef"))
+      .toDF("id", "k")
+    val clique = ops.Dedup.editJoin(same, "id", "k", 6, 2).collect()
+    assert(clique.length == 3 && clique.forall(_.getLong(2) == 0L))
+    assert(ops.Dedup.editJoin(same.limit(1), "id", "k", 6, 2)
+      .count() == 0)
+    // poisson dispersion: a single-day span has no variance basis →
+    // NULL dispersion, chi2 still defined (0 deviations)
+    val oneDay = Seq(("A",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("t", "ts")
+    val pd = ops.Diagnostics.poissonDispersion(oneDay, "t", "ts")
+      .collect().head
+    assert(pd.getAs[Long]("n_days") == 1 &&
+      pd.isNullAt(pd.fieldIndex("dispersion_milli")))
+    // cochran q: empty incidence → empty/zero-group frame, no throw
+    assert(ops.Evaluation.cochranQ(
+      Seq.empty[(Long, String)].toDF("s", "t"), "s", "t").collect()
+      .forall(_.getAs[Long]("n_subjects") == 0L))
+    // friedman: a single block still folds (no cross-block contrast,
+    // statistic defined from that block's ranks alone)
+    val oneBlock = Seq((1, "A", 1L), (1, "B", 2L)).toDF("b", "t", "v")
+    assert(ops.Ranks.friedman(oneBlock, "b", "t", "v").count() == 2)
+    // sax with w far beyond the day count: every non-empty segment
+    // holds ≤ 1 day, empty segments are absent, no throw
+    val twoDays = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0))
+      .toDF("d", "p").select(col("d").cast("date").as("d"), col("p"))
+    val sx = ops.Sequence.sax(twoDays, "d", "p", 8).collect()
+    assert(sx.length == 2 && sx.forall(_.getAs[Long]("n_days") == 1L))
+  }
 }
