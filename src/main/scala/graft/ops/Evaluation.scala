@@ -2153,8 +2153,10 @@ object Evaluation {
     * integers (DECIMAL(38,0) squares); arm means and their difference
     * are milli-quantized by truncating DIVs; the MDE and the powered
     * verdict are ONE shared double expression each (the z quantiles
-    * are literals). NULL when an arm has &lt; 2 rows or the pooled
-    * variance is 0.
+    * are literals). `mde_cents`/`powered` are NULL when an arm has
+    * &lt; 2 rows or the pooled variance is 0; `diff_milli` is NULL
+    * when an arm is EMPTY — an explicit guard, not an engine's
+    * DIV-by-zero NULL.
     *
     * Scale posture: one segment-keyed aggregate; a |segments|-bounded
     * tail.
@@ -2182,11 +2184,20 @@ object Evaluation {
         coalesce(sum(when(!t, y)), lit(0L)).as("sb"),
         coalesce(sum(when(!t, yd * yd)), lit(0L).cast(Dec)).as("ssb"))
       .withColumn("diff_milli",
-        expr("sa * 1000 DIV na - sb * 1000 DIV nb"))
-      .withColumn("s2p", expr(
-        """((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
-          | + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
-          | / (na + nb - 2)""".stripMargin))
+        // explicit empty-arm contract: NULL when either arm has no
+        // rows — not an artifact of DIV-by-zero NULL semantics (which
+        // happen to agree across engines today but are not a contract)
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(expr("sa * 1000 DIV na - sb * 1000 DIV nb")))
+      .withColumn("s2p",
+        // the same explicit guard: with an arm under 2 rows the pooled
+        // variance is undefined — and under ANSI mode the unguarded
+        // /na, /nb, /(na+nb−2) would THROW on degenerate arms rather
+        // than yield the engine-NULL the old formulation leaned on
+        when(col("na") < 2 || col("nb") < 2, lit(null)).otherwise(expr(
+          """((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+            | + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
+            | / (na + nb - 2)""".stripMargin)))
     m.select(col("g"), col("na").as("n_treat"), col("nb").as("n_ctrl"),
       col("diff_milli"),
       when(col("na") < 2 || col("nb") < 2 || col("s2p") <= 0, lit(null))
@@ -2227,10 +2238,14 @@ object Evaluation {
        |  GROUP BY c_mktsegment),
        |t AS (
        |  SELECT g, na, nb,
-       |    CAST(sa * 1000 // na - sb * 1000 // nb AS BIGINT) AS diff_milli,
-       |    ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
-       |      + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
-       |      / (na + nb - 2) AS s2p
+       |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+       |      ELSE CAST(sa * 1000 // na - sb * 1000 // nb AS BIGINT)
+       |    END AS diff_milli,
+       |    CASE WHEN na < 2 OR nb < 2 THEN NULL
+       |      ELSE ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+       |        + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
+       |        / (na + nb - 2)
+       |    END AS s2p
        |  FROM m)
        |SELECT g, na AS n_treat, nb AS n_ctrl, diff_milli,
        |  CASE WHEN na < 2 OR nb < 2 OR s2p <= 0 THEN NULL

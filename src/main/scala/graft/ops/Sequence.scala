@@ -564,6 +564,18 @@ object Sequence {
     * hold exactly 0; truncation leaks ≤ k ppm of mass per round,
     * deterministic in both engines (no rescale — documented).
     *
+    * SINK states — types that occur only as `next_type`, never as
+    * `prev_type` (journeys END there) — have no outgoing matrix row,
+    * so the iteration is SUBSTOCHASTIC: a sink receives mass from its
+    * predecessors each round but its own mass is not passed on, and
+    * total mass drains toward the recurrent classes. On corpora with
+    * absorbing terminal events the total can fall far below 10¹²;
+    * this is the chain's true structure (the journey population is
+    * not in equilibrium), identical in both engines, and pinned by a
+    * SequenceSpec fixture. Callers wanting a conserved distribution
+    * must close the chain first (add a sink→start restart edge in the
+    * input frame) rather than expect a hidden renormalization here.
+    *
     * Scale posture: corpus work is one user-keyed lag window + one
     * pair census; the iteration itself runs INSIDE one row-local
     * `aggregate` fold on the single |types|²-bounded row — zero jobs

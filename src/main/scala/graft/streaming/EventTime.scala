@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -613,6 +613,25 @@ object EventTime {
   /** Milliseconds per day window for [[pageHinkleyWithState]]. */
   private val DayMs = 86400000L
 
+  /** The sequential monitors bucket days by flooring `unix_millis`
+    * into fixed UTC 86400000-ms windows (the day label must be pure
+    * long arithmetic — the event-time timeout that closes a day is
+    * registered in the same unit). Their batch twins bucket via
+    * `to_date`, which follows `spark.sql.session.timeZone` — so the
+    * bit-identical-to-batch contract holds ONLY under a UTC session.
+    * Enforced loudly here rather than silently diverging near
+    * midnight in non-UTC sessions.
+    */
+  private def requireUtcSession(spark: SparkSession, op: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val zone = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized()
+    require(zone == java.time.ZoneOffset.UTC,
+      s"$op: batch-parity day bucketing requires a UTC session timezone " +
+        s"(spark.sql.session.timeZone is '$tz') — the batch twin's to_date " +
+        "day follows the session zone while the streaming day label is a " +
+        "fixed UTC window; run with UTC or pre-bucket days upstream")
+  }
+
   /** Streaming twin of the batch Page–Hinkley monitor
     * ([[graft.ops.Sequence.pageHinkley]]): per series, daily revenue
     * totals fold through the IDENTICAL integer recurrence (running
@@ -636,9 +655,21 @@ object EventTime {
     * keyed-exchange parallelism = |series| (a single global series is
     * inherently sequential — same contract as the batch fold's
     * single-row trajectory).
+    *
+    * State retention: with `idleRetentionMs = None` (default) a
+    * series whose days have all closed keeps its O(1) accumulator
+    * forever — the state store is |series|-bounded, the right
+    * contract for bounded-cardinality monitoring keys. Pass
+    * `Some(ms)` to EVICT a series that stays quiet for `ms` of
+    * event time after its last day closed; a series resuming after
+    * eviction RESTARTS its recurrence from zero (t=1, U=0) — batch
+    * parity then holds per quiet-gap-delimited segment, not for the
+    * whole series history. Requires a UTC session timezone (loud
+    * `require`) — see [[requireUtcSession]].
     */
-  def pageHinkleyWithState(rows: Dataset[TimedAmount],
-                           watermark: String): Dataset[PhOut] = {
+  def pageHinkleyWithState(rows: Dataset[TimedAmount], watermark: String,
+                           idleRetentionMs: Option[Long] = None): Dataset[PhOut] = {
+    requireUtcSession(rows.sparkSession, "pageHinkleyWithState")
     import rows.sparkSession.implicits._
     rows.toDF()
       .withWatermark("ts", watermark)
@@ -679,11 +710,23 @@ object EventTime {
             s = PhState(s.days - d, t, sx, u, um)
             PhOut(series, d, x, u, ph, ph * 5 > sx)
           }
-          state.update(s)
-          // wake again when the watermark can close the next open day
-          if (s.days.nonEmpty)
+          // wake again when the watermark can close the next open day;
+          // an all-closed key either keeps its O(1) accumulator (None —
+          // |series|-bounded state) or arms the idle-retention timeout,
+          // whose firing with nothing left to fold evicts the key
+          if (s.days.nonEmpty) {
+            state.update(s)
             state.setTimeoutTimestamp(
               math.max(s.days.keysIterator.min + DayMs, wm + 1))
+          } else idleRetentionMs match {
+            case Some(_) if state.hasTimedOut && out.isEmpty =>
+              state.remove()
+            case Some(ms) =>
+              state.update(s)
+              state.setTimeoutTimestamp(wm + ms)
+            case None =>
+              state.update(s)
+          }
           out.iterator
       }
   }
@@ -704,11 +747,17 @@ object EventTime {
     * Same sequential-fold machinery as [[pageHinkleyWithState]]: the
     * open-day (trials, hits) buffer is watermark-bounded, the
     * accumulator is ONE long, closed days fold in day order whatever
-    * the arrival order, and late rows drop before the operator.
+    * the arrival order, and late rows drop before the operator. Same
+    * state-retention contract too: `idleRetentionMs = None` keeps the
+    * one-long accumulator per series forever (|series|-bounded);
+    * `Some(ms)` evicts a series idle for `ms` of event time, and a
+    * resumed series restarts the ratio from 0. Requires a UTC session
+    * timezone (loud `require`) — see [[requireUtcSession]].
     */
   def sprtWithState(rows: Dataset[TimedFlag], watermark: String,
-                    hitMicro: Long, missMicro: Long,
-                    boundMicro: Long): Dataset[SprtOut] = {
+                    hitMicro: Long, missMicro: Long, boundMicro: Long,
+                    idleRetentionMs: Option[Long] = None): Dataset[SprtOut] = {
+    requireUtcSession(rows.sparkSession, "sprtWithState")
     import rows.sparkSession.implicits._
     rows.toDF()
       .withWatermark("ts", watermark)
@@ -742,10 +791,20 @@ object EventTime {
               else if (cum <= -boundMicro) "accept_h0"
               else "continue")
           }
-          state.update(s)
-          if (s.days.nonEmpty)
+          // same retention contract as pageHinkleyWithState's tail
+          if (s.days.nonEmpty) {
+            state.update(s)
             state.setTimeoutTimestamp(
               math.max(s.days.keysIterator.min + DayMs, wm + 1))
+          } else idleRetentionMs match {
+            case Some(_) if state.hasTimedOut && out.isEmpty =>
+              state.remove()
+            case Some(ms) =>
+              state.update(s)
+              state.setTimeoutTimestamp(wm + ms)
+            case None =>
+              state.update(s)
+          }
           out.iterator
       }
   }

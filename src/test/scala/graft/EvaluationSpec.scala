@@ -743,6 +743,13 @@ class EvaluationSpec extends AnyFunSuite {
       .toDF("g", "t", "y")
     val o = ops.Evaluation.abPower(one, "g", "t", "y").collect().head
     assert(o.isNullAt(o.fieldIndex("mde_cents")))
+    // EMPTY arm → diff_milli NULL by explicit contract (not an
+    // engine DIV-by-zero artifact): all-control group
+    val empt = Seq(("g", false, 10L), ("g", false, 20L)).toDF("g", "t", "y")
+    val e = ops.Evaluation.abPower(empt, "g", "t", "y").collect().head
+    assert(e.getAs[Long]("n_treat") == 0L)
+    assert(e.isNullAt(e.fieldIndex("diff_milli")))
+    assert(e.isNullAt(e.fieldIndex("mde_cents")))
     // corpus: every segment reports a positive MDE
     val c = ops.Evaluation.abPower(spark, sfDir).collect()
     assert(c.length == 5)

@@ -546,4 +546,63 @@ class EventTimeSpec extends AnyFunSuite {
     assert(got.drop(firstCross).forall(_._6 == "accept_h1"),
       "verdict regressed after the crossing on a rising path")
   }
+
+  test("sequential monitors require a UTC session timezone, loudly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[graft.streaming.TimedAmount]
+    val flags = MemoryStream[graft.streaming.TimedFlag]
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a non-UTC session would bucket midnight-adjacent events into a
+      // different day than the batch twin's to_date — refuse, don't drift
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        EventTime.pageHinkleyWithState(in.toDS(), "1 day")
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        EventTime.sprtWithState(flags.toDS(), "1 day", 1L, -1L, 10L)
+      }
+      // any zone that NORMALIZES to UTC passes (Etc/UTC, GMT, +00:00)
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      EventTime.pageHinkleyWithState(in.toDS(), "1 day")
+      spark.conf.set("spark.sql.session.timeZone", "+00:00")
+      EventTime.sprtWithState(flags.toDS(), "1 day", 1L, -1L, 10L)
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
+
+  test("streaming page-hinkley: idle-retention eviction restarts the recurrence") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{PhOut, TimedAmount}
+    def dts(day: Int) = new Timestamp(day.toLong * 86400000L + 12L * 3600000L)
+    val in = MemoryStream[TimedAmount]
+    val q = EventTime.pageHinkleyWithState(in.toDS(), "1 day",
+        idleRetentionMs = Some(5L * 86400000L))
+      .writeStream.format("memory").queryName("ph_evict")
+      .outputMode("append").start()
+    // series a runs days 0-1, then goes quiet; series b's traffic keeps
+    // the watermark moving so a's retention timeout can fire
+    in.addData(TimedAmount("a", dts(0), 100.0), TimedAmount("a", dts(1), 100.0),
+      TimedAmount("b", dts(0), 1.0))
+    q.processAllAvailable()
+    in.addData(TimedAmount("b", dts(20), 1.0)) // closes a's days, arms retention
+    q.processAllAvailable()
+    in.addData(TimedAmount("b", dts(40), 1.0)) // wm passes wm+5d → a evicted
+    q.processAllAvailable()
+    in.addData(TimedAmount("a", dts(45), 70.0))
+    q.processAllAvailable()
+    in.addData(TimedAmount("b", dts(80), 1.0)) // closes a's day 45
+    q.processAllAvailable()
+    q.stop()
+    val a = spark.table("ph_evict").as[PhOut].collect()
+      .filter(_.series == "a").sortBy(_.day_ms)
+    assert(a.map(_.day_ms / 86400000L).toSeq == Seq(0L, 1L, 45L))
+    // an un-evicted series would fold day 45 as t=3 with
+    // u = 7000 − 27000/3 = −2000; the restart's t=1 branch pins u=0
+    assert(a.last.u_cents == 0L,
+      s"evicted series must restart its recurrence, got u=${a.last.u_cents}")
+    assert(a(1).u_cents == 0L && a(1).revenue_cents == 10000L)
+  }
 }

@@ -209,6 +209,30 @@ class SequenceSpec extends AnyFunSuite {
       tot >= 990000000000L, s"mass leak too large: $tot")
   }
 
+  test("markovStationary: sink-state mass drain is the documented substochastic fold") {
+    // A,B,A,B,C — C occurs only as next_type (a SINK): pairs A→B ×2,
+    // B→A ×1, B→C ×1 → ppm rows A→B 10⁶, B→A 5·10⁵, B→C 5·10⁵. C has
+    // no outgoing row, so its mass drains each round. Pin the shipped
+    // values against the exact driver-model recurrence (per-cell
+    // truncating DIV then sum — the engine fold verbatim).
+    val out = ops.Sequence.markovStationary(evs("A", "B", "A", "B", "C"),
+      "eid", "u", "ts", "etype").collect()
+    val cells = Seq((1, 2, 1000000L), (2, 1, 500000L), (2, 3, 500000L))
+    var pi = Array.fill(3)(1000000000000L / 3)
+    for (_ <- 1 to ops.Sequence.MarkovRounds)
+      pi = Array.tabulate(3) { j =>
+        cells.collect { case (si, di, p) if di == j + 1 =>
+          pi(si - 1) * p / 1000000L }.sum
+      }
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("pi_e12"))).toSeq ==
+      Seq(("A", pi(0)), ("B", pi(1)), ("C", pi(2))))
+    // the drain is real: total mass is far below the conserved 10¹²
+    // (each round ~half of B's mass exits through the sink)
+    val drained = pi.sum
+    assert(drained < 700000000000L,
+      s"sink drain missing: total mass $drained")
+  }
+
   test("entropyRate: exact ln2 chain, zero for deterministic, corpus bound") {
     // A,A,B,B,A → all four cells at exactly 500000 ppm; every cell
     // contributes (2.5e11 · 693147) DIV 1e12 = 173286 micro-nats
