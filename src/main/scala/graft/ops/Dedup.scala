@@ -1379,8 +1379,10 @@ object Dedup {
     * all fail verification — exact edit joins are inherently
     * output-insensitive to such hot segments (any complete candidate
     * scheme is), and a cap would break the completeness the oracle
-    * certifies. On boilerplate-heavy corpora measure the candidate/
-    * match ratio first and prefer the capped family members
+    * certifies. On boilerplate-heavy corpora run [[editJoinProfile]]
+    * FIRST — its `hot_seg_docs` census costs one cheap scan and
+    * predicts the blow-up before any candidate is paid for — and
+    * prefer the capped family members
     * ([[similarityJoin]]'s rarity-ordered prefixes, or
     * [[sortedNeighborhood]]'s exactly-(w−1)·n pairs) when prefixes
     * repeat at scale.
@@ -1398,14 +1400,24 @@ object Dedup {
     * into τ+1 equal segments.
     */
   def editJoin(df: DataFrame, idCol: String, kCol: String, keyLen: Int,
-               tau: Int): DataFrame = {
+               tau: Int): DataFrame =
+    editCandidates(df, idCol, kCol, keyLen, tau)
+      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The PassJoin candidate set — distinct (a_id, b_id, ka, kb) pairs
+    * whose keys share a (segment-index, exact-16-gram) blocking key —
+    * shared by [[editJoin]] (which verifies with `levenshtein`) and
+    * [[editJoinProfile]] (which COUNTS it against the verified set).
+    */
+  private def editCandidates(df: DataFrame, idCol: String, kCol: String,
+                             keyLen: Int, tau: Int): DataFrame = {
     val nSeg = tau + 1
     require(keyLen % nSeg == 0, s"editJoin: $keyLen not divisible by $nSeg")
     val segLen = keyLen / nSeg
     val keys = df.select(col(idCol).as("id"), col(kCol).as("k"))
-    val segStructs = (1 to nSeg).map(i =>
-      struct(lit(i).as("si"), expr(
-        s"substring(k, ${(i - 1) * segLen + 1}, $segLen)").as("seg")))
     val winStructs = for {
       i <- 1 to nSeg
       d <- -tau to tau
@@ -1415,7 +1427,7 @@ object Dedup {
       expr(s"substring(k, $p, $segLen)").as("seg"))
     val segs = keys
       .select(col("id").as("a_id"), col("k").as("ka"),
-        explode(array(segStructs: _*)).as("s"))
+        explode(array(editSegStructs(keyLen, tau): _*)).as("s"))
       .select(col("a_id"), col("ka"), col("s.si").as("si"),
         col("s.seg").as("seg"))
     val wins = keys
@@ -1426,10 +1438,74 @@ object Dedup {
     segs.join(wins, Seq("si", "seg"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("ka"), col("kb")).distinct()
-      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
-      .filter(col("dist") <= tau)
-      .select(col("a_id"), col("b_id"), col("dist"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The τ+1 fixed non-overlapping segments of a `keyLen`-char key as
+    * (si, seg) structs — the probe side of the PassJoin block and the
+    * unit of the hot-segment census.
+    */
+  private def editSegStructs(keyLen: Int, tau: Int) = {
+    val nSeg = tau + 1
+    val segLen = keyLen / nSeg
+    (1 to nSeg).map(i =>
+      struct(lit(i).as("si"), expr(
+        s"substring(k, ${(i - 1) * segLen + 1}, $segLen)").as("seg")))
+  }
+
+  /** Scale-risk profile of [[editJoin]]'s blocking — the measurement
+    * the scaladoc above tells 100 TB operators to take BEFORE running
+    * the join on a boilerplate-heavy corpus. One row:
+    *
+    *  - `n_docs` — keys long enough to enter the join;
+    *  - `n_cand` — distinct candidate pairs the segment/window block
+    *    emits (the cost driver: every one pays a `levenshtein`);
+    *  - `n_match` — pairs that verify at distance ≤ τ (the output);
+    *  - `cand_per_match_milli` — the waste ratio ×1000 (truncating
+    *    DIV; NULL when nothing matches). A healthy corpus sits near
+    *    1000; boilerplate keys push it orders of magnitude higher —
+    *    the signal to switch to the capped family members
+    *    ([[similarityJoin]], [[sortedNeighborhood]]) instead;
+    *  - `hot_seg_docs` — the largest (segment-index, exact 16-gram)
+    *    bucket: k docs sharing one hot segment contribute up to
+    *    k·(k−1)/2 candidates on their own, so this is the blow-up's
+    *    leading indicator and is readable from a CHEAP census (one
+    *    groupBy over 3 rows/doc) even when the join itself is not
+    *    affordable.
+    *
+    * Scale posture: the census and the match count are keyed
+    * aggregates over the same frames the join itself builds; nothing
+    * here adds a pass the join would not pay. The DuckDB twin
+    * recomputes `n_match` from the BRUTE-FORCE all-pairs definition
+    * (not the blocked plan), so the profile also re-certifies
+    * blocking completeness every run.
+    */
+  def editJoinProfile(spark: SparkSession, dir: String): DataFrame =
+    editJoinProfile(Tables.documents(spark, dir)
+        .filter(length(col("text")) >= EditKeyLen)
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, EditKeyLen)).as("k")),
+      "doc_id", "k", EditKeyLen, EditTau)
+
+  /** DataFrame-first form; same key contract as [[editJoin]]. */
+  def editJoinProfile(df: DataFrame, idCol: String, kCol: String,
+                      keyLen: Int, tau: Int): DataFrame = {
+    val keys = df.select(col(idCol).as("id"), col(kCol).as("k"))
+    val nDocs = keys.agg(count(lit(1)).as("n_docs"))
+    val cand = editCandidates(df, idCol, kCol, keyLen, tau)
+      .withColumn("ok",
+        when(levenshtein(col("ka"), col("kb")) <= tau, 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_cand"), coalesce(sum(col("ok")), lit(0L))
+        .as("n_match"))
+    val hot = keys
+      .select(explode(array(editSegStructs(keyLen, tau): _*)).as("s"))
+      .groupBy(col("s.si"), col("s.seg")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("hot_seg_docs"))
+    nDocs.crossJoin(broadcast(cand)).crossJoin(broadcast(hot))
+      .select(col("n_docs"), col("n_cand"), col("n_match"),
+        when(col("n_match") === 0, lit(null))
+          .otherwise(expr("n_cand * 1000 DIV n_match"))
+          .as("cand_per_match_milli"),
+        col("hot_seg_docs"))
   }
 
   /** DuckDB twin of [[editJoin]]: the brute-force all-pairs
@@ -1446,4 +1522,49 @@ object Dedup {
        |FROM k a JOIN k b ON a.doc_id < b.doc_id
        |WHERE levenshtein(a.k, b.k) <= $EditTau
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB twin of [[editJoinProfile]]: `n_cand`/`hot_seg_docs`
+    * replicate the blocking (they are properties OF the scheme), but
+    * `n_match` is the brute-force all-pairs count — independent of
+    * the blocked plan, so a profile run re-certifies candidate
+    * completeness (blocked verified count = true pair count) as a
+    * side effect.
+    */
+  val editJoinProfileSql: String = {
+    val nSeg = EditTau + 1
+    val segLen = EditKeyLen / nSeg
+    val maxP = EditKeyLen - segLen + 1
+    s"""WITH k AS (
+       |  SELECT doc_id, lower(substring(text, 1, $EditKeyLen)) AS k
+       |  FROM documents WHERE length(text) >= $EditKeyLen),
+       |segs AS (
+       |  SELECT doc_id AS a_id, i AS si,
+       |    substring(k, CAST((i-1)*$segLen+1 AS INT), $segLen) AS seg
+       |  FROM k, generate_series(1, $nSeg) g(i)),
+       |wins AS (
+       |  SELECT DISTINCT doc_id AS b_id, i AS si,
+       |    substring(k, CAST((i-1)*$segLen+1+d AS INT), $segLen) AS seg
+       |  FROM k, generate_series(1, $nSeg) g(i),
+       |    generate_series(-$EditTau, $EditTau) h(d)
+       |  WHERE (i-1)*$segLen+1+d BETWEEN 1 AND $maxP),
+       |cand AS (
+       |  SELECT count(*) AS n_cand FROM (
+       |    SELECT DISTINCT a_id, b_id FROM segs JOIN wins USING (si, seg)
+       |    WHERE a_id < b_id) t),
+       |mtch AS (
+       |  SELECT count(*) AS n_match
+       |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |  WHERE levenshtein(a.k, b.k) <= $EditTau),
+       |hot AS (
+       |  SELECT coalesce(max(c), 0) AS hot_seg_docs FROM (
+       |    SELECT si, seg, count(*) AS c FROM segs GROUP BY 1, 2) t)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_docs,
+       |  CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(n_match AS BIGINT) AS n_match,
+       |  CASE WHEN n_match = 0 THEN NULL
+       |    ELSE CAST(n_cand * 1000 // n_match AS BIGINT)
+       |  END AS cand_per_match_milli,
+       |  CAST(hot_seg_docs AS BIGINT) AS hot_seg_docs
+       |FROM cand, mtch, hot""".stripMargin
+  }
 }

@@ -575,4 +575,39 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib, d.toLong)).toSet
     assert(corpus == cb, "corpus blocked ≠ corpus brute")
   }
+
+  test("editJoinProfile: planted hot segment shows the candidate blow-up") {
+    import spark.implicits._
+    // five keys share the si=1 segment "aa" with pairwise-distance-4
+    // suffixes — the documented PassJoin worst case: 10 candidates,
+    // zero matches. A sixth/seventh pair ("bb" block, dist 1) adds one
+    // candidate that DOES verify.
+    val keys = Seq(
+      (1L, "aaqwer"), (2L, "aatyui"), (3L, "aasdfg"),
+      (4L, "aahjkl"), (5L, "aazxcv"),
+      (6L, "bbccdd"), (7L, "bbccdx")).toDF("id", "k")
+    val r = ops.Dedup.editJoinProfile(keys, "id", "k", 6, 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 7L)
+    assert(row.getAs[Long]("n_cand") == 11L,
+      s"hot segment should emit 10 failing + 1 passing candidates, " +
+        s"got ${row.getAs[Long]("n_cand")}")
+    assert(row.getAs[Long]("n_match") == 1L)
+    assert(row.getAs[Long]("cand_per_match_milli") == 11000L)
+    assert(row.getAs[Long]("hot_seg_docs") == 5L,
+      "the planted 5-doc hot bucket must be the census max")
+    // zero matches → ratio NULL by contract, not divide-by-zero
+    val none = ops.Dedup.editJoinProfile(
+      keys.filter(col("id") <= 5), "id", "k", 6, 2).collect().head
+    assert(none.getAs[Long]("n_cand") == 10L)
+    assert(none.getAs[Long]("n_match") == 0L)
+    assert(none.isNullAt(none.fieldIndex("cand_per_match_milli")))
+    // corpus law: the profile's n_match IS the join's output size
+    val prof = ops.Dedup.editJoinProfile(spark, sfDir).collect().head
+    assert(prof.getAs[Long]("n_match") ==
+      ops.Dedup.editJoin(spark, sfDir).count())
+    assert(prof.getAs[Long]("n_cand") >= prof.getAs[Long]("n_match"))
+    assert(prof.getAs[Long]("hot_seg_docs") >= 1L)
+  }
 }
