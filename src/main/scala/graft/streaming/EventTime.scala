@@ -122,6 +122,23 @@ case class PhState(days: Map[Long, Long], t: Long, sx: Long, u: Long,
 case class PhOut(series: String, day_ms: Long, revenue_cents: Long,
                  u_cents: Long, ph_cents: Long, alarm: Boolean)
 
+/** Per-series offline-CUSUM state: the bounded OPEN-day buffer
+  * (day → (Σmilli, n)) plus the closed-trajectory prefix sums — one
+  * (day, S_j, N_j) triple per CLOSED day, the minimal sufficient
+  * statistic for re-centering every prefix deviation when the running
+  * mean moves (grows with closed days by the estimator's nature — see
+  * [[EventTime.cusumWithState]]).
+  */
+case class CusumState(open: Map[Long, (Long, Long)],
+                      pre: Vector[(Long, Long, Long)])
+
+/** One closed day's change-point re-estimate: the batch
+  * [[graft.ops.Advanced.cusum]] row for the slice up to `day_ms`,
+  * keyed by series and stamped with the closing day.
+  */
+case class CusumOut(series: String, day_ms: Long, change_day_ms: Long,
+                    cusum_milli: Long, mean_milli: Long, n_days: Long)
+
 /** One timed boolean trial for [[EventTime.sprtWithState]]. */
 case class TimedFlag(series: String, ts: java.sql.Timestamp, hit: Boolean)
 
@@ -796,6 +813,109 @@ object EventTime {
             state.update(s)
             state.setTimeoutTimestamp(
               math.max(s.days.keysIterator.min + DayMs, wm + 1))
+          } else idleRetentionMs match {
+            case Some(_) if state.hasTimedOut && out.isEmpty =>
+              state.remove()
+            case Some(ms) =>
+              state.update(s)
+              state.setTimeoutTimestamp(wm + ms)
+            case None =>
+              state.update(s)
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch offline-CUSUM change-point estimator
+    * ([[graft.ops.Advanced.cusum]]): each time the watermark closes a
+    * day, the series re-estimates its single most plausible level-
+    * shift day GIVEN THE DATA SO FAR, and the emitted row is
+    * BIT-IDENTICAL to the batch op run on the stream's slice up to
+    * that day (EventTimeSpec pins every prefix across micro-batch
+    * splits). The last row per series therefore IS the batch answer
+    * once the final day closes.
+    *
+    * Exactness follows the batch op literally: per-event milli-unit
+    * quantization by the same engine `round` expression, the center
+    * mean as ONE `BigDecimal.valueOf(S/N).setScale(0, HALF_UP)` per
+    * closed day (Spark's `Round` on a double, replicated), and the
+    * argmax over prefix deviations in pure longs with the batch tie
+    * rule (|cusum| desc, day asc — an in-order scan replacing only on
+    * strictly-greater absolute value).
+    *
+    * The recurrence exploits linearity: the cumulative deviation of
+    * prefix j under center m is S_j − m·N_j, so the state keeps ONE
+    * (day, S_j, N_j) triple per CLOSED day and re-centers all of them
+    * with each new mean in an O(closed-days) scan — no per-event
+    * history. Unlike [[pageHinkleyWithState]]'s O(1) accumulator this
+    * trajectory GROWS with closed days; that is the estimator's
+    * nature (yesterday's day becomes today's best change point when
+    * the mean moves — the offline CUSUM argmax is full-trajectory by
+    * definition), and at 24 bytes per day a decade of daily history
+    * is ~90 KB per series. Open days buffer watermark-bounded as in
+    * the other monitors; late rows drop before the operator.
+    *
+    * Same retention contract as [[pageHinkleyWithState]]:
+    * `idleRetentionMs = None` keeps the trajectory forever
+    * (|series|-bounded keys); `Some(ms)` evicts an idle series, and a
+    * resumed series restarts its trajectory — parity then holds per
+    * quiet-gap-delimited segment. Requires a UTC session timezone
+    * (loud `require`) — see [[requireUtcSession]].
+    */
+  def cusumWithState(rows: Dataset[TimedAmount], watermark: String,
+                     idleRetentionMs: Option[Long] = None): Dataset[CusumOut] = {
+    requireUtcSession(rows.sparkSession, "cusumWithState")
+    import rows.sparkSession.implicits._
+    rows.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("series"), col("ts"),
+        (floor(unix_millis(col("ts")) / DayMs) * DayMs).cast("long")
+          .as("day_ms"),
+        // the batch op's per-event quantization expression verbatim
+        // (its `v`), reusing DayAmount's `cents` field as the carrier
+        expr("CAST(round(amount * 1000) AS BIGINT)").as("cents"))
+      .as[DayAmount]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (series: String, it: Iterator[DayAmount], state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(Map.empty, Vector.empty))
+          if (!state.hasTimedOut) {
+            it.foreach { r =>
+              val (sv0, n0) = s.open.getOrElse(r.day_ms, (0L, 0L))
+              s = s.copy(open =
+                s.open.updated(r.day_ms, (sv0 + r.cents, n0 + 1L)))
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closed = s.open.keysIterator.filter(_ + DayMs <= wm)
+            .toSeq.sorted
+          val out = closed.map { d =>
+            val (sv, n) = s.open(d)
+            val (_, sPrev, nPrev) =
+              s.pre.lastOption.getOrElse((0L, 0L, 0L))
+            val pre = s.pre :+ (d, sPrev + sv, nPrev + n)
+            s = CusumState(s.open - d, pre)
+            val sAll = pre.last._2
+            val nAll = pre.last._3
+            val mean = java.math.BigDecimal.valueOf(sAll.toDouble / nAll)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            var bestAbs = -1L
+            var bestDay = 0L
+            var bestCus = 0L
+            pre.foreach { case (dj, sj, nj) =>
+              val cus = sj - mean * nj
+              val a = math.abs(cus)
+              if (a > bestAbs) { bestAbs = a; bestDay = dj; bestCus = cus }
+            }
+            CusumOut(series, d, bestDay, bestCus, mean, pre.length.toLong)
+          }
+          // the shared monitor tail: wake for the next open day, else
+          // keep / arm-eviction per the retention contract
+          if (s.open.nonEmpty) {
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.open.keysIterator.min + DayMs, wm + 1))
           } else idleRetentionMs match {
             case Some(_) if state.hasTimedOut && out.isEmpty =>
               state.remove()

@@ -564,12 +564,68 @@ class EventTimeSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         EventTime.sprtWithState(flags.toDS(), "1 day", 1L, -1L, 10L)
       }
+      intercept[IllegalArgumentException] {
+        EventTime.cusumWithState(in.toDS(), "1 day")
+      }
       // any zone that NORMALIZES to UTC passes (Etc/UTC, GMT, +00:00)
       spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
       EventTime.pageHinkleyWithState(in.toDS(), "1 day")
       spark.conf.set("spark.sql.session.timeZone", "+00:00")
       EventTime.sprtWithState(flags.toDS(), "1 day", 1L, -1L, 10L)
     } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
+
+  test("streaming cusum: every closed-day re-estimate matches the batch estimator on that prefix; late drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{CusumOut, TimedAmount}
+    def dts(day: Int, hour: Int = 12) =
+      new Timestamp(day.toLong * 86400000L + hour.toLong * 3600000L)
+    val in = MemoryStream[TimedAmount]
+    val q = EventTime.cusumWithState(in.toDS(), "1 day")
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    // level shift at day 4 (10 → 50); day 0 split intra-day (4 + 6);
+    // arrival order scrambled inside each micro-batch
+    val rows = Seq(
+      TimedAmount("s", dts(2), 10.0), TimedAmount("s", dts(0, 8), 4.0),
+      TimedAmount("s", dts(1), 10.0), TimedAmount("s", dts(0, 18), 6.0),
+      TimedAmount("s", dts(3), 10.0),
+      TimedAmount("s", dts(5), 50.0), TimedAmount("s", dts(4), 50.0),
+      TimedAmount("s", dts(7), 50.0), TimedAmount("s", dts(6), 50.0))
+    in.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    in.addData(TimedAmount("s", dts(40), 1.0)) // flush: closes days 0..7
+    q.processAllAvailable()
+    in.addData(TimedAmount("s", dts(0), 999.0)) // late: behind the watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cusum_stream").as[CusumOut].collect()
+      .filter(_.day_ms <= 7L * 86400000L).sortBy(_.day_ms)
+    assert(got.map(_.day_ms / 86400000L).toSeq == (0L to 7L))
+    // every closed-day row IS the batch estimator on the stream's
+    // slice up to that day — change point, statistic, mean, count
+    got.foreach { o =>
+      val d = o.day_ms / 86400000L
+      val slice = rows.filter(_.ts.getTime / 86400000L <= d)
+        .map(t => ("s", t.ts, t.amount)).toDF("event_type", "ts", "value")
+      val w = graft.ops.Advanced.cusum(slice, "event_type", "ts", "value")
+        .collect().head
+      assert(o.change_day_ms / 86400000L ==
+        w.getAs[java.sql.Date]("change_day").toLocalDate.toEpochDay,
+        s"day $d: change_day diverged from the prefix-batch estimator")
+      assert(o.cusum_milli == w.getAs[Long]("cusum_milli"), s"day $d cusum")
+      assert(o.mean_milli == w.getAs[Long]("mean_milli"), s"day $d mean")
+      assert(o.n_days == w.getAs[Long]("n_days"), s"day $d n_days")
+    }
+    // the final estimate localizes the planted shift boundary
+    assert(got.last.change_day_ms / 86400000L == 3L,
+      s"planted shift at day 4 should argmax the last pre-shift day, " +
+        s"got ${got.last.change_day_ms / 86400000L}")
+    assert(spark.table("cusum_stream").as[CusumOut].collect()
+      .count(_.day_ms == 0L) == 1, "late row reopened a closed day")
   }
 
   test("streaming page-hinkley: idle-retention eviction restarts the recurrence") {
