@@ -352,6 +352,71 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("law: pcaReport spectrum re-derives by power iteration and power-sum identities") {
+    // Independent second derivation of the eigensolve (the q_kcenter
+    // discipline): (a) the covariance is rebuilt on the driver with
+    // the DIRECT centered formula, bypassing CovMomentsAggregator;
+    // (b) Σλ and Σλ² are checked against tr(C) and tr(C²) — pure
+    // functionals of C needing no eigensolve at all; (c) the top-3
+    // eigenvalues are recomputed by POWER ITERATION with deflation —
+    // a different algorithm than the op's cyclic Jacobi.
+    val vecs = collectVecs()
+    val n = vecs.size
+    val dim = vecs.head._2.length
+    val mean = Array.tabulate(dim)(j => vecs.values.iterator.map(_(j)).sum / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    vecs.values.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          cov(i)(j) += (v(i) - mean(i)) * (v(j) - mean(j)); j += 1
+        }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      cov(i)(j) /= (n - 1); cov(j)(i) = cov(i)(j)
+    }
+    val full = ops.Similarity
+      .pcaReport(Tables.embeddings(spark, sfDir), "embedding", topP = dim)
+      .collect().map(_.getAs[Double]("eigenvalue"))
+    assert(full.length == dim)
+    assert(full.zip(full.tail).forall { case (a, b) => a >= b },
+      "spectrum not descending")
+    assert(full.forall(_ >= 0.0), "covariance eigenvalue went negative")
+    // power-sum identities (rounding headroom: the op rounds each
+    // eigenvalue to 1e-6, so the sums can move by ≤ dim·5e-7)
+    val tr = (0 until dim).map(i => cov(i)(i)).sum
+    val tr2 = (for (i <- 0 until dim; j <- 0 until dim)
+      yield cov(i)(j) * cov(j)(i)).sum
+    assert(math.abs(full.sum - tr) <= 1e-4 * math.max(1.0, math.abs(tr)),
+      s"trace identity broken: sum(lambda)=${full.sum} vs tr=$tr")
+    assert(math.abs(full.map(x => x * x).sum - tr2) <=
+      1e-4 * math.max(1.0, math.abs(tr2)),
+      s"Frobenius identity broken: sum(lambda^2)=${full.map(x => x * x).sum} vs tr2=$tr2")
+    // top-3 by power iteration + deflation
+    val c = cov.map(_.clone())
+    val rnd = new scala.util.Random(7)
+    val powered = (0 until 3).map { _ =>
+      var v = Array.fill(dim)(rnd.nextGaussian())
+      var lambda = 0.0
+      for (_ <- 0 until 2000) {
+        val w = Array.tabulate(dim)(i => dot(c(i), v))
+        val nw = math.sqrt(dot(w, w))
+        v = w.map(_ / nw)
+        lambda = dot(v, Array.tabulate(dim)(i => dot(c(i), v)))
+      }
+      for (i <- 0 until dim; j <- 0 until dim)
+        c(i)(j) -= lambda * v(i) * v(j)
+      lambda
+    }
+    powered.zip(full.take(3)).zipWithIndex.foreach { case ((p, j), k) =>
+      assert(math.abs(p - j) <= 1e-3 * math.max(1.0, math.abs(p)),
+        s"lambda${k + 1}: power iteration $p vs Jacobi $j")
+    }
+  }
+
   test("ndcgReport: driver-side recomputation from the knn ranking agrees exactly") {
     val labels = Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect()
