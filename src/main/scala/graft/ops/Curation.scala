@@ -622,6 +622,164 @@ object Curation {
        |    AS dup_frac
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Variable-length exact substring dedup via CONTENT-DEFINED
+    * chunking — the family member [[spanDedup]]'s fixed 32-token grid
+    * cannot be: a verbatim passage repeated at DIFFERENT token
+    * offsets in two documents never aligns to a fixed grid, so grid
+    * spans hash differently and the repeat is invisible. Here chunk
+    * boundaries are cut where a token's own md5 starts with '0'
+    * (probability 1/16 → mean chunk ≈ 16 tokens, the LBFS/CDC
+    * anchoring idea) — boundaries depend only on CONTENT, so the two
+    * copies chunk identically regardless of offset, and every chunk
+    * strictly inside the repeated region hashes equal. This is the
+    * scalable form of the suffix-array repeated-substring recipe
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): a repeat of m tokens surfaces as a run of
+    * consecutive duplicated chunks covering ≥ m − O(chunk) tokens
+    * (only the two boundary-straddling chunks are lost), while a
+    * suffix array itself has no distributed construction at 100 TB.
+    *
+    * Per document: `n_toks`, `n_chunks`, `dup_tokens` (tokens in
+    * chunks whose digest occurs &gt; 1 times corpus-wide, same-doc
+    * self-repeats included), `removable_tokens` (dup chunks that are
+    * not the corpus-wide canonical `min(doc, chunk)` first occurrence
+    * — what a remove-duplicates pass cuts), `max_dup_run_tokens` (the
+    * longest stretch of CONSECUTIVE duplicated chunks — the
+    * variable-length repeated-span length, chunk-granular), and
+    * `dup_frac`. A run of duplicated chunks certifies each chunk
+    * repeats SOMEWHERE, not that the concatenation repeats as a unit
+    * — for verbatim single-source repeats the two coincide (identical
+    * interiors chunk identically); mosaic matches can only inflate
+    * the run, never hide one.
+    *
+    * Scale posture: chunking is ROW-LOCAL (one HOF pass per doc — no
+    * per-token shuffle, ~1/16th of [[spanDedup]]'s explode volume per
+    * rung); the census is the digest-keyed partial aggregate with the
+    * `min(struct)` canonical pick; the run scan is a window keyed by
+    * doc over its own bounded chunks. No doc×doc comparison anywhere.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) corpus. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunkExpr =
+      """transform(sequence(1, size(st)), j -> struct(
+        |  CAST(j AS BIGINT) AS chunk_idx,
+        |  CAST((CASE WHEN j < size(st) THEN element_at(st, j + 1)
+        |        ELSE size(tk) + 1 END) - element_at(st, j) AS BIGINT)
+        |    AS len_toks,
+        |  md5(array_join(slice(tk, element_at(st, j),
+        |    (CASE WHEN j < size(st) THEN element_at(st, j + 1)
+        |          ELSE size(tk) + 1 END) - element_at(st, j)), ' ')) AS h))"""
+        .stripMargin
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      // content-defined anchors: position 1 plus every token whose own
+      // md5 opens with '0' — a pure function of the token, so copies
+      // of the same text chunk identically at any offset
+      .withColumn("st", expr(
+        """filter(sequence(1, size(tk)),
+          |  i -> i = 1 OR substring(md5(element_at(tk, i)), 1, 1) = '0')"""
+          .stripMargin))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"),
+        explode(expr(chunkExpr)).as("c"))
+      .select(col("doc_id"), col("n_toks"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.len_toks").as("len_toks"), col("c.h").as("h"))
+    val census = chunks.groupBy(col("h")).agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    val marked = chunks.join(census, Seq("h"))
+      .withColumn("dup", col("n_occ") > 1)
+      .withColumn("removable", col("n_occ") > 1 &&
+        !(col("first.doc_id") === col("doc_id") &&
+          col("first.chunk_idx") === col("chunk_idx")))
+    // gaps-and-islands in ONE pass over the marked chunks (a second
+    // consumer of `marked` would redo the explode + census join):
+    // consecutive dup chunks share (chunk_idx − running-dup-count), so
+    // one keyed window labels islands, one (doc, isl) aggregate sums
+    // runs AND carries the doc totals, and one doc rollup finishes —
+    // all keyed by doc, no second corpus pass.
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byIsl = marked
+      .withColumn("isl", when(col("dup"),
+        col("chunk_idx") - sum(when(col("dup"), 1L).otherwise(0L)).over(wD)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(max(col("n_toks")).as("n_toks"), count(lit(1)).as("cnt"),
+        sum(when(col("dup"), col("len_toks")).otherwise(0L)).as("dup_t"),
+        sum(when(col("removable"), col("len_toks")).otherwise(0L))
+          .as("rem_t"),
+        sum(col("len_toks")).as("run_t"))
+    byIsl.groupBy(col("doc_id"))
+      .agg(max(col("n_toks")).as("n_toks"), sum(col("cnt")).as("n_chunks"),
+        sum(col("dup_t")).as("dup_tokens"),
+        sum(col("rem_t")).as("removable_tokens"),
+        coalesce(max(when(col("isl").isNotNull, col("run_t"))), lit(0L))
+          .as("max_dup_run_tokens"))
+      .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+        col("dup_tokens"), col("removable_tokens"),
+        col("max_dup_run_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_toks"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[substringDedup]]: the same content-defined
+    * chunking as list comprehensions, with the canonical pick as a
+    * per-digest window instead of the census aggregate.
+    */
+  val substringDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (
+      |  SELECT doc_id, tk,
+      |    [i FOR i IN generate_series(1, len(tk))
+      |       IF i = 1 OR substring(md5(tk[i]), 1, 1) = '0'] AS st
+      |  FROM t),
+      |c0 AS (
+      |  SELECT doc_id, len(tk) AS n_toks,
+      |    [ {'chunk_idx': j,
+      |       'len_toks': (CASE WHEN j < len(st) THEN st[j+1]
+      |                    ELSE len(tk)+1 END) - st[j],
+      |       'h': md5(array_to_string(tk[st[j] :
+      |         (CASE WHEN j < len(st) THEN st[j+1] ELSE len(tk)+1 END) - 1],
+      |         ' '))}
+      |      FOR j IN generate_series(1, len(st)) ] AS cs
+      |  FROM s),
+      |c AS (
+      |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |    CAST(u.chunk_idx AS BIGINT) AS chunk_idx,
+      |    CAST(u.len_toks AS BIGINT) AS len_toks, u.h AS h
+      |  FROM (SELECT doc_id, n_toks, unnest(cs) AS u FROM c0)),
+      |m AS (
+      |  SELECT *,
+      |    count(*) OVER (PARTITION BY h) AS n_occ,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
+      |      AS rn
+      |  FROM c),
+      |a AS (
+      |  SELECT doc_id, max(n_toks) AS n_toks,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN n_occ > 1 THEN len_toks ELSE 0 END) AS BIGINT)
+      |      AS dup_tokens,
+      |    CAST(sum(CASE WHEN n_occ > 1 AND rn > 1 THEN len_toks ELSE 0 END)
+      |      AS BIGINT) AS removable_tokens
+      |  FROM m GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id, CAST(max(run_toks) AS BIGINT) AS max_run FROM (
+      |    SELECT doc_id, isl, sum(len_toks) AS run_toks FROM (
+      |      SELECT doc_id, len_toks,
+      |        chunk_idx - row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY chunk_idx) AS isl
+      |      FROM m WHERE n_occ > 1) GROUP BY doc_id, isl) GROUP BY doc_id)
+      |SELECT a.doc_id, n_toks, n_chunks, dup_tokens, removable_tokens,
+      |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_dup_run_tokens,
+      |  round(CAST(dup_tokens AS DOUBLE) / n_toks, 4) AS dup_frac
+      |FROM a LEFT JOIN r ON a.doc_id = r.doc_id ORDER BY a.doc_id"""
+      .stripMargin
+
   /** Curriculum ordering: assign every document a global training
     * position that (a) feeds higher-quality documents first within each
     * source and (b) round-robins across sources so no single source

@@ -140,6 +140,85 @@ class CurationSpec extends AnyFunSuite {
       "test corpus is known to contain duplicated spans")
   }
 
+  test("substringDedup: offset-shifted passage detected; exact driver-model recomputation") {
+    import spark.implicits._
+    // A 40-token passage planted in two docs at DIFFERENT offsets — the
+    // case the fixed-grid spanDedup is structurally blind to and the
+    // content-defined chunking exists for. Doc 3 is unique. The tokens
+    // are crafted so an anchor (md5 opening '0': w18, w59, w65, …)
+    // recurs every 4 tokens — the interior chunks shared by both
+    // carriers then cover passage tokens 1..36 deterministically.
+    val passage = ("w18 w0 w1 w2 w59 w3 w4 w5 w65 w6 w7 w8 w71 w9 w10 " +
+      "w11 w74 w12 w13 w14 w87 w15 w16 w17 w89 w19 w20 w21 w134 w22 " +
+      "w23 w24 w135 w25 w26 w27 w137 w28 w29 w30")
+    val docs = Seq(
+      (1L, s"alpha beta $passage tail1 tail2"),
+      (2L, s"gamma $passage end"), // different prefix LENGTH → shifted
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val got = ops.Curation.substringDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    // driver model: the chunking replayed literally (md5 via JDK)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[(Long, Long, String)] = {
+      val tk = text.split(" ", -1)
+      val starts = (1 to tk.length)
+        .filter(i => i == 1 || md5hex(tk(i - 1)).startsWith("0"))
+      starts.zipWithIndex.map { case (s0, zi) =>
+        val end = if (zi + 1 < starts.length) starts(zi + 1) else tk.length + 1
+        ((zi + 1).toLong, (end - s0).toLong,
+          md5hex(tk.slice(s0 - 1, end - 1).mkString(" ")))
+      }
+    }
+    val all = Seq(1L -> s"alpha beta $passage tail1 tail2",
+      2L -> s"gamma $passage end",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    val byDoc = all.map { case (id, t) => id -> chunksOf(t) }.toMap
+    val occ = byDoc.toSeq.flatMap { case (id, cs) =>
+      cs.map { case (ci, _, h) => (h, (id, ci)) } }
+      .groupBy(_._1).map { case (h, xs) =>
+        h -> (xs.length.toLong, xs.map(_._2).min) }
+    all.foreach { case (id, t) =>
+      val cs = byDoc(id)
+      val nToks = t.split(" ", -1).length.toLong
+      val dupFlags = cs.map { case (ci, len, h) =>
+        (ci, len, occ(h)._1 > 1, occ(h)._1 > 1 && occ(h)._2 != ((id, ci))) }
+      val dupT = dupFlags.filter(_._3).map(_._2).sum
+      val remT = dupFlags.filter(_._4).map(_._2).sum
+      val runs = dupFlags.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (ci, len, true, _)) => acc match {
+          case (lastCi, tot) :: rest if lastCi + 1 == ci =>
+            (ci, tot + len) :: rest
+          case _ => (ci, len) :: acc
+        }
+        case (acc, _) => acc
+      }
+      val maxRun = if (runs.isEmpty) 0L else runs.map(_._2).max
+      val frac = math.rint(dupT.toDouble / nToks * 1e4) / 1e4
+      assert(got(id) == ((nToks, cs.length.toLong, dupT, remT, maxRun, frac)),
+        s"doc $id: got ${got(id)}, model " +
+          s"${(nToks, cs.length.toLong, dupT, remT, maxRun, frac)}")
+    }
+    // the planted repeat is actually SEEN: both carriers report a long
+    // duplicated run spanning most of the 40-token passage, the unique
+    // doc reports nothing, and doc 1 (canonical-first) keeps its copy
+    assert(got(1L)._5 >= 25L, s"passage run missing in doc 1: ${got(1L)}")
+    assert(got(2L)._5 >= 25L, s"passage run missing in doc 2: ${got(2L)}")
+    assert(got(3L)._3 == 0L && got(3L)._5 == 0L)
+    assert(got(1L)._4 == 0L, "canonical-first doc must have nothing removable")
+    assert(got(2L)._4 >= 25L, "the shifted copy must be removable")
+    // corpus invariants at sfDir
+    val corpus = ops.Curation.substringDedup(spark, sfDir).cache()
+    assert(corpus.count() == Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(col("removable_tokens") > col("dup_tokens") ||
+      col("dup_tokens") > col("n_toks") ||
+      col("max_dup_run_tokens") > col("dup_tokens")).count() == 0)
+  }
+
   test("threshold sweep: planted survival exact, monotone, one corpus scan's worth") {
     import spark.implicits._
     // ratios: "a a a a" -> 0.75, "a b c d" -> 0.0, "a a b b" -> 0.5
