@@ -1291,6 +1291,144 @@ object TextAnalysis {
       |        / sum(c), 4) AS topk_share
       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Ladder points for [[heapsLaw]] — a fixed 10-step prefix grid so
+    * the log-log fit's point count is corpus-size-independent.
+    */
+  val HeapsDeciles = 10
+
+  /** Heaps/Herdan vocabulary-growth law fit V ≈ K·N^β — the
+    * complement of [[zipfFit]] (Zipf describes the frequency RANKING,
+    * Heaps how the vocabulary GROWS as the corpus grows): for a
+    * 10-point ladder of corpus prefixes, the cumulative token count
+    * N_k and distinct-term count V_k, plus the fitted growth exponent
+    * β (≈0.4–0.6 for natural text; β near 1 flags an ID-/noise-heavy
+    * source whose "vocabulary" never saturates, β near 0 a
+    * template-degenerate one). The corpus builder's question this
+    * answers: how big will the tokenizer vocabulary get at 10× the
+    * data?
+    *
+    * Prefixes are VALUE-GRID deciles of `doc_id` (min + k·range/10,
+    * one 2-scalar min/max probe — the [[graft.ops.Mixing]] sourceDrift
+    * pattern), NOT rank deciles: a global row_number over 100 TB of
+    * docs is the exact scale smell this repo bans, and Heaps only
+    * needs SOME deterministic growth order. V_k comes from the term
+    * census `min(doc_id)` (a term is IN prefix k iff its first
+    * carrier is), so the corpus-sized work is ONE term-keyed
+    * aggregate; N_k is 10 conditional sums over the doc-level token
+    * counts. The fit reuses [[graft.ops.Sequence.hurst]]'s micro-log
+    * integer OLS verbatim: ln of identical exact integers → identical
+    * micro-rounded BIGINTs → order-free integer moment sums → one
+    * shared double division, so β hash-matches cross-engine. Empty
+    * prefixes report NULL logs and drop from the fit (count(lx)
+    * guards np).
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLaw(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) corpus. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val probe = d.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    def cut(k: Int) = expr(s"mn - 1 + ((mx - mn + 1) * $k) DIV ${HeapsDeciles}")
+    // N_k: one pass over doc-level token counts, 10 conditional sums
+    val nToks = d.select(col("doc_id"), size(toks).cast("long").as("nt"))
+      .crossJoin(broadcast(probe))
+      .agg(coalesce(sum(when(col("doc_id") <= cut(1), col("nt"))), lit(0L))
+          .as("n_1"),
+        (2 to HeapsDeciles).map(k =>
+          coalesce(sum(when(col("doc_id") <= cut(k), col("nt"))), lit(0L))
+            .as(s"n_$k")): _*)
+    // V_k: the term census (the ONLY corpus-sized shuffle), then 10
+    // conditional counts of first-carrier deciles
+    val vTerms = d.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fid"))
+      .crossJoin(broadcast(probe))
+      .agg(coalesce(sum(when(col("fid") <= cut(1), 1L)), lit(0L)).as("v_1"),
+        (2 to HeapsDeciles).map(k =>
+          coalesce(sum(when(col("fid") <= cut(k), 1L)), lit(0L))
+            .as(s"v_$k")): _*)
+    val stacked = nToks.crossJoin(broadcast(vTerms))
+      .crossJoin(broadcast(probe))
+      .select(explode(expr(
+        s"""array(${(1 to HeapsDeciles).map(k =>
+          s"struct(CAST($k AS BIGINT) AS decile, " +
+            s"CAST(mn - 1 + ((mx - mn + 1) * $k) DIV ${HeapsDeciles} AS BIGINT) AS cutoff_id, " +
+            s"n_$k AS n_tokens, v_$k AS vocab)").mkString(", ")})"""))
+        .as("r"))
+      .select(col("r.decile").as("decile"), col("r.cutoff_id").as("cutoff_id"),
+        col("r.n_tokens").as("n_tokens"), col("r.vocab").as("vocab"))
+      .withColumn("lx", when(col("n_tokens") > 0 && col("vocab") > 0, expr(
+        "CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)")))
+      .withColumn("ly", when(col("n_tokens") > 0 && col("vocab") > 0, expr(
+        "CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)")))
+    val fit = stacked.agg(count(col("lx")).as("np"), sum(col("lx")).as("sx"),
+      sum(col("ly")).as("sy"),
+      sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
+      sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
+    stacked.crossJoin(broadcast(fit))
+      .select(col("decile"), col("cutoff_id"), col("n_tokens"), col("vocab"),
+        when(col("np") < 2
+            || expr("CAST(np AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx") === 0, lit(null))
+          .otherwise(round(
+            expr("CAST(CAST(np AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
+              / expr("CAST(CAST(np AS DECIMAL(38,0)) * sxx" +
+                " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"), 4))
+          .as("heaps_beta"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin of [[heapsLaw]] — the same value-grid deciles,
+    * first-carrier census, micro-log integer OLS.
+    */
+  val heapsLawSql: String =
+    s"""WITH probe AS (
+      |  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+      |grid AS (
+      |  SELECT CAST(k AS BIGINT) AS decile,
+      |    CAST(mn - 1 + ((mx - mn + 1) * k) // ${HeapsDeciles} AS BIGINT)
+      |      AS cutoff_id
+      |  FROM probe, (SELECT unnest(generate_series(1, ${HeapsDeciles})) AS k)),
+      |nt AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |census AS (
+      |  SELECT term, min(doc_id) AS fid FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) GROUP BY term),
+      |pts AS (
+      |  SELECT g.decile, g.cutoff_id,
+      |    (SELECT CAST(coalesce(sum(CASE WHEN doc_id <= g.cutoff_id
+      |        THEN nt END), 0) AS BIGINT) FROM nt) AS n_tokens,
+      |    (SELECT CAST(coalesce(sum(CASE WHEN fid <= g.cutoff_id
+      |        THEN 1 END), 0) AS BIGINT) FROM census) AS vocab
+      |  FROM grid g),
+      |logs AS (
+      |  SELECT *,
+      |    CASE WHEN n_tokens > 0 AND vocab > 0 THEN
+      |      CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      |    END AS lx,
+      |    CASE WHEN n_tokens > 0 AND vocab > 0 THEN
+      |      CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)
+      |    END AS ly
+      |  FROM pts),
+      |fit AS (
+      |  SELECT count(lx) AS np, sum(lx) AS sx, sum(ly) AS sy,
+      |    sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+      |    sum(CAST(lx AS HUGEINT) * lx) AS sxx
+      |  FROM logs)
+      |SELECT decile, cutoff_id, n_tokens, vocab,
+      |  CASE WHEN np < 2 OR CAST(np AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+      |    ELSE round(CAST(CAST(np AS HUGEINT) * sxy
+      |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |      / CAST(CAST(np AS HUGEINT) * sxx
+      |        - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4)
+      |  END AS heaps_beta
+      |FROM logs, fit ORDER BY decile""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

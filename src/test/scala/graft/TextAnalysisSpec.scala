@@ -332,6 +332,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.filter(col("zipf_slope") >= 0).count() == 0)
   }
 
+  test("heapsLaw: exact beta=1 and beta=0 corpora; value-grid deciles; corpus fit sane") {
+    import spark.implicits._
+    // 10 docs (ids 1..10) with 4 brand-new tokens each: N_k = V_k = 4k
+    // at every decile → ln-ln slope exactly 1
+    val fresh = (1 to 10).map(i =>
+      (i.toLong, (1 to 4).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = ops.TextAnalysis.heapsLaw(fresh, "doc_id", "text").collect()
+    assert(f.length == 10)
+    // mn=1, mx=10 → cutoff_k = (10k) DIV 10 = k
+    assert(f.map(r => (r.getAs[Long]("decile"), r.getAs[Long]("cutoff_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"))).toSeq ==
+      (1 to 10).map(k => (k.toLong, k.toLong, 4L * k, 4L * k)))
+    assert(f.forall(r => math.abs(r.getAs[Double]("heaps_beta") - 1.0) < 5e-4),
+      s"fresh-vocab corpus must fit beta=1, got ${f.head.getAs[Double]("heaps_beta")}")
+    // 10 identical docs: V_k = 4 constant while N_k grows → slope 0
+    val fixed = (1 to 10).map(i => (i.toLong, "a b c d"))
+      .toDF("doc_id", "text")
+    val g = ops.TextAnalysis.heapsLaw(fixed, "doc_id", "text").collect()
+    assert(g.forall(_.getAs[Long]("vocab") == 4L))
+    assert(g.forall(r => math.abs(r.getAs[Double]("heaps_beta")) < 5e-4),
+      s"saturated corpus must fit beta=0, got ${g.head.getAs[Double]("heaps_beta")}")
+    // corpus: 10 rows, cumulative counts monotone, sublinear-growth beta
+    val c = ops.TextAnalysis.heapsLaw(spark, sfDir).collect()
+    assert(c.length == 10)
+    assert(c.sliding(2).forall(p =>
+      p(0).getAs[Long]("n_tokens") <= p(1).getAs[Long]("n_tokens") &&
+        p(0).getAs[Long]("vocab") <= p(1).getAs[Long]("vocab")))
+    // the synthetic corpus draws from a FIXED 31-word pool, so its
+    // vocabulary saturates in decile 1 and the true beta IS 0.0 —
+    // exactly the degenerate-source signal the op exists to flag
+    val beta = c.head.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta <= 1.0, s"corpus beta out of range: $beta")
+    assert(c.forall(_.getAs[Long]("vocab") == c.head.getAs[Long]("vocab"))
+      == (beta == 0.0))
+  }
+
   test("sparseKnn: planted near-copy ranks first; disjoint docs never pair") {
     import spark.implicits._
     // doc 0 (query) shares most terms with doc 10, fewer with doc 11;
