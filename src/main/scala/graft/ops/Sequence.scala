@@ -986,4 +986,115 @@ object Sequence {
        |    WHEN round(dev / sd, 6) < $SaxBreakHi THEN 'c'
        |    ELSE 'd' END AS symbol
        |FROM t ORDER BY seg_idx""".stripMargin
+
+  /** Burst threshold numerator/denominator: a day bursts when its
+    * count exceeds [[BurstNum]]/[[BurstDen]] × the type's mean daily
+    * count — a RATIO, not a fixed count, so the rule survives a
+    * corpus scale-up (the cochranQ lesson).
+    */
+  val BurstNum = 2L
+  val BurstDen = 1L
+
+  /** Burst-episode detection per event type — the EPISODE-structured
+    * complement of the point monitors ([[pageHinkley]] drift,
+    * [[graft.ops.Advanced.cusum]] level shift,
+    * [[graft.ops.Diagnostics]] Poisson over-dispersion): a day BURSTS
+    * when its event count strictly exceeds 2× the type's mean daily
+    * count over its OWN active days (integer cross-multiply
+    * `c·n_days &gt; 2·total` — no rate division anywhere), and
+    * consecutive CALENDAR bursting days chain into episodes (a
+    * quiet or unobserved day breaks the chain — day numbers are
+    * epoch-day integers, so gaps-and-islands on `day − rank` needs no
+    * calendar fill). Per type: active days, bursting days, episode
+    * count, the longest episode in days, and the peak day (argmax
+    * count, earliest-day tie-break) with its count — the trending/
+    * incident shape detector (Kleinberg 2002's two-state intuition
+    * without the HMM machinery, which would not be oracle-checkable).
+    *
+    * Scale posture: one (type, day) census off the events scan, a
+    * 1-row-per-type totals broadcast back, and all windows keyed by
+    * type over the |types|×|days|-bounded daily frame.
+    */
+  def burstEpisodes(spark: SparkSession, dir: String): DataFrame =
+    burstEpisodes(Tables.events(spark, dir), "event_type", "ts")
+
+  /** DataFrame-first form over any (group, timestamp) frame. */
+  def burstEpisodes(events: DataFrame, groupCol: String,
+                    tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .groupBy(col("g"), col("day")).agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy(col("g"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_days"))
+    val marked = daily.join(broadcast(tot), Seq("g"))
+      .withColumn("burst",
+        col("c") * col("n_days") * BurstDen > col("total") * BurstNum)
+    val wRank = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeak = Window.partitionBy(col("g"))
+      .orderBy(col("c").desc, col("day"))
+    val runs = marked
+      .withColumn("isl", when(col("burst"),
+        col("day") - sum(when(col("burst"), 1L).otherwise(0L)).over(wRank)))
+      .withColumn("pk", row_number().over(wPeak))
+      .groupBy(col("g"), col("isl"))
+      .agg(max(col("n_days")).as("n_days"), count(lit(1)).as("cnt"),
+        sum(when(col("burst"), 1L).otherwise(0L)).as("burst_days"),
+        min(when(col("pk") === 1,
+          struct(col("day"), col("c")))).as("peak"))
+    runs.groupBy(col("g"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(col("burst_days")).as("n_burst_days"),
+        sum(when(col("isl").isNotNull, 1L).otherwise(0L)).as("n_episodes"),
+        coalesce(max(when(col("isl").isNotNull, col("cnt"))), lit(0L))
+          .as("longest_episode_days"),
+        min(col("peak")).as("peak"))
+      .select(col("g").as("event_type"), col("n_days"), col("n_burst_days"),
+        col("n_episodes"), col("longest_episode_days"),
+        date_add(lit("1970-01-01").cast("date"), col("peak.day"))
+          .as("peak_day"),
+        col("peak.c").as("peak_count"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[burstEpisodes]] — same integer cross-multiplied
+    * burst rule and day−rank islands.
+    */
+  val burstEpisodesSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS g,
+       |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT g, CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n_days
+       |  FROM daily GROUP BY 1),
+       |m AS (
+       |  SELECT d.g, day, c, n_days,
+       |    c * n_days * $BurstDen > total * $BurstNum AS burst
+       |  FROM daily d JOIN tot t ON d.g = t.g),
+       |lab AS (
+       |  SELECT *,
+       |    CASE WHEN burst THEN day - sum(CASE WHEN burst THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY g ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |    END AS isl,
+       |    row_number() OVER (PARTITION BY g ORDER BY c DESC, day) AS pk
+       |  FROM m),
+       |runs AS (
+       |  SELECT g, isl, max(n_days) AS n_days, count(*) AS cnt,
+       |    CAST(sum(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS burst_days,
+       |    min(CASE WHEN pk = 1 THEN {'day': day, 'c': c} END) AS peak
+       |  FROM lab GROUP BY 1, 2)
+       |SELECT g AS event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+       |  CAST(sum(burst_days) AS BIGINT) AS n_burst_days,
+       |  CAST(sum(CASE WHEN isl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_episodes,
+       |  CAST(coalesce(max(CASE WHEN isl IS NOT NULL THEN cnt END), 0)
+       |    AS BIGINT) AS longest_episode_days,
+       |  DATE '1970-01-01' + CAST((min(peak)).day AS INTEGER) AS peak_day,
+       |  CAST((min(peak)).c AS BIGINT) AS peak_count
+       |FROM runs GROUP BY g ORDER BY event_type""".stripMargin
 }

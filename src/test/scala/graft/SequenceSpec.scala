@@ -324,4 +324,37 @@ class SequenceSpec extends AnyFunSuite {
     assert(rsSeq.last > rsSeq.head,
       "mean R/S must grow from the smallest to the largest block size")
   }
+  test("burstEpisodes: hand-built episodes, gap and quiet-day breaks, peak tie rule") {
+    import spark.implicits._
+    def ev(t: String, day: Int, n: Int) = (1 to n).map(i =>
+      (t, new java.sql.Timestamp(day.toLong * 86400000L + i * 1000L)))
+    // t: counts day1..day10 = 10,10,1,_,10,1,1,1,1,1 (day 4 unobserved)
+    //   total 36 over 9 active days -> burst iff c*9 > 72 -> c > 8:
+    //   days 1,2 chain (episode of 2), day 5 alone (gap at 4 breaks it)
+    // u: uniform 2,2,2 -> no bursts, peak = earliest max day
+    // v: 5,1,5 then six quiet days -> total 16/9 days, burst iff c*9 > 32:
+    //   days 1 and 3 burst but the QUIET day 2 breaks them into 2 episodes
+    val rows = ev("t", 1, 10) ++ ev("t", 2, 10) ++ ev("t", 3, 1) ++
+      ev("t", 5, 10) ++ (6 to 10).flatMap(d => ev("t", d, 1)) ++
+      (1 to 3).flatMap(d => ev("u", d, 2)) ++
+      (ev("v", 1, 5) ++ ev("v", 2, 1) ++ ev("v", 3, 5) ++
+        (4 to 9).flatMap(d => ev("v", d, 1)))
+    val got = ops.Sequence.burstEpisodes(rows.toDF("g", "ts"), "g", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        r.getAs[java.sql.Date](5).toLocalDate.toEpochDay, r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      ("t", 9L, 3L, 2L, 2L, 1L, 10L),
+      ("u", 3L, 0L, 0L, 0L, 1L, 2L),
+      ("v", 9L, 2L, 2L, 1L, 1L, 5L)), s"got $got")
+    // corpus: every type reports, invariants hold
+    val c = ops.Sequence.burstEpisodes(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "burst days exceed active days")
+      assert(r.getLong(4) <= r.getLong(2), "longest run exceeds burst days")
+      assert((r.getLong(3) == 0) == (r.getLong(2) == 0))
+    }
+  }
 }
