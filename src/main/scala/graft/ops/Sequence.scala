@@ -1097,4 +1097,78 @@ object Sequence {
        |  DATE '1970-01-01' + CAST((min(peak)).day AS INTEGER) AS peak_day,
        |  CAST((min(peak)).c AS BIGINT) AS peak_count
        |FROM runs GROUP BY g ORDER BY event_type""".stripMargin
+
+  /** Day-of-week seasonality profile per event type — the calendar
+    * rhythm [[graft.ops.Diagnostics]]' Poisson dispersion (bursty vs
+    * uniform ARRIVALS) and [[graft.ops.Advanced.cusum]] (level SHIFT)
+    * both integrate away: 7 zero-filled rows per type with the event
+    * share per weekday in exact basis points, plus the uniformity χ²
+    * as ONE exact integer ratio — from E = T/7,
+    * χ² = Σ(n_i − T/7)²/(T/7) = (7·Σn_i² − T²)/T identically, so
+    * `chi2_milli = (7·Σn² − T²)·1000 DIV T` needs no per-cell float
+    * division (squares ride DECIMAL(38,0); the BIGINT ceiling falls
+    * only past 10¹⁸ events/type). Weekday is PURE ARITHMETIC,
+    * `(epoch_day + 4) % 7` (1970-01-01 was a Thursday; 0 = Sunday) —
+    * not an engine calendar function, whose week-start conventions
+    * differ between engines.
+    *
+    * Scale posture: one (type, dow) census off the events scan, the
+    * 7-row grid fill and totals on |types|-bounded frames.
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame =
+    dowSeasonality(Tables.events(spark, dir), "event_type", "ts")
+
+  /** DataFrame-first form over any (group, timestamp) frame. */
+  def dowSeasonality(events: DataFrame, groupCol: String,
+                     tsCol: String): DataFrame = {
+    val cells = events
+      .select(col(groupCol).as("g"),
+        pmod(datediff(to_date(col(tsCol)), lit("1970-01-01")) + 4, lit(7))
+          .cast("long").as("dow"))
+      .groupBy(col("g"), col("dow")).agg(count(lit(1)).as("n"))
+    val grid = cells.select(col("g")).distinct()
+      .crossJoin(broadcast(cells.sparkSession.range(0, 7)
+        .toDF("dow")))
+    val filled = grid.join(cells, Seq("g", "dow"), "left")
+      .na.fill(0L, Seq("n"))
+    val tot = filled.groupBy(col("g"))
+      .agg(sum(col("n")).as("t"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sn2"))
+    filled.join(broadcast(tot), Seq("g"))
+      .select(col("g").as("event_type"), col("dow"),
+        col("n").as("n_events"),
+        expr("n * 10000 DIV t").as("share_bp"),
+        expr("CAST((7 * sn2 - CAST(t AS DECIMAL(38,0)) * t) * 1000" +
+          " DIV t AS BIGINT)").as("chi2_milli"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** DuckDB twin of [[dowSeasonality]] — same arithmetic weekday,
+    * zero-filled grid, integer χ².
+    */
+  val dowSeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT event_type AS g,
+      |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+      |      AS dow,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, CAST(d AS BIGINT) AS dow
+      |  FROM (SELECT DISTINCT g FROM cells),
+      |    (SELECT unnest(generate_series(0, 6)) AS d)),
+      |filled AS (
+      |  SELECT grid.g, grid.dow, coalesce(n, 0) AS n
+      |  FROM grid LEFT JOIN cells
+      |    ON grid.g = cells.g AND grid.dow = cells.dow),
+      |tot AS (
+      |  SELECT g, CAST(sum(n) AS BIGINT) AS t,
+      |    sum(CAST(n AS HUGEINT) * n) AS sn2
+      |  FROM filled GROUP BY 1)
+      |SELECT f.g AS event_type, f.dow, CAST(f.n AS BIGINT) AS n_events,
+      |  CAST(f.n * 10000 // t AS BIGINT) AS share_bp,
+      |  CAST((7 * sn2 - CAST(t AS HUGEINT) * t) * 1000 // t AS BIGINT)
+      |    AS chi2_milli
+      |FROM filled f JOIN tot ON f.g = tot.g
+      |ORDER BY event_type, dow""".stripMargin
 }

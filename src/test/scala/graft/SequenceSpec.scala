@@ -357,4 +357,36 @@ class SequenceSpec extends AnyFunSuite {
       assert((r.getLong(3) == 0) == (r.getLong(2) == 0))
     }
   }
+
+  test("dowSeasonality: Thursday epoch anchor, zero-filled grid, exact integer chi2") {
+    import spark.implicits._
+    def ev(t: String, day: Int, n: Int) = (1 to n).map(i =>
+      (t, new java.sql.Timestamp(day.toLong * 86400000L + i * 1000L)))
+    // 1970-01-01 (day 0) was a THURSDAY -> dow (0+4)%7 = 4
+    // skew: 6 events on day 0 (Thu), 1 on day 1 (Fri):
+    //   T=7, sum n^2 = 37, chi2 = (7*37-49)/7 = 30 exactly -> 30000 milli
+    // unif: one event on each of days 0..6 -> every dow once, chi2 = 0
+    val rows = ev("skew", 0, 6) ++ ev("skew", 1, 1) ++
+      (0 to 6).flatMap(d => ev("unif", d, 1))
+    val got = ops.Sequence.dowSeasonality(rows.toDF("g", "ts"), "g", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length == 14, "grid must zero-fill to 7 rows per type")
+    val skew = got.filter(_._1 == "skew")
+    assert(skew.map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L),
+        (4L, 6L, 8571L), (5L, 1L, 1428L), (6L, 0L, 0L)))
+    assert(skew.forall(_._5 == 30000L), s"chi2 ${skew.head._5}")
+    val unif = got.filter(_._1 == "unif")
+    assert(unif.forall(x => x._3 == 1L && x._4 == 1428L && x._5 == 0L))
+    // corpus: 7 rows per type, shares close at <= 10000 bp, chi2 >= 0
+    val c = ops.Sequence.dowSeasonality(spark, sfDir).collect()
+    assert(c.length % 7 == 0)
+    val byType = c.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      val bp = rs.map(_.getLong(3)).sum
+      assert(bp > 9990L && bp <= 10000L, s"shares sum $bp")
+      assert(rs.forall(_.getLong(4) >= 0L))
+    }
+  }
 }
