@@ -369,4 +369,31 @@ class DeterminismSpec extends AnyFunSuite {
     assert(runEj(_.repartition(7)) == runEj(_.coalesce(1)),
       "editJoin depends on the input partitioning")
   }
+
+  test("round-10 operators are invariant to input layout") {
+    // substringDedup: CDC chunking is row-local, census + keyed windows
+    assertLayoutInvariant(d =>
+      ops.Curation.substringDedup(d, "doc_id", "text"))
+    // heapsLaw: value-grid deciles + first-carrier census, layout-free
+    assertLayoutInvariant(d =>
+      ops.TextAnalysis.heapsLaw(d, "doc_id", "text"))
+    // editJoinProfile: same candidate frame as editJoin + censuses
+    assertLayoutInvariant { d =>
+      import org.apache.spark.sql.functions.{col, length, lower, substring}
+      val keys = d.filter(length(col("text")) >= 48)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 48)).as("k"))
+      ops.Dedup.editJoinProfile(keys, "doc_id", "k", 48, 2)
+    }
+    // burstEpisodes / dowSeasonality: (type, day|dow) censuses + keyed
+    // windows over the bounded daily frame
+    val events = Tables.events(spark, sfDir)
+    def runB(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Sequence.burstEpisodes(f(events), "event_type", "ts"))
+    assert(runB(_.repartition(7)) == runB(_.coalesce(1)),
+      "burstEpisodes depends on the input partitioning")
+    def runD(f: DataFrame => DataFrame): Seq[String] =
+      rowsOf(ops.Sequence.dowSeasonality(f(events), "event_type", "ts"))
+    assert(runD(_.repartition(7)) == runD(_.coalesce(1)),
+      "dowSeasonality depends on the input partitioning")
+  }
 }

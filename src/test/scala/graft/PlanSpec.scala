@@ -719,4 +719,49 @@ class PlanSpec extends AnyFunSuite {
       s"wilsonCi re-joined the dimension instead of reusing SegOrders:\n$wc")
     ops.SegOrders.clear()
   }
+
+  test("round-10 plans: no cartesian anywhere; substring dedup joins digests by shuffle; heaps/dow censuses stay windowless") {
+    // substringDedup: the census join must be digest-keyed shuffle
+    // (the chunk census is corpus-vocabulary-sized at web scale) — pin
+    // the at-scale shape with size-based broadcasts disabled, the
+    // span-dedup contract verbatim; only EXPLICIT broadcast() hints
+    // (none here) would survive the -1 threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val sd = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.catalog.clearCache()
+      formatted(ops.Curation.substringDedup(spark, sfDir))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!sd.contains("CartesianProduct"), s"cartesian:\n$sd")
+    assert(!sd.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$sd")
+    assert("BroadcastExchange \\(\\d".r.findAllIn(sd).isEmpty,
+      s"chunk census join must shuffle, not broadcast:\n$sd")
+    assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin"),
+      s"chunk census join not shuffled:\n$sd")
+    // editJoinProfile: same candidate equi-join as editJoin + censuses;
+    // the three 1-row aggregates meet by broadcast only
+    val ep = formatted(ops.Dedup.editJoinProfile(spark, sfDir))
+    assert(!ep.contains("CartesianProduct"), s"cartesian:\n$ep")
+    // heapsLaw: the corpus-sized work is aggregates; the only joins are
+    // 1-row broadcasts (probe/fit) — no window over the corpus
+    val hl = formatted(ops.TextAnalysis.heapsLaw(spark, sfDir))
+    assert(!hl.contains("CartesianProduct"), s"cartesian:\n$hl")
+    assert(!hl.contains("Window"), s"heapsLaw planned a window:\n$hl")
+    // burst/dow: censuses first — every Window/join runs on the
+    // bounded daily frame AFTER an aggregate, never on raw events
+    Seq(ops.Sequence.burstEpisodes(spark, sfDir),
+      ops.Sequence.dowSeasonality(spark, sfDir)).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+      // tree prints top-down: the FINAL aggregate (Hash or Sort — the
+      // min-of-struct peak pick compiles to SortAggregate) must sit
+      // above any Window, i.e. every window feeds an aggregate result
+      val aggIdx = "(Hash|Sort|Object)Aggregate".r
+        .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+      val winIdx = plan.indexOf("Window")
+      assert(aggIdx >= 0 && (winIdx < 0 || aggIdx < winIdx
+        || plan.contains("AQEShuffleRead")),
+        s"window not census-fed:\n$plan")
+    }
+  }
 }
