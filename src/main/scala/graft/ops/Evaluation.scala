@@ -986,18 +986,41 @@ object Evaluation {
       .select(col("g"), col("part"), col("n_train"), col("slope"), col("icept"),
         round(abs(d(col("y")) - col("icept") - col("slope") * d(col("x"))))
           .cast("long").as("r"))
+    // QUANTILE-BUCKET PRUNING (the weightedMedian trick, adapted): q̂
+    // is ONE order statistic, so after the census the coarse
+    // (g, bucket) count prefix alone locates the single bucket the
+    // k-th residual lands in, and only THAT bucket's census rows get
+    // the fine window — doubledRanks' corpus-census⋈coarse join and
+    // full fine window never exist. Unlike weightedMedian the census
+    // IS still built: `scored` is an expensive subplan (scan ⋈ fit),
+    // so one census evaluation beats a second raw-row pass (measured —
+    // the census-free form re-evaluated `scored` and ran 25% SLOWER).
+    // The DuckDB twin keeps the two-level census scan, so the oracle
+    // stays an independent derivation of the same statistic.
     val calCensus = scored.filter(col("part") === "cal")
       .groupBy(col("g").as("g"), col("r").as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val kOf = calCensus.groupBy(col("g"))
-      .agg(sum(col("cnt")).as("n_cal"))
+      .withColumn("bk", expr(s"CAST((v - pmod(v, $ConformalBucketWidth))" +
+        s" / $ConformalBucketWidth AS BIGINT)"))
+    val coarse = calCensus.groupBy(col("g"), col("bk"))
+      .agg(sum(col("cnt")).as("bc"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("bk"))
+    val pre = coarse.select(col("g"), col("bk"), col("bc"),
+      (sum(col("bc")).over(wg) - col("bc")).as("cc"))
+    val kOf = coarse.groupBy(col("g"))
+      .agg(sum(col("bc")).as("n_cal"))
       .select(col("g"), col("n_cal"),
         // k = ⌈(n_cal+1)·(1−α)⌉ in exact integer arithmetic
         least(
           expr(s"((n_cal + 1) * ${10000 - alphaBp} + 9999) div 10000"),
           col("n_cal")).as("k"))
-    val qhat = Ranks.doubledRanks(calCensus, ConformalBucketWidth)
-      .join(broadcast(kOf), Seq("g"))
+    val target = pre.join(broadcast(kOf), Seq("g"))
+      .filter(col("cc") < col("k") && col("k") <= col("cc") + col("bc"))
+      .select(col("g"), col("bk"), col("cc"), col("n_cal"), col("k"))
+    val fineW = Window.partitionBy(col("g"), col("bk")).orderBy(col("v"))
+    val qhat = calCensus.join(broadcast(target), Seq("g", "bk"))
+      .withColumn("lt",
+        col("cc") + sum(col("cnt")).over(fineW) - col("cnt"))
       .filter(col("lt") < col("k") && col("k") <= col("lt") + col("cnt"))
       .select(col("g"), col("n_cal"), col("v").as("qhat_cents"))
     scored.filter(col("part") === "test")
