@@ -168,24 +168,38 @@ object Dedup {
         fields.map(f => col(f).cast("string").as(f)): _*)
       .withColumn("block", concat_ws(" ",
         split(col("nm"), " ").getItem(0), split(col("nm"), " ").getItem(1)))
-    // per-field agree/disagree micro-weights — each a 1-row frame from
-    // the field's exact value census
-    val weights = fields.map { f =>
-      recs.groupBy(col(f)).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c").cast("decimal(38,0)")
-          * (col("c") - 1).cast("decimal(38,0)")).as("nu"),
-          sum(col("c")).as("nr"))
-        .select(
-          expr("CASE WHEN nu <= 0 OR nu >= CAST(nr AS DECIMAL(38,0)) * (nr - 1)" +
-            " THEN CAST(0 AS BIGINT)" +
-            s" ELSE CAST(round(ln($FsM * (CAST(nr AS DOUBLE) * (nr - 1))" +
-            " / CAST(nu AS DOUBLE)) * 1e6) AS BIGINT) END").as(s"wa_$f"),
-          expr("CASE WHEN nu <= 0 OR nu >= CAST(nr AS DECIMAL(38,0)) * (nr - 1)" +
-            " THEN CAST(0 AS BIGINT)" +
-            s" ELSE CAST(round(ln(${1 - FsM} * (CAST(nr AS DOUBLE) * (nr - 1))" +
-            " / (CAST(nr AS DOUBLE) * (nr - 1) - CAST(nu AS DOUBLE))) * 1e6)" +
-            " AS BIGINT) END").as(s"wd_$f"))
-    }.reduce((a, b) => a.crossJoin(b))
+    // per-field agree/disagree micro-weights off ONE shared census
+    // pass: the (field, value) explode is row-local and the censuses
+    // for every field ride a single aggregate + 1-row pivot — the
+    // per-field-job form paid |fields| scheduler round-trips for the
+    // same exact integers (measured: job overhead, not data, dominated)
+    val wRows = recs
+      .select(explode(array(fields.map(f =>
+        struct(lit(f).as("f"), col(f).as("v"))): _*)).as("x"))
+      .groupBy(col("x.f").as("f"), col("x.v").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("f"))
+      .agg(sum(col("c").cast("decimal(38,0)")
+        * (col("c") - 1).cast("decimal(38,0)")).as("nu"),
+        sum(col("c")).as("nr"))
+      .select(col("f"),
+        expr("CASE WHEN nu <= 0 OR nu >= CAST(nr AS DECIMAL(38,0)) * (nr - 1)" +
+          " THEN CAST(0 AS BIGINT)" +
+          s" ELSE CAST(round(ln($FsM * (CAST(nr AS DOUBLE) * (nr - 1))" +
+          " / CAST(nu AS DOUBLE)) * 1e6) AS BIGINT) END").as("wa"),
+        expr("CASE WHEN nu <= 0 OR nu >= CAST(nr AS DECIMAL(38,0)) * (nr - 1)" +
+          " THEN CAST(0 AS BIGINT)" +
+          s" ELSE CAST(round(ln(${1 - FsM} * (CAST(nr AS DOUBLE) * (nr - 1))" +
+          " / (CAST(nr AS DOUBLE) * (nr - 1) - CAST(nu AS DOUBLE))) * 1e6)" +
+          " AS BIGINT) END").as("wd"))
+    val weights = wRows.groupBy()
+      .agg(max(when(col("f") === fields.head, col("wa")))
+          .as(s"wa_${fields.head}"),
+        fields.tail.flatMap(f => Seq(
+          max(when(col("f") === f, col("wa"))).as(s"wa_$f"),
+          max(when(col("f") === f, col("wd"))).as(s"wd_$f"))) :+
+          max(when(col("f") === fields.head, col("wd")))
+            .as(s"wd_${fields.head}"): _*)
     val sizes = recs.groupBy(col("block"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBlock)
     val blocked = recs.join(sizes.select("block"), Seq("block"))
