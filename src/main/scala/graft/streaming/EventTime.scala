@@ -139,6 +139,33 @@ case class CusumState(open: Map[Long, (Long, Long)],
 case class CusumOut(series: String, day_ms: Long, change_day_ms: Long,
                     cusum_milli: Long, mean_milli: Long, n_days: Long)
 
+/** One timed occurrence (count events by day) for
+  * [[EventTime.burstWithState]].
+  */
+case class TimedMark(series: String, ts: java.sql.Timestamp)
+
+/** [[TimedMark]] with its day window pre-resolved; `ts` carries the
+  * watermark into the stateful operator.
+  */
+case class DayMark(series: String, ts: java.sql.Timestamp, day_ms: Long)
+
+/** Per-series burst-monitor state: the bounded OPEN-day count buffer
+  * plus the closed (day, count) trajectory — every past day's burst
+  * verdict moves when the running mean moves, so the full closed
+  * trajectory is the minimal sufficient statistic (the
+  * [[CusumState]] contract).
+  */
+case class BurstState(open: Map[Long, Long], days: Vector[(Long, Long)])
+
+/** One closed day's re-estimate of the episode report: the batch
+  * [[graft.ops.Sequence.burstEpisodes]] row for the slice up to
+  * `day_ms`, keyed by series and stamped with the closing day.
+  */
+case class BurstOut(series: String, day_ms: Long, n_days: Long,
+                    n_burst_days: Long, n_episodes: Long,
+                    longest_episode_days: Long, peak_day_ms: Long,
+                    peak_count: Long)
+
 /** One timed boolean trial for [[EventTime.sprtWithState]]. */
 case class TimedFlag(series: String, ts: java.sql.Timestamp, hit: Boolean)
 
@@ -912,6 +939,91 @@ object EventTime {
           }
           // the shared monitor tail: wake for the next open day, else
           // keep / arm-eviction per the retention contract
+          if (s.open.nonEmpty) {
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.open.keysIterator.min + DayMs, wm + 1))
+          } else idleRetentionMs match {
+            case Some(_) if state.hasTimedOut && out.isEmpty =>
+              state.remove()
+            case Some(ms) =>
+              state.update(s)
+              state.setTimeoutTimestamp(wm + ms)
+            case None =>
+              state.update(s)
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch burst-episode detector
+    * ([[graft.ops.Sequence.burstEpisodes]]) — the fourth sequential
+    * monitor, completing the family (Page–Hinkley and SPRT fold O(1)
+    * accumulators; CUSUM and this one are TRAJECTORY estimators):
+    * each watermark-closed day re-reports the series' full episode
+    * profile — burst days, episode count, longest episode, peak —
+    * for the data so far, BIT-IDENTICAL to the batch op on that
+    * prefix (EventTimeSpec pins every prefix across micro-batch
+    * splits).
+    *
+    * Why the whole closed (day, count) trajectory is state: the burst
+    * rule compares each day against the RUNNING mean
+    * (c·n_days &gt; 2·total), so every new day can flip a PAST day's
+    * verdict and re-chain episodes — the report is a function of the
+    * full prefix by definition, exactly the [[cusumWithState]]
+    * situation (16 bytes/day; a decade ≈ 60 KB/series). Each close
+    * replays the batch rule over the trajectory in day order — an
+    * O(closed-days) driver-side scan per close, no extra jobs.
+    *
+    * Same UTC-session requirement and idle-retention contract as the
+    * other monitors; late rows drop at the watermark before the
+    * operator, so a closed day's count is final.
+    */
+  def burstWithState(rows: Dataset[TimedMark], watermark: String,
+                     idleRetentionMs: Option[Long] = None): Dataset[BurstOut] = {
+    requireUtcSession(rows.sparkSession, "burstWithState")
+    import rows.sparkSession.implicits._
+    rows.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("series"), col("ts"),
+        (floor(unix_millis(col("ts")) / DayMs) * DayMs).cast("long")
+          .as("day_ms"))
+      .as[DayMark]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (series: String, it: Iterator[DayMark], state: GroupState[BurstState]) =>
+          var s = state.getOption.getOrElse(BurstState(Map.empty, Vector.empty))
+          if (!state.hasTimedOut) {
+            it.foreach { r =>
+              s = s.copy(open =
+                s.open.updated(r.day_ms, s.open.getOrElse(r.day_ms, 0L) + 1L))
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closed = s.open.keysIterator.filter(_ + DayMs <= wm)
+            .toSeq.sorted
+          val out = closed.map { d =>
+            s = BurstState(s.open - d, s.days :+ (d, s.open(d)))
+            // the batch rule replayed verbatim over the prefix: flag
+            // under the running totals, chain consecutive CALENDAR
+            // days, peak = earliest max-count day
+            val total = s.days.iterator.map(_._2).sum
+            val nDays = s.days.length.toLong
+            var nBurst = 0L; var nEp = 0L; var longest = 0L
+            var run = 0L; var prevDay = Long.MinValue
+            var peakDay = 0L; var peakC = -1L
+            s.days.foreach { case (day, c) =>
+              if (c > peakC) { peakC = c; peakDay = day }
+              if (c * nDays > total * 2L) {
+                nBurst += 1
+                run = if (prevDay == day - DayMs) run + 1 else { nEp += 1; 1L }
+                if (run > longest) longest = run
+                prevDay = day
+              } else prevDay = Long.MinValue
+            }
+            BurstOut(series, d, nDays, nBurst, nEp, longest, peakDay, peakC)
+          }
           if (s.open.nonEmpty) {
             state.update(s)
             state.setTimeoutTimestamp(

@@ -567,6 +567,10 @@ class EventTimeSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         EventTime.cusumWithState(in.toDS(), "1 day")
       }
+      intercept[IllegalArgumentException] {
+        EventTime.burstWithState(
+          MemoryStream[graft.streaming.TimedMark].toDS(), "1 day")
+      }
       // any zone that NORMALIZES to UTC passes (Etc/UTC, GMT, +00:00)
       spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
       EventTime.pageHinkleyWithState(in.toDS(), "1 day")
@@ -626,6 +630,55 @@ class EventTimeSpec extends AnyFunSuite {
         s"got ${got.last.change_day_ms / 86400000L}")
     assert(spark.table("cusum_stream").as[CusumOut].collect()
       .count(_.day_ms == 0L) == 1, "late row reopened a closed day")
+  }
+
+  test("streaming burst monitor: every closed-day episode report matches the batch detector on that prefix") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{BurstOut, TimedMark}
+    def marks(day: Int, n: Int) = (1 to n).map(i =>
+      TimedMark("t", new Timestamp(day.toLong * 86400000L + i * 1000L)))
+    // the batch fixture's shape: bursts at days 1,2 (chained) and 5
+    // (gap-broken), quiet tail — and the day-3 arrival RETROACTIVELY
+    // matters: early prefixes flag different days than the final mean
+    val byDay = Seq(1 -> 10, 2 -> 10, 3 -> 1, 5 -> 10) ++
+      (6 to 10).map(_ -> 1)
+    val rows = byDay.flatMap { case (d, n) => marks(d, n) }
+    val in = MemoryStream[TimedMark]
+    val q = EventTime.burstWithState(in.toDS(), "1 day")
+      .writeStream.format("memory").queryName("burst_stream")
+      .outputMode("append").start()
+    in.addData(rows.take(12): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(12): _*)
+    q.processAllAvailable()
+    in.addData(TimedMark("t",
+      new Timestamp(40L * 86400000L))) // flush: closes days 1..10
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("burst_stream").as[BurstOut].collect()
+      .filter(_.day_ms <= 10L * 86400000L).sortBy(_.day_ms)
+    assert(got.map(_.day_ms / 86400000L).toSeq ==
+      byDay.map(_._1.toLong).sorted)
+    got.foreach { o =>
+      val d = (o.day_ms / 86400000L).toInt
+      val slice = byDay.filter(_._1 <= d).flatMap { case (dd, n) =>
+        (1 to n).map(i =>
+          ("t", new Timestamp(dd.toLong * 86400000L + i * 1000L)))
+      }.toDF("g", "ts")
+      val w = graft.ops.Sequence.burstEpisodes(slice, "g", "ts")
+        .collect().head
+      val want = (w.getLong(1), w.getLong(2), w.getLong(3), w.getLong(4),
+        w.getAs[java.sql.Date](5).toLocalDate.toEpochDay, w.getLong(6))
+      val have = (o.n_days, o.n_burst_days, o.n_episodes,
+        o.longest_episode_days, o.peak_day_ms / 86400000L, o.peak_count)
+      assert(have == want, s"day $d: stream $have vs batch $want")
+    }
+    // the final report IS the batch fixture's answer
+    val last = got.last
+    assert((last.n_burst_days, last.n_episodes, last.longest_episode_days,
+      last.peak_day_ms / 86400000L, last.peak_count) ==
+      ((3L, 2L, 2L, 1L, 10L)))
   }
 
   test("streaming page-hinkley: idle-retention eviction restarts the recurrence") {
