@@ -622,6 +622,86 @@ object Curation {
        |    AS dup_frac
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sentence-level exact dedup report — the C4 recipe at its native
+    * granularity (C4 deduplicated three-sentence spans; RefinedWeb
+    * documents): sentences split on `[.!?]`, trimmed, empties
+    * dropped, and the md5 census marks every sentence duplicated
+    * ANYWHERE in the corpus. The natural-boundary member of the
+    * family: [[spanDedup]] is the fixed-token grid, [[substringDedup]]
+    * the offset-free variable-length chunks, this one the unit a
+    * cleaning pass actually removes (a repeated disclaimer or
+    * navigation line is a SENTENCE, not a token window). Sentence
+    * index is the ORIGINAL split position (pre-filter) so both
+    * engines agree on the canonical `min(doc, idx)` pick regardless
+    * of how many empty fragments punctuation runs produce.
+    *
+    * Same shape and scale posture as [[spanDedup]]: row-local
+    * sentence derivation, one digest-keyed census (partial+final,
+    * min-struct canonical pick), one vocabulary-sized shuffle join
+    * back, one doc rollup. No doc×doc comparison. A document with no
+    * sentence content (empty or punctuation-only text) is ABSENT
+    * from the report in both engines — not a zero row.
+    */
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame =
+    sentenceDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) corpus. */
+  def sentenceDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "[.!?]").as("ss"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(ss)),
+          |  i -> struct(CAST(i AS BIGINT) AS idx,
+          |    trim(element_at(ss, i)) AS s)),
+          |  x -> x.s != '')""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.idx").as("idx"),
+        md5(col("x.s")).as("h"))
+    val census = sents.groupBy(col("h")).agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id"), col("idx"))).as("first"))
+    sents.join(census, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_sentences"),
+        sum(when(col("n_occ") > 1 &&
+            !(col("first.doc_id") === col("doc_id") &&
+              col("first.idx") === col("idx")), 1L)
+          .otherwise(0L)).as("n_removable_sentences"))
+      .withColumn("dup_frac",
+        round(col("n_dup_sentences").cast("double") / col("n_sentences"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[sentenceDedup]] — same split/trim/position
+    * discipline, per-hash windows instead of the census aggregate.
+    */
+  val sentenceDedupSql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, string_split_regex(text, '[.!?]') AS ss
+      |  FROM documents),
+      |sx AS (
+      |  SELECT doc_id,
+      |    [ {'idx': i, 'h': md5(trim(ss[i]))}
+      |      FOR i IN generate_series(1, len(ss)) IF trim(ss[i]) <> '' ]
+      |      AS xs
+      |  FROM sp),
+      |sents AS (
+      |  SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, u.h AS h
+      |  FROM (SELECT doc_id, unnest(xs) AS u FROM sx)),
+      |m AS (
+      |  SELECT doc_id, idx,
+      |    count(*) OVER (PARTITION BY h) AS n_occ,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      |  FROM sents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+      |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_sentences,
+      |  CAST(sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_removable_sentences,
+      |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS dup_frac
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Variable-length exact substring dedup via CONTENT-DEFINED
     * chunking — the family member [[spanDedup]]'s fixed 32-token grid
     * cannot be: a verbatim passage repeated at DIFFERENT token

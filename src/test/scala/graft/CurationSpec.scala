@@ -140,6 +140,35 @@ class CurationSpec extends AnyFunSuite {
       "test corpus is known to contain duplicated spans")
   }
 
+  test("sentenceDedup: planted repeated sentence flagged at any offset; canonical survives; empty fragments ignored") {
+    import spark.implicits._
+    // the repeated DISCLAIMER sentence sits at different positions and
+    // with different punctuation contexts; runs of punctuation produce
+    // empty fragments that must not count as sentences
+    val docs = Seq(
+      (1L, "Unique opening. This is a disclaimer! Tail one."),
+      (2L, "Other start?? This is a disclaimer. More text here. End bit."),
+      (3L, "Nothing shared at all. Truly unique...")).toDF("doc_id", "text")
+    val got = ops.Curation.sentenceDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc1: 3 sentences, 1 dup (the disclaimer, canonical-first)
+    assert(got(1L) == ((3L, 1L, 0L, 0.3333)), s"doc1 ${got(1L)}")
+    // doc2: 4 sentences, 1 dup and it IS removable (doc1 is canonical)
+    assert(got(2L) == ((4L, 1L, 1L, 0.25)), s"doc2 ${got(2L)}")
+    // doc3: the "..." run yields no phantom sentences
+    assert(got(3L) == ((2L, 0L, 0L, 0.0)), s"doc3 ${got(3L)}")
+    // a punctuation-only doc is absent, not a zero row
+    val withEmpty = docs.union(Seq((4L, "?!...")).toDF("doc_id", "text"))
+    val ids = ops.Curation.sentenceDedup(withEmpty, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L))
+    // corpus invariants
+    val c = ops.Curation.sentenceDedup(spark, sfDir).cache()
+    assert(c.filter(col("n_removable_sentences") > col("n_dup_sentences") ||
+      col("n_dup_sentences") > col("n_sentences")).count() == 0)
+  }
+
   test("substringDedup: offset-shifted passage detected; exact driver-model recomputation") {
     import spark.implicits._
     // A 40-token passage planted in two docs at DIFFERENT offsets — the
