@@ -374,6 +374,9 @@ class DeterminismSpec extends AnyFunSuite {
     // substringDedup: CDC chunking is row-local, census + keyed windows
     assertLayoutInvariant(d =>
       ops.Curation.substringDedup(d, "doc_id", "text"))
+    // sentenceDedup: position-indexed sentence census, layout-free
+    assertLayoutInvariant(d =>
+      ops.Curation.sentenceDedup(d, "doc_id", "text"))
     // heapsLaw: value-grid deciles + first-carrier census, layout-free
     assertLayoutInvariant(d =>
       ops.TextAnalysis.heapsLaw(d, "doc_id", "text"))
