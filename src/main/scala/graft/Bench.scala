@@ -24,6 +24,7 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = GraftSession.local(cpus.toInt, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
     // Warm the JVM + parquet footer caches ON THE BENCHMARKED DATASET
     // so the first timed query doesn't absorb one-time session costs.
     graft.ops.Relational.pricingSummary(spark, sfDir).count()

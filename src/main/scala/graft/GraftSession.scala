@@ -55,7 +55,22 @@ object GraftSession {
     * master, shuffle width matched to the core count (matching the
     * driver contract's `local[n]` environment).
     */
-  def local(cores: Int, appName: String = "graft"): SparkSession.Builder =
+  /** Silence WindowExec's "No Partition Defined" WARN in local tool
+    * and test runs. The library's ~20 unpartitioned windows are all
+    * over aggregated censuses whose row counts are bounded by
+    * construction (audited; PlanSpec pins the shapes), but WindowExec
+    * WARNs on every one — hundreds of identical lines per run that
+    * bury real warnings. Call AFTER `getOrCreate()` (SparkContext
+    * startup re-initializes the log4j2 configuration, wiping levels
+    * set earlier). Deliberately NOT wired into the cluster builder:
+    * a genuinely unbounded global window still warns in production.
+    */
+  def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
+  def local(cores: Int, appName: String = "graft"): SparkSession.Builder = {
     builder(appName, shufflePartitions = cores)
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
@@ -68,4 +83,5 @@ object GraftSession {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.broadcast.compress", "false")
+  }
 }

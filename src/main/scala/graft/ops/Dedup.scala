@@ -1399,7 +1399,9 @@ object Dedup {
     * prefer the capped family members
     * ([[similarityJoin]]'s rarity-ordered prefixes, or
     * [[sortedNeighborhood]]'s exactly-(w−1)·n pairs) when prefixes
-    * repeat at scale.
+    * repeat at scale. The 6-arg overload's `maxHotSegDocs` turns that
+    * advice into an ENFORCED pre-flight: the census runs first and
+    * the join refuses loudly instead of paying the blow-up.
     */
   def editJoin(spark: SparkSession, dir: String): DataFrame =
     editJoin(Tables.documents(spark, dir)
@@ -1415,11 +1417,42 @@ object Dedup {
     */
   def editJoin(df: DataFrame, idCol: String, kCol: String, keyLen: Int,
                tau: Int): DataFrame =
+    editJoin(df, idCol, kCol, keyLen, tau, maxHotSegDocs = 0L)
+
+  /** As above with an OPT-IN hot-segment guard: when `maxHotSegDocs`
+    * > 0, the [[editJoinProfile]] `hot_seg_docs` census (one cheap
+    * 3-rows/doc aggregate) runs FIRST and the join fails loudly — the
+    * [[graft.ops.Curation.tCloseness]] domain-check discipline —
+    * before any of the up-to-k²/2 doomed candidates is paid for. The
+    * default (0 = unguarded) stays uncapped because a silent cap
+    * would break the completeness the brute-force oracle certifies;
+    * the guard refuses the whole job instead of corrupting its
+    * output. On refusal, switch to [[similarityJoin]] or
+    * [[sortedNeighborhood]], or raise the budget deliberately.
+    */
+  def editJoin(df: DataFrame, idCol: String, kCol: String, keyLen: Int,
+               tau: Int, maxHotSegDocs: Long): DataFrame = {
+    if (maxHotSegDocs > 0L) {
+      val hot = df.select(col(idCol).as("id"), col(kCol).as("k"))
+        .select(explode(array(editSegStructs(keyLen, tau): _*)).as("s"))
+        .groupBy(col("s.si"), col("s.seg")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("hot"))
+        .head().getLong(0)
+      require(hot <= maxHotSegDocs,
+        s"editJoin: hottest (segment-index, ${keyLen / (tau + 1)}-gram) " +
+          s"bucket holds " +
+          s"$hot docs > maxHotSegDocs=$maxHotSegDocs — up to " +
+          s"${hot * (hot - 1) / 2} candidate pairs from one segment alone. " +
+          "Run editJoinProfile for the full census; prefer similarityJoin " +
+          "or sortedNeighborhood on boilerplate-heavy corpora, or raise " +
+          "the budget deliberately")
+    }
     editCandidates(df, idCol, kCol, keyLen, tau)
       .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
       .filter(col("dist") <= tau)
       .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy(col("a_id"), col("b_id"))
+  }
 
   /** The PassJoin candidate set — distinct (a_id, b_id, ka, kb) pairs
     * whose keys share a (segment-index, exact-16-gram) blocking key —

@@ -1110,7 +1110,11 @@ object Sequence {
     * only past 10¹⁸ events/type). Weekday is PURE ARITHMETIC,
     * `(epoch_day + 4) % 7` (1970-01-01 was a Thursday; 0 = Sunday) —
     * not an engine calendar function, whose week-start conventions
-    * differ between engines.
+    * differ between engines. Both sides fold to a NON-NEGATIVE
+    * residue (Spark `pmod`, SQL `((x % 7) + 7) % 7`) — DuckDB's bare
+    * `%` is C-style (sign of dividend), so pre-1970 timestamps would
+    * otherwise land on dow −6..−1 and be silently dropped by the
+    * grid's LEFT JOIN.
     *
     * Scale posture: one (type, dow) census off the events scan, the
     * 7-row grid fill and totals on |types|-bounded frames.
@@ -1149,7 +1153,8 @@ object Sequence {
   val dowSeasonalitySql: String =
     """WITH cells AS (
       |  SELECT event_type AS g,
-      |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+      |    (((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7)
+      |      + 7) % 7
       |      AS dow,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),

@@ -1325,8 +1325,25 @@ object TextAnalysis {
   def heapsLaw(spark: SparkSession, dir: String): DataFrame =
     heapsLaw(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** DataFrame-first form over any (id, text) corpus. */
+  /** DataFrame-first form over any (id, text) corpus.
+    *
+    * `idCol` MUST be an integral type (the value-grid decile cutoffs
+    * `mn − 1 + ((mx − mn + 1)·k) DIV 10` are integer arithmetic over
+    * id min/max) — unlike sibling DataFrame-first ops that accept any
+    * id type. Non-numeric ids (string/UUID) fail loudly here rather
+    * than via an implicit-cast plan error; hash such ids to a stable
+    * integer first (e.g. `xxhash64(id)`) — Heaps only needs SOME
+    * deterministic growth order.
+    */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = docs.schema(idCol).dataType
+    val integral = idType == ByteType || idType == ShortType ||
+      idType == IntegerType || idType == LongType
+    require(integral,
+      s"heapsLaw requires an integral id column for its value-grid " +
+        s"decile cutoffs; '$idCol' is $idType — hash it to a stable " +
+        s"integer first (e.g. xxhash64($idCol))")
     val spark = docs.sparkSession
     val d = canon(docs, idCol -> "doc_id", textCol -> "text")
     val probe = d.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

@@ -610,4 +610,29 @@ class DedupSpec extends AnyFunSuite {
     assert(prof.getAs[Long]("n_cand") >= prof.getAs[Long]("n_match"))
     assert(prof.getAs[Long]("hot_seg_docs") >= 1L)
   }
+
+  test("editJoin: maxHotSegDocs guard refuses a planted hot segment loudly") {
+    import spark.implicits._
+    // the same 5-doc "aa" hot bucket as the profile spec, plus a
+    // verifiable pair in a cold block
+    val keys = Seq(
+      (1L, "aaqwer"), (2L, "aatyui"), (3L, "aasdfg"),
+      (4L, "aahjkl"), (5L, "aazxcv"),
+      (6L, "bbccdd"), (7L, "bbccdx")).toDF("id", "k")
+    val e = intercept[IllegalArgumentException] {
+      ops.Dedup.editJoin(keys, "id", "k", 6, 2, maxHotSegDocs = 4L)
+    }
+    assert(e.getMessage.contains("hottest"), e.getMessage)
+    assert(e.getMessage.contains("editJoinProfile"),
+      "refusal must point at the profile op")
+    // at-budget passes and returns the same rows as the unguarded join
+    val guarded = ops.Dedup.editJoin(keys, "id", "k", 6, 2,
+      maxHotSegDocs = 5L).collect().toSeq
+    val free = ops.Dedup.editJoin(keys, "id", "k", 6, 2).collect().toSeq
+    assert(guarded == free && guarded.nonEmpty,
+      "a passing guard must not change the join output")
+    // default (0) stays unguarded — the documented completeness posture
+    assert(ops.Dedup.editJoin(keys, "id", "k", 6, 2, maxHotSegDocs = 0L)
+      .collect().toSeq == free)
+  }
 }

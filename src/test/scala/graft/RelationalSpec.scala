@@ -12,6 +12,7 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = GraftSession.local(4, "graft-test").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
     s
   }
   val sfDir = "/root/testdata/sf0.001"

@@ -389,4 +389,22 @@ class SequenceSpec extends AnyFunSuite {
       assert(rs.forall(_.getLong(4) >= 0L))
     }
   }
+
+  test("dowSeasonality: pre-1970 timestamps fold to non-negative dow (no dropped cells)") {
+    import spark.implicits._
+    // 1969-12-31 is epoch day -1: (-1+4)%7 = 3 (Wednesday). A C-style
+    // modulo over a deeper negative day would go negative — e.g.
+    // 1969-12-25 is day -7, (-7+4) = -3, C-style -3 % 7 = -3, pmod = 4
+    // (it was a Thursday). Both events must land in the 0..6 grid and
+    // be counted, not dropped by the grid LEFT JOIN.
+    val rows = Seq(
+      ("old", new java.sql.Timestamp(-1L * 86400000L + 1000L)),
+      ("old", new java.sql.Timestamp(-7L * 86400000L + 1000L))
+    ).toDF("g", "ts")
+    val got = ops.Sequence.dowSeasonality(rows, "g", "ts")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.keySet == (0L to 6L).toSet, s"grid keys $got")
+    assert(got(3L) == 1L && got(4L) == 1L, s"pre-1970 dows wrong: $got")
+    assert(got.values.sum == 2L, "a pre-1970 event was dropped")
+  }
 }

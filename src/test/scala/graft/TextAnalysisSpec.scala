@@ -369,6 +369,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       == (beta == 0.0))
   }
 
+  test("heapsLaw: non-integral id column fails loudly, hashed id is the fix") {
+    import spark.implicits._
+    val docs = Seq(("a-1", "x y"), ("b-2", "x z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ops.TextAnalysis.heapsLaw(docs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+    assert(e.getMessage.contains("xxhash64"), "error must name the fix")
+    // the advertised workaround works
+    val hashed = docs.withColumn("hid", xxhash64(col("doc_id")))
+    val got = ops.TextAnalysis.heapsLaw(hashed, "hid", "text").collect()
+    assert(got.length == 10 && got.last.getAs[Long]("vocab") == 3L)
+  }
+
   test("sparseKnn: planted near-copy ranks first; disjoint docs never pair") {
     import spark.implicits._
     // doc 0 (query) shares most terms with doc 10, fewer with doc 11;
