@@ -1449,25 +1449,64 @@ object TextAnalysis {
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always
-    * |documents| rows). Hash family is Spark's xxhash64 → no SQL oracle.
+    * |documents| rows). Docs shorter than 5 words contribute one
+    * whole-text shingle (the [[graft.functions]] `shingle_hash` edge
+    * contract).
+    *
+    * Hash family is md5-HEX (the 16-hex-char = 64-bit prefix per
+    * shingle, lexicographic bottom-4, md5 of their CSV as the
+    * fingerprint) rather than Spark's xxhash64: a content fingerprint
+    * exists to be a STABLE IDENTITY across engines, stores, and years
+    * — an identity only Spark can recompute is a weaker identity —
+    * and md5-hex is recomputable everywhere, which also makes the op
+    * fully DuckDB-oracle-able (hash family was the ONLY blocker).
+    * Lexicographic order on fixed-width lowercase hex equals numeric
+    * order on the unsigned 64-bit prefix, so the bottom-k semantics
+    * are unchanged. Cost stays one row-local projection at scan speed
+    * (md5 per shingle instead of xxhash64 — a fingerprinting op, not
+    * a join key derivation, so kernel speed is not the binding
+    * constraint the near-dup family has).
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     docFingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
   /** DataFrame-first form. */
   def docFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     canon(docs, idCol -> "doc_id", textCol -> "text")
-      .select(col("doc_id"), expr("shingle_hash(split(text, ' '), 5)").as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        """transform(
+          |  array_distinct(CASE WHEN size(t) >= 5 THEN
+          |    transform(sequence(0, size(t) - 5),
+          |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+          |  ELSE array(concat_ws(' ', t)) END),
+          |  s -> substring(md5(s), 1, 16))""".stripMargin).as("sh"))
       .select(col("doc_id"),
-        expr("slice(array_sort(sh), 1, 4)").as("bottomk"))
-      .select(col("doc_id"),
-        expr("xxhash64(bottomk[0], bottomk[1], bottomk[2], bottomk[3])").as("fingerprint"),
-        // scalar, not array<long>: the driver compare sorts rows in pandas,
-        // which cannot hash array cells
-        array_join(col("bottomk"), ",").as("bottomk_csv"))
+        // scalar, not array<string>: the driver compare sorts rows in
+        // pandas, which cannot hash array cells
+        array_join(expr("slice(array_sort(sh), 1, 4)"), ",").as("bottomk_csv"))
+      .select(col("doc_id"), md5(col("bottomk_csv")).as("fingerprint"),
+        col("bottomk_csv"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB twin of [[docFingerprint]] — same shingling, md5-hex
+    * prefixes, lexicographic bottom-4, CSV fold.
+    */
+  val docFingerprintSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_transform(
+      |    list_distinct(CASE WHEN len(tk) >= 5 THEN
+      |      list_transform(range(1, len(tk) - 3),
+      |        i -> array_to_string(tk[i:i+4], ' '))
+      |    ELSE [array_to_string(tk, ' ')] END),
+      |    s -> substring(md5(s), 1, 16)) AS hs
+      |  FROM t)
+      |SELECT doc_id,
+      |  md5(array_to_string(list_sort(hs)[1:4], ',')) AS fingerprint,
+      |  array_to_string(list_sort(hs)[1:4], ',') AS bottomk_csv
+      |FROM sh ORDER BY doc_id""".stripMargin
 
   private val PmiMinSupport = 5
   private val PmiTopK = 10

@@ -18,10 +18,12 @@ object SparkTestSession {
   val sfDir = "/root/testdata/sf0.001"
 }
 
-/* Second-derivation law inventory for the 24 rows-only queries (no
+/* Second-derivation law inventory for the 23 rows-only queries (no
  * DuckDB oracle — xxhash64-family sketches, DataSketches HLL, or
- * float-iterative trainers DuckDB cannot twin). Every one carries at
- * least one INDEPENDENT derivation agreeing with the Spark result:
+ * float-iterative trainers DuckDB cannot twin; r11 promoted
+ * q_doc_fingerprint to a full oracle by moving it to the md5-hex
+ * family). Every one carries at least one INDEPENDENT derivation
+ * agreeing with the Spark result:
  *
  *   q_ann_ivf             SimilaritySpec "annIvf": no sim above the exact
  *                         brute-force best; recall floor vs knnBrute
@@ -52,9 +54,6 @@ object SparkTestSession {
  *                         EXACTLY; dropped-bucket loss < 1% at sf0.1
  *   q_dedup_simhash       DedupSpec: identical texts collide; GraftLaws
  *                         simhash64 order-invariance (multiset law)
- *   q_doc_fingerprint     TextAnalysisSpec "law: docFingerprint
- *                         re-derives" (builtin-composition recomputation,
- *                         corpus-wide bit-for-bit)
  *   q_hll_sketch          RelationalSpec "hllSketch": union row vs
  *                         one-pass sketch-of-union; per-source exact side
  *                         anchored to spec-side countDistinct

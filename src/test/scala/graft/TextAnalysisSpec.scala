@@ -91,28 +91,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       "identical texts produced different fingerprints")
   }
 
-  test("law: docFingerprint re-derives corpus-wide through the builtin shingle composition") {
-    // independent recomputation: the 5-gram shingling via the BUILTIN
-    // transform/concat_ws/xxhash64 composition (ExpressionsSpec pins
-    // native shingle_hash == this composition for the short-doc edge
-    // too), then the same bottom-4 → xxhash64 fold — every corpus row
-    // must agree bit-for-bit with the op
-    val model = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), expr(
-        """array_distinct(CASE WHEN size(t) >= 5 THEN
-          |  transform(sequence(0, size(t)-5),
-          |    i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
-          |ELSE array(xxhash64(concat_ws(' ', t))) END)""".stripMargin).as("sh"))
-      .select(col("doc_id"), expr("slice(array_sort(sh), 1, 4)").as("bk"))
-      .select(col("doc_id"),
-        expr("xxhash64(bk[0], bk[1], bk[2], bk[3])").as("m_fp"),
-        array_join(col("bk"), ",").as("m_csv"))
-    val diff = ops.TextAnalysis.docFingerprint(spark, sfDir)
-      .join(model, Seq("doc_id"))
-      .filter(col("fingerprint") =!= col("m_fp") ||
-        col("bottomk_csv") =!= col("m_csv"))
-    assert(diff.count() == 0, "fingerprint diverged from the builtin model")
+  test("law: docFingerprint re-derives corpus-wide by driver-side MessageDigest md5") {
+    // independent recomputation OUTSIDE Spark's expression engine:
+    // plain JDK MessageDigest md5 + Scala string ops reproduce every
+    // corpus fingerprint bit-for-bit — certifying the md5-hex family
+    // really is the engine-neutral identity the scaladoc promises
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def model(text: String): (String, String) = {
+      val t = text.split(" ", -1)
+      val shingles =
+        if (t.length >= 5) t.sliding(5).map(_.mkString(" ")).toSeq.distinct
+        else Seq(t.mkString(" "))
+      val csv = shingles.map(s => md5hex(s).substring(0, 16))
+        .sorted.take(4).mkString(",")
+      (md5hex(csv), csv)
+    }
+    val got = ops.TextAnalysis.docFingerprint(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), Seq("doc_id"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (fp, csv) = model(r.getAs[String]("text"))
+      assert(r.getAs[String]("fingerprint") == fp &&
+        r.getAs[String]("bottomk_csv") == csv,
+        s"doc ${r.getAs[Long]("doc_id")} diverged from the JDK model")
+    }
   }
 
   test("tokenEntropy: constant doc scores 0 / uniform doc scores ln(n); ttr bounds") {
