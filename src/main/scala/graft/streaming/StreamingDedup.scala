@@ -14,6 +14,12 @@ case class BandProbe(bucket_id: Int, bucket_hash: Long, doc_id: Long,
 /** Per-bucket state: the capped member list (parallel id/set seqs). */
 case class BucketState(ids: Seq[Long], sets: Seq[Seq[Long]])
 
+/** A [[BandProbe]] carrying its event time — the evicting overload's
+  * probe row (the timestamp anchors the bucket's retention timeout).
+  */
+case class TimedBandProbe(bucket_id: Int, bucket_hash: Long, doc_id: Long,
+                          shset: Seq[Long], ts: java.sql.Timestamp)
+
 /** A verified streaming near-dup hit: `doc_id` arrived after (or in the
   * same micro-batch as, with a larger id than) `matched_id`.
   */
@@ -46,10 +52,12 @@ case class NearDupHit(doc_id: Long, matched_id: Long, jacc: Double)
   * the streaming price of single-pass verification — the batch twin
   * reads the sets from the corpus at verify time; a production
   * deployment that can afford a second hop would hold only doc ids in
-  * bucket state and verify against a doc→set side store. NoTimeout:
-  * the index is meant to persist for the stream's life (the batch
-  * twin's persisted index table); a bounded-retention deployment adds
-  * a ProcessingTimeTimeout eviction.
+  * bucket state and verify against a doc→set side store. The base
+  * overload uses NoTimeout — the index persists for the stream's life
+  * (the batch twin's persisted index table); the timestamped overload
+  * bounds retention with watermark-driven EVENT-time eviction (quiet
+  * buckets forgotten past `idleRetentionMs`, the crawl-freshness
+  * posture).
   *
   * A pair sharing several bands can be emitted once per shared band —
   * `distinct()` downstream, exactly like the batch candidate
@@ -125,6 +133,85 @@ object StreamingDedup {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** Bounded-retention overload — the NoTimeout form above keeps the
+    * index for the stream's life (the persisted-index contract); this
+    * one EVICTS a band bucket once the watermark advances
+    * `idleRetentionMs` of event time past the bucket's last probe —
+    * the crawl-ingest posture where near-dups only matter within a
+    * freshness horizon and state must stay bounded by the horizon's
+    * traffic, not the stream's history. Contract after eviction: the
+    * bucket restarts EMPTY, so a duplicate arriving after the quiet
+    * gap is NOT flagged against pre-gap members (they are forgotten —
+    * the point of the horizon) and becomes the bucket's new first
+    * member; stream/batch parity therefore holds per
+    * quiet-gap-delimited segment, the
+    * [[graft.streaming.EventTime.pageHinkleyWithState]] idle-retention
+    * contract verbatim. The timeout is EVENT-time anchored
+    * (`last probe ts + idleRetentionMs`, never the epoch-0 initial
+    * watermark), so first-batch buckets are not evicted spuriously.
+    */
+  def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+                    tsCol: String, watermark: String, idleRetentionMs: Long,
+                    tau: Double, maxBucket: Int): Dataset[NearDupHit] = {
+    require(tau > 0 && tau <= 1, s"nearDupIngest: bad tau=$tau")
+    require(idleRetentionMs > 0,
+      s"nearDupIngest: idleRetentionMs must be positive, got $idleRetentionMs" +
+        " (use the overload without a timestamp for an unbounded index)")
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        expr(s"shingle_hash(split($textCol, ' '), 3)").as("shset"))
+      .withColumn("sig", expr("minhash_sig(shset, 64)"))
+      .select(col("doc_id"), col("ts"), col("shset"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+      .select(col("pos").cast("int").as("bucket_id"),
+        col("col").as("bucket_hash"), col("doc_id"), col("shset"), col("ts"))
+      .as[TimedBandProbe]
+      .groupByKey(p => (p.bucket_id, p.bucket_hash))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows: Iterator[TimedBandProbe], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // quiet past the horizon: forget the bucket entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              BucketState(Vector.empty, Vector.empty))
+            val out = Seq.newBuilder[NearDupHit]
+            val batch = rows.toSeq
+            batch.sortBy(_.doc_id).foreach { p =>
+              var i = 0
+              while (i < st.ids.length) {
+                if (st.ids(i) != p.doc_id) {
+                  val b = st.sets(i)
+                  val c = intersectCount(p.shset, b)
+                  val j = c.toDouble / (p.shset.length + b.length - c)
+                  if (j >= tau) out += NearDupHit(p.doc_id, st.ids(i), j)
+                }
+                i += 1
+              }
+              if (st.ids.length < maxBucket && !st.ids.contains(p.doc_id))
+                st = BucketState(st.ids :+ p.doc_id, st.sets :+ p.shset)
+            }
+            state.update(st)
+            // re-armed only when the bucket sees traffic; anchored to
+            // the probes' own event time (the initial watermark is 0 —
+            // an epoch-0-relative timeout would evict every first-batch
+            // bucket on the next trigger)
+            val lastTs = batch.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleRetentionMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
       }
   }
 }

@@ -68,4 +68,38 @@ class StreamingDedupSpec extends AnyFunSuite {
     // can never match the unindexed 2
     assert(pairs == Set((1L, 2L), (1L, 3L)), s"cap semantics broken: $pairs")
   }
+
+  test("idle-retention eviction forgets quiet buckets; the index restarts per segment") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dz1 = (300 to 329).map(i => s"z$i").mkString(" ") // watermark traffic
+    val dz2 = (400 to 429).map(i => s"q$i").mkString(" ")
+    val in = MemoryStream[TimedText]
+    // 1-minute watermark delay, 10-minute retention horizon
+    val q = StreamingDedup.nearDupIngest(in.toDF(), "doc_id", "text",
+        "ts", "1 minute", idleRetentionMs = 10L * 60000L,
+        tau = 0.7, maxBucket = 100)
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    in.addData(TimedText(1, ts(0), d1))      // indexes d1's buckets
+    q.processAllAvailable()
+    in.addData(TimedText(80, ts(30), dz1))   // wm -> 10:29 (> 10:00+10min)
+    q.processAllAvailable()
+    in.addData(TimedText(81, ts(31), dz2))   // trigger fires d1's timeout
+    q.processAllAvailable()
+    // doc 1 is forgotten: its near-dup arriving after the quiet gap is
+    // NOT flagged and becomes the segment's new first member
+    in.addData(TimedText(4, ts(32), d4))
+    q.processAllAvailable()
+    in.addData(TimedText(5, ts(33), d3))     // near-dup of both 1 and 4
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_evict").distinct()
+      .select(col("matched_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(_._1 == 1L),
+      s"evicted doc 1 must be forgotten, got $got")
+    assert(got == Set((4L, 5L)),
+      s"post-gap segment must match within itself only, got $got")
+  }
 }
