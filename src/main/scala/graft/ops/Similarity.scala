@@ -1132,20 +1132,47 @@ object Similarity {
     * NON-DECREASING over rounds — the coverage-saturation curve a
     * data-curation run reads to pick its real k.
     *
-    * Scale posture: k passes over the persisted corpus, each a
-    * codegen'd literal-vector dot-product scan + a TakeOrdered(1);
-    * per-round driver state is ONE row (the new center), the
-    * [[kMeans]] bounded-collect contract. Never a pairwise join; at
-    * 100 TB this is k linear scans, embarrassingly parallel.
+    * Scale posture — LAZY greedy (the r11 upgrade): the classic
+    * k-passes-over-the-corpus plan is cut to candidate-POOL passes
+    * with a certified full-scan fallback. The insight is that a
+    * point's max-similarity-to-centers is MONOTONE NON-DECREASING as
+    * centers are added, so a scan's (P+2)-th-smallest smax is a
+    * permanently valid LOWER bound on every out-of-pool point's
+    * current smax: while the pool's best stays STRICTLY below that
+    * bound it is provably the global farthest point, and a round
+    * costs one P-row micro-job (pool smax refresh vs the newest
+    * center — run through the same Spark expressions as the scan, so
+    * doubles are bit-identical) instead of a corpus scan. The scan
+    * runs only at seed time and when the bound check fails — at 100
+    * TB that is ~1-2 linear scans instead of k. An LSH prefilter
+    * CANNOT do this job: farthest-point is an anti-neighbor query
+    * (the argmin is precisely what shares no bucket with the
+    * centers), and a probabilistic filter cannot certify the
+    * bit-identical trajectory the oracle checks — the monotone bound
+    * can, and does (selection provably unchanged; SimilaritySpec pins
+    * trajectory equality across pool sizes and a scan-count ceiling).
+    * Per-round driver state is the P-row pool (P = max(16, 8k)
+    * vectors — the [[kMeans]] bounded-collect contract).
     */
   def kCenter(spark: SparkSession, dir: String): DataFrame =
     kCenter(Tables.embeddings(spark, dir), "vec_id", "embedding", KCenterK)
 
   /** DataFrame-first form; `k` bounds rounds AND driver state. */
   def kCenter(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int): DataFrame = {
+              k: Int): DataFrame =
+    kCenterImpl(corpus, idCol, vecCol, k, math.max(16, 8 * k))._1
+
+  /** Internal form returning (result, fullScans) — the spec hook for
+    * the lazy-greedy contract (trajectory invariant under `poolSize`,
+    * scan count bounded).
+    */
+  private[graft] def kCenterImpl(corpus: DataFrame, idCol: String,
+                                 vecCol: String, k: Int,
+                                 poolSize: Int): (DataFrame, Int) = {
     require(k >= 1, s"kCenter: k must be >= 1, got $k")
+    require(poolSize >= 1, s"kCenter: poolSize must be >= 1, got $poolSize")
     val spark = corpus.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(StructField("round", IntegerType, false),
       StructField("center_id", LongType, false),
@@ -1155,34 +1182,76 @@ object Similarity {
       val seed = e.orderBy(col("vec_id")).limit(1)
         .select(col("vec_id"), col("emb"), col("nrm")).collect()
       if (seed.isEmpty)
-        return spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        return (spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema), 0)
       // (id, emb, nrm, cover) — k-bounded driver state
       var centers = Vector((seed(0).getLong(0), seed(0).getSeq[Double](1),
         seed(0).getDouble(2), Option.empty[Double]))
+      var fullScans = 0
+      // lazy-greedy pool: the candidates with the smallest CURRENT
+      // smax, plus a monotone-valid lower bound on everything outside
+      var pool = Vector.empty[(Long, Seq[Double], Double, Double)]
+      var outBound = Double.NegativeInfinity
       var exhausted = false
-      for (_ <- 2 to k if !exhausted) {
-        val sims = centers.map { case (_, ce, cn, _) =>
-          round(call_function("vec_dot", col("emb"), typedlit(ce)) /
-            (col("nrm") * lit(cn)), 6)
-        }
+      def simTo(ce: Seq[Double], cn: Double) =
+        round(call_function("vec_dot", col("emb"), typedlit(ce)) /
+          (col("nrm") * lit(cn)), 6)
+      // full scan: returns the exact global argmin, refills the pool
+      // from ranks 2..P+1, and takes rank P+2's smax as the out-of-pool
+      // bound (out-of-pool smax only grows, so the bound stays valid)
+      def rebuildAndPick(): Option[(Long, Seq[Double], Double, Double)] = {
+        fullScans += 1
+        val sims = centers.map { case (_, ce, cn, _) => simTo(ce, cn) }
         val smax = if (sims.size == 1) sims.head else greatest(sims: _*)
-        val cand = e
-          .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        val rows = e.filter(!col("vec_id").isInCollection(centers.map(_._1)))
           .select(col("vec_id"), col("emb"), col("nrm"), smax.as("smax"))
-          .orderBy(col("smax").asc, col("vec_id").asc).limit(1).collect()
-        if (cand.isEmpty) exhausted = true
-        else centers = centers :+ ((cand(0).getLong(0),
-          cand(0).getSeq[Double](1), cand(0).getDouble(2),
-          Some(cand(0).getDouble(3))))
+          .orderBy(col("smax").asc, col("vec_id").asc)
+          .limit(poolSize + 2).collect()
+        if (rows.isEmpty) None
+        else {
+          val parsed = rows.toVector.map(r => (r.getLong(0),
+            r.getSeq[Double](1), r.getDouble(2), r.getDouble(3)))
+          pool = parsed.slice(1, 1 + poolSize)
+          outBound = if (parsed.length == poolSize + 2) parsed.last._4
+            else Double.PositiveInfinity
+          Some(parsed.head)
+        }
+      }
+      // pool smax refresh vs the newest center — a P-row micro-job
+      // through the SAME round/vec_dot expressions as the scan, so the
+      // doubles (and therefore the trajectory) are bit-identical
+      def updatePool(ce: Seq[Double], cn: Double): Unit =
+        if (pool.nonEmpty) {
+          pool = pool.toDF("vec_id", "emb", "nrm", "smax")
+            .select(col("vec_id"), col("emb"), col("nrm"),
+              greatest(col("smax"), simTo(ce, cn)).as("smax"))
+            .collect().toVector.map(r => (r.getLong(0),
+              r.getSeq[Double](1), r.getDouble(2), r.getDouble(3)))
+        }
+      for (_ <- 2 to k if !exhausted) {
+        val fromPool =
+          if (pool.isEmpty) None
+          else {
+            val best = pool.minBy(p => (p._4, p._1))
+            // strict: a tie AT the bound could hide a smaller-id
+            // out-of-pool point — fall back to the exact scan
+            if (best._4 < outBound) Some(best) else None
+          }
+        fromPool.orElse(rebuildAndPick()) match {
+          case None => exhausted = true
+          case Some(c) =>
+            centers = centers :+ ((c._1, c._2, c._3, Some(c._4)))
+            pool = pool.filterNot(_._1 == c._1)
+            updatePool(c._2, c._3)
+        }
       }
       val rows = centers.zipWithIndex.map { case ((id, _, _, cov), i) =>
         org.apache.spark.sql.Row(i + 1, id, cov.orNull)
       }
-      spark.createDataFrame(
+      (spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
-        .orderBy(col("round"))
+        .orderBy(col("round")), fullScans)
     } finally e.unpersist()
   }
 
@@ -1249,9 +1318,17 @@ object Similarity {
     * with vec_id tie-break; both engines trace the identical
     * selection, so the whole trajectory is oracle-checkable.
     *
-    * Scale posture: k passes over the persisted corpus, each a
-    * codegen literal-vector scan + TakeOrdered(1); driver state is
-    * k rows. Never a pairwise join.
+    * Scale posture — LAZY greedy ([[kCenter]]'s r11 upgrade, mirrored
+    * for a MAX objective): once any document is selected, every
+    * point's smax is monotone non-decreasing, so its MMR score is
+    * monotone non-increasing — a scan's (P+2)-th-best score is a
+    * permanently valid UPPER bound on every out-of-pool point's
+    * future score (for the smax-free round-1 scan the bound is
+    * λ·rel + (1−λ), the best any score can reach from that rel).
+    * While the pool's best stays STRICTLY above the bound it is
+    * provably the global argmax and a round costs one P-row
+    * micro-job; the corpus rescans only when the bound check fails.
+    * Driver state is the P-row pool (P = max(16, 8k) vectors).
     */
   def mmr(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -1264,9 +1341,20 @@ object Similarity {
     * `queryId` (excluded from candidates).
     */
   def mmr(corpus: DataFrame, idCol: String, vecCol: String, queryId: Long,
-          k: Int, lambda: Double): DataFrame = {
+          k: Int, lambda: Double): DataFrame =
+    mmrImpl(corpus, idCol, vecCol, queryId, k, lambda,
+      math.max(16, 8 * k))._1
+
+  /** Internal form returning (result, fullScans) — the spec hook for
+    * the lazy-greedy contract.
+    */
+  private[graft] def mmrImpl(corpus: DataFrame, idCol: String,
+                             vecCol: String, queryId: Long, k: Int,
+                             lambda: Double, poolSize: Int): (DataFrame, Int) = {
     require(k >= 1, s"mmr: k must be >= 1, got $k")
+    require(poolSize >= 1, s"mmr: poolSize must be >= 1, got $poolSize")
     val spark = corpus.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(StructField("round", IntegerType, false),
       StructField("doc_id", LongType, false),
@@ -1279,15 +1367,28 @@ object Similarity {
     try {
       val q = e.filter(col("vec_id") === queryId)
         .select(col("emb"), col("nrm")).collect()
-      if (q.isEmpty) return emptyOut
+      if (q.isEmpty) return (emptyOut, 0)
       val (qe, qn) = (q(0).getSeq[Double](0), q(0).getDouble(1))
       val rel = round(call_function("vec_dot", col("emb"), typedlit(qe)) /
         (col("nrm") * lit(qn)), 6)
+      def simTo(ce: Seq[Double], cn: Double) =
+        round(call_function("vec_dot", col("emb"), typedlit(ce)) /
+          (col("nrm") * lit(cn)), 6)
       // (id, emb, nrm, rel, smaxOpt, score) — k-bounded driver state
       var selected = Vector.empty[(Long, Seq[Double], Double,
         Double, Option[Double], Double)]
+      var fullScans = 0
+      type Cand = (Long, Seq[Double], Double, Double, Option[Double], Double)
+      var pool = Vector.empty[Cand]
+      var outBound = Double.PositiveInfinity
       var exhausted = false
-      for (_ <- 1 to k if !exhausted) {
+      // full scan: exact global argmax at rank 1, pool from ranks
+      // 2..P+1, and rank P+2 witnesses the out-of-pool bound — the
+      // smax-free round-1 scan bounds by λ·rel + (1−λ) (smax ≥ −1 once
+      // it exists), later scans by the witness's own current score
+      // (scores only decrease as smax grows)
+      def rebuildAndPick(): Option[Cand] = {
+        fullScans += 1
         val base = e.filter(col("vec_id") =!= queryId)
           .filter(!col("vec_id").isInCollection(selected.map(_._1) :+ -1L))
           .select(col("vec_id"), col("emb"), col("nrm"), rel.as("rel"))
@@ -1298,22 +1399,61 @@ object Similarity {
               (lit(lambda) * col("rel")).as("score"))
           else {
             val sims = selected.map { case (_, ce, cn, _, _, _) =>
-              round(call_function("vec_dot", col("emb"), typedlit(ce)) /
-                (col("nrm") * lit(cn)), 6)
+              simTo(ce, cn)
             }
             val smax = if (sims.size == 1) sims.head else greatest(sims: _*)
             base.select(col("vec_id"), col("emb"), col("nrm"), col("rel"),
               smax.as("smax"),
               (lit(lambda) * col("rel") - lit(1 - lambda) * smax).as("score"))
           }
-        val pick = cand.orderBy(col("score").desc, col("vec_id").asc)
-          .limit(1).collect()
-        if (pick.isEmpty) exhausted = true
-        else selected = selected :+ ((pick(0).getLong(0),
-          pick(0).getSeq[Double](1), pick(0).getDouble(2),
-          pick(0).getDouble(3),
-          if (pick(0).isNullAt(4)) None else Some(pick(0).getDouble(4)),
-          pick(0).getDouble(5)))
+        val rows = cand.orderBy(col("score").desc, col("vec_id").asc)
+          .limit(poolSize + 2).collect()
+        if (rows.isEmpty) None
+        else {
+          val parsed = rows.toVector.map(r => (r.getLong(0),
+            r.getSeq[Double](1), r.getDouble(2), r.getDouble(3),
+            if (r.isNullAt(4)) Option.empty[Double] else Some(r.getDouble(4)),
+            r.getDouble(5)))
+          pool = parsed.slice(1, 1 + poolSize)
+          outBound = if (parsed.length == poolSize + 2) {
+            val w = parsed.last
+            if (selected.isEmpty) lambda * w._4 + (1 - lambda) else w._6
+          } else Double.NegativeInfinity
+          Some(parsed.head)
+        }
+      }
+      // pool refresh vs the newest pick — P-row micro-job through the
+      // scan's own expressions (greatest over a NULL smax yields the
+      // new sim, matching the |selected|=1 scan form)
+      def updatePool(ce: Seq[Double], cn: Double): Unit =
+        if (pool.nonEmpty) {
+          pool = pool.map(p => (p._1, p._2, p._3, p._4, p._5))
+            .toDF("vec_id", "emb", "nrm", "rel", "smax")
+            .select(col("vec_id"), col("emb"), col("nrm"), col("rel"),
+              greatest(col("smax"), simTo(ce, cn)).as("smax"))
+            .withColumn("score",
+              lit(lambda) * col("rel") - lit(1 - lambda) * col("smax"))
+            .collect().toVector.map(r => (r.getLong(0),
+              r.getSeq[Double](1), r.getDouble(2), r.getDouble(3),
+              if (r.isNullAt(4)) Option.empty[Double] else Some(r.getDouble(4)),
+              r.getDouble(5)))
+        }
+      for (_ <- 1 to k if !exhausted) {
+        val fromPool =
+          if (pool.isEmpty) None
+          else {
+            val best = pool.minBy(p => (-p._6, p._1))
+            // strict: a tie AT the bound could hide a smaller-id
+            // out-of-pool point — fall back to the exact scan
+            if (best._6 > outBound) Some(best) else None
+          }
+        fromPool.orElse(rebuildAndPick()) match {
+          case None => exhausted = true
+          case Some(c) =>
+            selected = selected :+ c
+            pool = pool.filterNot(_._1 == c._1)
+            updatePool(c._2, c._3)
+        }
       }
       val rows = selected.zipWithIndex.map { case ((id, _, _, r, sm, sc), i) =>
         org.apache.spark.sql.Row(i + 1, id, r, sm.orNull, sc)
@@ -1321,11 +1461,11 @@ object Similarity {
       // the final round() runs through Spark's SQL round (HALF_UP,
       // matching DuckDB) — never a JVM-side BigDecimal with a
       // different tie rule
-      spark.createDataFrame(
+      (spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
         .withColumn("mmr6", round(col("mmr6"), 6))
-        .orderBy(col("round"))
+        .orderBy(col("round")), fullScans)
     } finally e.unpersist()
   }
 

@@ -619,4 +619,43 @@ class SimilaritySpec extends AnyFunSuite {
         s"planted near-dup pair must survive a null row at $parts parts: $got")
     }
   }
+
+  test("lazy-greedy contract: kCenter/mmr trajectories invariant under poolSize; scans bounded") {
+    // the monotone-bound pool is a pure execution strategy: the
+    // selection must be BIT-identical for every pool size, from the
+    // most fallback-prone (1) through over-corpus (10000), and the
+    // default pool must actually prune — fewer full scans than the
+    // one-scan-per-round classic plan
+    val emb = Tables.embeddings(spark, sfDir)
+    def kTraj(p: Int) = {
+      val (df, scans) = ops.Similarity.kCenterImpl(emb, "vec_id", "embedding", 8, p)
+      (df.collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq, scans)
+    }
+    val (kRef, kRefScans) = kTraj(1)
+    assert(kRef.size == 8)
+    for (p <- Seq(4, 64, 10000)) {
+      val (t, _) = kTraj(p)
+      assert(t == kRef, s"kCenter trajectory changed at poolSize=$p")
+    }
+    val (_, kDefScans) = kTraj(64)
+    assert(kDefScans <= kRefScans, "default pool must not scan more than pool=1")
+    assert(kDefScans < 7, s"default pool must prune scans, did $kDefScans of 7")
+    def mTraj(p: Int) = {
+      val (df, scans) = ops.Similarity.mmrImpl(emb, "vec_id", "embedding",
+        0L, 10, 0.7, p)
+      (df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3), r.getDouble(4))).toSeq,
+        scans)
+    }
+    val (mRef, mRefScans) = mTraj(1)
+    assert(mRef.size == 10)
+    for (p <- Seq(4, 80, 10000)) {
+      val (t, _) = mTraj(p)
+      assert(t == mRef, s"mmr trajectory changed at poolSize=$p")
+    }
+    val (_, mDefScans) = mTraj(80)
+    assert(mDefScans <= mRefScans, "default pool must not scan more than pool=1")
+    assert(mDefScans < 10, s"default pool must prune scans, did $mDefScans of 10")
+  }
 }
