@@ -550,6 +550,111 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ── Persisted ANN index ─────────────────────────────────────────
+
+  /** Build the ANN index for the corpus under `dir` as MANAGED
+    * bucketed-sorted tables ([[graft.sources.IO.writeBucketed]]) —
+    * the expensive derivations paid once at build time instead of
+    * once per session:
+    *
+    *  - `<table>_sig` — the signed-norm corpus (vec_id, emb, nrm,
+    *    sig): 32 hyperplane dot products per row, bucketed + sorted
+    *    by vec_id so every verification join on vec_id reads
+    *    shuffle-free;
+    *  - `<table>_ivf` — the multiple-assignment (cell, vec_id) index,
+    *    bucketed by cell (the probe join's key);
+    *  - `<table>_ivf_centroids` — the nCells×dim centroid matrix
+    *    (cid, centroid), tiny, collected by the reader.
+    *
+    * Freshness is the CALLER's contract (the deployment rebuilds the
+    * index when the corpus is rewritten) — readers below serve the
+    * stored bytes verbatim; [[hydrateSigned]] re-keys the session
+    * memo at the data version current at hydration time.
+    */
+  def writeAnnIndex(spark: SparkSession, dir: String, table: String,
+                    buckets: Int = 8, nCells: Int = NCells,
+                    iters: Int = TrainIters, nAssign: Int = NAssign): Unit = {
+    graft.sources.IO.writeBucketed(withSig(withNorm(spark, dir)),
+      s"${table}_sig", buckets, Seq("vec_id"), Seq("vec_id"))
+    val e = withNorm(spark, dir)
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells * 200)
+    val cents = trainCentroids(sample, nCells, iters)
+    val simStructs = centroidSims(cents)
+    val assigned =
+      if (nAssign == 1) e.withColumn("cell", nearestCell(cents))
+      else e
+        .withColumn("cells",
+          slice(reverse(array_sort(array(simStructs: _*))), 1, nAssign))
+        .withColumn("cell", explode(expr("transform(cells, c -> c.cid)")))
+    graft.sources.IO.writeBucketed(
+      assigned.select(col("cell").cast("int").as("cell"), col("vec_id")),
+      s"${table}_ivf", buckets, Seq("cell"), Seq("cell", "vec_id"))
+    val spark2 = spark
+    import spark2.implicits._
+    cents.zipWithIndex.map { case (c, cid) => (cid, c) }
+      .toDF("cid", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_ivf_centroids")
+  }
+
+  /** Serve [[annLsh]] from a stored index: the stored signatures feed
+    * the SAME candidate/verify plan, so rows are byte-identical to the
+    * in-memory path (IOSpec pins it) — and no session ever re-pays the
+    * 32-projection signing pass.
+    */
+  def annLshFromIndex(spark: SparkSession, table: String, queryPred: Column,
+                      k: Int): DataFrame =
+    annLshOn(spark.table(s"${table}_sig"), queryPred, k, materialize = false)
+
+  /** Serve [[annIvf]] from a stored index: centroids are read (tiny)
+    * and cell membership comes from the stored assignment table —
+    * no training pass, no assignment pass; only the query rows are
+    * projected. Byte-identical to an in-session [[annIvf]] built with
+    * the same geometry (training is deterministic; IOSpec pins it).
+    */
+  def annIvfFromIndex(spark: SparkSession, table: String, queryPred: Column,
+                      nProbe: Int = NProbe, k: Int = K): DataFrame = {
+    val cents: IndexedSeq[Seq[Double]] =
+      spark.table(s"${table}_ivf_centroids").orderBy(col("cid")).collect()
+        .toIndexedSeq.map(_.getSeq[Double](1))
+    require(cents.nonEmpty, s"annIvfFromIndex: ${table}_ivf_centroids is empty")
+    val sig = spark.table(s"${table}_sig")
+    val assigned = spark.table(s"${table}_ivf")
+      .join(sig.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+    val simStructs = centroidSims(cents)
+    val probed = sig.filter(queryPred)
+      .withColumn("cells",
+        slice(reverse(array_sort(array(simStructs: _*))), 1, nProbe))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"),
+        explode(expr("transform(cells, c -> c.cid)")).as("cell"))
+    val verified = assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr(dot) / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .distinct()
+    verified.groupBy(col("query_id"))
+      .agg(TopK.topK(k)(col("sim"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hydrate the session's signed-corpus memo for `dir` from a stored
+    * `<table>_sig` index: subsequent [[annLsh]]/[[cosineCandidatePairs]]
+    * /[[Dedup.dedupEmbedding]] calls on (session, dir) serve the stored
+    * signatures (one block read) instead of re-signing the corpus.
+    * The memo entry is keyed at dir's CURRENT data version — the
+    * caller owns index/corpus consistency (rebuild the index after a
+    * corpus rewrite, like any secondary index).
+    */
+  def hydrateSigned(spark: SparkSession, dir: String, table: String): DataFrame =
+    signedMemo.getOrCompute(spark, dir)(
+      spark.table(s"${table}_sig").localCheckpoint(true))
+
   /** All-pairs near-duplicate candidates over the whole corpus:
     * self-join on LSH band buckets (id_a < id_b), bucket-size cap
     * against degenerate keys, exact cosine verification via the

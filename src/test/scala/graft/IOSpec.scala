@@ -150,6 +150,49 @@ class IOSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
   }
 
+  test("persisted ANN index: stored-index reads are byte-identical; memo hydrates from it") {
+    for (t <- Seq("annx_sig", "annx_ivf", "annx_ivf_centroids")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    ops.Similarity.writeAnnIndex(spark, sfDir, "annx")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // LSH: stored signatures feed the same plan -> identical rows
+    val lshMem = rows(ops.Similarity.annLsh(spark, sfDir))
+    val lshIdx = rows(ops.Similarity.annLshFromIndex(spark, "annx",
+      col("vec_id") < 10, 5))
+    assert(lshIdx == lshMem, "annLsh from stored index diverged")
+    // IVF: stored centroids + assignments reproduce the in-session op
+    val ivfMem = rows(ops.Similarity.annIvf(spark, sfDir))
+    val ivfIdx = rows(ops.Similarity.annIvfFromIndex(spark, "annx",
+      col("vec_id") < 10))
+    assert(ivfIdx == ivfMem, "annIvf from stored index diverged")
+    // the stored assignment table IS bucketed (the probe join's key)
+    val scan = spark.table("annx_ivf").queryExecution.sparkPlan.toString
+    assert(scan.contains("Bucketed: true")
+      || spark.sql("DESCRIBE EXTENDED annx_ivf").collect()
+          .exists(_.toString.contains("Bucket")),
+      s"index table not bucketed:\n$scan")
+    // memo hydration: releases then re-serves from the stored table
+    ops.Similarity.releaseSigned(spark, sfDir)
+    assert(ops.Similarity.signedMemoRddIds(spark, sfDir).isEmpty)
+    ops.Similarity.hydrateSigned(spark, sfDir, "annx")
+    assert(ops.Similarity.signedMemoRddIds(spark, sfDir).nonEmpty,
+      "hydration must populate the signed-corpus memo")
+    assert(rows(ops.Similarity.annLsh(spark, sfDir)) == lshMem,
+      "annLsh over the hydrated memo diverged")
+    ops.Similarity.releaseSigned(spark, sfDir)
+  }
+
   test("z-ordered layout clusters 2-D range predicates into fewer files") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "value")
