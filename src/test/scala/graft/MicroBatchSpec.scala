@@ -366,6 +366,75 @@ class MicroBatchSpec extends AnyFunSuite {
     assert(oks.get() >= 1, "stream did not continue after a batch failure")
   }
 
+  test("facade over a live stream end-to-end: supplier-error skip, timeout substitution, graceful stop, listener bridge") {
+    // the §1.2/§7.4 mapping exercised as ONE pipeline at the real
+    // seam: a MemoryStream source, the reference's scripted outcome
+    // sequence (error batch → slow batch → healthy batch,
+    // batch_processor_unit_test.go's error-then-ok script), a REAL
+    // Spark job per healthy batch, and a StreamingQueryListener
+    // bridging query lifecycle events to a terminal finalize — the
+    // reference's Stop() drain observed from the engine side.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val script = new AtomicInteger(0)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val rowsProcessed = new AtomicInteger(0)
+    val q = MicroBatch.start(
+      in.toDF().toDF("v"),
+      processor = (ctx, df) => script.getAndIncrement() match {
+        case 0 => // supplier-error skip: the fetch-equivalent fails;
+          // the reference logs and CONTINUES (batch_processor.go:104-108)
+          throw new RuntimeException("some error")
+        case 1 => // cooperative timeout: work overruns the deadline,
+          // result still lands but carries the substituted timeout
+          while (!ctx.isExpired) Thread.sleep(10)
+          Success(df)
+        case _ => // healthy batch: a real distributed Spark job
+          Success(df.groupBy().agg(org.apache.spark.sql.functions
+            .sum(org.apache.spark.sql.functions.col("v")).as("s")))
+      },
+      finalizer = (p, e) => (p, e) match {
+        case (None, Some(err)) => events.add(s"skip:${err.getMessage}")
+        case (Some(_), Some(err: java.util.concurrent.TimeoutException)) =>
+          events.add(s"timeout:${err.getMessage}")
+        case (Some(out), None) =>
+          rowsProcessed.addAndGet(out.count().toInt)
+          events.add("ok")
+        case other => events.add(s"unexpected:$other")
+      },
+      processorTimeout = 200.millis)
+    // listener bridge: lifecycle events for THIS query only
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    @volatile var termException: Option[String] = Some("never-fired")
+    val progress = new AtomicInteger(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) progress.incrementAndGet()
+      def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) { termException = e.exception; terminated.countDown() }
+    }
+    spark.streams.addListener(listener)
+    try {
+      in.addData(1L, 2L); q.processAllAvailable()   // scripted supplier error
+      in.addData(3L); q.processAllAvailable()        // scripted slow batch
+      in.addData(4L, 5L, 6L); q.processAllAvailable() // healthy batch
+      MicroBatch.stopGracefully(q)
+      assert(terminated.await(15, java.util.concurrent.TimeUnit.SECONDS),
+        "listener never saw the graceful termination")
+    } finally spark.streams.removeListener(listener)
+    val got = events.toArray.map(_.toString).toSeq
+    assert(got == Seq("skip:some error", "timeout:context canceled", "ok"),
+      s"facade event order wrong: $got")
+    assert(rowsProcessed.get() == 1, "healthy batch must land one aggregate row")
+    assert(termException.isEmpty,
+      s"graceful stop must terminate without exception: $termException")
+    assert(progress.get() >= 3, s"listener saw ${progress.get()} progress events")
+    assert(!q.isActive)
+  }
+
   test("maxFilesPerTrigger bounds each dispatch: one file per micro-batch") {
     // the reference's bounded dispatch (batch_processor.go:115-145) in
     // file-source form: ingestion throttles to a fixed amount of work
