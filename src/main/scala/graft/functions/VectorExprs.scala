@@ -244,6 +244,101 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `md5_shingles(tokens, n)`: 16-hex-char (64-bit) md5 prefixes of all
+  * DISTINCT word n-gram shingles of an array<string> — the
+  * engine-neutral hash family behind `docFingerprint` (md5-hex is
+  * recomputable everywhere, which is what makes the fingerprint a
+  * stable identity AND DuckDB-oracle-able). One fused native pass with
+  * a thread-local MessageDigest vs the
+  * `transform(array_distinct(transform(...concat_ws...)), s ->
+  * substring(md5(s), 1, 16))` built-in composition, whose per-shingle
+  * INTERPRETED lambda calls (plus a MessageDigest instantiation per
+  * call) made the fingerprint the slowest-growing query of the r11
+  * sf1 scale-proof (15.4× on 10× data; the kernel restores ~linear).
+  * Short-array edge (len < n): ONE shingle of the whole joined array —
+  * the [[ShingleHashes]] contract; null input behaves like the
+  * composition (concat_ws over nothing → "" → one md5("") prefix).
+  * Codegen fallback (single native call per row; nothing to fuse).
+  */
+case class Md5ShinglePrefixes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](Md5ShinglePrefixes.hex16(UTF8String.fromString(""))))
+    else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    // distinct SHINGLES (pre-hash, insertion order) — the builtin
+    // composition's array_distinct runs on the shingle strings, so a
+    // (vanishingly unlikely) prefix collision of two distinct shingles
+    // must stay visible downstream exactly as it would there
+    val shingles = new java.util.LinkedHashSet[UTF8String]()
+    if (len >= n) {
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+        shingles.add(UTF8String.concatWs(space, window: _*))
+        i += 1
+      }
+    } else {
+      val all = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { all(j) = toks.getUTF8String(j); j += 1 }
+      shingles.add(UTF8String.concatWs(space, all: _*))
+    }
+    val arr = new Array[Any](shingles.size)
+    val it = shingles.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = Md5ShinglePrefixes.hex16(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5ShinglePrefixes =
+    copy(child = newChild)
+}
+
+object Md5ShinglePrefixes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of the first 8 md5 bytes (= the 16-hex-char prefix
+    * of the full 32-char digest, bitwise what `substring(md5(s), 1,
+    * 16)` returns in Spark and DuckDB alike).
+    */
+  private[functions] def hex16(s: UTF8String): UTF8String = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 /** `top_token_count(tokens)`: highest frequency of any single token in
   * an array<string> — one hash-count pass, O(tokens). The higher-order
   * built-in formulation `array_max(transform(array_distinct(tk), w ->
@@ -446,6 +541,16 @@ object GraftFunctions {
       })
     }),
     "top_token_count" -> (es => TopTokenCount(es(0))),
+    "md5_shingles" -> (es => {
+      if (es.length != 2 || !es(1).foldable)
+        throw new IllegalArgumentException(
+          "md5_shingles(tokens, n) requires exactly 2 arguments with a literal integer n")
+      Md5ShinglePrefixes(es(0), es(1).eval(null) match {
+        case n: Number if n.intValue() >= 1 => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"md5_shingles: n must be a literal integer >= 1, got $other")
+      })
+    }),
     "bloom_might_contain" -> (es => {
       if (es.length != 2 || !es(1).foldable)
         throw new IllegalArgumentException(

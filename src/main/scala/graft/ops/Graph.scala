@@ -177,6 +177,11 @@ object Graph {
       .groupBy(col("c")).agg(sort_array(collect_set(col("s"))).as("items"))
       .persist()
     try {
+      // same shuffle strategy as [[pairCensusOf]] (measured there):
+      // raw pairs repartitioned by key into cardinality-sized
+      // partitions + ONE complete aggregate — map-side combine buys
+      // almost nothing when the pair-key domain is quadratic in the
+      // catalog (multiplicity ≈ 2) and its giant per-task hash spills
       val shared = baskets
         .filter(size(col("items")) >= 2)
         .select(col("items"),
@@ -185,6 +190,8 @@ object Graph {
           "transform(sequence(i + 1, size(items) - 1), j -> named_struct('a', items[i], 'b', items[j]))"))
           .as("p"))
         .select(col("p.a").as("s_a"), col("p.b").as("s_b"))
+        .repartition(pairParts(edges.sparkSession, pairVolume(baskets)),
+          col("s_a"), col("s_b"))
         .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("shared_cust"))
         .filter(col("shared_cust") >= minShared)
       scoreCoPurchase(baskets, shared, k, broadcastDegrees, materialize)
@@ -1291,31 +1298,70 @@ object Graph {
     * [[adamicAdar]] (n + aa_micro) and [[triangles]]' backbone cut.
     */
   private[ops] def pairCensus(spark: SparkSession, dir: String): DataFrame =
-    pairMemo.getOrCompute(spark, dir)(
-      cappedBaskets(spark, dir)
-        .filter(size(col("items")) >= 2)
-        // pairs ride as ONE packed BIGINT (items are sorted, ids fit
-        // 32 bits by the key-domain contract) — ~20% off the hot
-        // aggregate vs a 2-field struct key (no per-pair struct
-        // allocation, cheaper hash), unpacked after the shuffle.
-        // TWO-STAGE explode: materializing the full n²/2 pair array
-        // per basket (flatten-of-nested-transform) allocates the
-        // whole quadratic buffer at once; exploding the anchor index
-        // first keeps each allocation to one i-suffix slice
-        .select(
-          expr("CAST(round(1e6 / ln(CAST(size(items) AS DOUBLE))) AS BIGINT)")
-            .as("w_micro"),
-          col("items"),
-          explode(expr("sequence(0, size(items) - 2)")).as("i"))
-        .select(col("w_micro"),
-          explode(expr(
-            "transform(sequence(i + 1, size(items) - 1), j -> items[i] * 4294967296L + items[j])"))
-            .as("pk"))
-        .groupBy(col("pk"))
-        .agg(count(lit(1)).as("n"), sum(col("w_micro")).as("aa_micro"))
-        .select(expr("pk DIV 4294967296").as("s_a"),
-          expr("pmod(pk, 4294967296)").as("s_b"), col("n"), col("aa_micro"))
-        .localCheckpoint(true))
+    pairMemo.getOrCompute(spark, dir) {
+      val baskets = cappedBaskets(spark, dir)
+      pairCensusOf(baskets, pairVolume(baskets)).localCheckpoint(true)
+    }
+
+  /** Exact pair count Σ k·(k−1)/2 off the basket-size census — one
+    * aggregate over a |customers|-row frame (milliseconds), used to
+    * size the census shuffle BEFORE paying for the explode.
+    */
+  private def pairVolume(baskets: DataFrame): Long = {
+    val r = baskets.agg(coalesce(sum(expr(
+      "CAST(size(items) AS BIGINT) * (size(items) - 1) DIV 2")), lit(0L)))
+      .head()
+    r.getLong(0)
+  }
+
+  /** Width for the pair-census shuffle: distinct-pair cardinality
+    * approaches min(pair volume, catalog²/2), so size partitions by
+    * KEY COUNT (~250k keys each — hash tables that never fall back to
+    * sort-spill), floored at the session default and capped at 4096.
+    */
+  private def pairParts(spark: SparkSession, nPairs: Long): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, nPairs / 250000L + 1L).toInt)
+
+  /** The census body over any capped (c, items) basket frame.
+    *
+    * Aggregation strategy, measured at gen-sf1 (117M pair rows, ~50M
+    * DISTINCT pairs — a 10k-item catalog makes pair multiplicity ≈ 2):
+    * the default partial+final plan builds a multi-million-entry hash
+    * per map task that falls back to sort-spill while buying only a
+    * ~2× row reduction — 55 s; repartitioning the RAW pair stream by
+    * key into cardinality-sized partitions and running ONE complete
+    * aggregate per partition is 9.7 s (5.7×). Map-side combine is the
+    * right default only when keys REPEAT; a census whose key domain
+    * is quadratic in the catalog is exactly where it inverts.
+    */
+  private def pairCensusOf(baskets: DataFrame, nPairs: Long): DataFrame = {
+    val spark = baskets.sparkSession
+    baskets
+      .filter(size(col("items")) >= 2)
+      // pairs ride as ONE packed BIGINT (items are sorted, ids fit
+      // 32 bits by the key-domain contract) — ~20% off the hot
+      // aggregate vs a 2-field struct key (no per-pair struct
+      // allocation, cheaper hash), unpacked after the shuffle.
+      // TWO-STAGE explode: materializing the full n²/2 pair array
+      // per basket (flatten-of-nested-transform) allocates the
+      // whole quadratic buffer at once; exploding the anchor index
+      // first keeps each allocation to one i-suffix slice
+      .select(
+        expr("CAST(round(1e6 / ln(CAST(size(items) AS DOUBLE))) AS BIGINT)")
+          .as("w_micro"),
+        col("items"),
+        explode(expr("sequence(0, size(items) - 2)")).as("i"))
+      .select(col("w_micro"),
+        explode(expr(
+          "transform(sequence(i + 1, size(items) - 1), j -> items[i] * 4294967296L + items[j])"))
+          .as("pk"))
+      .repartition(pairParts(spark, nPairs), col("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"), sum(col("w_micro")).as("aa_micro"))
+      .select(expr("pk DIV 4294967296").as("s_a"),
+        expr("pmod(pk, 4294967296)").as("s_b"), col("n"), col("aa_micro"))
+  }
 
   /** Release the memoized purchase-graph frames for (session, dir). */
   def releaseGraphMemo(spark: SparkSession, dir: String): Unit = {

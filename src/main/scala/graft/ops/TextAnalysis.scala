@@ -1470,17 +1470,20 @@ object TextAnalysis {
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     docFingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** DataFrame-first form. */
+  /** DataFrame-first form. The shingle prefixes come from the native
+    * [[graft.functions.Md5ShinglePrefixes]] kernel (one fused pass,
+    * thread-local digest) — semantically identical to the
+    * `transform(array_distinct(...), s -> substring(md5(s), 1, 16))`
+    * built-in composition (ExpressionsSpec pins the equality,
+    * short-doc and null edges included) but without the per-shingle
+    * interpreted-lambda cost that made this the slowest-growing query
+    * of the r11 sf1 scale-proof.
+    */
   def docFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     canon(docs, idCol -> "doc_id", textCol -> "text")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), expr(
-        """transform(
-          |  array_distinct(CASE WHEN size(t) >= 5 THEN
-          |    transform(sequence(0, size(t) - 5),
-          |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
-          |  ELSE array(concat_ws(' ', t)) END),
-          |  s -> substring(md5(s), 1, 16))""".stripMargin).as("sh"))
+      .select(col("doc_id"),
+        expr("md5_shingles(split(text, ' '), 5)").as("sh"))
       .select(col("doc_id"),
         // scalar, not array<string>: the driver compare sorts rows in
         // pandas, which cannot hash array cells

@@ -70,6 +70,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](0) == row.getSeq[Long](1))
   }
 
+  test("md5_shingles matches the transform/array_distinct/md5 composition exactly") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // corpus (5-gram, the docFingerprint geometry) plus the edges:
+    // short docs (< n tokens → one whole-join shingle) and empty text
+    val d = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(Seq("a b", "", "one two three four").toDF("text"))
+      .select(split(col("text"), " ").as("t"))
+    val diff = d.select(
+      expr("md5_shingles(t, 5)").as("native"),
+      expr("""transform(
+             |  array_distinct(CASE WHEN size(t) >= 5 THEN
+             |    transform(sequence(0, size(t) - 5),
+             |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+             |  ELSE array(concat_ws(' ', t)) END),
+             |  s -> substring(md5(s), 1, 16))""".stripMargin).as("builtin"))
+      .filter(!(col("native") <=> col("builtin")))
+    assert(diff.count() == 0)
+    // NULL token array behaves like the composition's empty concat_ws
+    val row = spark.sql(
+      """SELECT md5_shingles(CAST(NULL AS ARRAY<STRING>), 5) AS native,
+        |  array(substring(md5(concat_ws(' ', CAST(NULL AS ARRAY<STRING>))), 1, 16))
+        |    AS builtin""".stripMargin).head()
+    assert(row.getSeq[String](0) == row.getSeq[String](1))
+  }
+
   test("top_token_count and ngram_distinct_count match their higher-order compositions") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sfDir)
