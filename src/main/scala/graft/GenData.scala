@@ -108,7 +108,7 @@ object GenData {
       col("id").as("c_custkey"),
       format_string("Customer#%09d", col("id")).as("c_name"),
       expr("CAST(pmod(xxhash64(id, 'cnat'), 25) AS INT)").as("c_nationkey"),
-      expr(s"round(-1000 + ${u01("cbal")} * 11000, 2)").as("c_acctbal"),
+      expr(s"CAST(round(-1000 + ${u01("cbal")} * 11000, 2) AS DOUBLE)").as("c_acctbal"),
       expr("element_at(array('AUTOMOBILE','BUILDING','FURNITURE'," +
         "'HOUSEHOLD','MACHINERY'), CAST(pmod(xxhash64(id, 'cseg'), 5) AS INT) + 1)")
         .as("c_mktsegment")), out, "customer")
@@ -117,7 +117,7 @@ object GenData {
       col("id").as("s_suppkey"),
       format_string("Supplier#%09d", col("id")).as("s_name"),
       expr("CAST(pmod(xxhash64(id, 'snat'), 25) AS INT)").as("s_nationkey"),
-      expr(s"round(-1000 + ${u01("sbal")} * 11000, 2)").as("s_acctbal")),
+      expr(s"CAST(round(-1000 + ${u01("sbal")} * 11000, 2) AS DOUBLE)").as("s_acctbal")),
       out, "supplier")
 
     writeOne(spark.range(nPart).select(
@@ -131,7 +131,7 @@ object GenData {
       expr("element_at(array('STANDARD','SMALL','MEDIUM','LARGE','ECONOMY'," +
         "'PROMO'), CAST(pmod(xxhash64(id, 'ptype'), 6) AS INT) + 1)").as("p_type"),
       expr("CAST(1 + pmod(xxhash64(id, 'psize'), 50) AS INT)").as("p_size"),
-      expr("round(900 + 0.1 * id, 2)").as("p_retailprice")), out, "part")
+      expr("CAST(round(900 + 0.1 * id, 2) AS DOUBLE)").as("p_retailprice")), out, "part")
 
     // orderdate is a pure function of the order key so lineitem can
     // re-derive it without a join
@@ -142,7 +142,7 @@ object GenData {
       expr(s"pmod(xxhash64(id, 'ocust'), $nCust)").as("o_custkey"),
       expr("element_at(array('F','O','P'), CAST(pmod(xxhash64(id, 'ostat'), 3) AS INT) + 1)")
         .as("o_orderstatus"),
-      expr(s"round(1000 + ${u01("oprice")} * 499000, 2)").as("o_totalprice"),
+      expr(s"CAST(round(1000 + ${u01("oprice")} * 499000, 2) AS DOUBLE)").as("o_totalprice"),
       expr(s"CAST($orderDate AS TIMESTAMP)").as("o_orderdate"),
       expr("element_at(array('1-URGENT','2-HIGH','3-MEDIUM'," +
         "'4-NOT SPECIFIED','5-LOW'), CAST(pmod(xxhash64(id, 'oprio'), 5) AS INT) + 1)")
@@ -160,11 +160,11 @@ object GenData {
         col("l_linenumber").cast("int").as("l_linenumber"),
         expr("CAST(1 + pmod(xxhash64(id, l_linenumber, 'lqty'), 50) AS DOUBLE)")
           .as("l_quantity"),
-        expr("round((1 + pmod(xxhash64(id, l_linenumber, 'lqty'), 50)) * " +
-          s"(900 + 0.1 * pmod(xxhash64(id, l_linenumber, 'lpart'), $nPart)), 2)")
+        expr("CAST(round((1 + pmod(xxhash64(id, l_linenumber, 'lqty'), 50)) * " +
+          s"(900 + 0.1 * pmod(xxhash64(id, l_linenumber, 'lpart'), $nPart)), 2) AS DOUBLE)")
           .as("l_extendedprice"),
-        expr("pmod(xxhash64(id, l_linenumber, 'ldisc'), 11) / 100.0").as("l_discount"),
-        expr("pmod(xxhash64(id, l_linenumber, 'ltax'), 9) / 100.0").as("l_tax"),
+        expr("CAST(pmod(xxhash64(id, l_linenumber, 'ldisc'), 11) / 100.0 AS DOUBLE)").as("l_discount"),
+        expr("CAST(pmod(xxhash64(id, l_linenumber, 'ltax'), 9) / 100.0 AS DOUBLE)").as("l_tax"),
         expr("element_at(array('A','N','R'), " +
           "CAST(pmod(xxhash64(id, l_linenumber, 'lrf'), 3) AS INT) + 1)")
           .as("l_returnflag"),

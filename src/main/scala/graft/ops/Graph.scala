@@ -334,7 +334,7 @@ object Graph {
     */
   private def pageRankRoundsSql(iters: Int): String = {
     def round(k: Int) =
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |         CAST((SELECT (1000000000000 * 15) // (100 * n) FROM nn)
          |           + (85 * sum(r${k - 1}.pr // deg.outdeg)) // 100
@@ -344,9 +344,9 @@ object Graph {
          |  JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst
          |)""".stripMargin
-    s"""deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    s"""deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |nn AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (
+       |r0 AS MATERIALIZED (
        |  SELECT deg.src AS node, (SELECT 1000000000000 // n FROM nn) AS pr
        |  FROM deg
        |),
@@ -355,11 +355,11 @@ object Graph {
 
   /** DuckDB twin of [[pageRank]]. */
   val pageRankSql: String = {
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT src, dst FROM e0
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM e0
@@ -638,19 +638,19 @@ object Graph {
     */
   val bfsReachSql: String = {
     def round(k: Int) =
-      s"""f$k AS (
+      s"""f$k AS MATERIALIZED (
          |  SELECT DISTINCT e.dst AS n
          |  FROM e JOIN f${k - 1} ON e.src = f${k - 1}.n
          |  WHERE e.dst NOT IN (SELECT n FROM v${k - 1})
          |),
-         |v$k AS (SELECT n FROM v${k - 1} UNION SELECT n FROM f$k)""".stripMargin
+         |v$k AS MATERIALIZED (SELECT n FROM v${k - 1} UNION SELECT n FROM f$k)""".stripMargin
     val levels = (0 to BfsHops)
       .map(k => s"SELECT $k AS hop, n FROM f$k").mkString("\n  UNION ALL ")
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT src, dst FROM e0
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM e0
@@ -773,7 +773,7 @@ object Graph {
        |),
        |bc AS (SELECT c FROM e GROUP BY c HAVING count(*) <= $CoPurchaseMaxBasket),
        |ee AS (SELECT e.c, e.s FROM e JOIN bc ON e.c = bc.c),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT a.s AS s_a, b.s AS s_b, count(*) AS n
        |  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinShared
@@ -783,7 +783,7 @@ object Graph {
        |    row_number() OVER (ORDER BY n DESC, s_a, s_b) AS rn
        |  FROM sc
        |),
-       |und AS (SELECT s_a, s_b FROM rn WHERE rn <= $TriangleEdgeCap)""".stripMargin
+       |und AS MATERIALIZED (SELECT s_a, s_b FROM rn WHERE rn <= $TriangleEdgeCap)""".stripMargin
 
   /** DataFrame-first form over any (customer, item) incidence frame. */
   def triangles(edges: DataFrame, custCol: String, itemCol: String,
@@ -997,21 +997,21 @@ object Graph {
   val hitsSql: String = {
     def norm(src: String, key: String, out: String, dst: String) =
       s"""${dst}t AS (SELECT sum(CAST(raw AS HUGEINT)) AS tot FROM $src),
-         |$dst AS (
+         |$dst AS MATERIALIZED (
          |  SELECT $key,
          |    CAST(CAST(raw AS HUGEINT) * $Scale // tot AS BIGINT) AS $out
          |  FROM $src CROSS JOIN ${dst}t
          |)""".stripMargin
     def round(k: Int) =
-      s"""a${k}r AS (
+      s"""a${k}r AS MATERIALIZED (
          |  SELECT s, sum(h) AS raw FROM e JOIN h${k - 1} USING (c) GROUP BY s
          |),
          |${norm(s"a${k}r", "s", "a", s"a$k")},
-         |h${k}r AS (
+         |h${k}r AS MATERIALIZED (
          |  SELECT c, sum(a) AS raw FROM e JOIN a$k USING (s) GROUP BY c
          |),
          |${norm(s"h${k}r", "c", "h", s"h$k")}""".stripMargin
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |),
@@ -1228,7 +1228,7 @@ object Graph {
     * micro quantization of 1/ln(basket size).
     */
   val adamicAdarSql: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |),
