@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   * calibrated by diffing gen0.1's workload-relevant statistics
   * (row counts, dup/near-dup group counts, lines-per-order, token
   * length deciles, value moments) against the driver's sf0.1 — the
-  * match is recorded in DEPLOY.md §7.
+  * match is recorded in DEPLOY.md §6.
   *
   * Distribution shapes matched from the driver fixtures at sf0.1
-  * (measured, not assumed — see DEPLOY.md §7 for the diff):
+  * (measured, not assumed — see DEPLOY.md §6 for the diff):
   *  - documents: 10–100 uniform tokens from the fixed 31-word pool;
   *    lang en≈41% / others ≈15%; source = src(doc_id%20); ~0.2%
   *    exact-dup and ~5% near-dup docs (tail-edited copies of a
