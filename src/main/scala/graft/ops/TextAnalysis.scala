@@ -1446,6 +1446,95 @@ object TextAnalysis {
       |  END AS heaps_beta
       |FROM logs, fit ORDER BY decile""".stripMargin
 
+  /** n-gram width for [[ngramNovelty]] — 8 tokens, the memorization
+    * literature's span (and [[boilerplate]]'s segment width).
+    */
+  val NoveltyN = 8
+
+  /** Ingestion-order n-gram NOVELTY per document — the signal that
+    * separates "more data" from "more of the same data": for each doc,
+    * how many of its distinct 8-token n-grams appear here FIRST
+    * (no earlier doc in id order carries them) vs. recycled from the
+    * corpus so far. [[heapsLaw]] answers this for the vocabulary at
+    * corpus grain; this is the PHRASE-level, per-document form a
+    * curation pass filters on — a crawl increment whose novel_bp
+    * collapses is re-crawling what the corpus already has, even when
+    * exact/near dedup (which need a shared document CORE) see nothing.
+    * Exact-duplicate docs score 0 except the first carrier; a doc
+    * assembled from recycled boilerplate scores low without matching
+    * any single earlier doc.
+    *
+    * Semantics: distinct n-grams per doc (set grain, like the shingle
+    * family); a gram's FIRST CARRIER is its min doc_id; `novel_bp` =
+    * novel/total in exact basis points (truncating DIV; NULL for docs
+    * shorter than 8 tokens, which have no grams — 0 would claim
+    * "nothing novel" about a doc the measure cannot see).
+    *
+    * Scale posture: one row-local gram explode (Σ ≈ tokens rows)
+    * feeding TWO independent keyed aggregates — per-doc gram totals,
+    * and the gram-keyed first-carrier census whose per-doc recount IS
+    * the novel count (a gram is novel exactly for its min-id carrier,
+    * so `census.groupBy(first_carrier).count()` replaces the
+    * vocabulary-keyed join-back entirely); then two |docs|-keyed left
+    * joins onto the spine. No join on the gram vocabulary, no window,
+    * no driver state.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DataFrame-first form over any (id, text) corpus; novelty order
+    * is ascending `idCol` (ids are ingestion order by contract).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val gramArr =
+      s"""array_distinct(CASE WHEN size(tk) >= $NoveltyN THEN
+         |  transform(sequence(0, size(tk) - $NoveltyN),
+         |    i -> concat_ws(' ', ${(0 until NoveltyN)
+             .map(j => s"tk[i+$j]").mkString(", ")}))
+         |ELSE array() END)""".stripMargin
+    val grams = d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(gramArr)).as("gram"))
+    val total = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val novel = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    d.select(col("doc_id"))
+      .join(total, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_novel"))
+      .withColumn("novel_bp", when(col("n_ngrams") > 0,
+        expr("n_novel * 10000 DIV n_ngrams")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[ngramNovelty]] — same set grain, first-carrier
+    * census, integer basis points.
+    */
+  val ngramNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= $NoveltyN THEN
+      |      list_transform(range(1, len(tk) - ${NoveltyN - 2}),
+      |        i -> array_to_string(tk[i:i+${NoveltyN - 1}], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      |  FROM t),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+      |        FROM g GROUP BY 1),
+      |nov AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM (
+      |    SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY 1) f
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(n_ngrams, 0) AS n_ngrams,
+      |  coalesce(n_novel, 0) AS n_novel,
+      |  CASE WHEN coalesce(n_ngrams, 0) > 0
+      |    THEN CAST(coalesce(n_novel, 0) * 10000 // n_ngrams AS BIGINT)
+      |  END AS novel_bp
+      |FROM documents d LEFT JOIN tot USING (doc_id)
+      |  LEFT JOIN nov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

@@ -374,6 +374,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       == (beta == 0.0))
   }
 
+  test("ngramNovelty: first carrier wins, exact copies score 0, short docs NULL") {
+    import spark.implicits._
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")           // 10 toks, 3 grams
+    val boiler = (1 to 8).map(i => s"w$i").mkString(" ")        // doc1's first gram
+    val mixed = boiler + " " + (1 to 8).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, w),                     // everything novel: 3/3
+      (2L, w),                     // exact copy: 0/3
+      (3L, "a b c d e f g"),       // 7 tokens: no grams, NULL bp
+      (4L, mixed)                  // 16 toks → 9 grams, 1 recycled from doc 1
+    ).toDF("doc_id", "text")
+    val got = ops.TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 10000L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0L)), s"exact copy must recycle: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, null)), s"short doc must be NULL: ${got(3L)}")
+    assert(got(4L) == ((9L, 8L, 8888L)), s"boiler-opened doc: ${got(4L)}")
+    // corpus laws: novel mass sums to the distinct gram count; the
+    // smallest-id long doc is fully novel; bp bounded; NULL iff no grams
+    val c = ops.TextAnalysis.ngramNovelty(spark, sfDir).collect()
+    val grams = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(expr(
+        """array_distinct(CASE WHEN size(tk) >= 8 THEN
+          |  transform(sequence(0, size(tk) - 8), i -> concat_ws(' ',
+          |    tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7]))
+          |ELSE array() END)""".stripMargin)).as("g"))
+      .distinct().count()
+    assert(c.map(_.getLong(2)).sum == grams,
+      "novel mass must equal the distinct gram count")
+    val firstLong = c.filter(_.getLong(1) > 0).minBy(_.getLong(0))
+    assert(firstLong.getLong(3) == 10000L,
+      "the earliest gram-bearing doc is fully novel by definition")
+    c.foreach { r =>
+      assert(r.isNullAt(3) == (r.getLong(1) == 0L))
+      if (!r.isNullAt(3)) assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    }
+  }
+
   test("heapsLaw: non-integral id column fails loudly, hashed id is the fix") {
     import spark.implicits._
     val docs = Seq(("a-1", "x y"), ("b-2", "x z")).toDF("doc_id", "text")
