@@ -1535,6 +1535,87 @@ object TextAnalysis {
       |  LEFT JOIN nov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-SOURCE rollup of [[ngramNovelty]] — the number a mixing pass
+    * re-weights crawl sources by: for each source, how much of the
+    * phrase mass it contributes appears there FIRST (corpus-wide
+    * ingestion order) vs recycled. A feed whose novel_bp collapses is
+    * paying tokens for content the corpus already has — the
+    * source-level complement of [[graft.ops.Mixing.sourceDupRate]]
+    * (which sees only exact copies) and the near-dup overlap matrix
+    * (which needs a shared document core). Novelty is attributed to
+    * the FIRST CARRIER's source (min doc_id corpus-wide — a gram two
+    * sources share is novel only for the one that shipped it first).
+    *
+    * Scale posture: the gram explode carries `source` from the scan
+    * (no doc-keyed join); per-source totals are one keyed aggregate;
+    * the first-carrier census takes `min(struct(doc_id, source))` so
+    * the carrier's source rides the same gram-keyed aggregate; the
+    * |sources|-row rollups join a |sources|-row spine. No window, no
+    * vocabulary join.
+    */
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame =
+    sourceNovelty(Tables.documents(spark, dir), "doc_id", "source", "text")
+
+  /** DataFrame-first form over any (id, group, text) corpus. */
+  def sourceNovelty(docs: DataFrame, idCol: String, srcCol: String,
+                    textCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(textCol).as("text"))
+    val gramArr =
+      s"""array_distinct(CASE WHEN size(tk) >= $NoveltyN THEN
+         |  transform(sequence(0, size(tk) - $NoveltyN),
+         |    i -> concat_ws(' ', ${(0 until NoveltyN)
+             .map(j => s"tk[i+$j]").mkString(", ")}))
+         |ELSE array() END)""".stripMargin
+    val grams = d.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"), explode(expr(gramArr)).as("gram"))
+    val total = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val novel = grams
+      .groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("fc"))
+      .groupBy(col("fc.source").as("source"))
+      .agg(count(lit(1)).as("n_novel"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(total, Seq("source"), "left")
+      .join(novel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_novel"))
+      .withColumn("novel_bp", when(col("n_ngrams") > 0,
+        expr("n_novel * 10000 DIV n_ngrams")))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[sourceNovelty]] — same first-carrier
+    * attribution via arg_min on the unique doc id.
+    */
+  val sourceNoveltySql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= $NoveltyN THEN
+      |      list_transform(range(1, len(tk) - ${NoveltyN - 2}),
+      |        i -> array_to_string(tk[i:i+${NoveltyN - 1}], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      |  FROM t),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams
+      |        FROM g GROUP BY 1),
+      |nov AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_novel FROM (
+      |    SELECT gram, arg_min(source, doc_id) AS source FROM g GROUP BY 1) f
+      |  GROUP BY 1),
+      |spine AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |          FROM documents GROUP BY 1)
+      |SELECT s.source, n_docs,
+      |  coalesce(n_ngrams, 0) AS n_ngrams,
+      |  coalesce(n_novel, 0) AS n_novel,
+      |  CASE WHEN coalesce(n_ngrams, 0) > 0
+      |    THEN CAST(coalesce(n_novel, 0) * 10000 // n_ngrams AS BIGINT)
+      |  END AS novel_bp
+      |FROM spine s LEFT JOIN tot USING (source) LEFT JOIN nov USING (source)
+      |ORDER BY source""".stripMargin
+
   /** Document fingerprinting: bottom-k sketch over hashed 5-gram word
     * shingles (winnowing-style). Two docs sharing most content get the
     * same fingerprint with high probability. Per-doc output (always

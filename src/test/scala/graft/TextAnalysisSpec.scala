@@ -414,6 +414,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceNovelty: first-carrier source wins shared grams; short-doc sources NULL") {
+    import spark.implicits._
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    val z = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", w),           // A ships 3 novel grams
+      (2L, "B", w),           // B recycles them all (0/3)
+      (3L, "B", z),           // B ships 3 of its own
+      (4L, "C", "too short")  // C has no grams → NULL bp
+    ).toDF("doc_id", "source", "text")
+    val got = ops.TextAnalysis.sourceNovelty(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("A") == ((1L, 3L, 3L, 10000L)), s"A: ${got("A")}")
+    assert(got("B") == ((2L, 6L, 3L, 5000L)), s"B: ${got("B")}")
+    assert(got("C") == ((1L, 0L, 0L, null)), s"C: ${got("C")}")
+    // corpus laws: novelty mass conserved across sources; doc spine full
+    val c = ops.TextAnalysis.sourceNovelty(spark, sfDir).collect()
+    val perDoc = ops.TextAnalysis.ngramNovelty(spark, sfDir).collect()
+    assert(c.map(_.getLong(3)).sum == perDoc.map(_.getLong(2)).sum,
+      "source novel mass must equal the per-doc novel mass")
+    assert(c.map(_.getLong(2)).sum == perDoc.map(_.getLong(1)).sum,
+      "source gram totals must equal the per-doc totals")
+    assert(c.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("heapsLaw: non-integral id column fails loudly, hashed id is the fix") {
     import spark.implicits._
     val docs = Seq(("a-1", "x y"), ("b-2", "x z")).toDF("doc_id", "text")
