@@ -60,14 +60,18 @@ object GenData {
   private def writeOne(df: DataFrame, out: String, table: String): Unit = {
     val tmp = s"$out/_tmp_$table"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+    // Files.list returns a stream holding a directory handle — close it
+    def ls(dir: String): Array[String] = {
+      val s = Files.list(Paths.get(dir))
+      try s.toArray.map(_.toString) finally s.close()
+    }
+    val part = ls(tmp)
       .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
     require(part.length == 1, s"expected 1 part file for $table, got ${part.length}")
     Files.move(Paths.get(part(0)), Paths.get(s"$out/$table.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     // drop the tmp dir remnants
-    Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .foreach(p => Files.deleteIfExists(Paths.get(p)))
+    ls(tmp).foreach(p => Files.deleteIfExists(Paths.get(p)))
     Files.deleteIfExists(Paths.get(tmp))
     println(s"[gendata] wrote $out/$table.parquet (${df.columns.length} cols)")
   }
@@ -196,7 +200,22 @@ object GenData {
       s"element_at($vocabArr, CAST(pmod(xxhash64($x, $j, 'dtok'), 31) AS INT) + 1)"
     writeOne(spark.range(nDocs)
       .withColumn("udup", expr(u01("dsel")))
-      .withColumn("partner", expr("pmod(xxhash64(id, 'dpartner'), greatest(id, 1))"))
+      // partner must itself be a NON-dup id, or the planted copy would
+      // duplicate the partner's id-keyed token stream while the
+      // partner's own rendered text came from a different seed (its
+      // own partner) — deflating the realized dup rates ~5%. A doc p
+      // is a dup iff p >= 100 AND pmod(xxhash64(p,'dsel'),1e6) < 55000
+      // (the integer form of udup < 0.055); take the first of six
+      // salted uniform draws that is a non-dup (P[all six dups] ≈
+      // 0.055^6 ≈ 3e-8), falling back to pmod(draw, 100) — ids < 100
+      // are never dups — so the choice is total and deterministic.
+      .withColumn("pcands", expr(
+        "transform(sequence(0, 5), j -> pmod(xxhash64(id, j, 'dpartner'), greatest(id, 1)))"))
+      .withColumn("partner", expr(
+        """coalesce(
+          |  get(filter(pcands, p ->
+          |    p < 100 OR pmod(xxhash64(p, 'dsel'), 1000000) >= 55000), 0),
+          |  pmod(pcands[0], 100))""".stripMargin))
       .withColumn("is_exact", expr("id >= 100 AND udup < 0.002"))
       .withColumn("is_near", expr("id >= 100 AND udup >= 0.002 AND udup < 0.055"))
       .withColumn("cs", expr("CASE WHEN is_exact OR is_near THEN partner ELSE id END"))

@@ -1458,6 +1458,13 @@ object Similarity {
                              lambda: Double, poolSize: Int): (DataFrame, Int) = {
     require(k >= 1, s"mmr: k must be >= 1, got $k")
     require(poolSize >= 1, s"mmr: poolSize must be >= 1, got $poolSize")
+    // the lazy-greedy pool bound (round-1 bound λ·rel + (1−λ); later
+    // rounds rely on scores being monotone non-increasing as smax
+    // grows) is only a valid upper bound for λ ∈ [0, 1] — outside
+    // that range the pruned scan could silently skip the true argmax,
+    // where the pre-r11 full-scan code was exact for any λ
+    require(lambda >= 0 && lambda <= 1,
+      s"mmr: lambda must be in [0, 1] for the lazy-greedy bound, got $lambda")
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -1337,7 +1337,17 @@ object TextAnalysis {
     */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val idType = docs.schema(idCol).dataType
+    // resolve the column the way Spark's analyzer would (default
+    // case-INsensitive) — schema(name) is an exact-case lookup that
+    // would throw a raw IllegalArgumentException for a column the
+    // plan below happily resolves
+    val caseSensitive = docs.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val idField = docs.schema.fields.find(f =>
+      if (caseSensitive) f.name == idCol else f.name.equalsIgnoreCase(idCol))
+    require(idField.isDefined,
+      s"heapsLaw: no column '$idCol' in [${docs.columns.mkString(", ")}]")
+    val idType = idField.get.dataType
     val integral = idType == ByteType || idType == ShortType ||
       idType == IntegerType || idType == LongType
     require(integral,

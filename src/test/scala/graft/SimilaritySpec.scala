@@ -657,5 +657,13 @@ class SimilaritySpec extends AnyFunSuite {
     val (_, mDefScans) = mTraj(80)
     assert(mDefScans <= mRefScans, "default pool must not scan more than pool=1")
     assert(mDefScans < 10, s"default pool must prune scans, did $mDefScans of 10")
+    // the lazy-greedy bound is only valid for lambda in [0, 1] — an
+    // out-of-range lambda must fail loudly, not select non-greedily
+    for (bad <- Seq(-0.1, 1.5)) {
+      val e = intercept[IllegalArgumentException] {
+        ops.Similarity.mmr(emb, "vec_id", "embedding", 0L, 3, bad)
+      }
+      assert(e.getMessage.contains("lambda"), e.getMessage)
+    }
   }
 }

@@ -453,6 +453,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val hashed = docs.withColumn("hid", xxhash64(col("doc_id")))
     val got = ops.TextAnalysis.heapsLaw(hashed, "hid", "text").collect()
     assert(got.length == 10 && got.last.getAs[Long]("vocab") == 3L)
+    // column lookup follows Spark's (case-insensitive) resolution: a
+    // differently-cased name resolves instead of throwing a raw
+    // schema() IllegalArgumentException; a missing one errors friendly
+    val viaCase = ops.TextAnalysis.heapsLaw(hashed, "HID", "text").collect()
+    assert(viaCase.length == 10)
+    val miss = intercept[IllegalArgumentException] {
+      ops.TextAnalysis.heapsLaw(hashed, "nope", "text")
+    }
+    assert(miss.getMessage.contains("no column 'nope'"), miss.getMessage)
   }
 
   test("sparseKnn: planted near-copy ranks first; disjoint docs never pair") {
