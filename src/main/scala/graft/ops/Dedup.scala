@@ -267,6 +267,160 @@ object Dedup {
        |LIMIT 20""".stripMargin
   }
 
+  /** Scale-risk profile of the linkage family's BLOCKING — the
+    * [[editJoinProfile]] pre-flight, for [[recordLinkage]] /
+    * [[fellegiSunter]]: those ops DROP blocks above `maxBlock` (the
+    * right posture — a degenerate block re-creates the quadratic
+    * blow-up blocking exists to prevent), but a dropped block's
+    * records silently leave the candidate set, and when the default
+    * key saturates at scale the op returns an empty pair set that
+    * reads as "no duplicates". This census makes that failure mode a
+    * NUMBER, from one cheap aggregate over the same blocked frame the
+    * join would build. One row, all exact integers:
+    *
+    *  - `n_records` / `n_blocks` / `max_block` — the blocked frame's
+    *    shape (`mean_block_milli` = records per block ×1000,
+    *    truncating DIV; NULL on an empty frame);
+    *  - `dropped_blocks` — blocks above `maxBlock` (each drops ALL
+    *    its records from pairing);
+    *  - `covered_records` and `coverage_milli` — records that still
+    *    participate, absolute and ×1000 share (NULL when no records).
+    *    Coverage ≈ 1000 is healthy; a collapsing value means the key
+    *    is too coarse for this corpus — re-key finer (the
+    *    [[fellegiSunter]] two-token vs one-token move) BEFORE trusting
+    *    an empty linkage result;
+    *  - `cand_pairs` — Σ bsz·(bsz−1)/2 over surviving blocks: the
+    *    exact number of levenshtein/score comparisons the join will
+    *    pay, readable before paying any of them.
+    *
+    * Scale posture: one block-keyed count + one global aggregate —
+    * the same first stage the linkage join itself runs; nothing here
+    * adds a pass the join would not pay. The guarded overloads of
+    * [[recordLinkage]]/[[fellegiSunter]] run exactly this census and
+    * refuse loudly when coverage falls below an opt-in floor.
+    */
+  def blockingProfile(spark: SparkSession, dir: String): DataFrame =
+    blockingProfile(
+      fsBlocked(Tables.part(spark, dir), "p_name"), "block", maxBlock = 1000)
+
+  /** DataFrame-first form: profiles `blockCol` as a blocking key over
+    * `records` (pass the DISTINCT-names frame to profile
+    * [[recordLinkage]]'s name-level blocking; the raw record frame
+    * with the two-token key for [[fellegiSunter]]'s).
+    */
+  def blockingProfile(records: DataFrame, blockCol: String,
+                      maxBlock: Int): DataFrame = {
+    require(maxBlock >= 1, s"blockingProfile: maxBlock must be >= 1, got $maxBlock")
+    records.groupBy(col(blockCol).as("block"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(coalesce(sum(col("bsz")), lit(0L)).as("n_records"),
+        count(lit(1)).as("n_blocks"),
+        coalesce(max(col("bsz")), lit(0L)).as("max_block"),
+        coalesce(sum(when(col("bsz") > maxBlock, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("dropped_blocks"),
+        coalesce(sum(when(col("bsz") <= maxBlock, col("bsz")).otherwise(lit(0L))),
+          lit(0L)).as("covered_records"),
+        coalesce(sum(when(col("bsz") <= maxBlock,
+          expr("bsz * (bsz - 1) DIV 2")).otherwise(lit(0L))), lit(0L))
+          .as("cand_pairs"))
+      .select(col("n_records"), col("n_blocks"), col("max_block"),
+        when(col("n_blocks") > 0, expr("n_records * 1000 DIV n_blocks"))
+          .as("mean_block_milli"),
+        col("dropped_blocks"), col("covered_records"),
+        when(col("n_records") > 0, expr("covered_records * 1000 DIV n_records"))
+          .as("coverage_milli"),
+        col("cand_pairs"))
+  }
+
+  /** The [[fellegiSunter]] blocked record frame (two-token name key)
+    * — shared with [[blockingProfile]] so the profile measures
+    * EXACTLY the blocking the scorer pairs on.
+    */
+  private def fsBlocked(records: DataFrame, nameCol: String): DataFrame =
+    records.withColumn("block", concat_ws(" ",
+      split(col(nameCol), " ").getItem(0), split(col(nameCol), " ").getItem(1)))
+
+  /** DuckDB twin of [[blockingProfile]] — same two-token key, same
+    * truncating-DIV milli ratios.
+    */
+  val blockingProfileSql: String =
+    """WITH recs AS (
+      |  SELECT trim(split_part(p_name, ' ', 1) || ' '
+      |    || split_part(p_name, ' ', 2)) AS block
+      |  FROM part),
+      |s AS (SELECT block, CAST(count(*) AS BIGINT) AS bsz FROM recs GROUP BY 1)
+      |SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) AS n_records,
+      |  CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(coalesce(max(bsz), 0) AS BIGINT) AS max_block,
+      |  CASE WHEN count(*) > 0
+      |    THEN CAST(sum(bsz) * 1000 // count(*) AS BIGINT) END AS mean_block_milli,
+      |  CAST(coalesce(sum(CASE WHEN bsz > 1000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS dropped_blocks,
+      |  CAST(coalesce(sum(CASE WHEN bsz <= 1000 THEN bsz ELSE 0 END), 0) AS BIGINT)
+      |    AS covered_records,
+      |  CASE WHEN coalesce(sum(bsz), 0) > 0
+      |    THEN CAST(sum(CASE WHEN bsz <= 1000 THEN bsz ELSE 0 END) * 1000
+      |      // sum(bsz) AS BIGINT) END AS coverage_milli,
+      |  CAST(coalesce(sum(CASE WHEN bsz <= 1000 THEN bsz * (bsz - 1) // 2
+      |    ELSE 0 END), 0) AS BIGINT) AS cand_pairs
+      |FROM s""".stripMargin
+
+  /** The loud-saturation census behind the guarded linkage overloads:
+    * runs [[blockingProfile]]'s coverage aggregate over the frame the
+    * op will pair on and REFUSES (the [[editJoin]] `maxHotSegDocs`
+    * discipline: fail the whole job rather than silently emit an
+    * empty result) when fewer than `floorMilli` ‰ of records sit in
+    * surviving blocks. An EMPTY frame passes (coverage of nothing is
+    * vacuously whole).
+    */
+  private def requireBlockingCoverage(blocked: DataFrame, maxBlock: Int,
+                                      floorMilli: Long, op: String): Unit = {
+    val r = blocked.groupBy(col("block")).agg(count(lit(1)).as("bsz"))
+      .agg(coalesce(sum(col("bsz")), lit(0L)),
+        coalesce(sum(when(col("bsz") <= maxBlock, col("bsz"))
+          .otherwise(lit(0L))), lit(0L)),
+        coalesce(max(col("bsz")), lit(0L)))
+      .head()
+    val (n, cov, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val covMilli = if (n > 0) cov * 1000 / n else 1000L
+    require(covMilli >= floorMilli,
+      s"$op: blocking coverage collapsed — only $cov of $n records " +
+        s"($covMilli‰) sit in blocks <= maxBlock=$maxBlock (largest " +
+        s"block: $mx records); an empty pair set from this run would be " +
+        "SATURATION, not absence of duplicates. Run blockingProfile for " +
+        "the full census, re-key with a finer blocking key, or lower " +
+        "minCoverageMilli deliberately")
+  }
+
+  /** [[recordLinkage]] with an OPT-IN coverage guard: the blocking
+    * census (one cheap aggregate over the distinct-names frame the op
+    * pairs on) runs FIRST and the op fails loudly when fewer than
+    * `minCoverageMilli` ‰ of names survive the `maxBlock` cut —
+    * instead of returning an empty result that reads as "no
+    * duplicates". Pass 0 for the unguarded form.
+    */
+  def recordLinkage(records: DataFrame, nameCol: String, maxDist: Int,
+                    maxBlock: Int, minCoverageMilli: Long): DataFrame = {
+    if (minCoverageMilli > 0L)
+      requireBlockingCoverage(
+        records.select(col(nameCol).as("name")).distinct()
+          .withColumn("block", split(col("name"), " ").getItem(0)),
+        maxBlock, minCoverageMilli, "recordLinkage")
+    recordLinkage(records, nameCol, maxDist, maxBlock)
+  }
+
+  /** [[fellegiSunter]] with the same OPT-IN coverage guard, over the
+    * two-token record-level blocking the scorer pairs on.
+    */
+  def fellegiSunter(records: DataFrame, keyCol: String, nameCol: String,
+                    fields: Seq[String], maxBlock: Int, topN: Int,
+                    minCoverageMilli: Long): DataFrame = {
+    if (minCoverageMilli > 0L)
+      requireBlockingCoverage(fsBlocked(records, nameCol), maxBlock,
+        minCoverageMilli, "fellegiSunter")
+    fellegiSunter(records, keyCol, nameCol, fields, maxBlock, topN)
+  }
+
   /** Incremental exact dedup — the daily-ingest production shape:
     * dedup a NEW increment against the digest INDEX of the
     * already-ingested corpus, without ever re-reading the old corpus

@@ -269,6 +269,58 @@ class DedupSpec extends AnyFunSuite {
     assert(corpus.filter(col("dist") < 1 || col("dist") > 3).count() == 0)
   }
 
+  test("blockingProfile: planted saturation is a number; guarded linkage refuses loudly") {
+    import spark.implicits._
+    // blocks: "inc x" ×6 (dropped at maxBlock=4), "acme y" ×3, "solo z" ×1
+    val recs = ((0 until 6).map(i => s"inc x$i") ++
+      (0 until 3).map(i => s"acme y$i") :+ "solo z").toDF("name")
+      .withColumn("block", split(col("name"), " ").getItem(0))
+    val p = ops.Dedup.blockingProfile(recs, "block", maxBlock = 4).collect()
+    assert(p.length == 1)
+    val r = p(0)
+    // hand-computed: 10 records, 3 blocks, max 6, mean 10*1000 DIV 3 =
+    // 3333; 1 dropped block; 4 covered records -> 400 permille; pairs
+    // from surviving blocks: C(3,2) + C(1,2) = 3
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L && r.getLong(2) == 6L,
+      s"shape wrong: $r")
+    assert(r.getLong(3) == 3333L, s"mean_block_milli: $r")
+    assert(r.getLong(4) == 1L && r.getLong(5) == 4L, s"drop census: $r")
+    assert(r.getLong(6) == 400L, s"coverage_milli: $r")
+    assert(r.getLong(7) == 3L, s"cand_pairs: $r")
+    // empty frame: zero counts, NULL ratios
+    val e = ops.Dedup.blockingProfile(recs.filter(lit(false)), "block", 4)
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(3)
+      && e.isNullAt(6) && e.getLong(7) == 0L, s"empty profile wrong: $e")
+    // guarded recordLinkage: 60% of names dropped -> below a 700 permille
+    // floor -> loud refusal naming the failure and the remedies
+    val ex = intercept[IllegalArgumentException] {
+      ops.Dedup.recordLinkage(recs, "name", maxDist = 3, maxBlock = 4,
+        minCoverageMilli = 700L)
+    }
+    assert(ex.getMessage.contains("SATURATION")
+      && ex.getMessage.contains("blockingProfile"), ex.getMessage)
+    // same census passes when coverage clears the floor
+    val ok = ops.Dedup.recordLinkage(recs, "name", maxDist = 3, maxBlock = 4,
+      minCoverageMilli = 400L)
+    assert(ok.columns.toSeq ==
+      Seq("name_a", "name_b", "dist", "n_a", "n_b"))
+    // guarded fellegiSunter over a saturating two-token key
+    val fsRecs = (0 until 8).map(i => (i.toLong, "inc x common",
+      s"b$i", "t", i)).toDF("k", "nm", "f1", "f2", "f3")
+    val fx = intercept[IllegalArgumentException] {
+      ops.Dedup.fellegiSunter(fsRecs, "k", "nm", Seq("f1", "f2", "f3"),
+        maxBlock = 4, topN = 5, minCoverageMilli = 500L)
+    }
+    assert(fx.getMessage.contains("fellegiSunter")
+      && fx.getMessage.contains("SATURATION"), fx.getMessage)
+    // the profile's (spark, dir) form measures the fellegiSunter key:
+    // at test SFs the default blocking is healthy (full coverage)
+    val c = ops.Dedup.blockingProfile(spark, sfDir).collect()(0)
+    assert(c.getLong(6) == 1000L,
+      s"test-SF fellegiSunter blocking must be unsaturated: $c")
+  }
+
   test("nearDupEval: identical pairs calibrate to 10000 bp with zero error; disjoint never pair") {
     import spark.implicits._
     val docs = Seq(
