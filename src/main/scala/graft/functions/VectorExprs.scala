@@ -61,6 +61,94 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cell_sims(vec, centroids)`: dot products of one array<double>
+  * vector against EVERY row of a literal centroid matrix
+  * (array<array<double>>), returned as array<double> — the
+  * assignment primitive of the IVF/k-means/SemDeDup family.
+  *
+  * Why a kernel: the previous formulation built `greatest(struct(
+  * vec_dot(emb, lit(c0)), 0), ..., struct(vec_dot(emb, lit(cN)), N))`
+  * — N separate literal+dot+struct subtrees. Catalyst ANALYSIS and
+  * codegen costs grow with that tree on every job (Lloyd training
+  * pays it per iteration), and the r12 auto-sizing of SemDeDup cells
+  * (8 → up to 256) turned it into the dominant cost: the stock sf1
+  * run regressed 7 → 29 s with ~7 s per 16k-row training iteration —
+  * pure plan overhead, not data. This node carries the whole matrix
+  * as ONE reference object: tree size O(1) in cell count, one fused
+  * loop per row in codegen.
+  *
+  * Arithmetic is bit-identical to per-centroid [[VecDot]]: the same
+  * sequential left-to-right double summation per cell, cells in
+  * matrix order — so every trained trajectory, assignment, and
+  * stored index is unchanged (SimilaritySpec's planted recoveries and
+  * IOSpec's byte-identity pin it).
+  */
+case class CellSims(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"cell_sims requires array<double>, got ${dt.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cn = cents(c)
+      // fail loudly on dimension mismatch — the VecDot contract
+      if (cn.length != dim)
+        throw new IllegalArgumentException(
+          s"cell_sims: array length mismatch ($dim vs ${cn.length})")
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v.getDouble(i) * cn(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val cn = ctx.freshName("cn")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $dim = $x.numElements();
+         |double[] $out = new double[$m.length];
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  double[] $cn = $m[$c];
+         |  if ($cn.length != $dim) {
+         |    throw new IllegalArgumentException(
+         |      "cell_sims: array length mismatch (" + $dim + " vs " + $cn.length + ")");
+         |  }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += $x.getDouble($i) * $cn[$i];
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CellSims =
+    copy(child = newChild)
+}
+
 /** `simhash64(hashes)`: 64-bit SimHash signature of an array<long> of
   * token hashes — for each bit position, count tokens voting +1/-1 and
   * keep the sign. One fused loop (tokens × 64 bit-tests) in codegen vs
@@ -529,6 +617,23 @@ object GraftFunctions {
 
   private[graft] val specs: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "cell_sims" -> (es => {
+      if (es.length != 2 || !es(1).foldable)
+        throw new IllegalArgumentException(
+          "cell_sims(vec, centroids) requires exactly 2 arguments with a " +
+            "literal array<array<double>> centroid matrix")
+      val m = es(1).eval(null) match {
+        case a: ArrayData =>
+          Array.tabulate(a.numElements()) { c =>
+            val row = a.getArray(c)
+            Array.tabulate(row.numElements())(row.getDouble)
+          }
+        case other => throw new IllegalArgumentException(
+          s"cell_sims: centroids must be a literal matrix, got $other")
+      }
+      require(m.nonEmpty, "cell_sims: centroid matrix must be non-empty")
+      CellSims(es(0), m)
+    }),
     "simhash64" -> (es => SimHash64(es(0))),
     "shingle_hash" -> (es => {
       if (es.length != 2 || !es(1).foldable)

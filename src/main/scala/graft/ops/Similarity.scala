@@ -378,21 +378,28 @@ object Similarity {
   private val NAssign = 2
   private val TrainIters = 3
 
-  /** Per-row per-centroid (sim, cid) structs for a centroid set. */
-  private def centroidSims(cents: IndexedSeq[Seq[Double]]) =
-    cents.zipWithIndex.map { case (cn, cid) =>
-      struct(call_function("vec_dot", col("emb"), typedlit(cn)).as("sim"),
-        lit(cid).as("cid"))
-    }
+  /** Per-row array<struct<sim, cid>> against a centroid set — ONE
+    * `cell_sims` kernel call (tree size O(1) in cell count — the
+    * per-centroid `vec_dot(emb, lit(cn))` subtrees made Catalyst
+    * analysis the dominant cost once the SemDeDup auto-sizing pushed
+    * cell counts past ~64; see [[graft.functions.CellSims]]) plus a
+    * trivial element+index `transform` to pair each sim with its cid.
+    * Sims are bit-identical to the per-centroid VecDot formulation,
+    * struct field names/types unchanged, so every downstream
+    * `array_sort`/max ordering — and every trained trajectory — is
+    * exactly the old one.
+    */
+  private def centroidSims(cents: IndexedSeq[Seq[Double]]): Column =
+    transform(
+      call_function("cell_sims", col("emb"), typedlit(cents.map(_.toSeq))),
+      (s, i) => struct(s.as("sim"), i.cast("int").as("cid")))
 
-  /** Nearest-cell argmax: `greatest` over the (sim, cid) structs —
-    * O(cells) comparisons inside codegen, no per-row array
-    * materialization or O(c log c) sort (the previous
-    * `array_sort(array(...))[-1]` built and sorted a 16-struct array
-    * for every corpus row).
+  /** Nearest-cell argmax: `array_max` over the (sim, cid) structs —
+    * same struct ordering (sim, then larger cid on a tie) as the
+    * previous `greatest` form.
     */
   private def nearestCell(cents: IndexedSeq[Seq[Double]]): Column =
-    greatest(centroidSims(cents): _*).getField("cid")
+    array_max(centroidSims(cents)).getField("cid")
 
   /** Lloyd's k-means on the unit sphere (spherical k-means): assign
     * every sample vector to its max-cosine centroid, recompute
@@ -430,11 +437,32 @@ object Similarity {
         s"annIvf: corpus has ${pool.length} vectors, fewer than nCells=$nCells")
       def cos(a: Seq[Double], b: Seq[Double]): Double =
         a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      // incremental farthest-point: keep each candidate's max cosine to
+      // the chosen seeds and fold in only the NEW seed per round —
+      // O(nCells²·pool-factor·dim) instead of the recompute-per-round
+      // O(nCells³·…), which stalled the driver for seconds once the
+      // auto-sized cell counts (below) passed ~64. Same cos values,
+      // same order-independent max, same first-minimum tie-break →
+      // the selected seed sequence is identical.
+      val chosen = new Array[Boolean](pool.length)
+      chosen(0) = true
+      val best = Array.tabulate(pool.length)(i => cos(pool(i), pool(0)))
       val seeds = scala.collection.mutable.ArrayBuffer(pool.head)
       while (seeds.length < nCells) {
-        val next = pool.iterator.filterNot(seeds.contains)
-          .minBy(c => seeds.map(cos(c, _)).max)
-        seeds += next
+        var bi = -1; var bv = Double.PositiveInfinity
+        var i = 0
+        while (i < pool.length) {
+          if (!chosen(i) && best(i) < bv) { bv = best(i); bi = i }
+          i += 1
+        }
+        chosen(bi) = true
+        val nv = pool(bi)
+        seeds += nv
+        i = 0
+        while (i < pool.length) {
+          if (!chosen(i)) { val c = cos(pool(i), nv); if (c > best(i)) best(i) = c }
+          i += 1
+        }
       }
       var cents: IndexedSeq[Seq[Double]] = seeds.toIndexedSeq
       for (_ <- 1 to iters) {
@@ -521,14 +549,14 @@ object Similarity {
       if (nAssign == 1) e.withColumn("cell", nearestCell(cents))
       else e
         .withColumn("cells",
-          slice(reverse(array_sort(array(simStructs: _*))), 1, nAssign))
+          slice(reverse(array_sort(simStructs)), 1, nAssign))
         .withColumn("cell", explode(expr("transform(cells, c -> c.cid)")))
         .drop("cells")
     // query side: probe the nProbe nearest cells (tiny frame — the
     // O(c log c) sort is fine here, it runs on the query rows only)
     val probed = e.filter(queryPred)
       .withColumn("cells",
-        slice(reverse(array_sort(array(simStructs: _*))), 1, nProbe))
+        slice(reverse(array_sort(simStructs)), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
         explode(expr("transform(cells, c -> c.cid)")).as("cell"))
     val verified = assigned
@@ -585,7 +613,7 @@ object Similarity {
       if (nAssign == 1) e.withColumn("cell", nearestCell(cents))
       else e
         .withColumn("cells",
-          slice(reverse(array_sort(array(simStructs: _*))), 1, nAssign))
+          slice(reverse(array_sort(simStructs)), 1, nAssign))
         .withColumn("cell", explode(expr("transform(cells, c -> c.cid)")))
     graft.sources.IO.writeBucketed(
       assigned.select(col("cell").cast("int").as("cell"), col("vec_id")),
@@ -615,6 +643,7 @@ object Similarity {
     */
   def annIvfFromIndex(spark: SparkSession, table: String, queryPred: Column,
                       nProbe: Int = NProbe, k: Int = K): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val cents: IndexedSeq[Seq[Double]] =
       spark.table(s"${table}_ivf_centroids").orderBy(col("cid")).collect()
         .toIndexedSeq.map(_.getSeq[Double](1))
@@ -625,7 +654,7 @@ object Similarity {
     val simStructs = centroidSims(cents)
     val probed = sig.filter(queryPred)
       .withColumn("cells",
-        slice(reverse(array_sort(array(simStructs: _*))), 1, nProbe))
+        slice(reverse(array_sort(simStructs)), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         col("nrm").as("qn"),
         explode(expr("transform(cells, c -> c.cid)")).as("cell"))
@@ -889,7 +918,7 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
     val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k * 200)
     val cents = trainCentroids(sample, k, iters)
-    e.withColumn("best", greatest(centroidSims(cents): _*))
+    e.withColumn("best", array_max(centroidSims(cents)))
       .select(col("vec_id"), col("label"), col("best.cid").as("cluster"),
         (col("best.sim") / col("nrm")).as("sim"))
   }
@@ -942,6 +971,35 @@ object Similarity {
 
   private val SemDedupTau = 0.97
   private val SemDedupMaxCell = 5000
+  /** Auto-size target: vectors per cell the default [[semanticDedup]]
+    * aims for. Within-cell pair work is Σ cell² ≈ n·target, so a FIXED
+    * cell count degrades quadratically as the corpus grows (the r11
+    * sf1 proof measured it: the old constant 8 made semantic_dedup the
+    * worst ratio of the set at 11.1×, and the manual nCells 8→32 dial
+    * cut 8.2→5.9 s). 250 reproduces the historical default exactly at
+    * the driver's largest SF (2000 vectors → 8 cells) and lands near
+    * the measured-good dial at gen-sf1 (20k → 80 cells).
+    */
+  private val SemDedupTargetCell = 250
+  /** Cap on the auto-sized cell count: the flat spherical-k-means
+    * trainer seeds and averages on the driver (k×dim state) and the
+    * assignment projection is O(cells×dim) per row, so past ~256 cells
+    * a flat index is the wrong tool — cells then grow past
+    * [[SemDedupTargetCell]] and, eventually, `maxCell`, where the
+    * `in_oversized_cell` flag reports the degradation honestly. At
+    * that scale pass an explicit nCells to the overload (or shard the
+    * corpus and run per shard); a hierarchical coarse quantizer is the
+    * principled next index, not a bigger flat one.
+    */
+  private val SemDedupMaxAutoCells = 256
+
+  /** `ceil(n / target)` clamped to [2, [[SemDedupMaxAutoCells]]] — the
+    * scale-adaptive default cell count, from one cheap corpus count
+    * (parquet metadata — no scan).
+    */
+  private[graft] def autoCells(n: Long): Int =
+    math.max(2L, math.min(SemDedupMaxAutoCells.toLong,
+      (n + SemDedupTargetCell - 1) / SemDedupTargetCell)).toInt
 
   /** Semantic deduplication (the SemDeDup recipe): cluster the
     * embedding space with spherical k-means, then compare vectors ONLY
@@ -963,9 +1021,14 @@ object Similarity {
     * Hash-seeded sampling/init → rows-only driver check; planted
     * duplicate recovery pinned in SimilaritySpec.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      NCells, TrainIters, SemDedupTau, SemDedupMaxCell)
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // scale-adaptive default (VERDICT r11: the fixed constant was the
+    // one dial a stock user had to find manually at sf1) — cells sized
+    // from a metadata-cheap count so Σ cell² grows ~linearly with n
+    semanticDedup(emb, "vec_id", "embedding",
+      autoCells(emb.count()), TrainIters, SemDedupTau, SemDedupMaxCell)
+  }
 
   /** DataFrame-first form over any (id, vector) frame. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
@@ -974,7 +1037,11 @@ object Similarity {
     semanticDedupImpl(corpus, idCol, vecCol, nCells, iters, tau, maxCell,
       materialize = true)
 
-  /** Full lazy plan (no persist, no checkpoint) for plan contracts. */
+  /** Full lazy plan (no persist, no checkpoint) for plan contracts.
+    * Uses the fixed historical cell count — the PLAN SHAPE is
+    * identical at any nCells and plan contracts must not pay (or
+    * depend on) the auto-size's corpus-count action.
+    */
   private[graft] def semanticDedupPlan(spark: SparkSession, dir: String): DataFrame =
     semanticDedupImpl(Tables.embeddings(spark, dir), "vec_id", "embedding",
       NCells, TrainIters, SemDedupTau, SemDedupMaxCell, materialize = false)

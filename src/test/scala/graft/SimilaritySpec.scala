@@ -248,6 +248,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(corpus.filter(!col("kept") && col("n_closer_dups") === 0).count() == 0)
   }
 
+  test("semanticDedup auto-size: cell count tracks the corpus, clamped to [2, 256]") {
+    // ceil(n / 250): the stock op no longer needs the manual nCells
+    // dial at 10x data (the one default VERDICT r11 showed degrading)
+    assert(ops.Similarity.autoCells(0L) == 2)
+    assert(ops.Similarity.autoCells(500L) == 2)
+    assert(ops.Similarity.autoCells(501L) == 3)
+    // driver sf0.1 (2000 vectors) reproduces the historical default 8
+    assert(ops.Similarity.autoCells(2000L) == 8)
+    // gen-sf1 lands past the measured-good manual dial (8 -> 32)
+    assert(ops.Similarity.autoCells(20000L) == 80)
+    assert(ops.Similarity.autoCells(60000L) == 240)
+    // flat-trainer cap: past this a flat index is the wrong tool
+    assert(ops.Similarity.autoCells(10000000L) == 256)
+  }
+
   // ---- second-algorithm laws: every rows-only (no DuckDB oracle)
   // query in this family gets an independent driver-side recomputation
   // agreeing with the Spark derivation, the q_span_dedup discipline.
