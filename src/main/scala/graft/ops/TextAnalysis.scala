@@ -1461,6 +1461,26 @@ object TextAnalysis {
     */
   val NoveltyN = 8
 
+  /** The novelty census's per-doc distinct-gram array, keyed by the
+    * gram's `xxhash64` — [[boilerplate]]'s digest discipline
+    * (`TextAnalysis` segment census): the gram never appears in any
+    * output, only its counts do, so the census can shuffle 8-byte
+    * hashes instead of ~50-byte 8-token strings (~6× fewer shuffle
+    * bytes on Σ ≈ tokens rows, TWICE — at 100 TB the raw-string form
+    * would be the text family's biggest shuffle). The DuckDB twins
+    * keep grouping by the raw gram: both engines census the same set
+    * unless a 64-bit collision occurs within one corpus — the standard
+    * accepted shingle approximation, and the oracle is exactly the
+    * detector that would catch one (it hasn't at any test SF, through
+    * gen-sf1's ~2.8M distinct grams).
+    */
+  private val noveltyGramArr: String =
+    s"""array_distinct(CASE WHEN size(tk) >= $NoveltyN THEN
+       |  transform(sequence(0, size(tk) - $NoveltyN),
+       |    i -> xxhash64(concat_ws(' ', ${(0 until NoveltyN)
+           .map(j => s"tk[i+$j]").mkString(", ")})))
+       |ELSE array() END)""".stripMargin
+
   /** Ingestion-order n-gram NOVELTY per document — the signal that
     * separates "more data" from "more of the same data": for each doc,
     * how many of its distinct 8-token n-grams appear here FIRST
@@ -1487,7 +1507,9 @@ object TextAnalysis {
     * so `census.groupBy(first_carrier).count()` replaces the
     * vocabulary-keyed join-back entirely); then two |docs|-keyed left
     * joins onto the spine. No join on the gram vocabulary, no window,
-    * no driver state.
+    * no driver state — and the gram key rides the shuffle as an
+    * 8-byte `xxhash64` digest, never the raw 8-token string
+    * ([[noveltyGramArr]]).
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNovelty(Tables.documents(spark, dir), "doc_id", "text")
@@ -1497,14 +1519,8 @@ object TextAnalysis {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = canon(docs, idCol -> "doc_id", textCol -> "text")
-    val gramArr =
-      s"""array_distinct(CASE WHEN size(tk) >= $NoveltyN THEN
-         |  transform(sequence(0, size(tk) - $NoveltyN),
-         |    i -> concat_ws(' ', ${(0 until NoveltyN)
-             .map(j => s"tk[i+$j]").mkString(", ")}))
-         |ELSE array() END)""".stripMargin
     val grams = d.select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(expr(gramArr)).as("gram"))
+      .select(col("doc_id"), explode(expr(noveltyGramArr)).as("gram"))
     val total = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
     val novel = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
@@ -1561,7 +1577,8 @@ object TextAnalysis {
     * the first-carrier census takes `min(struct(doc_id, source))` so
     * the carrier's source rides the same gram-keyed aggregate; the
     * |sources|-row rollups join a |sources|-row spine. No window, no
-    * vocabulary join.
+    * vocabulary join; gram keys shuffle as 8-byte digests
+    * ([[noveltyGramArr]]).
     */
   def sourceNovelty(spark: SparkSession, dir: String): DataFrame =
     sourceNovelty(Tables.documents(spark, dir), "doc_id", "source", "text")
@@ -1571,15 +1588,10 @@ object TextAnalysis {
                     textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       col(textCol).as("text"))
-    val gramArr =
-      s"""array_distinct(CASE WHEN size(tk) >= $NoveltyN THEN
-         |  transform(sequence(0, size(tk) - $NoveltyN),
-         |    i -> concat_ws(' ', ${(0 until NoveltyN)
-             .map(j => s"tk[i+$j]").mkString(", ")}))
-         |ELSE array() END)""".stripMargin
     val grams = d.select(col("doc_id"), col("source"),
         split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("source"), explode(expr(gramArr)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(noveltyGramArr)).as("gram"))
     val total = grams.groupBy(col("source"))
       .agg(count(lit(1)).as("n_ngrams"))
     val novel = grams
