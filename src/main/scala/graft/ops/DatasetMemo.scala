@@ -38,8 +38,11 @@ private[ops] final class DatasetMemo(tableFile: String) {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame, Set[Int])]
 
-  /** Cheap fingerprint of `dir`/`tableFile`: part names, sizes, mtimes. */
-  private def dataVersion(spark: SparkSession, dir: String): String = {
+  /** Cheap fingerprint of `dir`/`tableFile`: part names, sizes, mtimes.
+    * `private[ops]` so index-freshness guards ([[Similarity]]'s stored
+    * ANN index) can compare against the SAME version the memo keys on.
+    */
+  private[ops] def dataVersion(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$tableFile")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path)

@@ -594,14 +594,33 @@ object Similarity {
     *  - `<table>_ivf_centroids` — the nCells×dim centroid matrix
     *    (cid, centroid), tiny, collected by the reader.
     *
-    * Freshness is the CALLER's contract (the deployment rebuilds the
-    * index when the corpus is rewritten) — readers below serve the
-    * stored bytes verbatim; [[hydrateSigned]] re-keys the session
-    * memo at the data version current at hydration time.
+    *  - `<table>_meta` — ONE row stamping the corpus dir and its
+    *    file-level data version (part names + sizes + mtimes — the
+    *    [[DatasetMemo]] fingerprint) at build time. The dir-aware
+    *    readers REQUIRE the stamp to match the corpus's current
+    *    version: a stale secondary index silently serves wrong
+    *    neighbors, which no recall harness downstream would catch.
+    *    The table-only readers skip the check — the documented force
+    *    escape for callers that own consistency themselves (e.g. an
+    *    index legitimately served from a frozen snapshot).
     */
   def writeAnnIndex(spark: SparkSession, dir: String, table: String,
                     buckets: Int = 8, nCells: Int = NCells,
                     iters: Int = TrainIters, nAssign: Int = NAssign): Unit = {
+    // owner-side overwrite hygiene: with the default in-memory catalog
+    // a PREVIOUS session's index tables survive only as warehouse
+    // directories — not in this session's catalog — and saveAsTable
+    // then refuses with LOCATION_ALREADY_EXISTS. These four tables are
+    // this writer's own output contract, so clear both catalog entry
+    // and leftover location before rebuilding.
+    for (s <- Seq("sig", "ivf", "ivf_centroids", "meta")) {
+      val t = s"${table}_$s"
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
     graft.sources.IO.writeBucketed(withSig(withNorm(spark, dir)),
       s"${table}_sig", buckets, Seq("vec_id"), Seq("vec_id"))
     val e = withNorm(spark, dir)
@@ -624,6 +643,37 @@ object Similarity {
       .toDF("cid", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_ivf_centroids")
+    // freshness stamp LAST: a build that dies mid-write leaves either
+    // no stamp (old index tables + old stamp = consistent old index)
+    // or a stamp only after every index table landed
+    Seq((dir, signedMemo.dataVersion(spark, dir)))
+      .toDF("corpus_dir", "corpus_version")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Freshness gate of the dir-aware stored-index readers: the
+    * `<table>_meta` stamp must equal the corpus's CURRENT data
+    * version. Fails loudly on a missing stamp (pre-stamp index) or a
+    * version mismatch (corpus rewritten after the build) — the
+    * remedies are in the message.
+    */
+  private def requireFreshIndex(spark: SparkSession, dir: String,
+                                table: String): Unit = {
+    val metaT = s"${table}_meta"
+    require(spark.catalog.tableExists(metaT),
+      s"ann index '$table' has no freshness stamp ($metaT missing) — " +
+        "rebuild it with writeAnnIndex, or read via the table-only " +
+        "overloads if you own corpus/index consistency yourself")
+    val m = spark.table(metaT).select(col("corpus_dir"), col("corpus_version"))
+      .head()
+    val cur = signedMemo.dataVersion(spark, dir)
+    require(m.getString(1) == cur,
+      s"ann index '$table' is STALE: built from ${m.getString(0)} at " +
+        s"corpus version ${m.getString(1)}, but $dir is now at version " +
+        s"$cur — a stale index silently serves wrong neighbors. Rebuild " +
+        "with writeAnnIndex, or read via the table-only overloads to " +
+        "force a deliberately frozen snapshot")
   }
 
   /** Serve [[annLsh]] from a stored index: the stored signatures feed
@@ -634,6 +684,17 @@ object Similarity {
   def annLshFromIndex(spark: SparkSession, table: String, queryPred: Column,
                       k: Int): DataFrame =
     annLshOn(spark.table(s"${table}_sig"), queryPred, k, materialize = false)
+
+  /** Freshness-CHECKED form: requires the stored index's corpus stamp
+    * to match `dir`'s current data version before serving
+    * ([[requireFreshIndex]]). Prefer this whenever the corpus dir is
+    * at hand; the table-only overload above is the force escape.
+    */
+  def annLshFromIndex(spark: SparkSession, dir: String, table: String,
+                      queryPred: Column, k: Int): DataFrame = {
+    requireFreshIndex(spark, dir, table)
+    annLshFromIndex(spark, table, queryPred, k)
+  }
 
   /** Serve [[annIvf]] from a stored index: centroids are read (tiny)
     * and cell membership comes from the stored assignment table —
@@ -672,17 +733,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Freshness-CHECKED form of the IVF stored-index reader
+    * ([[requireFreshIndex]]); the table-only overload above is the
+    * force escape for deliberately frozen snapshots.
+    */
+  def annIvfFromIndex(spark: SparkSession, dir: String, table: String,
+                      queryPred: Column, nProbe: Int, k: Int): DataFrame = {
+    requireFreshIndex(spark, dir, table)
+    annIvfFromIndex(spark, table, queryPred, nProbe, k)
+  }
+
   /** Hydrate the session's signed-corpus memo for `dir` from a stored
     * `<table>_sig` index: subsequent [[annLsh]]/[[cosineCandidatePairs]]
     * /[[Dedup.dedupEmbedding]] calls on (session, dir) serve the stored
     * signatures (one block read) instead of re-signing the corpus.
-    * The memo entry is keyed at dir's CURRENT data version — the
-    * caller owns index/corpus consistency (rebuild the index after a
-    * corpus rewrite, like any secondary index).
+    * FRESHNESS-CHECKED by default ([[requireFreshIndex]]): hydration
+    * keys the memo at dir's CURRENT data version, so hydrating a stale
+    * index would poison every downstream signature consumer for the
+    * session — worse than a stale one-shot read. Use the `force`
+    * overload to hydrate a deliberately frozen snapshot.
     */
   def hydrateSigned(spark: SparkSession, dir: String, table: String): DataFrame =
+    hydrateSigned(spark, dir, table, force = false)
+
+  /** As above; `force = true` skips the freshness stamp check. */
+  def hydrateSigned(spark: SparkSession, dir: String, table: String,
+                    force: Boolean): DataFrame = {
+    if (!force) requireFreshIndex(spark, dir, table)
     signedMemo.getOrCompute(spark, dir)(
       spark.table(s"${table}_sig").localCheckpoint(true))
+  }
+
+  /** [[annLsh]] served through the PERSISTED index path end-to-end —
+    * the deployment shape (build once, query many): a dir-keyed stored
+    * index is built on first use (or REBUILT when the freshness stamp
+    * says the corpus moved — exercising [[requireFreshIndex]]'s guard
+    * as the driver's query loop rewrites nothing, and the real
+    * trigger when it does), then every call serves the stored
+    * signatures via the checked [[annLshFromIndex]]. Rows are
+    * byte-identical to [[annLsh]] (IOSpec pins the equality); the
+    * session's signed-corpus memo is deliberately NOT consulted — this
+    * query times the stored-bytes path, not the memo.
+    */
+  def annLshIndexed(spark: SparkSession, dir: String): DataFrame = {
+    // dir-keyed table name (String.hashCode is stable across JVMs)
+    val table = s"graft_annidx_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val metaT = s"${table}_meta"
+    val fresh = spark.catalog.tableExists(metaT) && {
+      val m = spark.table(metaT).head()
+      m.getString(0) == dir &&
+        m.getString(1) == signedMemo.dataVersion(spark, dir)
+    }
+    if (!fresh) writeAnnIndex(spark, dir, table)
+    annLshFromIndex(spark, dir, table, col("vec_id") < NQueries, K)
+  }
 
   /** All-pairs near-duplicate candidates over the whole corpus:
     * self-join on LSH band buckets (id_a < id_b), bucket-size cap

@@ -193,6 +193,74 @@ class IOSpec extends AnyFunSuite {
     ops.Similarity.releaseSigned(spark, sfDir)
   }
 
+  test("ann index staleness guard: rewritten corpus fails loudly; rebuilt index serves again") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    for (t <- Seq("stale_sig", "stale_ivf", "stale_ivf_centroids", "stale_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a corpus we are allowed to rewrite: copy the fixture parquet
+    val dir = Files.createTempDirectory("graft-stale").toString
+    JFiles.copy(Paths.get(s"$sfDir/embeddings.parquet"),
+      Paths.get(s"$dir/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    ops.Similarity.writeAnnIndex(spark, dir, "stale")
+    // fresh index: checked readers serve, byte-identical to unchecked
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val unchecked = rows(ops.Similarity.annLshFromIndex(spark, "stale",
+      col("vec_id") < 10, 5))
+    assert(rows(ops.Similarity.annLshFromIndex(spark, dir, "stale",
+      col("vec_id") < 10, 5)) == unchecked)
+    assert(rows(ops.Similarity.annIvfFromIndex(spark, dir, "stale",
+      col("vec_id") < 10, 4, 5)) ==
+      rows(ops.Similarity.annIvfFromIndex(spark, "stale", col("vec_id") < 10)))
+    // REWRITE the corpus (new part file -> new data version)
+    Tables.embeddings(spark, sfDir).limit(100)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def stale(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("STALE")
+        && e.getMessage.contains("writeAnnIndex"), e.getMessage)
+    }
+    stale(ops.Similarity.annLshFromIndex(spark, dir, "stale",
+      col("vec_id") < 10, 5))
+    stale(ops.Similarity.annIvfFromIndex(spark, dir, "stale",
+      col("vec_id") < 10, 4, 5))
+    stale(ops.Similarity.hydrateSigned(spark, dir, "stale"))
+    // the force escape still serves the frozen bytes
+    assert(rows(ops.Similarity.annLshFromIndex(spark, "stale",
+      col("vec_id") < 10, 5)) == unchecked)
+    ops.Similarity.hydrateSigned(spark, dir, "stale", force = true)
+    ops.Similarity.releaseSigned(spark, dir)
+    // a missing stamp is its own loud failure
+    spark.sql("DROP TABLE stale_meta")
+    val miss = intercept[IllegalArgumentException] {
+      ops.Similarity.annLshFromIndex(spark, dir, "stale", col("vec_id") < 10, 5)
+    }
+    assert(miss.getMessage.contains("no freshness stamp"), miss.getMessage)
+    // rebuild against the rewritten corpus: checked read serves again
+    ops.Similarity.writeAnnIndex(spark, dir, "stale")
+    val rebuilt = rows(ops.Similarity.annLshFromIndex(spark, dir, "stale",
+      col("vec_id") < 10, 5))
+    assert(rebuilt.nonEmpty)
+  }
+
+  test("annLshIndexed: builds the dir-keyed index once, serves rows byte-identical to annLsh") {
+    val hex = java.lang.Integer.toHexString(sfDir.hashCode)
+    for (suffix <- Seq("sig", "ivf", "ivf_centroids", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_annidx_${hex}_$suffix")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val viaIndex = rows(ops.Similarity.annLshIndexed(spark, sfDir))
+    assert(viaIndex == rows(ops.Similarity.annLsh(spark, sfDir)),
+      "indexed path diverged from annLsh")
+    // second call reuses the stored index (stamp fresh, no rebuild):
+    // the meta table's write time must not change
+    val metaT = s"graft_annidx_${hex}_meta"
+    val v1 = spark.table(metaT).head().getString(1)
+    assert(rows(ops.Similarity.annLshIndexed(spark, sfDir)) == viaIndex)
+    assert(spark.table(metaT).head().getString(1) == v1)
+  }
+
   test("z-ordered layout clusters 2-D range predicates into fewer files") {
     val events = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "value")
