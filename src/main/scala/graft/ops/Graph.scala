@@ -142,8 +142,8 @@ object Graph {
     */
   def coPurchase(spark: SparkSession, dir: String): DataFrame =
     scoreCoPurchase(cappedBaskets(spark, dir),
+      // census rows already carry the ≥ CoPurchaseMinShared floor
       pairCensus(spark, dir)
-        .filter(col("n") >= CoPurchaseMinShared)
         .select(col("s_a"), col("s_b"), col("n").as("shared_cust")),
       20,
       // the supplier catalog is a bounded dimension — broadcast is safe
@@ -715,8 +715,8 @@ object Graph {
     */
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOverBackbone(
+      // census rows already carry the ≥ CoPurchaseMinShared floor
       pairCensus(spark, dir)
-        .filter(col("n") >= CoPurchaseMinShared)
         .orderBy(col("n").desc, col("s_a"), col("s_b"))
         .limit(TriangleEdgeCap)
         .select(col("s_a"), col("s_b")), 20)
@@ -1186,8 +1186,8 @@ object Graph {
     * plus top-k TakeOrdered bound the output.
     */
   def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    // census rows already carry the ≥ CoPurchaseMinShared floor
     pairCensus(spark, dir)
-      .filter(col("n") >= CoPurchaseMinShared)
       .select(col("s_a"), col("s_b"), col("n").as("common_customers"),
         col("aa_micro"))
       .orderBy(col("aa_micro").desc, col("s_a"), col("s_b"))
@@ -1295,12 +1295,25 @@ object Graph {
   /** The capped-basket pair census (s_a &lt; s_b, n = shared
     * customers, aa_micro = Σ round(1e6/ln basket-size)) — ONE row-local
     * expansion + ONE pair aggregation serving [[coPurchase]] (n),
-    * [[adamicAdar]] (n + aa_micro) and [[triangles]]' backbone cut.
+    * [[adamicAdar]] (n + aa_micro) and [[triangles]]'/[[modularity]]'s
+    * backbone cut.
+    *
+    * CONTRACT: rows are pre-filtered at `n ≥ CoPurchaseMinShared` —
+    * every consumer applies exactly that floor, so the floor lives
+    * BEFORE the checkpoint. This is what keeps the memo O(strong
+    * pairs) instead of O(distinct pairs): at gen-sf3 the unfiltered
+    * census is 263M rows (a ~20 GiB deserialized checkpoint that
+    * saturated the storage pool and destabilized every other cached
+    * frame in the session — measured, r12), the ≥5 census is 951k
+    * rows (~30 MiB). The aggregate still pays the full pair-volume
+    * shuffle (that IS the census); only the RETAINED result is cut.
     */
   private[ops] def pairCensus(spark: SparkSession, dir: String): DataFrame =
     pairMemo.getOrCompute(spark, dir) {
       val baskets = cappedBaskets(spark, dir)
-      pairCensusOf(baskets, pairVolume(baskets)).localCheckpoint(true)
+      pairCensusOf(baskets, pairVolume(baskets))
+        .filter(col("n") >= CoPurchaseMinShared)
+        .localCheckpoint(true)
     }
 
   /** Exact pair count Σ k·(k−1)/2 off the basket-size census — one
@@ -1397,8 +1410,8 @@ object Graph {
     */
   def modularity(spark: SparkSession, dir: String): DataFrame =
     modularity(
+      // census rows already carry the ≥ CoPurchaseMinShared floor
       pairCensus(spark, dir)
-        .filter(col("n") >= CoPurchaseMinShared)
         .orderBy(col("n").desc, col("s_a"), col("s_b"))
         .limit(TriangleEdgeCap)
         .select(col("s_a"), col("s_b")),

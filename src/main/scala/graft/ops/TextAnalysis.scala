@@ -1670,10 +1670,31 @@ object TextAnalysis {
     * short-doc and null edges included) but without the per-shingle
     * interpreted-lambda cost that made this the slowest-growing query
     * of the r11 sf1 scale-proof.
+    *
+    * Scan-parallelism guard: this operator is unusual in that ALL its
+    * expensive work (tokenize → per-shingle md5) is row-local and
+    * Catalyst rightly collapses it into the SCAN stage — so its
+    * parallelism is the scan's split count, which for parquet is the
+    * ROW-GROUP count, not `maxPartitionBytes`. A small corpus written
+    * as one fat row group (the test fixtures; any single-file export)
+    * pins the whole job to ONE core while the rest idle — measured at
+    * gen-sf3: 16.6 s single-task vs ~2 s spread (and `maxPartitionBytes`
+    * cannot help: splits below one row group serve empty tasks). When
+    * the scan yields fewer than half the cores, we pay one small
+    * repartition of the raw (id, text) rows to fan the kernel out; on
+    * real corpora (100 TB = hundreds of thousands of splits) the
+    * condition is never true and NO shuffle is added — which is also
+    * why the repartition is conditional instead of unconditional: a
+    * blanket `repartition` here would shuffle the full corpus text at
+    * production scale to buy nothing.
     */
   def docFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    canon(docs, idCol -> "doc_id", textCol -> "text")
+    val base = canon(docs, idCol -> "doc_id", textCol -> "text")
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val scanParts = base.queryExecution.toRdd.getNumPartitions
+    val spread = if (scanParts * 2 < cores) base.repartition(cores) else base
+    spread
       .select(col("doc_id"),
         expr("md5_shingles(split(text, ' '), 5)").as("sh"))
       .select(col("doc_id"),
